@@ -1,0 +1,573 @@
+"""LLM-training-data pipeline operators over `documents` / `embeddings`
+(north-star scope; no counterpart in the reference, which stores opaque SIP
+payload text — hepop.js:183).
+
+Design rules for 100 TB:
+ - every hash is engine-portable (md5 over strings — identical in Spark and
+   DuckDB), so the oracle can verify values bit-for-bit;
+ - candidate generation is always a *bucket equi-join* (LSH bands, fingerprint
+   groups), never an O(n^2) cross join — except where a small cross join is
+   itself the verified baseline (embedding brute-force);
+ - similarity scores are rounded on both sides before any ranking so
+   float-summation order can't flip top-k membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+MINHASH_SEEDS = 8          # minhash signature length
+MINHASH_BAND_ROWS = 2      # rows per LSH band -> 4 bands
+JACCARD_THRESHOLD = 0.5    # verification threshold for LSH candidates
+NGRAM_THRESHOLD = 0.8      # 3-gram jaccard near-dup threshold
+COSINE_THRESHOLD = 0.4     # embedding near-dup threshold (testdata max ~0.5)
+SIMHASH_BITS = 16
+HAMMING_MAX = 3
+
+
+def _tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+
+
+def _shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct word 3-gram shingles per document, computed array-natively
+    (no Python UDF): transform over an index sequence."""
+    docs = load_table(spark, sf, "documents").withColumn("t", F.split("text", " "))
+    return (
+        docs.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+# DuckDB-side shingle CTEs (list indexing is join-reconstructed because
+# DuckDB 1.0 lacks lateral range over list length).
+_DUCK_SHINGLES_CTE = """
+d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok_i AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w FROM d),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+  FROM tok_i a
+  JOIN tok_i b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok_i c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: md5 content hash -> group -> canonical (min) doc id.
+    At scale this is one shuffle on the hash; identical in both engines
+    because md5 hex strings match byte-for-byte."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM documents GROUP BY md5(text)
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-set fingerprint dedup (order-insensitive content hash over the
+    sorted distinct token set). With the testdata vocab this actually finds
+    duplicate groups. Scale shape: hash -> single shuffle -> group."""
+    docs = load_table(spark, sf, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+       count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup detection by word-3-gram Jaccard similarity.
+    Candidate pairs come from a shingle equi-join (only docs sharing at least
+    one shingle are compared), then |A∩B| / (|A|+|B|-|A∩B|). The equi-join IS
+    the scale story: no cross join, shuffle keyed on shingle."""
+    sh = _shingles(spark, sf)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "da")
+        .join(cb, "db")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= NGRAM_THRESHOLD)
+        .select("da", "db", "jaccard")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_DUCK_SHINGLES_CTE},
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+FROM inter
+JOIN counts ca ON da = ca.doc_id
+JOIN counts cb ON db = cb.doc_id
+WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= {NGRAM_THRESHOLD}
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + LSH near-dup pipeline, fully deterministic and
+    engine-portable: shingle -> k=8 md5-keyed minhashes (min over hex strings)
+    -> 4 bands of 2 -> band-bucket equi-join for candidates -> exact Jaccard
+    verification of candidates only.
+
+    This is the textbook 100 TB dedup shape: every stage is a hash shuffle on
+    a bounded key (shingle, (doc, seed), band bucket); the quadratic blowup is
+    confined to rows sharing a band bucket."""
+    sh = _shingles(spark, sf)
+    seeds = F.array([F.lit(i) for i in range(MINHASH_SEEDS)])
+    hashed = sh.select(
+        "doc_id",
+        F.explode(seeds).alias("seed"),
+        F.col("sh"),
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+    )
+    minhashes = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    bands = (
+        minhashes.withColumn("band", (F.col("seed") / MINHASH_BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("mh")))).alias("bkey"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
+    inter = (
+        candidates.join(sa, "da")
+        .join(sb, "db")
+        .filter(F.col("sha") == F.col("shb"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "da")
+        .join(cb, "db")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("da", "db", "jaccard")
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_DUCK_SHINGLES_CTE},
+seeds AS (SELECT unnest(range({MINHASH_SEEDS})) AS seed),
+hashed AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+  FROM shingles CROSS JOIN seeds
+),
+minhashes AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed / {MINHASH_BAND_ROWS} AS INTEGER) AS band,
+         md5(array_to_string(list_sort(list(mh)), ',')) AS bkey
+  FROM minhashes GROUP BY 1, 2
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, count(*) AS inter
+  FROM candidates c
+  JOIN shingles a ON a.doc_id = c.da
+  JOIN shingles b ON b.doc_id = c.db AND a.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT i.da, i.db,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+FROM inter i
+JOIN counts ca ON i.da = ca.doc_id
+JOIN counts cb ON i.db = cb.doc_id
+WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_df(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash per doc from md5-derived token hashes: per-bit ±1 votes
+    summed per doc; bit set iff the vote is positive."""
+    toks = _tokens(spark, sf)
+    h16 = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    hashed = toks.select("doc_id", h16.alias("h"))
+    votes = [
+        F.sum(F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_DUCK_SIMHASH_CTE = (
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),\n"
+    "hashed AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 4) AS INTEGER) AS h FROM toks),\n"
+    "votes AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    + " FROM hashed GROUP BY doc_id),\n"
+    "sh AS (SELECT doc_id, CAST("
+    + " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))
+    + " AS BIGINT) AS simhash FROM votes)"
+)
+
+
+def text_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return _simhash_df(spark, sf)
+
+
+TEXT_SIMHASH_SQL = f"WITH {_DUCK_SIMHASH_CTE} SELECT doc_id, simhash FROM sh"
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming distance <= 3 over 16 bits).
+    Exact pairwise comparison here (verified vs oracle at sf0.01); at scale,
+    candidate generation would band the simhash into 4 nibbles and equi-join
+    (any pair with distance <= 3 shares >= 1 exact nibble by pigeonhole)."""
+    sim = _simhash_df(spark, sf)
+    a = sim.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = sim.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("da", "db", "hamming")
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_DUCK_SIMHASH_CTE}
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _with_vec(df: DataFrame) -> DataFrame:
+    """float[] -> double[] plus L2 norm, computed array-natively (zip_with /
+    aggregate run inside codegen; no Python in the hot path)."""
+    return df.withColumn(
+        "vec", F.expr("transform(embedding, x -> cast(x AS double))")
+    ).withColumn("norm", F.expr("sqrt(aggregate(vec, 0D, (acc, x) -> acc + x * x))"))
+
+
+_COSINE = "aggregate(zip_with(qvec, cvec, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qnorm * cnorm)"
+
+
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 10 query vectors — the exact
+    baseline for ANN. Scale shape: broadcast the (small) query set, scan the
+    corpus once, per-partition partial top-k folded by the final rank; ranking
+    on the rounded score keeps both engines' top-k sets identical."""
+    emb = _with_vec(load_table(spark, sf, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = corpus.join(F.broadcast(queries)).withColumn(
+        "sim", F.round(F.expr(_COSINE), 4)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+ANN_TOPK_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND b.vec_id >= 10
+)
+SELECT q_id, c_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM scored)
+WHERE rk <= 5
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4 — testdata cosines
+    top out ~0.5). Pairwise here (verified); the scale path buckets vectors
+    by random-hyperplane LSH signs first (operators/similarity.py)."""
+    emb = _with_vec(load_table(spark, sf, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("va"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"), F.col("vec").alias("cvec"), F.col("norm").alias("cnorm")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("sim", F.round(F.expr(_COSINE), 4))
+        .filter(F.col("sim") >= COSINE_THRESHOLD)
+        .select("va", "vb", "sim")
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= {COSINE_THRESHOLD}
+"""
+
+
+def vector_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label vector statistics (norms, dims) — sanity surface for the
+    embedding column and a pure array-native aggregation."""
+    emb = _with_vec(load_table(spark, sf, "embeddings"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("norm"), 4).alias("avg_norm"),
+        F.round(F.min("norm"), 4).alias("min_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+    )
+
+
+VECTOR_NORM_SQL = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(avg(norm), 4) AS avg_norm,
+       round(min(norm), 4) AS min_norm,
+       round(max(norm), 4) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+EN_MARKERS = ("a", "the")
+
+
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID: ratio of English-marker tokens. (The testdata
+    vocabulary is synthetic; the operator demonstrates the n-gram-heuristic
+    shape with exact cross-engine parity.)"""
+    toks = _tokens(spark, sf)
+    marker = F.col("tok").isin(*EN_MARKERS).cast("int")
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(marker).alias("n_markers"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("n_markers") / F.col("n_toks"), 4).alias("en_ratio"),
+            F.when(F.col("n_markers") / F.col("n_toks") > 0.05, "en")
+            .otherwise("other")
+            .alias("pred_lang"),
+        )
+    )
+
+
+TEXT_LANG_SQL = """
+WITH t AS (
+  SELECT doc_id, count(*) AS n_toks,
+         sum(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END) AS n_markers
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       round(n_markers * 1.0 / n_toks, 4) AS en_ratio,
+       CASE WHEN n_markers * 1.0 / n_toks > 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+FROM t
+"""
+
+
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: length / type-token ratio / mean token length — the
+    standard cheap pre-filter for training-data curation, all columnar."""
+    toks = _tokens(spark, sf)
+    stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.countDistinct("tok").alias("n_uniq"),
+        F.round(F.avg(F.length("tok")), 4).alias("avg_tok_len"),
+    )
+    ttr = F.col("n_uniq") / F.col("n_toks")
+    len_score = F.least(F.col("n_toks") / 30.0, F.lit(1.0))
+    return stats.select(
+        "doc_id",
+        "n_toks",
+        "n_uniq",
+        "avg_tok_len",
+        F.round(ttr, 4).alias("ttr"),
+        F.round(ttr * len_score, 4).alias("quality"),
+    )
+
+
+TEXT_QUALITY_SQL = """
+WITH s AS (
+  SELECT doc_id, count(*) AS n_toks, count(DISTINCT tok) AS n_uniq,
+         round(avg(length(tok)), 4) AS avg_tok_len
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_toks, n_uniq, avg_tok_len,
+       round(n_uniq * 1.0 / n_toks, 4) AS ttr,
+       round((n_uniq * 1.0 / n_toks) * least(n_toks / 30.0, 1.0), 4) AS quality
+FROM s
+"""
+
+
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level token frequencies (top 20): the word-count of curation
+    pipelines — partial aggregation makes this one small shuffle at any scale."""
+    toks = _tokens(spark, sf)
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("docs"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+TEXT_TOKEN_SQL = """
+SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+"""
+
+
+def text_doc_stats_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus rollup joining doc metadata with computed length."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        )
+    )
+
+
+TEXT_SOURCE_SQL = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+FROM documents
+GROUP BY source, lang
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "text_simhash": QuerySpec(text_simhash, TEXT_SIMHASH_SQL),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_SQL),
+    "embedding_neardup": QuerySpec(embedding_neardup, EMBEDDING_NEARDUP_SQL),
+    "vector_norm_stats": QuerySpec(vector_norm_stats, VECTOR_NORM_SQL),
+    "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_SQL),
+    "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_SQL),
+    "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL),
+    "text_doc_stats_by_source": QuerySpec(text_doc_stats_by_source, TEXT_SOURCE_SQL),
+}

@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Configured for the 100 TB design point, not the local test harness:
+ - AQE on (runtime coalesce, skew-join splitting) so the same plan adapts
+   from sf0.001 to a 1000-executor cluster.
+ - Parquet filter pushdown + vectorized reader (zone-map pruning: the
+   reference's metadata.json min/max file pruning, query.js:22-63, is
+   replaced by footer row-group statistics).
+ - UTC session timezone so timestamp semantics match the ANSI/DuckDB oracle.
+ - Arrow enabled for the (rare) Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "hepop_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local rule-of-thumb: ~1 shuffle partition per core. On a real
+        # cluster this would be sized by data volume (AQE coalesces down).
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.ts is TIMESTAMP(NANOS); read as long and convert
+        # (catalog.normalize_nanos) — Spark has no native nanos type.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,105 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables, then
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_parity.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from hepop_spark import ALL_TABLES
+from hepop_spark.session import get_spark
+
+
+def duck_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(v) -> str:
+    """Canonicalize a cell to a sortable string for order-insensitive compare."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:NaN"
+        return f"f:{round(v, 9)!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    return f"s:{v}"
+
+
+def rows_key(rows):
+    return sorted(tuple(canon(c) for c in r) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from hepop_spark.queries import registry
+
+    reg = registry()
+    spark = get_spark("parity-check")
+    con = duck_connection(sf_dir)
+
+    failures = []
+    for name, spec in sorted(reg.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        status = []
+        if scols != dcols:
+            status.append(f"cols spark={scols} duck={dcols}")
+        if len(srows) != len(drows):
+            status.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        elif rows_key(srows) != rows_key(drows):
+            sk, dk = rows_key(srows), rows_key(drows)
+            diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
+            status.append(f"values differ, first diffs: {diff}")
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(status)}")
+        else:
+            print(f"ok   {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(reg) - len(failures)}/{len(reg)} passed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
