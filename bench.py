@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the scan/join/window/dedup/ANN shapes that dominate a real
+100 TB workload; each is timed to completion (collect) after a warm-up query
+primes the JVM/codegen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hepop_spark.queries import registry
+from hepop_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_broadcast_dim",
+    "b7_group_agg",
+    "win_topk_per_group",
+    "session_windows",
+    "tumbling_window",
+    "asof_join",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("hepop-bench")
+    reg = registry()
+
+    # Warm pass (untimed): primes JVM/JIT, whole-stage-codegen compilation,
+    # and parquet footer caches so the timed pass measures steady-state
+    # execution — the regime that matters at scale — not first-query
+    # compilation overhead.
+    for name in HEADLINE:
+        reg[name].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = reg[name].fn(spark, sf_dir)
+        n = df.count() if name.endswith("_stats") else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall time (12 queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -167,22 +167,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     This is the textbook 100 TB dedup shape: every stage is a hash shuffle on
     a bounded key (shingle, (doc, seed), band bucket); the quadratic blowup is
     confined to rows sharing a band bucket."""
-    sh = _shingles(spark, sf)
-    seeds = F.array([F.lit(i) for i in range(MINHASH_SEEDS)])
-    hashed = sh.select(
-        "doc_id",
-        F.explode(seeds).alias("seed"),
-        F.col("sh"),
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+    # the shingle table feeds signatures AND candidate verification — persist
+    # it so the explode/distinct subtree runs once (at 100 TB this would be a
+    # materialized intermediate table / disk-backed persist)
+    sh = _shingles(spark, sf).persist()
+    # All k minhashes in ONE aggregation (k agg expressions over one shuffle
+    # on doc_id) instead of exploding by seed — at scale this kills a k×-row
+    # shuffle and a second (doc, seed) aggregation exchange.
+    minhash_cols = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(MINHASH_SEEDS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*minhash_cols)
+    # band keys column-wise (seed order), then stack bands with one explode —
+    # no extra shuffle before the bucket join
+    n_bands = MINHASH_SEEDS // MINHASH_BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"mh{b * MINHASH_BAND_ROWS + r}") for r in range(MINHASH_BAND_ROWS)],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    minhashes = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    bands = (
-        minhashes.withColumn("band", (F.col("seed") / MINHASH_BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("mh")))).alias("bkey"))
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -196,12 +211,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    # exact verification of candidates only
+    # exact verification of candidates only; the candidate set is tiny
+    # relative to the corpus — broadcast it so verification joins are
+    # map-side against the persisted shingle table
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
     inter = (
-        candidates.join(sa, "da")
+        sa.join(F.broadcast(candidates), "da")
         .join(sb, "db")
         .filter(F.col("sha") == F.col("shb"))
         .groupBy("da", "db")
@@ -223,16 +240,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 DEDUP_MINHASH_SQL = f"""
 WITH {_DUCK_SHINGLES_CTE},
-seeds AS (SELECT unnest(range({MINHASH_SEEDS})) AS seed),
-hashed AS (
-  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
-  FROM shingles CROSS JOIN seeds
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(MINHASH_SEEDS))}
+  FROM shingles GROUP BY doc_id
 ),
-minhashes AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
 bands AS (
-  SELECT doc_id, CAST(seed / {MINHASH_BAND_ROWS} AS INTEGER) AS band,
-         md5(array_to_string(list_sort(list(mh)), ',')) AS bkey
-  FROM minhashes GROUP BY 1, 2
+  {" UNION ALL ".join(
+      "SELECT doc_id, {b} AS band, md5({expr}) AS bkey FROM sig".format(
+          b=b,
+          expr=" || ',' || ".join(
+              f"mh{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+          ),
+      )
+      for b in range(MINHASH_SEEDS // MINHASH_BAND_ROWS)
+  )}
 ),
 candidates AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
