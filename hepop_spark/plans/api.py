@@ -1,0 +1,116 @@
+"""HEPop query-API semantics on top of spark.sql.
+
+The reference parses SQL with regexes (query.js:65-142), prunes files by
+metadata, and hands a rewritten query to DuckDB. Catalyst replaces all of
+that; what remains to reproduce is exactly the reference's *non-ANSI* API
+semantics:
+
+ 1. table resolution — `FROM hep_(\\d+)` is a HEP type table, any other
+    identifier is a Line-Protocol measurement (query.js:71-84); both are
+    just registered views here;
+ 2. default time window — a query with no `time` predicate is implicitly
+    limited to the last 10 minutes (query.js:9 `defaultTimeRange`,
+    :110-117);
+ 3. `time` alias — the documented query surface calls the timestamp column
+    `time` (README.md:138-147); we expose `time` as a real view column so
+    no text rewriting is needed for predicates;
+ 4. `count()` normalization — DuckDB accepts zero-arg `count()`
+    (loopback_test.sh:46); ANSI/Spark require `count(*)`;
+ 5. ORDER BY / LIMIT / OFFSET pass through (OFFSET is documented at
+    README.md:135 but silently dropped by the reference, query.js:129-132 —
+    we implement it correctly).
+
+The *only* text manipulation here is (2) and (4); both are conservative
+regex transforms of well-understood shapes, not SQL parsing.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TIME_RANGE = timedelta(minutes=10)  # query.js:9 (600s in ns)
+
+_COUNT_RE = re.compile(r"\bcount\(\s*\)", re.IGNORECASE)
+_TIME_PRED_RE = re.compile(r"\btime\s*(>=|<=|>|<|=)", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE)
+_WHERE_RE = re.compile(r"\bWHERE\b", re.IGNORECASE)
+_TAIL_RE = re.compile(r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|WINDOW)\b", re.IGNORECASE)
+
+
+def resolve_table(sql: str) -> tuple[str, int | None]:
+    """First FROM target (the reference extracts only the first —
+    query.js:71-84, a documented mis-planning for multi-table SQL; we
+    return it for routing but execute the full SQL faithfully).
+    Returns (table_name, hep_type or None)."""
+    m = _FROM_RE.search(sql)
+    if not m:
+        raise ValueError("no FROM clause found")
+    name = m.group(1)
+    hep = re.fullmatch(r"hep_(\d+)", name)
+    return name, (int(hep.group(1)) if hep else None)
+
+
+def normalize_count(sql: str) -> str:
+    """`count()` -> `count(*)` (reference surface via DuckDB; B6)."""
+    return _COUNT_RE.sub("count(*)", sql)
+
+
+def has_time_predicate(sql: str) -> bool:
+    return _TIME_PRED_RE.search(sql) is not None
+
+
+def inject_default_window(sql: str, now: datetime | None = None,
+                          time_col: str = "time") -> str:
+    """If no `time` predicate exists, constrain to the last 10 minutes
+    (query.js:110-117). Injected as an AND-wrapped predicate right after
+    WHERE, or a new WHERE before GROUP/ORDER/LIMIT."""
+    if has_time_predicate(sql):
+        return sql
+    now = now or datetime.now(timezone.utc)
+    start = now - DEFAULT_TIME_RANGE
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    pred = (
+        f"{time_col} >= TIMESTAMP '{start.strftime(fmt)}' "
+        f"AND {time_col} <= TIMESTAMP '{now.strftime(fmt)}'"
+    )
+    wm = _WHERE_RE.search(sql)
+    if wm:
+        # WHERE <rest>  ->  WHERE (pred) AND (<rest>)
+        head, tail = sql[: wm.end()], sql[wm.end():]
+        tm = _TAIL_RE.search(tail)
+        cond = tail[: tm.start()] if tm else tail
+        rest = tail[tm.start():] if tm else ""
+        return f"{head} {pred} AND ({cond.strip()}) {rest}".rstrip()
+    tm = _TAIL_RE.search(sql)
+    if tm:
+        return f"{sql[:tm.start()]} WHERE {pred} {sql[tm.start():]}"
+    return f"{sql.rstrip().rstrip(';')} WHERE {pred}"
+
+
+class HepopQueryAPI:
+    """The `/query` endpoint semantics (hepop.js:1018-1059) over spark.sql.
+
+    Tables must be registered views (catalog.register_views /
+    register_hep_view — the HEP views already expose `time` and the
+    src_ip/dst_ip/src_port/dst_port virtual fields)."""
+
+    def __init__(self, spark: SparkSession, default_window: bool = True):
+        self.spark = spark
+        self.default_window = default_window
+
+    def sql(self, query: str, now: datetime | None = None) -> DataFrame:
+        q = normalize_count(query)
+        self.last_table, self.last_hep_type = resolve_table(q)
+        if self.default_window:
+            q = inject_default_window(q, now=now)
+        self.last_sql = q
+        return self.spark.sql(q)
+
+    def query_json(self, query: str, now: datetime | None = None) -> list[dict]:
+        """Row dicts, the HTTP layer's JSON payload (hepop.js:1042-1049;
+        BigInt->string there, exact ints here since Python JSON handles
+        64-bit)."""
+        return [r.asDict(recursive=True) for r in self.sql(query, now=now).collect()]

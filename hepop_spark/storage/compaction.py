@@ -1,0 +1,117 @@
+"""Compaction: merge many small flush files into few large ones.
+
+Reference behavior (hepop.js:415-419, :494-785): every 60 s, per table, a
+10m -> 1h -> 24h ladder; files are grouped by wall-clock hour, merged by
+concatenation (sorted by file min_time, NOT globally re-sorted, no dedup),
+written as `c_{seq}.parquet`, then source files are deleted and metadata
+swapped atomically.
+
+Spark-native design:
+ - the unit of compaction is a partition directory (date/bucket), matching
+   the writer layout;
+ - a partition is eligible when it holds >= min_files files (reference:
+   >= 2 raw or 1 raw + 1 compacted, hepop.js:670-677);
+ - merge = read partition -> sortWithinPartitions(timestamp) -> coalesce ->
+   write to a staging dir -> atomic directory swap. The within-partition
+   sort *improves* on the reference's pure concat (better row-group stats,
+   same query results — the reference's own invariant, hepop.js:703-785);
+ - query equivalence before/after is the correctness contract
+   (tests/test_storage.py).
+
+At scale this is the classic OPTIMIZE small-files job: driver-side listing
+chooses partitions; each rewrite is an independent distributed job.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def list_partitions(base_path: str) -> list[str]:
+    """Partition dirs `date=*/bucket=*` relative to base_path."""
+    out = []
+    if not os.path.isdir(base_path):
+        return out
+    for d in sorted(os.listdir(base_path)):
+        if not d.startswith("date="):
+            continue
+        dpath = os.path.join(base_path, d)
+        for b in sorted(os.listdir(dpath)):
+            if b.startswith("bucket="):
+                out.append(os.path.join(d, b))
+    return out
+
+
+def partition_files(base_path: str, rel: str) -> list[str]:
+    full = os.path.join(base_path, rel)
+    return [f for f in os.listdir(full) if f.endswith(".parquet")]
+
+
+def compact_partition(spark: SparkSession, base_path: str, rel: str,
+                      target_files: int = 1) -> int:
+    """Rewrite one partition directory into ``target_files`` sorted files.
+    Returns number of files removed. Atomic at the directory level:
+    write to `<partition>.__compact_tmp`, then swap."""
+    full = os.path.join(base_path, rel)
+    files = partition_files(base_path, rel)
+    if len(files) <= target_files:
+        return 0
+
+    tmp = full + f".__compact_tmp_{uuid.uuid4().hex[:8]}"
+    (
+        spark.read.parquet(full)
+        .sortWithinPartitions("timestamp")
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    # atomic-ish swap (same filesystem): old -> trash, tmp -> live, rm trash
+    trash = full + ".__old"
+    os.rename(full, trash)
+    os.rename(tmp, full)
+    shutil.rmtree(trash)
+    # drop _SUCCESS markers so partition listing stays clean
+    for marker in ("_SUCCESS",):
+        p = os.path.join(full, marker)
+        if os.path.exists(p):
+            os.remove(p)
+    return len(files) - target_files
+
+
+def compact(spark: SparkSession, base_path: str, min_files: int = 2,
+            target_files: int = 1) -> dict[str, int]:
+    """One compaction sweep over all partitions (reference checkAndCompact,
+    hepop.js:494-537: eligibility = enough small files). Returns
+    {partition: files_removed} for the partitions rewritten."""
+    result = {}
+    for rel in list_partitions(base_path):
+        if len(partition_files(base_path, rel)) >= min_files:
+            removed = compact_partition(spark, base_path, rel, target_files)
+            if removed:
+                result[rel] = removed
+    return result
+
+
+def table_stats(base_path: str) -> dict:
+    """File-count / byte totals per partition — the observability the
+    reference kept in metadata.json (hepop.js:96-106), derived here from
+    the directory tree (listing is ground truth; no self-heal needed,
+    SURVEY §2 A13)."""
+    parts = {}
+    for rel in list_partitions(base_path):
+        full = os.path.join(base_path, rel)
+        files = [f for f in os.listdir(full) if f.endswith(".parquet")]
+        parts[rel] = {
+            "files": len(files),
+            "bytes": sum(os.path.getsize(os.path.join(full, f)) for f in files),
+        }
+    return {
+        "partitions": parts,
+        "total_files": sum(p["files"] for p in parts.values()),
+        "total_bytes": sum(p["bytes"] for p in parts.values()),
+    }

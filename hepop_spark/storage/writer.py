@@ -1,0 +1,47 @@
+"""Time-partitioned parquet writer.
+
+Reference layout (hepop.js:114-132): one file per flush under
+`{base}/{writerId}/dbs/hep-{db}/{table}/{YYYY-MM-DD}/{HH-M0}/{seq}.parquet`
+with a 10-minute bucket (`minute = floor(m/10)*10`).
+
+Spark-native equivalent: `partitionBy(date, bucket)` directory partitioning
+over the same two derived columns. This buys, for free, what the reference
+hand-rolled: partition pruning on time predicates (their metadata.json
+min/max scan, query.js:22-63) and append atomicity (output committer).
+At 100 TB the 10-minute bucket column keeps partitions bounded; row-group
+min/max on `timestamp` handles pruning inside a bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_time_partitions(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """Add the reference's two-level time partition columns:
+    date (YYYY-MM-DD) and 10-minute bucket (HH-M0), hepop.js:116-126."""
+    ts = F.col(ts_col)
+    bucket = F.concat(
+        F.lpad(F.hour(ts).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.floor(F.minute(ts) / 10) * 10).cast("string"), 2, "0"),
+    )
+    return df.withColumn("date", F.to_date(ts)).withColumn("bucket", bucket)
+
+
+def write_partitioned(df: DataFrame, base_path: str, ts_col: str = "timestamp",
+                      mode: str = "append") -> None:
+    """Append rows under date/bucket partition directories."""
+    (
+        with_time_partitions(df, ts_col)
+        .write.mode(mode)
+        .partitionBy("date", "bucket")
+        .parquet(base_path)
+    )
+
+
+def read_table(spark: SparkSession, base_path: str) -> DataFrame:
+    """Read a partitioned table back; partition columns become `date` and
+    `bucket`, prunable by Catalyst."""
+    return spark.read.parquet(base_path)

@@ -1,0 +1,140 @@
+"""Streaming ingest pipelines.
+
+Reference architecture (SURVEY §3.1-3.2): sockets/HTTP receive -> per-type
+row buffer (1000 rows / 10 s, hepop.js:12) -> parquet flush into 10-minute
+bucket dirs -> metadata commit. Spark-native equivalent:
+
+  receiver process (thin; HEP decode or raw LP lines) appends to a landing
+  directory -> `readStream` file source -> columnar parse -> `writeStream
+  .foreachBatch(write_partitioned)` with `trigger(processingTime='10 s')`
+  and checkpointing.
+
+Micro-batching replaces the hand-rolled buffer; the checkpoint replaces the
+WAL sequence; the output committer replaces tmp+rename metadata swaps; a
+final flush on shutdown is unnecessary (exactly-once via checkpoint +
+idempotent sink). Watermarked windows supply the late-data policy the
+reference lacks (SURVEY §2: late rows just land in their event-time bucket;
+here they additionally update windowed aggregates until the watermark).
+
+All builders return the unstarted DataStreamWriter/StreamingQuery handles so
+tests can drive them with availableNow triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lineproto import parse_lines_df
+from ..storage.writer import write_partitioned
+
+FLUSH_INTERVAL = "10 seconds"  # reference flushInterval default, hepop.js:12
+
+
+def read_lp_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Line-Protocol landing dir (text files of LP lines) -> parsed stream
+    (measurement, tags map, fields map, timestamp). The parse is pure column
+    expressions — scales as a narrow map."""
+    lines = spark.readStream.format("text").load(landing_dir)
+    return parse_lines_df(lines)
+
+
+def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
+            processing_time: str | None = FLUSH_INTERVAL):
+    """Write each measurement's rows under `{base}/{measurement}/` with the
+    date/bucket partition layout. foreachBatch (not a direct parquet sink)
+    because one batch fans out to N measurement tables — the streaming twin
+    of addLineProtocolBulk (hepop.js:376-409)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        # blank lines parse to an empty measurement — the reference filters
+        # them before parsing (hepop.js:1063 `.filter(line => line.trim())`);
+        # without this they'd write into the table ROOT directory
+        batch = (
+            batch.filter(F.col("measurement").isNotNull() & (F.col("measurement") != ""))
+            .withColumn("timestamp", F.coalesce(F.col("timestamp"), F.current_timestamp()))
+            .withColumn("tags_json", F.to_json("tags"))
+        )
+        measurements = [r[0] for r in batch.select("measurement").distinct().collect()]
+        for m in measurements:
+            rows = (
+                batch.filter(F.col("measurement") == m)
+                .select(
+                    "timestamp",
+                    F.col("tags_json").alias("tags"),
+                    F.to_json("fields").alias("fields"),
+                )
+            )
+            write_partitioned(rows, f"{base_dir}/{m}")
+
+    writer = (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def hep_sink(decoded: DataFrame, base_dir: str, checkpoint_dir: str,
+             processing_time: str | None = FLUSH_INTERVAL):
+    """HEP rows (timestamp, rcinfo, payload, type) -> one partitioned table
+    per HEP type (`hep_{type}`), mirroring the per-type buffers
+    (hepop.js:134-149)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        types = [r[0] for r in batch.select("type").distinct().collect()]
+        for t in types:
+            rows = batch.filter(F.col("type") == t).select("timestamp", "rcinfo", "payload")
+            write_partitioned(rows, f"{base_dir}/hep_{t}")
+
+    writer = (
+        decoded.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+# ---------------------------------------------------------------------------
+# Watermarked windowed aggregation (late-data policy the reference lacks)
+# ---------------------------------------------------------------------------
+
+
+def windowed_counts(events: DataFrame, ts_col: str = "timestamp",
+                    window: str = "1 hour", watermark: str = "30 minutes",
+                    *group_cols: str) -> DataFrame:
+    """Tumbling event-time windows with a watermark: late rows within the
+    watermark still update their window; older rows are dropped and the
+    window state is reclaimed — bounded state at any scale."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), *group_cols, "n")
+    )
+
+
+def sessionized(events: DataFrame, ts_col: str = "timestamp",
+                gap: str = "30 minutes", watermark: str = "30 minutes",
+                key: str = "user_id") -> DataFrame:
+    """Streaming session windows (session_window aggregation) — the
+    streaming twin of queries/timeseries.session_windows."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )

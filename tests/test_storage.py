@@ -1,0 +1,102 @@
+"""Storage lifecycle tests: partitioned writes, compaction equivalence
+(the reference's implicit invariant — query results identical before and
+after compaction, hepop.js:703-785), partition pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hepop_spark.storage.compaction import compact, list_partitions, partition_files, table_stats
+from hepop_spark.storage.writer import read_table, with_time_partitions, write_partitioned
+
+
+def _mkevents(spark, n=500, start="2024-03-01 10:00:00"):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.to_timestamp(F.lit(start)) + F.make_interval(secs=F.col("id") * 97)).alias(
+            "timestamp"
+        ),
+        (F.col("id") % 7).alias("user_id"),
+        F.round(F.rand(seed=1) * 100, 2).alias("value"),
+    )
+
+
+class TestWriter:
+    def test_bucket_layout(self, spark, tmp_path):
+        base = str(tmp_path / "t1")
+        write_partitioned(_mkevents(spark), base)
+        parts = list_partitions(base)
+        assert parts, "no partitions written"
+        # bucket dirs follow HH-M0 (reference hepop.js:116-126)
+        for rel in parts:
+            bucket = rel.split("bucket=")[1]
+            hh, mm = bucket.split("-")
+            assert 0 <= int(hh) < 24
+            assert int(mm) in {0, 10, 20, 30, 40, 50}
+
+    def test_bucket_expression_matches_reference_floor(self, spark):
+        df = spark.createDataFrame(
+            [("2024-03-01 10:09:59",), ("2024-03-01 10:10:00",), ("2024-03-01 23:59:59",)],
+            ["s"],
+        ).select(F.to_timestamp("s").alias("timestamp"))
+        rows = with_time_partitions(df).select("bucket").collect()
+        assert [r[0] for r in rows] == ["10-00", "10-10", "23-50"]
+
+    def test_append_roundtrip(self, spark, tmp_path):
+        base = str(tmp_path / "t2")
+        write_partitioned(_mkevents(spark, 100), base)
+        write_partitioned(_mkevents(spark, 100, start="2024-03-02 00:00:00"), base)
+        got = read_table(spark, base)
+        assert got.count() == 200
+
+
+class TestCompaction:
+    def test_equivalence_and_file_reduction(self, spark, tmp_path):
+        base = str(tmp_path / "t3")
+        # several small appends -> many files per partition
+        for i in range(4):
+            write_partitioned(_mkevents(spark, 200), base)
+        before = read_table(spark, base)
+        before_rows = sorted(
+            (r["event_id"], str(r["timestamp"]), r["user_id"], r["value"])
+            for r in before.collect()
+        )
+        stats_before = table_stats(base)
+        assert any(
+            p["files"] >= 2 for p in stats_before["partitions"].values()
+        ), "test setup: expected multi-file partitions"
+
+        result = compact(spark, base, min_files=2, target_files=1)
+        assert result, "nothing compacted"
+
+        after = read_table(spark, base)
+        after_rows = sorted(
+            (r["event_id"], str(r["timestamp"]), r["user_id"], r["value"])
+            for r in after.collect()
+        )
+        assert before_rows == after_rows  # the reference's invariant
+        stats_after = table_stats(base)
+        assert stats_after["total_files"] < stats_before["total_files"]
+        for p in stats_after["partitions"].values():
+            assert p["files"] == 1
+
+    def test_idempotent(self, spark, tmp_path):
+        base = str(tmp_path / "t4")
+        for _ in range(3):
+            write_partitioned(_mkevents(spark, 100), base)
+        compact(spark, base)
+        assert compact(spark, base) == {}  # second sweep: nothing to do
+
+
+class TestPruning:
+    def test_partition_pruning_in_plan(self, spark, tmp_path):
+        base = str(tmp_path / "t5")
+        write_partitioned(_mkevents(spark, 2000), base)
+        df = read_table(spark, base).filter(F.col("date") == "2024-03-01")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the date filter must prune at the partition level, not post-scan
+        assert "PartitionFilters" in plan
+        got = df.count()
+        assert 0 < got <= 2000
