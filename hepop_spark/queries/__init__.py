@@ -32,10 +32,10 @@ class QuerySpec:
 
 
 def registry() -> dict[str, QuerySpec]:
-    from . import analytics, llm, reference_surface, timeseries
+    from . import analytics, functions_ext, llm, reference_surface, timeseries
 
     out: dict[str, QuerySpec] = {}
-    for mod in (reference_surface, analytics, timeseries, llm):
+    for mod in (reference_surface, analytics, timeseries, llm, functions_ext):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
