@@ -1,0 +1,106 @@
+"""HTTP front-end: the reference's Bun.serve API surface (hepop.js:1018-1100)
+as a stdlib ThreadingHTTPServer over the Spark session.
+
+Endpoints (status-code mapping mirrors the reference):
+  GET  /query?q=<sql>      -> 200 JSON rows | 400 missing q | 500 exec error
+  POST /query {"query":..} -> same
+  POST /write  <LP body>   -> 201 | 400 parse error
+  GET  /health             -> 200 {"status":"ok"}   (hepop.js:1102-1105)
+
+Writes spool LP lines to the landing dir consumed by the streaming job
+(streaming/ingest.lp_sink) — the HTTP layer never touches parquet itself,
+exactly like the reference's buffer indirection.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .api import HepopQueryAPI
+
+
+def _json_default(o):
+    return str(o)
+
+
+class HepopHttpServer:
+    def __init__(self, spark, lp_spool=None, host: str = "127.0.0.1", port: int = 0,
+                 default_window: bool = True):
+        api = HepopQueryAPI(spark, default_window=default_window)
+        spool = lp_spool
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, body: bytes = b"", ctype: str = "application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _run_query(self, sql: str):
+                try:
+                    rows = api.query_json(sql)
+                except Exception as e:  # reference: 500 + message (hepop.js:1050-1058)
+                    self._send(500, json.dumps({"error": str(e).split("\n")[0]}).encode())
+                    return
+                self._send(200, json.dumps(rows, default=_json_default).encode())
+
+            def do_GET(self):
+                url = urllib.parse.urlparse(self.path)
+                if url.path == "/health":
+                    self._send(200, b'{"status":"ok"}')
+                elif url.path == "/query":
+                    q = urllib.parse.parse_qs(url.query).get("q", [None])[0]
+                    if not q:
+                        self._send(400, b'{"error":"missing query parameter q"}')
+                    else:
+                        self._run_query(q)
+                else:
+                    self._send(404, b'{"error":"not found"}')
+
+            def do_POST(self):
+                url = urllib.parse.urlparse(self.path)
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length).decode("utf-8", "replace")
+                if url.path == "/query":
+                    try:
+                        q = json.loads(body).get("query")
+                    except Exception:
+                        q = None
+                    if not q:
+                        self._send(400, b'{"error":"missing query in body"}')
+                    else:
+                        self._run_query(q)
+                elif url.path == "/write":
+                    if spool is None:
+                        self._send(503, b'{"error":"no write spool configured"}')
+                        return
+                    lines = [ln for ln in body.splitlines() if ln.strip()]
+                    if not lines:
+                        self._send(400, b'{"error":"empty body"}')
+                        return
+                    for ln in lines:
+                        spool.append(ln)
+                    spool.flush()
+                    self._send(201)
+                else:
+                    self._send(404, b'{"error":"not found"}')
+
+        self.server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.server.server_address[1]
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.server.shutdown()
+        self.server.server_close()
+        self._thread.join(timeout=2)

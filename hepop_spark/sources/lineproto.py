@@ -127,6 +127,37 @@ def parse_lines(text: str, add_timestamp: bool = True, now_ms: float | None = No
     return out
 
 
+def format_value(v, numeric_type: str = "float") -> str:
+    """Reference formatValue (lineproto.js:7-21): numbers honor the
+    configured numeric type ('int' -> rounded + `i` suffix), booleans become
+    TRUE/FALSE, everything else is JSON-quoted."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        if numeric_type == "int":
+            # JS Math.round: half-up (toward +inf)
+            import math
+
+            return f"{math.floor(v + 0.5)}i"
+        return repr(v) if isinstance(v, float) else str(v)
+    return json.dumps(v)
+
+
+def format_point(point: Point, numeric_type: str = "float") -> str:
+    """Reference format() (lineproto.js:95-116): re-serialize a point to LP
+    text — `measurement[,tags] fields [ts_ns]` (unused by the server itself;
+    kept for round-trip fixtures, SURVEY §2 A6)."""
+    s = point.measurement
+    if point.tags:
+        s += "," + ",".join(f"{k}={v}" for k, v in point.tags.items())
+    s += " " + ",".join(
+        f"{k}={format_value(v, numeric_type)}" for k, v in point.fields.items()
+    )
+    if point.timestamp_ms is not None:
+        s += f" {int(point.timestamp_ms * 1e6)}"  # ms -> ns (formatDate, lineproto.js:23-25)
+    return s
+
+
 def infer_field_type(value) -> str:
     """First-row schema freeze (reference hepop.js:386-391):
     number -> DOUBLE, boolean -> BOOLEAN, else UTF8."""
