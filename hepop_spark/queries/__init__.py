@@ -32,10 +32,26 @@ class QuerySpec:
 
 
 def registry() -> dict[str, QuerySpec]:
-    from . import analytics, functions_ext, llm, reference_surface, timeseries
+    from . import (
+        analytics,
+        functions_ext,
+        llm,
+        reference_surface,
+        scale_paths,
+        timeseries,
+        tpch_more,
+    )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (reference_surface, analytics, timeseries, llm, functions_ext):
+    for mod in (
+        reference_surface,
+        analytics,
+        timeseries,
+        llm,
+        functions_ext,
+        tpch_more,
+        scale_paths,
+    ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

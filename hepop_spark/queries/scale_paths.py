@@ -1,0 +1,61 @@
+"""Scale-path operators exposed to the driver as rows-only checks (no SQL
+oracle — these are the operators whose *point* is a non-SQL-expressible
+plan: LSH candidate generation and Pandas-UDF multimodal pipelines). Their
+correctness contracts are pinned by pytest (tests/test_operators.py); the
+queries() entries make them visible to the driver's inventory with a
+weaker rows-only gate, as the contract allows."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.multimodal import decode_image_features, frame_sample
+from ..operators.similarity import lsh_topk
+from . import QuerySpec
+
+
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-LSH bucketed ANN over the embeddings table: deterministic
+    hyperplanes, bucket equi-join candidate generation, top-5 per query.
+    The scale path for ann_cosine_topk (which is the oracle-checked exact
+    baseline)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return lsh_topk(corpus, queries, top_k=5, multiprobe=True)
+
+
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal binary-column pipeline: documents' text bytes stand in for
+    media payloads (no media libs in-container); the deterministic fake
+    decoder exercises the real mapInPandas plumbing — schema, Arrow batches,
+    partition carry-through."""
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text/plain").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.to_json(F.struct("lang", "source")).alias("meta"),
+    )
+    return decode_image_features(media, fake=True)
+
+
+def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling (1->N explosion) over binary payloads via mapInPandas."""
+    docs = load_table(spark, sf, "documents").limit(100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video/fake").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+    return frame_sample(media, every_n_bytes=64, max_frames=4)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
+    "multimodal_features": QuerySpec(multimodal_features, None),
+    "multimodal_frames": QuerySpec(multimodal_frames, None),
+}

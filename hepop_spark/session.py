@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to target-size partitions instead of maximizing
+        # parallelism — fewer, fuller tasks; the recommended production
+        # setting, and it cuts per-stage scheduling overhead locally
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # testdata events.ts is TIMESTAMP(NANOS); read as long and convert
