@@ -168,6 +168,21 @@ def infer_field_type(value) -> str:
     return "string"
 
 
+def infer_field_type_raw(raw: str | None) -> str | None:
+    """Classify a RAW (unparsed) LP value string with the same grammar the
+    parser applies (lineproto.js:27-48), returning the frozen column type —
+    or None for undefined values (field dropped, JS object semantics)."""
+    if raw is None:
+        return None
+    if INT_RE.match(raw) or _NUM_RE.match(raw.strip()):
+        return "double"
+    if TRUE_RE.match(raw) or FALSE_RE.match(raw):
+        return "boolean"
+    if STRING_RE.match(raw):
+        return "string"
+    return None
+
+
 def points_to_rows(points: list[Point]) -> dict[str, list[dict]]:
     """Group parsed points by measurement into flat rows shaped like the
     reference's buffer rows (hepop.js:1077-1087): tags JSON-stringified,

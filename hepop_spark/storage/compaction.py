@@ -97,6 +97,58 @@ def compact(spark: SparkSession, base_path: str, min_files: int = 2,
     return result
 
 
+def compact_ladder(spark: SparkSession, base_path: str, level: str = "hour",
+                   min_sources: int = 2) -> dict[str, int]:
+    """The reference's re-bucketing ladder (hepop.js:415-419, :581-701):
+    10-minute buckets merge into the hour bucket (compacted files always
+    land at HH-00, hepop.js:687-701), hours into the day bucket.
+
+    level='hour': within each date, merge all `bucket=HH-M0` partitions of
+    one wall-clock hour into a single `bucket=HH-00` partition.
+    level='day': merge ALL buckets of a date into `bucket=00-00`.
+
+    Rows only move between partition directories — timestamp-based query
+    results are invariant (the reference's own correctness contract); the
+    derived `bucket` partition value coarsens exactly as in the reference.
+    Eligibility mirrors checkAndCompact: at least ``min_sources`` source
+    partitions (reference: >=2 raw or raw+compacted, hepop.js:670-677).
+    Returns {target_partition: source_partitions_merged}."""
+    result: dict[str, int] = {}
+    by_target: dict[str, list[str]] = {}
+    for rel in list_partitions(base_path):
+        date_part, bucket_part = rel.split(os.sep)
+        bucket = bucket_part.split("=", 1)[1]
+        hh = bucket.split("-")[0]
+        target_bucket = f"{hh}-00" if level == "hour" else "00-00"
+        target = os.path.join(date_part, f"bucket={target_bucket}")
+        by_target.setdefault(target, []).append(rel)
+
+    for target, sources in by_target.items():
+        if sources == [target]:
+            continue  # already fully compacted at the target bucket
+        if len(sources) < min_sources:
+            continue  # not enough small partitions yet (reference ages raws)
+        full_sources = [os.path.join(base_path, s) for s in sources]
+        tmp = os.path.join(base_path, target) + f".__ladder_tmp_{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(*full_sources)
+            .sortWithinPartitions("timestamp")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # swap: remove sources, then publish target
+        for s in full_sources:
+            shutil.rmtree(s)
+        os.makedirs(os.path.dirname(os.path.join(base_path, target)), exist_ok=True)
+        os.rename(tmp, os.path.join(base_path, target))
+        marker = os.path.join(base_path, target, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+        result[target] = len(sources)
+    return result
+
+
 def table_stats(base_path: str) -> dict:
     """File-count / byte totals per partition — the observability the
     reference kept in metadata.json (hepop.js:96-106), derived here from

@@ -25,10 +25,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.lineproto import parse_lines_df
+import json
+import os
+
+from ..sources.lineproto import infer_field_type_raw, measurement_table, parse_lines_df
 from ..storage.writer import write_partitioned
 
 FLUSH_INTERVAL = "10 seconds"  # reference flushInterval default, hepop.js:12
+
+
+class SchemaRegistry:
+    """Per-measurement frozen field schemas (reference hepop.js:376-409:
+    the FIRST row of a new measurement freezes its schema; later rows with
+    unknown fields lose them, exactly like the parquetjs writer would).
+    Persisted as JSON beside the tables so restarts keep the freeze."""
+
+    def __init__(self, base_dir: str):
+        self.path = os.path.join(base_dir, "_schemas.json")
+        self.schemas: dict[str, dict[str, str]] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as fh:
+                self.schemas = json.load(fh)
+
+    def ensure(self, measurement: str, first_row_fields: dict[str, str | None]) -> dict[str, str]:
+        if measurement not in self.schemas:
+            frozen = {}
+            for name, raw in first_row_fields.items():
+                t = infer_field_type_raw(raw)
+                if t is not None:  # undefined -> field dropped (JS semantics)
+                    frozen[name] = t
+            self.schemas[measurement] = frozen
+            self._save()
+        return self.schemas[measurement]
+
+    def _save(self):
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.schemas, fh, indent=1)
+        os.rename(tmp, self.path)  # atomic, like the reference metadata write
 
 
 def read_lp_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
@@ -42,30 +77,34 @@ def read_lp_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
 def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
             processing_time: str | None = FLUSH_INTERVAL):
     """Write each measurement's rows under `{base}/{measurement}/` with the
-    date/bucket partition layout. foreachBatch (not a direct parquet sink)
-    because one batch fans out to N measurement tables — the streaming twin
-    of addLineProtocolBulk (hepop.js:376-409)."""
+    date/bucket partition layout and TYPED field columns frozen from the
+    first row ever seen for that measurement (reference addLineProtocolBulk,
+    hepop.js:376-409). foreachBatch (not a direct parquet sink) because one
+    batch fans out to N measurement tables."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         # blank lines parse to an empty measurement — the reference filters
         # them before parsing (hepop.js:1063 `.filter(line => line.trim())`);
         # without this they'd write into the table ROOT directory
-        batch = (
-            batch.filter(F.col("measurement").isNotNull() & (F.col("measurement") != ""))
-            .withColumn("timestamp", F.coalesce(F.col("timestamp"), F.current_timestamp()))
-            .withColumn("tags_json", F.to_json("tags"))
-        )
+        batch = batch.filter(
+            F.col("measurement").isNotNull() & (F.col("measurement") != "")
+        ).persist()
+        registry = SchemaRegistry(base_dir)
+        now_ms = None  # measurement_table coalesces per-row with batch time
         measurements = [r[0] for r in batch.select("measurement").distinct().collect()]
         for m in measurements:
-            rows = (
-                batch.filter(F.col("measurement") == m)
-                .select(
-                    "timestamp",
-                    F.col("tags_json").alias("tags"),
-                    F.to_json("fields").alias("fields"),
+            if m not in registry.schemas:
+                first = (
+                    batch.filter(F.col("measurement") == m).select("fields").head()
                 )
+                registry.ensure(m, dict(first["fields"]) if first else {})
+            field_types = registry.schemas[m]
+            rows = measurement_table(batch, m, field_types)
+            rows = rows.withColumn(
+                "timestamp", F.coalesce(F.col("timestamp"), F.current_timestamp())
             )
             write_partitioned(rows, f"{base_dir}/{m}")
+        batch.unpersist()
 
     writer = (
         parsed.writeStream.foreachBatch(write_batch)

@@ -90,6 +90,40 @@ class TestCompaction:
         assert compact(spark, base) == {}  # second sweep: nothing to do
 
 
+class TestLadder:
+    def test_hour_rebucket_equivalence(self, spark, tmp_path):
+        from hepop_spark.storage.compaction import compact_ladder
+
+        base = str(tmp_path / "ladder")
+        # events spanning several 10-min buckets within a few hours
+        write_partitioned(_mkevents(spark, 800), base)
+        before_parts = list_partitions(base)
+        assert any(not p.endswith("-00") for p in before_parts), "need non-hour buckets"
+        before_rows = sorted(
+            (r["event_id"], str(r["timestamp"])) for r in read_table(spark, base).collect()
+        )
+
+        res = compact_ladder(spark, base, level="hour")
+        assert res, "hour ladder compacted nothing"
+        after_parts = list_partitions(base)
+        # all buckets now at HH-00 (reference hepop.js:687-701)
+        assert all(p.split("bucket=")[1] == p.split("bucket=")[1][:2] + "-00" for p in after_parts)
+        after_rows = sorted(
+            (r["event_id"], str(r["timestamp"])) for r in read_table(spark, base).collect()
+        )
+        assert before_rows == after_rows
+
+        # day level folds everything into 00-00
+        res2 = compact_ladder(spark, base, level="day")
+        day_parts = list_partitions(base)
+        if res2:
+            assert all(p.endswith("bucket=00-00") for p in day_parts)
+        final_rows = sorted(
+            (r["event_id"], str(r["timestamp"])) for r in read_table(spark, base).collect()
+        )
+        assert before_rows == final_rows
+
+
 class TestPruning:
     def test_partition_pruning_in_plan(self, spark, tmp_path):
         base = str(tmp_path / "t5")

@@ -47,9 +47,12 @@ class TestLpPipeline:
         assert len(cpu) == 2
         tags = {json.loads(r["tags"])["host"] for r in cpu}
         assert tags == {"server01", "server02"}
+        # first-row schema freeze: usage_idle typed DOUBLE (hepop.js:386-391)
+        assert {round(r["usage_idle"], 1) for r in cpu} == {87.2, 91.0}
 
         home = read_table(spark, str(tmp_path / "tables" / "home")).collect()
         assert len(home) == 2
+        assert {r["temp"] for r in home} == {72.5, 68.0}
         # partition layout carries the 10-min bucket (ts = 11:02/11:03 UTC)
         assert {r["bucket"] for r in home} == {"11-00"}
 
