@@ -38,20 +38,24 @@ def _tokens(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
 
 
-def _shingles(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct word 3-gram shingles per document, computed array-natively
-    (no Python UDF): transform over an index sequence."""
+def _shingles_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """Word 3-gram shingles per document WITH duplicates, computed
+    array-natively (no Python UDF): transform over an index sequence.
+    Duplicate shingles are harmless for minhashing (min over dups is
+    identical) and skipping the distinct() avoids a full-corpus shuffle."""
     docs = load_table(spark, sf, "documents").withColumn("t", F.split("text", " "))
-    return (
-        docs.filter(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
-            ).alias("sh"),
-        )
-        .distinct()
+    return docs.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
+        ).alias("sh"),
     )
+
+
+def _shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct shingle sets (needed wherever set cardinalities feed a
+    Jaccard computation)."""
+    return _shingles_raw(spark, sf).distinct()
 
 
 # DuckDB-side shingle CTEs (list indexing is join-reconstructed because
@@ -167,10 +171,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     This is the textbook 100 TB dedup shape: every stage is a hash shuffle on
     a bounded key (shingle, (doc, seed), band bucket); the quadratic blowup is
     confined to rows sharing a band bucket."""
-    # the shingle table feeds signatures AND candidate verification — persist
-    # it so the explode/distinct subtree runs once (at 100 TB this would be a
-    # materialized intermediate table / disk-backed persist)
-    sh = _shingles(spark, sf).persist()
+    # signatures come from RAW shingles (no distinct — min over duplicates is
+    # identical, and the full-corpus distinct shuffle is the pipeline's most
+    # expensive stage); the distinct-set view is deferred to verification,
+    # where it's filtered to candidate docs first
+    sh_raw = _shingles_raw(spark, sf).persist()
     # All k minhashes in ONE aggregation (k agg expressions over one shuffle
     # on doc_id) instead of exploding by seed — at scale this kills a k×-row
     # shuffle and a second (doc, seed) aggregation exchange.
@@ -178,7 +183,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
         for i in range(MINHASH_SEEDS)
     ]
-    sig = sh.groupBy("doc_id").agg(*minhash_cols)
+    sig = sh_raw.groupBy("doc_id").agg(*minhash_cols)
     # band keys column-wise (seed order), then stack bands with one explode —
     # no extra shuffle before the bucket join
     n_bands = MINHASH_SEEDS // MINHASH_BAND_ROWS
@@ -211,9 +216,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    # exact verification of candidates only; the candidate set is tiny
-    # relative to the corpus — broadcast it so verification joins are
-    # map-side against the persisted shingle table
+    # exact verification of candidates only: restrict the shingle table to
+    # candidate docs (broadcast semi-join), and only THEN take distinct
+    # shingle sets — the expensive distinct runs over a tiny slice
+    cand_docs = (
+        candidates.select(F.col("da").alias("doc_id"))
+        .union(candidates.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .distinct()
+        .persist()
+    )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
@@ -556,6 +571,61 @@ LIMIT 20
 """
 
 
+BPE_ISH = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting two ways: whitespace words vs a BPE-ish regex
+    (letter runs / single digits / punctuation — the GPT-2 pre-tokenizer
+    shape). Both are single-pass column expressions over the scan."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH}', 0)")).cast("long").alias("n_bpe_tokens"),
+        (F.col("n_chars") / F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH}', 0)"))).alias(
+            "chars_per_token_raw"
+        ),
+    ).select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.round("chars_per_token_raw", 4).alias("chars_per_token"),
+    )
+
+
+TEXT_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH}', 0)) AS BIGINT) AS n_bpe_tokens,
+       round(n_chars * 1.0 / len(regexp_extract_all(text, '{BPE_ISH}', 0)), 4) AS chars_per_token
+FROM documents
+"""
+
+
+def text_minhash_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Bottom-k sketch fingerprint: the 4 lexicographically-smallest shingle
+    md5s, hashed together — a compact, mergeable document fingerprint
+    (rolling-hash family; identical across engines because the hash space
+    and the order are both md5-string-defined)."""
+    sh = _shingles(spark, sf)
+    hashed = sh.select("doc_id", F.md5("sh").alias("h"))
+    return (
+        hashed.groupBy("doc_id")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, 4).alias("bottom4"))
+        .select("doc_id", F.md5(F.concat_ws(",", "bottom4")).alias("sketch"))
+    )
+
+
+TEXT_SKETCH_SQL = f"""
+WITH {_DUCK_SHINGLES_CTE},
+hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list(DISTINCT h))[1:4], ',')) AS sketch
+FROM hashed GROUP BY doc_id
+"""
+
+
 def text_doc_stats_by_source(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus rollup joining doc metadata with computed length."""
     docs = load_table(spark, sf, "documents")
@@ -591,5 +661,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_SQL),
     "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_SQL),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL),
+    "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_SQL),
+    "text_minhash_sketch": QuerySpec(text_minhash_sketch, TEXT_SKETCH_SQL),
     "text_doc_stats_by_source": QuerySpec(text_doc_stats_by_source, TEXT_SOURCE_SQL),
 }

@@ -245,7 +245,58 @@ FROM events GROUP BY 1
 """
 
 
+def resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filled hourly resample: a dense hour × event_type grid built with
+    sequence()/explode, left-joined against the hourly aggregate, missing
+    cells zero-filled — the hypertable `time_bucket_gapfill` operator.
+    The grid is tiny (hours × types) and broadcast; the fact side aggregates
+    before the join, so the shuffle is on the small aggregate."""
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    return (
+        grid.join(hourly, ["h", "event_type"], "left")
+        .select(
+            fmt_ts(F.col("h"), "hour"),
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("n"),
+            F.coalesce("sum_v", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+RESAMPLE_GAPFILL_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS cnt, round(sum(value), 2) AS sum_v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), full_grid AS (
+  SELECT g.h, t.event_type FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT strftime(fg.h, '{TS_FMT_DUCK}') AS hour, fg.event_type,
+       coalesce(cnt, 0) AS n, coalesce(sum_v, 0.0) AS sum_value
+FROM full_grid fg
+LEFT JOIN hourly ON fg.h = hourly.h AND fg.event_type = hourly.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "resample_gapfill": QuerySpec(resample_gapfill, RESAMPLE_GAPFILL_SQL),
     "tumbling_window": QuerySpec(tumbling_window, TUMBLING_SQL),
     "sliding_window": QuerySpec(sliding_window, SLIDING_SQL),
     "session_windows": QuerySpec(session_windows, SESSION_SQL),
