@@ -35,6 +35,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import (
         analytics,
         functions_ext,
+        functions_ext2,
         llm,
         reference_surface,
         scale_paths,
@@ -49,6 +50,7 @@ def registry() -> dict[str, QuerySpec]:
         timeseries,
         llm,
         functions_ext,
+        functions_ext2,
         tpch_more,
         scale_paths,
     ):

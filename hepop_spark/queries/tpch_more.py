@@ -126,7 +126,7 @@ def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
             (
                 F.lit(100.0)
                 * F.round(F.sum(promo), 2)
-                / F.round(F.sum(disc_price), 2)
+                / F.nullif(F.round(F.sum(disc_price), 2), F.lit(0.0))
             ).alias("promo_revenue_pct")
         )
     )
@@ -136,7 +136,7 @@ Q14_SQL = """
 SELECT 100.0 * round(sum(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0.0 END), 2)
-       / round(sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue_pct
+       / nullif(round(sum(l_extendedprice * (1 - l_discount)), 2), 0.0) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
