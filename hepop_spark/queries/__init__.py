@@ -41,6 +41,7 @@ def registry() -> dict[str, QuerySpec]:
         scale_paths,
         timeseries,
         tpch_more,
+        tpch_more2,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -52,6 +53,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_ext,
         functions_ext2,
         tpch_more,
+        tpch_more2,
         scale_paths,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
