@@ -648,6 +648,51 @@ GROUP BY source, lang
 """
 
 
+# --- near-dup clustering: connected components over verified pairs -----------
+
+
+def dedup_cluster_cc(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    verified MinHash near-dup pairs, emitting (doc, canonical=min doc in
+    component, cluster size). This is the last stage of dedup at 100 TB —
+    pairs alone over-remove (A~B, B~C does not pick a survivor); components
+    pick exactly one canonical per transitive group. Iterative min-label
+    propagation in operators/graph.py: one join + one agg per round, all
+    distributed. Oracle: DuckDB recursive-CTE transitive closure."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf)
+    comps = connected_components(pairs, src="da", dst="db")
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        comps.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("canonical_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+DEDUP_CLUSTER_CC_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT da, db FROM ({DEDUP_MINHASH_SQL}) q),
+edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+    SELECT a AS doc_id, least(min(b), a) AS canonical_id FROM reach GROUP BY a
+)
+SELECT l.doc_id, l.canonical_id, CAST(s.n AS BIGINT) AS cluster_size
+FROM labels l
+JOIN (SELECT canonical_id, count(*) AS n FROM labels GROUP BY canonical_id) s
+  USING (canonical_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
@@ -663,5 +708,6 @@ QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_SQL),
     "text_minhash_sketch": QuerySpec(text_minhash_sketch, TEXT_SKETCH_SQL),
+    "dedup_cluster_cc": QuerySpec(dedup_cluster_cc, DEDUP_CLUSTER_CC_SQL),
     "text_doc_stats_by_source": QuerySpec(text_doc_stats_by_source, TEXT_SOURCE_SQL),
 }
