@@ -1,0 +1,107 @@
+"""Physical-plan audit: mechanical checks that the scale story holds.
+
+For each audited query we assert, from `explain("formatted")` output:
+  pushdown   — at least one parquet scan has non-empty PushedFilters
+               (only for queries that filter on base columns)
+  vectorized — every parquet scan reads Batched: true (columnar reader)
+  partial    — queries flagged partial must show map-side partial
+               aggregation (partial_sum/partial_count/...) before the
+               exchange — the agg shrinks the shuffle, not the reverse
+  no_py_row  — no BatchEvalPython (row-at-a-time Python UDF) anywhere;
+               ArrowEvalPython / FlatMapGroupsInPandas (vectorized) are
+               allowed only for queries flagged arrow_ok
+  broadcast  — queries flagged bcast must contain a BroadcastHashJoin or
+               BroadcastNestedLoopJoin
+  (WholeStageCodegen isn't assertable pre-execution under AQE — the
+  formatted plan is the initial, pre-codegen one — so JVM-sidedness is
+  covered by the no-Python checks instead)
+
+Run: python tools/plan_audit.py [sf_dir]
+Exit code 1 if any audit fails — wired for CI-style use.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hepop_spark.queries import registry
+from hepop_spark.session import get_spark
+
+# name -> set of extra expectations
+AUDITS: dict[str, set[str]] = {
+    "q1_pricing_summary": {"pushdown", "partial"},
+    "q3_shipping_priority": {"pushdown", "bcast", "partial"},
+    "q5_local_supplier": {"pushdown", "bcast", "partial"},
+    "q6_forecast_revenue": {"pushdown", "partial"},
+    "q7_volume_shipping": {"bcast", "partial"},
+    "q14_promo_effect": {"pushdown", "bcast", "partial"},
+    "join_broadcast_dim": {"bcast"},
+    "range_join_bins": {"bcast", "partial"},
+    "b2_filter_like": {"pushdown"},
+    "b3_time_range": {"pushdown"},
+    "win_topk_per_group": set(),
+    "win_range_time": set(),
+    "dedup_exact": set(),
+    "dedup_minhash_lsh": set(),
+    "text_token_stats": {"partial"},
+    "ann_cosine_topk": {"arrow_ok"},
+    "tumbling_window": {"partial"},
+}
+
+
+def explain_str(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def audit(name: str, plan: str, flags: set[str]) -> list[str]:
+    problems: list[str] = []
+    if "pushdown" in flags:
+        pushed = [
+            ln for ln in plan.splitlines()
+            if "PushedFilters" in ln and "PushedFilters: []" not in ln
+        ]
+        if not pushed:
+            problems.append("no non-empty PushedFilters on any scan")
+    scans = [i for i, ln in enumerate(plan.splitlines()) if "Scan parquet" in ln]
+    if scans and "Batched: true" not in plan:
+        problems.append("parquet scan not vectorized (no Batched: true)")
+    if "partial" in flags and "partial_" not in plan:
+        problems.append("no map-side partial aggregation before exchange")
+    if "BatchEvalPython" in plan:
+        problems.append("row-at-a-time Python UDF (BatchEvalPython) in plan")
+    if "arrow_ok" not in flags:
+        for marker in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            if marker in plan:
+                problems.append(f"unexpected Python stage {marker}")
+    if "bcast" in flags and "Broadcast" not in plan:
+        problems.append("expected a broadcast join, none in plan")
+    return problems
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    reg = registry()
+    failures = 0
+    for name, flags in AUDITS.items():
+        plan = explain_str(reg[name].fn(spark, sf_dir))
+        problems = audit(name, plan, flags)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"ok   {name}")
+    total = len(AUDITS)
+    print(f"\n{total - failures}/{total} plans clean")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
