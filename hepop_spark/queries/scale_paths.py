@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.multimodal import decode_image_features, frame_sample
-from ..operators.similarity import lsh_topk
+from ..operators.similarity import ivf_topk, lsh_topk
 from . import QuerySpec
 
 
@@ -25,6 +25,17 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     return lsh_topk(corpus, queries, top_k=5, multiprobe=True)
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF inverted-list ANN over the embeddings table: deterministic coarse
+    quantizer, nprobe=4 of 16 cells, exact rerank of probed candidates only
+    — the second scale path beside sign-LSH (different recall/cost curve:
+    data-adaptive cells vs data-oblivious hyperplanes)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(corpus, queries, n_cells=16, nprobe=4, top_k=5)
 
 
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -56,6 +67,7 @@ def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
     "multimodal_features": QuerySpec(multimodal_features, None),
     "multimodal_frames": QuerySpec(multimodal_frames, None),
 }

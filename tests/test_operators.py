@@ -13,7 +13,7 @@ from hepop_spark.operators.multimodal import (
     frame_sample,
     media_metadata_stats,
 )
-from hepop_spark.operators.similarity import lsh_topk, with_lsh_bucket
+from hepop_spark.operators.similarity import ivf_topk, lsh_topk, with_lsh_bucket
 from hepop_spark.queries import registry
 from hepop_spark.queries.llm import ann_cosine_topk
 
@@ -117,6 +117,72 @@ class TestLshSimilarity:
         assert len(approx) <= 50
         exact = {(r["q_id"], r["c_id"]) for r in ann_cosine_topk(spark, sf_dir).collect()}
         assert {r["q_id"] for r in approx} <= {q for q, _ in exact} or approx == []
+
+
+class TestIvfSimilarity:
+    def test_ivf_recall_on_clusters(self, spark):
+        """IVF's contract: when the data HAS cluster structure, near
+        neighbors share a cell. (The sf embeddings are near-random — the
+        regime where any cell partition splits true neighbors — so recall
+        is pinned on synthetic clusters, like the LSH test.)"""
+        import hashlib
+        import struct as st_
+
+        def vec(seed: str, dim: int = 64) -> list[float]:
+            out = []
+            for j in range(dim):
+                h = hashlib.md5(f"{seed}:{j}".encode()).digest()
+                (u,) = st_.unpack(">I", h[:4])
+                out.append(u / 2**31 - 1.0)
+            return out
+
+        rows = []
+        vid = 0
+        for c in range(10):  # 10 clusters: 1 query + 3 near-dups each
+            base = vec(f"c{c}")
+            for k in range(4):
+                noise = vec(f"c{c}:n{k}")
+                rows.append(
+                    (vid, [b + 0.05 * n for b, n in zip(base, noise)])
+                )
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        queries = df.filter(F.col("vec_id") % 4 == 0)
+        corpus = df.filter(F.col("vec_id") % 4 != 0)
+        got = ivf_topk(corpus, queries, n_cells=8, nprobe=2, top_k=3).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["q_id"], set()).add(r["c_id"])
+        hits = sum(
+            len(by_q.get(q, set()) & {q + 1, q + 2, q + 3}) for q in range(0, 40, 4)
+        )
+        assert hits / 30 >= 0.9, f"cluster recall too low: {hits}/30"
+
+    def test_ivf_determinism_and_nprobe_monotonicity(self, spark, sf_dir):
+        """On the near-random sf vectors: output bounded by top-k, identical
+        across runs, and recall vs exact grows with nprobe (probing more
+        cells can only add candidates)."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        corpus = emb.filter(F.col("vec_id") >= 10)
+        exact = {}
+        for r in ann_cosine_topk(spark, sf_dir).collect():
+            exact.setdefault(r["q_id"], set()).add(r["c_id"])
+
+        def recall(nprobe: int) -> float:
+            ap = {}
+            for r in ivf_topk(corpus, queries, n_cells=16, nprobe=nprobe,
+                              top_k=5).collect():
+                ap.setdefault(r["q_id"], set()).add(r["c_id"])
+            hits = sum(len(ap.get(q, set()) & cs) for q, cs in exact.items())
+            return hits / sum(len(cs) for cs in exact.values())
+
+        a = ivf_topk(corpus, queries, n_cells=16, nprobe=4, top_k=5).collect()
+        b = ivf_topk(corpus, queries, n_cells=16, nprobe=4, top_k=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert 0 < len(a) <= 50
+        assert recall(8) >= recall(4)
+        assert recall(16) == 1.0  # probing every cell IS brute force
 
 
 class TestRegistry:
