@@ -33,6 +33,9 @@ HEADLINE = [
     "asof_join",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "q7_volume_shipping",
+    "q13_count_distribution",
     "text_token_stats",
 ]
 
@@ -64,7 +67,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-query wall time (12 queries)",
+                "metric": "headline-query wall time (15 queries)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
