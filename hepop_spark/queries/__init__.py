@@ -36,6 +36,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics,
         functions_ext,
         functions_ext2,
+        functions_ext3,
         llm,
         reference_surface,
         scale_paths,
@@ -52,6 +53,7 @@ def registry() -> dict[str, QuerySpec]:
         llm,
         functions_ext,
         functions_ext2,
+        functions_ext3,
         tpch_more,
         tpch_more2,
         scale_paths,

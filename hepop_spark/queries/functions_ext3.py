@@ -1,0 +1,173 @@
+"""Fourth breadth batch: relational reshaping (unpivot/stack, posexplode
+with ordinality, map round-trips), lead/lag pairing, and bitwise functions.
+ANSI-common spellings; where the engines' surface syntax diverges
+(UNPIVOT vs stack(), unnest WITH ORDINALITY vs posexplode) the SEMANTICS
+are identical and that is what the oracle pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from . import QuerySpec
+
+# --- unpivot / stack ----------------------------------------------------------
+
+
+def unpivot_stack(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshape: one row per (orderkey, measure). Spark's stack()
+    is a generator expression — narrow, no shuffle; DuckDB spells it
+    UNPIVOT. The 3× row expansion happens scan-side, before any exchange."""
+    register_views(spark, sf, tables=("orders",))
+    return spark.sql("""
+        SELECT o_orderkey, measure, round(val, 2) AS val
+        FROM (
+            SELECT o_orderkey,
+                   stack(2, 'totalprice', o_totalprice,
+                            'custkey_x100', CAST(o_custkey AS DOUBLE) * 100.0)
+                       AS (measure, val)
+            FROM orders
+        ) u
+        WHERE o_orderkey <= 2000
+    """)
+
+
+UNPIVOT_STACK_SQL = """
+SELECT o_orderkey, measure, round(val, 2) AS val
+FROM (
+    SELECT o_orderkey, o_totalprice AS totalprice,
+           CAST(o_custkey AS DOUBLE) * 100.0 AS custkey_x100
+    FROM orders
+) w
+UNPIVOT (val FOR measure IN (totalprice, custkey_x100))
+WHERE o_orderkey <= 2000
+"""
+
+
+# --- posexplode / unnest WITH ORDINALITY --------------------------------------
+
+
+def posexplode_ordinal(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-preserving explode: (doc_id, position, token). Positions are
+    1-based on both sides (Spark posexplode is 0-based — shifted
+    explicitly). Narrow op; the downstream filter keeps output bounded."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql("""
+        SELECT doc_id, CAST(pos + 1 AS BIGINT) AS ordinality, tok
+        FROM documents
+        LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        WHERE doc_id <= 50 AND pos < 5
+    """)
+
+
+POSEXPLODE_SQL = """
+SELECT doc_id, CAST(ord AS BIGINT) AS ordinality, tok
+FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS ord,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+) t
+WHERE doc_id <= 50 AND ord <= 5
+"""
+
+
+# --- map round-trip -----------------------------------------------------------
+
+
+def map_entries_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType surface: build a map from columns, explode back to rows, and
+    aggregate per key — proving the native map column (not JSON-string)
+    path the reference never had (its tags are JSON text, hepop.js:1084).
+    The oracle reproduces the same (key, value) rows without a map type:
+    the semantics pinned are entry iteration + per-key aggregation."""
+    register_views(spark, sf, tables=("customer",))
+    return spark.sql("""
+        SELECT k, CAST(count(*) AS BIGINT) AS n, round(sum(v), 2) AS total
+        FROM (
+            SELECT explode(map('acctbal', c_acctbal,
+                               'natkey', CAST(c_nationkey AS DOUBLE))) AS (k, v)
+            FROM customer
+        ) e
+        GROUP BY k
+    """)
+
+
+MAP_ENTRIES_SQL = """
+SELECT k, CAST(count(*) AS BIGINT) AS n, round(sum(v), 2) AS total
+FROM (
+    SELECT 'acctbal' AS k, c_acctbal AS v FROM customer
+    UNION ALL
+    SELECT 'natkey' AS k, CAST(c_nationkey AS DOUBLE) AS v FROM customer
+) e
+GROUP BY k
+"""
+
+
+# --- lead/lag pairing ---------------------------------------------------------
+
+
+def win_lead_lag_pair(spark: SparkSession, sf: str) -> DataFrame:
+    """lead+lag in one window (per-user previous and next event value, with
+    defaults at the edges) — the symmetric twin of win_lag_delta. One
+    shuffle on user_id, single sorted pass."""
+    register_views(spark, sf, tables=("events",))
+    return spark.sql("""
+        SELECT user_id, event_id,
+               round(lag(value, 1, 0.0) OVER w, 2) AS prev_v,
+               round(lead(value, 1, -1.0) OVER w, 2) AS next_v,
+               CASE WHEN lead(value, 1) OVER w IS NULL THEN 1 ELSE 0 END AS is_last
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """)
+
+
+WIN_LEAD_LAG_SQL = """
+SELECT user_id, event_id,
+       round(lag(value, 1, 0.0) OVER w, 2) AS prev_v,
+       round(lead(value, 1, -1.0) OVER w, 2) AS next_v,
+       CASE WHEN lead(value, 1) OVER w IS NULL THEN 1 ELSE 0 END AS is_last
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+# --- bitwise family -----------------------------------------------------------
+
+
+def bitwise_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise ops over integer keys (the SimHash/bucket-mask toolkit used
+    by the LLM operators, exercised directly)."""
+    register_views(spark, sf, tables=("part",))
+    return spark.sql("""
+        SELECT p_partkey,
+               p_partkey & 255 AS low_byte,
+               p_partkey | 4096 AS with_flag,
+               CAST(p_partkey ^ 1365 AS BIGINT) AS xored,
+               shiftleft(p_partkey, 2) AS shl2,
+               shiftright(p_partkey, 3) AS shr3,
+               CAST(bit_count(p_partkey) AS BIGINT) AS popcnt
+        FROM part
+    """)
+
+
+BITWISE_SQL = """
+SELECT p_partkey,
+       p_partkey & 255 AS low_byte,
+       p_partkey | 4096 AS with_flag,
+       CAST(xor(p_partkey, 1365) AS BIGINT) AS xored,
+       p_partkey << 2 AS shl2,
+       p_partkey >> 3 AS shr3,
+       CAST(bit_count(p_partkey) AS BIGINT) AS popcnt
+FROM part
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "unpivot_stack": QuerySpec(unpivot_stack, UNPIVOT_STACK_SQL),
+    "posexplode_ordinal": QuerySpec(posexplode_ordinal, POSEXPLODE_SQL),
+    "map_entries_explode": QuerySpec(map_entries_explode, MAP_ENTRIES_SQL),
+    "win_lead_lag_pair": QuerySpec(win_lead_lag_pair, WIN_LEAD_LAG_SQL),
+    "bitwise_funcs": QuerySpec(bitwise_funcs, BITWISE_SQL),
+}
