@@ -305,3 +305,58 @@ QUERIES: dict[str, QuerySpec] = {
     "first_last_agg": QuerySpec(first_last_agg, FIRST_LAST_SQL),
     "histogram_fixed_bins": QuerySpec(histogram_fixed_bins, HISTOGRAM_SQL),
 }
+
+
+def rollup_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """The incremental rollup (storage/rollup.py) exercised through the
+    judged inventory: ingest the events table in two batch halves into a
+    fresh rollup directory, then serve it back. Because count/sum/min/max
+    are monoids, the two-batch incremental result must hash-match the
+    oracle's DIRECT single-pass aggregation — the equivalence IS the
+    contract being judged."""
+    import shutil
+    import tempfile
+
+    from ..storage.rollup import read_rollup, rollup_batch
+
+    # Bounded slice (1 day = 24 hour-partitions): the incremental merge
+    # is built for micro-batches touching few hours; a full-corpus backfill
+    # through per-hour dynamic overwrite would write hundreds of tiny
+    # partitions twice and benchmark the filesystem, not the operator.
+    ev = load_table(spark, sf, "events").filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    rdir = tempfile.mkdtemp(prefix="rollup_q_")
+    shutil.rmtree(rdir, ignore_errors=True)
+    # two batches split by event id parity: every hour gets data from both
+    rollup_batch(spark, rdir, ev.filter(F.col("event_id") % 2 == 0))
+    rollup_batch(spark, rdir, ev.filter(F.col("event_id") % 2 == 1))
+    out = read_rollup(spark, rdir).select(
+        "hour_bucket",
+        F.col("k").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_v", 2).alias("sum_v"),
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+    )
+    # materialize before returning: the temp dir must outlive lazy execution,
+    # so pin the result (small: hours x types) and drop the files
+    rows = out.collect()
+    shutil.rmtree(rdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+ROLLUP_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS hour_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_v,
+       round(min(value), 2) AS min_v,
+       round(max(value), 2) AS max_v
+FROM events
+WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+QUERIES["rollup_hourly"] = QuerySpec(rollup_hourly, ROLLUP_HOURLY_SQL)
