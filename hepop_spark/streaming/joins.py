@@ -32,12 +32,24 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame,
 def stream_stream_join(left: DataFrame, right: DataFrame,
                        key: str = "h",
                        max_skew: str = "10 minutes",
-                       watermark: str = "20 minutes") -> DataFrame:
-    """Inner join two streams on ``key`` where the right event lands within
+                       watermark: str = "20 minutes",
+                       how: str = "inner") -> DataFrame:
+    """Join two streams on ``key`` where the right event lands within
     [left.ts, left.ts + max_skew]. Both sides are watermarked so the state
     store can evict rows older than the horizon — the interval condition is
     what makes eviction possible (an unbounded-time stream-stream join
-    would keep all history)."""
+    would keep all history).
+
+    how="left_outer" additionally emits unmatched left rows (right columns
+    null) — but only once the watermark has passed their join window, since
+    before that a match could still arrive; the engine holds them in state
+    until then. The request/response-timeout shape: unmatched requests
+    surface as timeouts one watermark horizon later. Two operational traps
+    (pinned by tests): null results emit in a batch AFTER the watermark
+    advances, and the global watermark is min() across sources under the
+    default multipleWatermarkPolicy — a drained/idle side freezes eviction
+    for the whole join until it sees data again (consider policy "max", or
+    heartbeat the idle source, in production)."""
     lt = left.select(
         F.col(key), F.col("ts").alias("l_ts"), F.col("payload").alias("l_payload")
     ).withWatermark("l_ts", watermark)
@@ -50,7 +62,7 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
         & (rt["r_ts"] >= lt["l_ts"])
         & (rt["r_ts"] <= lt["l_ts"] + F.expr(f"INTERVAL {max_skew}"))
     )
-    return lt.join(rt, cond, "inner").select(
+    return lt.join(rt, cond, how).select(
         key, "l_ts", "l_payload", "r_ts", "r_payload"
     )
 

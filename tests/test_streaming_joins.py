@@ -89,3 +89,68 @@ class TestWatermarkDedup:
         out = _run(watermark_dedup(stream), tmp_path, "wmdedup")
         rows = sorted((r["h"], r["payload"]) for r in out.collect())
         assert rows == [("a", "first-a"), ("b", "first-b")]
+
+
+class TestStreamStreamOuter:
+    def test_left_outer_emits_timeout_rows_after_watermark(self, spark, tmp_path):
+        """Unmatched left rows must surface (with null right columns) once
+        the watermark passes their join window. Two traps pinned here:
+        outer-null results emit only in a batch AFTER the watermark
+        advances (availableNow stops when drained, so the flush needs a
+        follow-up run), and the global watermark is min() across sources —
+        a drained side freezes it until that side sees data again."""
+        schema = "h string, ts timestamp, payload string"
+        lsrc, rsrc = tmp_path / "lo_l", tmp_path / "lo_r"
+        out_dir, ck = str(tmp_path / "lo_out"), str(tmp_path / "ck_outer")
+        lsrc.mkdir(), rsrc.mkdir()
+        spark.createDataFrame(
+            [("match", _ts(0), "req-m"), ("orphan", _ts(0), "req-o")], schema
+        ).write.parquet(str(lsrc / "b0.parquet"))
+        spark.createDataFrame(
+            [("match", _ts(5), "resp-m")], schema
+        ).write.parquet(str(rsrc / "b0.parquet"))
+        # late right event 2h ahead drags the watermark far past t0+skew
+        spark.createDataFrame(
+            [("wm-pusher", _ts(120), "resp-late")], schema
+        ).write.parquet(str(rsrc / "b1.parquet"))
+
+        def run():
+            left = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(lsrc / "*.parquet"))
+            )
+            right = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(rsrc / "*.parquet"))
+            )
+            out = stream_stream_join(left, right, watermark="20 minutes",
+                                     how="left_outer")
+            q = (
+                out.writeStream.format("parquet")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("path", out_dir)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()
+        # the global watermark is min(left wm, right wm): BOTH sources must
+        # see later data or the drained side's frozen watermark pins state
+        # forever. New files on both sides advance it; Spark then runs a
+        # no-data batch that evicts and emits the orphan with nulls.
+        spark.createDataFrame(
+            [("wm-pusher-l", _ts(240), "req-later")], schema
+        ).write.parquet(str(lsrc / "b1.parquet"))
+        spark.createDataFrame(
+            [("wm-pusher2", _ts(240), "resp-later")], schema
+        ).write.parquet(str(rsrc / "b2.parquet"))
+        run()
+        rows = {(r["h"], r["r_payload"]) for r in
+                spark.read.parquet(out_dir).collect()}
+        assert ("match", "resp-m") in rows           # matched pair joins
+        assert ("orphan", None) in rows              # timeout row surfaced
+        assert ("orphan", "resp-late") not in rows   # wrong key never joins
