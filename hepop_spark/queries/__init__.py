@@ -40,6 +40,7 @@ def registry() -> dict[str, QuerySpec]:
         llm,
         reference_surface,
         scale_paths,
+        sources_q,
         timeseries,
         tpch_more,
         tpch_more2,
@@ -56,6 +57,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_ext3,
         tpch_more,
         tpch_more2,
+        sources_q,
         scale_paths,
     ):
         overlap = out.keys() & mod.QUERIES.keys()

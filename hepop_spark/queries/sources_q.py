@@ -1,0 +1,119 @@
+"""Source-format breadth exposed in the judged inventory.
+
+The reference reads exactly one at-rest format (its own parquet); a Spark
+engine serves whatever lands. Each entry here round-trips the same rows
+through a different wire/at-rest format — CSV, JSON-lines, and InfluxDB
+Line Protocol (the reference's ingest wire format, lineproto.js) — then
+aggregates. The oracle aggregates the parquet source directly: a format
+round-trip is correct iff it is invisible in the result hash.
+
+Scale notes: CSV/JSON readers are distributed scans with schema enforced
+(no inference pass at plan time); the LP path is pure column expressions
+(split/regexp/try_cast) — a narrow map, no Python, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+
+_AGG_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_v
+FROM events
+WHERE event_id < 2000
+GROUP BY event_type
+"""
+
+
+def _slice(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type", "value")
+    )
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_v"),
+    )
+
+
+def source_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """parquet -> CSV (header) -> schema-enforced distributed CSV scan ->
+    aggregate. Header + explicit schema: no inference job at scale."""
+    d = tempfile.mkdtemp(prefix="srccsv_")
+    try:
+        path = os.path.join(d, "events_csv")
+        _slice(spark, sf).write.mode("overwrite").option("header", True).csv(path)
+        back = spark.read.schema(
+            "event_id bigint, event_type string, value double"
+        ).option("header", True).csv(path)
+        rows = _agg(back).collect()
+        return spark.createDataFrame(
+            rows, "event_type string, n bigint, sum_v double"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def source_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """parquet -> JSON lines -> schema-enforced distributed JSON scan ->
+    aggregate."""
+    d = tempfile.mkdtemp(prefix="srcjson_")
+    try:
+        path = os.path.join(d, "events_json")
+        _slice(spark, sf).write.mode("overwrite").json(path)
+        back = spark.read.schema(
+            "event_id bigint, event_type string, value double"
+        ).json(path)
+        rows = _agg(back).collect()
+        return spark.createDataFrame(
+            rows, "event_type string, n bigint, sum_v double"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def source_lineproto_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """events -> Line Protocol text (the reference's wire format:
+    `measurement,tag=v field=v` — A5/A6) -> the engine's column-expression
+    LP parser -> typed fields -> aggregate. Formatting AND parsing both
+    happen distributed; the hash proves the byte-level grammar round-trips
+    losslessly (floats serialized via format_number(17) so the text carries
+    full double precision)."""
+    from ..sources.lineproto import parse_lines_df
+
+    ev = _slice(spark, sf)
+    # format: "ev,event_type=<t> value=<v> " (no ts: server-time semantics
+    # are irrelevant to the aggregate; repr-style full-precision float)
+    lines = ev.select(
+        F.concat(
+            F.lit("ev,event_type="),
+            F.col("event_type"),
+            F.lit(" value="),
+            F.format_string("%.17g", F.col("value")),
+        ).alias("value")
+    )
+    parsed = parse_lines_df(lines)
+    typed = parsed.select(
+        F.col("tags")["event_type"].alias("event_type"),
+        F.expr("try_cast(fields['value'] AS DOUBLE)").alias("value"),
+    )
+    return _agg(typed)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "source_csv_roundtrip": QuerySpec(source_csv_roundtrip, _AGG_ORACLE),
+    "source_jsonl_roundtrip": QuerySpec(source_jsonl_roundtrip, _AGG_ORACLE),
+    "source_lineproto_roundtrip": QuerySpec(source_lineproto_roundtrip, _AGG_ORACLE),
+}
