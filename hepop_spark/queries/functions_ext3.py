@@ -171,3 +171,66 @@ QUERIES: dict[str, QuerySpec] = {
     "win_lead_lag_pair": QuerySpec(win_lead_lag_pair, WIN_LEAD_LAG_SQL),
     "bitwise_funcs": QuerySpec(bitwise_funcs, BITWISE_SQL),
 }
+
+
+# --- FILTER clause aggregates ---------------------------------------------
+
+
+def agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-aggregate FILTER clauses: several conditional aggregates in one
+    pass over the scan (the alternative — one scan per condition — is the
+    classic accidental-N-scans mistake at scale)."""
+    register_views(spark, sf, tables=("lineitem",))
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_heavy,
+               round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS rich_disc_rev,
+               round(max(l_extendedprice) FILTER (WHERE l_tax = 0.0), 2) AS max_notax
+        FROM lineitem
+        GROUP BY l_returnflag
+    """)
+
+
+AGG_FILTER_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_heavy,
+       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS rich_disc_rev,
+       round(max(l_extendedprice) FILTER (WHERE l_tax = 0.0), 2) AS max_notax
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- error-safe try_* family ------------------------------------------------
+
+
+def try_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-safe expression family: try_cast on mixed-validity strings and
+    try_divide by a sometimes-zero denominator yield NULL instead of
+    runtime failure — the difference between a 100 TB job that finishes
+    with a null-audit and one that dies at hour 9 on a bad row."""
+    register_views(spark, sf, tables=("part",))
+    return spark.sql("""
+        SELECT p_partkey,
+               try_cast(split_part(p_type, ' ', 1) AS DOUBLE) AS type_num,
+               try_cast(CAST(p_size AS STRING) AS DOUBLE) AS size_num,
+               try_divide(p_retailprice, p_size % 3) AS per_mod,
+               try_cast(p_brand AS DOUBLE) AS brand_num
+        FROM part
+    """)
+
+
+TRY_FUNCS_SQL = """
+SELECT p_partkey,
+       TRY_CAST(split_part(p_type, ' ', 1) AS DOUBLE) AS type_num,
+       TRY_CAST(CAST(p_size AS VARCHAR) AS DOUBLE) AS size_num,
+       CASE WHEN p_size % 3 = 0 THEN NULL
+            ELSE p_retailprice / (p_size % 3) END AS per_mod,
+       TRY_CAST(p_brand AS DOUBLE) AS brand_num
+FROM part
+"""
+
+QUERIES["agg_filter_clause"] = QuerySpec(agg_filter_clause, AGG_FILTER_SQL)
+QUERIES["try_funcs"] = QuerySpec(try_funcs, TRY_FUNCS_SQL)
