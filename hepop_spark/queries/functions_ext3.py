@@ -234,3 +234,38 @@ FROM part
 
 QUERIES["agg_filter_clause"] = QuerySpec(agg_filter_clause, AGG_FILTER_SQL)
 QUERIES["try_funcs"] = QuerySpec(try_funcs, TRY_FUNCS_SQL)
+
+
+# --- IGNORE NULLS window navigation ------------------------------------------
+
+
+def win_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """last_value(... IGNORE NULLS) — the forward-fill / last-known-value
+    shape (sensor gaps, sparse metrics). NULLs are synthesized
+    deterministically (every 3rd event), then each row carries the latest
+    non-null value at-or-before it. Single shuffle on user_id."""
+    register_views(spark, sf, tables=("events",))
+    return spark.sql("""
+        SELECT user_id, event_id,
+               round(v, 2) AS v,
+               round(last_value(v) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ffill_v
+        FROM (SELECT user_id, event_id,
+                     CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+              FROM events) t
+    """)
+
+
+WIN_IGNORE_NULLS_SQL = """
+SELECT user_id, event_id,
+       round(v, 2) AS v,
+       round(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ffill_v
+FROM (SELECT user_id, event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      FROM events) t
+"""
+
+QUERIES["win_ignore_nulls"] = QuerySpec(win_ignore_nulls, WIN_IGNORE_NULLS_SQL)
