@@ -44,6 +44,7 @@ def registry() -> dict[str, QuerySpec]:
         timeseries,
         tpch_more,
         tpch_more2,
+        tpch_more3,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -57,6 +58,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_ext3,
         tpch_more,
         tpch_more2,
+        tpch_more3,
         sources_q,
         scale_paths,
     ):
