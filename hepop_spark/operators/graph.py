@@ -9,11 +9,18 @@ the minimum label among itself and its neighbors; convergence takes
 O(graph diameter) rounds. Each round is one shuffle (join on node) + one
 aggregation — all DataFrame ops, nothing collected to the driver, so the
 same code runs on a 1000-executor cluster. For adversarial long-chain
-graphs (diameter ~ n), switch the inner step to alternating large-star /
-small-star contraction (Kiveris et al., "Connected Components in MapReduce
-and Beyond", SoCC'14) — same join primitives, O(log n) rounds; near-dup
-graphs in practice are dense blobs with tiny diameters, so neighbor-min is
-the cheaper default.
+graphs (diameter ~ n), pass ``compress=True`` to add a pointer-jumping
+step each round (node → label(label(node)), one extra join keyed on the
+label id) — path lengths square, so O(log d) rounds instead of O(d), the
+Kiveris et al. SoCC'14 family of tricks with plain DataFrame joins.
+
+compress defaults OFF: near-dup graphs in practice are dense blobs with
+tiny diameters, where the extra join per round costs more than the saved
+rounds (measured on the sf0.1 dedup_cluster_cc pipeline: ~18s hook-only vs
+~27s with compress — driver job overhead dominates on small graphs). A
+sum(comp)-monotonicity convergence check was also measured and lost to the
+join + limit(1) + count below (~21-30s vs ~17-19s): limit(1) short-circuits
+on the first changed row, while the sum must aggregate every partition.
 """
 
 from __future__ import annotations
@@ -23,7 +30,7 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20, compress: bool = False) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
     ``edges`` is an undirected edge list (each pair listed once is enough).
@@ -54,8 +61,22 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
         )
+        if compress:
+            # pointer jump: node → label(label(node)); comp values are node
+            # ids present in the label table, so the lookup is a self-join
+            # (left + coalesce keeps nodes whose label is already a root)
+            lookup = new_labels.select(
+                F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+            )
+            new_labels = (
+                new_labels.join(lookup, new_labels["comp"] == lookup["pnode"], "left")
+                .select(
+                    "node",
+                    F.least(F.col("comp"), F.coalesce("pcomp", "comp")).alias("comp"),
+                )
+            )
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -132,26 +132,26 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
     query-side plan is identical.
 
     Scale shape: centroids are O(n_cells x dim) — driver-collected and
-    closure-broadcast (bounded, independent of corpus size). The stride
-    sampler uses a global row_number (single-partition sort) — fine for the
-    bounded corpora here; at 100 TB swap it for a seeded
-    corpus.sample(n_cells/n).limit(n_cells), which is shuffle-free and
-    equally deterministic for a fixed seed and input. Corpus assignment
-    is a narrow map; the probe join is an equi-join on cell id (hash shuffle
-    keyed on at most n_cells values — salt or raise n_cells if cells skew);
-    rerank cost is |q| x (nprobe/n_cells) x |corpus| instead of |q| x |corpus|.
+    closure-broadcast (bounded, independent of corpus size). Centroid
+    selection is a deterministic hash-sample: order by md5(id) and take
+    n_cells — Spark compiles orderBy+limit to TakeOrderedAndProject
+    (per-partition partial top-k, driver merges n_cells rows), so there is
+    no global sort, no extra count() job, and the choice is a uniform
+    pseudo-random sample that is stable across runs, partitionings, and
+    cluster sizes. Corpus assignment is a narrow map; the probe join is an
+    equi-join on cell id (hash shuffle keyed on at most n_cells values —
+    salt or raise n_cells if cells skew); rerank cost is
+    |q| x (nprobe/n_cells) x |corpus| instead of |q| x |corpus|.
     """
     from pyspark.sql.functions import pandas_udf
 
-    w_id = Window.orderBy(id_col)
-    ranked = corpus.select(
-        F.col(vec_col).alias("v"), F.row_number().over(w_id).alias("rn")
-    )
-    n_corpus = corpus.count()
-    stride = max(1, n_corpus // n_cells)
     cents = (
-        ranked.filter(((F.col("rn") - 1) % stride == 0) & (F.col("rn") <= stride * n_cells))
-        .orderBy("rn")
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("hk"),
+        )
+        .orderBy("hk")
+        .limit(n_cells)
         .select("v")
         .collect()
     )

@@ -26,3 +26,14 @@ class TestConnectedComponents:
     def test_triangle_plus_isolate_edge(self, spark):
         got = _cc(spark, [(3, 1), (1, 2), (2, 3), (7, 9)])
         assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    def test_compress_long_chain_converges_fast(self, spark):
+        # 0-1-2-...-12 chain, diameter 12: pointer jumping squares path
+        # lengths, so max_iter=5 (< diameter) must still converge
+        edges = [(i, i + 1) for i in range(12)]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(df, max_iter=5, compress=True).collect()
+        }
+        assert got == {i: 0 for i in range(13)}
