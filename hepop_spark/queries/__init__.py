@@ -38,6 +38,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_ext2,
         functions_ext3,
         llm,
+        llm2,
         reference_surface,
         scale_paths,
         sources_q,
@@ -53,6 +54,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics,
         timeseries,
         llm,
+        llm2,
         functions_ext,
         functions_ext2,
         functions_ext3,
