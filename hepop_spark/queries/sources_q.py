@@ -84,6 +84,25 @@ def source_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def source_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """parquet -> ORC -> distributed ORC scan -> aggregate. ORC is the
+    second first-class columnar at-rest format in Spark (vectorized
+    reader, predicate pushdown, zone-map stripe statistics — the same
+    properties §4 gets from parquet), so supporting it is a pure
+    config-level switch; the hash proves it is result-invisible."""
+    d = tempfile.mkdtemp(prefix="srcorc_")
+    try:
+        path = os.path.join(d, "events_orc")
+        _slice(spark, sf).write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        rows = _agg(back).collect()
+        return spark.createDataFrame(
+            rows, "event_type string, n bigint, sum_v double"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def source_lineproto_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """events -> Line Protocol text (the reference's wire format:
     `measurement,tag=v field=v` — A5/A6) -> the engine's column-expression
@@ -115,5 +134,6 @@ def source_lineproto_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES: dict[str, QuerySpec] = {
     "source_csv_roundtrip": QuerySpec(source_csv_roundtrip, _AGG_ORACLE),
     "source_jsonl_roundtrip": QuerySpec(source_jsonl_roundtrip, _AGG_ORACLE),
+    "source_orc_roundtrip": QuerySpec(source_orc_roundtrip, _AGG_ORACLE),
     "source_lineproto_roundtrip": QuerySpec(source_lineproto_roundtrip, _AGG_ORACLE),
 }

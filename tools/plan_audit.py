@@ -49,6 +49,20 @@ AUDITS: dict[str, set[str]] = {
     "text_token_stats": {"partial"},
     "ann_cosine_topk": {"arrow_ok"},
     "tumbling_window": {"partial"},
+    # fourth TPC-H batch
+    "q2_min_cost_supplier": {"pushdown", "bcast", "partial"},
+    "q8_market_share": {"bcast", "partial"},
+    "q9_product_profit": {"pushdown", "bcast", "partial"},
+    "q11_important_value": {"bcast", "partial"},
+    "q17_small_qty_revenue": {"pushdown", "bcast", "partial"},
+    "q19_disjunctive": {"bcast", "partial"},
+    "q21_waiting_supplier": {"partial"},
+    # corpus-statistics batch
+    "tfidf_top_terms": {"partial"},
+    "text_bigram_counts": {"partial"},
+    "sample_stratified_hash": {"partial"},
+    "funnel_signup_purchase": {"partial"},
+    "retention_weekly": {"partial"},
 }
 
 
