@@ -1,9 +1,11 @@
-"""Scale-path operators exposed to the driver as rows-only checks (no SQL
-oracle — these are the operators whose *point* is a non-SQL-expressible
-plan: LSH candidate generation and Pandas-UDF multimodal pipelines). Their
-correctness contracts are pinned by pytest (tests/test_operators.py); the
-queries() entries make them visible to the driver's inventory with a
-weaker rows-only gate, as the contract allows."""
+"""Scale-path operators. Most are exposed to the driver as rows-only
+checks (no SQL oracle — these are the operators whose *point* is a
+non-SQL-expressible plan: LSH candidate generation and Pandas-UDF
+multimodal pipelines); their correctness contracts are pinned by pytest
+(tests/test_operators.py), and the queries() entries make them visible to
+the driver's inventory with a weaker rows-only gate, as the contract
+allows. zorder_roundtrip IS fully oracle-checked: the clustered layout
+must be invisible in the result hash."""
 
 from __future__ import annotations
 
@@ -65,9 +67,52 @@ def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     return frame_sample(media, every_n_bytes=64, max_frames=4)
 
 
+def zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustered rewrite (storage/zorder.py) proven
+    result-invisible: events rewritten clustered on (user_id, value), then
+    answered through a 2-D selective predicate — the exact query shape
+    z-order accelerates (per-file min/max stats are tight on BOTH
+    dimensions, so most files prune; the reference can prune on time
+    only). The oracle runs the same predicate on the original layout."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..storage.zorder import zorder_write
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="zorder_q_")
+    try:
+        path = os.path.join(d, "events_z")
+        zorder_write(ev, path, ["user_id", "value"], n_files=8)
+        back = spark.read.parquet(path)
+        rows = (
+            back.filter((F.col("user_id") < 30) & (F.col("value") > 50))
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_v"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, "user_id bigint, n bigint, sum_v double")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ZORDER_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_v
+FROM events
+WHERE user_id < 30 AND value > 50
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
     "multimodal_features": QuerySpec(multimodal_features, None),
     "multimodal_frames": QuerySpec(multimodal_frames, None),
+    "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),
 }
