@@ -39,6 +39,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_ext3,
         llm,
         llm2,
+        pipeline_ops,
         reference_surface,
         scale_paths,
         sources_q,
@@ -63,6 +64,7 @@ def registry() -> dict[str, QuerySpec]:
         tpch_more3,
         sources_q,
         scale_paths,
+        pipeline_ops,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
