@@ -39,6 +39,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_ext3,
         llm,
         llm2,
+        llm3,
         pipeline_ops,
         reference_surface,
         scale_paths,
@@ -56,6 +57,7 @@ def registry() -> dict[str, QuerySpec]:
         timeseries,
         llm,
         llm2,
+        llm3,
         functions_ext,
         functions_ext2,
         functions_ext3,

@@ -1,0 +1,294 @@
+"""Third LLM-pipeline batch: the dataset-shaping operators that sit between
+a cleaned corpus and a training run — sliding-window chunking, sequential
+sequence packing, weighted source mixing, and benchmark decontamination.
+
+(North-star surface: the reference stores opaque payload strings,
+hepop.js:183, and has no corpus tooling at all.)
+
+Shared conventions: tokenization is a single-space split (≡ DuckDB
+string_split); every sampling / replication decision is content-addressed
+off md5(doc_id) hex prefixes (engine-, partition-, and cluster-size-
+independent — the idiom proven by sample_stratified_hash); chunk and n-gram
+identities are md5 over the joined token string so hashes compare across
+engines without shipping the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from . import QuerySpec
+
+# --- Sliding-window chunking --------------------------------------------------
+
+CHUNK = 32   # tokens per chunk
+STRIDE = 24  # tokens between chunk starts (overlap = CHUNK - STRIDE = 8)
+
+
+def text_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Split each document into overlapping token windows (size {CHUNK},
+    stride {STRIDE}) — the standard long-document → context-window prep.
+    Chunk starts are 0, S, 2S, … ≤ n-1, so every token is covered and the
+    tail chunk may be short; identity = md5 of the joined tokens.
+
+    Scale: explode(sequence(...)) is a narrow generator — rows fan out
+    ~n/S× with NO shuffle; the whole plan is scan → generate → project."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql(f"""
+        WITH s AS (
+            SELECT doc_id, split(text, ' ') AS toks,
+                   size(split(text, ' ')) AS n
+            FROM documents
+        )
+        SELECT doc_id, i AS chunk_idx,
+               size(slice(toks, i * {STRIDE} + 1, {CHUNK})) AS chunk_tokens,
+               md5(concat_ws(' ', slice(toks, i * {STRIDE} + 1, {CHUNK})))
+                   AS chunk_hash
+        FROM s LATERAL VIEW explode(sequence(0, int(floor((n - 1) / {STRIDE})))) t AS i
+    """)
+
+
+CHUNK_SQL = f"""
+WITH s AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, CAST(floor((n - 1) / {STRIDE}) AS BIGINT))) AS i
+    FROM s
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(toks, i * {STRIDE} + 1, i * {STRIDE} + {CHUNK}))
+            AS INTEGER) AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, i * {STRIDE} + 1, i * {STRIDE} + {CHUNK}),
+                           ' ')) AS chunk_hash
+FROM idx
+"""
+
+
+# --- Sequential sequence packing ---------------------------------------------
+
+CAP = 256  # tokens per packed sequence
+
+
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-split sequence packing: docs are laid out in doc_id order
+    inside a hash bucket (doc_id % 8 — the distribution unit, so packing
+    parallelizes across buckets with no global sort) and a running token
+    count assigns each doc to pack floor(cum_before / {CAP}). Docs are
+    truncated to {CAP} tokens so no doc spans more than two packs. Returns
+    per-pack fill statistics.
+
+    Scale: ONE shuffle on the bucket key, one window sort inside it —
+    the global-total-order trap (single reducer) is avoided by design; at
+    1000 executors you'd raise the bucket count, nothing else changes."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql(f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % 8 AS bucket,
+                   least(size(split(text, ' ')), {CAP}) AS tok
+            FROM documents
+        ),
+        placed AS (
+            SELECT bucket, doc_id, tok,
+                   coalesce(sum(tok) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        )
+        SELECT bucket, CAST(floor(cum_before / {CAP}) AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS pack_tokens
+        FROM placed
+        GROUP BY bucket, 2
+    """)
+
+
+PACK_SQL = f"""
+WITH t AS (
+    SELECT doc_id, doc_id % 8 AS bucket,
+           least(len(string_split(text, ' ')), {CAP}) AS tok
+    FROM documents
+),
+placed AS (
+    SELECT bucket, doc_id, tok,
+           coalesce(sum(tok) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM t
+)
+SELECT bucket, CAST(floor(cum_before / {CAP}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS pack_tokens
+FROM placed
+GROUP BY bucket, 2
+"""
+
+
+# --- Weighted source mixing ---------------------------------------------------
+
+
+def mix_sources_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset mixing with per-source sampling weights — up-weight (w > 1
+    replicates ⌊w⌋× plus a hash-gated extra copy for the fraction) and
+    down-weight (w < 1 keeps a hash-gated subset): src0-2 at w=2.5,
+    src3-4 at w=1.0, everything else at w≈0.4. The fractional gate is the
+    md5-hex-prefix threshold ('80'/256 ≈ .5, '66'/256 ≈ .4), so the mix is
+    reproducible on any engine or cluster layout. Returns per-source
+    replication accounting.
+
+    Scale: narrow map + generator fan-out, then one aggregation on the
+    20-key source space — no data-sized shuffle."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql("""
+        WITH m AS (
+            SELECT source, doc_id,
+                   CASE
+                     WHEN source IN ('src0', 'src1', 'src2') THEN
+                       2 + IF(substring(md5(CAST(doc_id AS STRING)), 1, 2) < '80', 1, 0)
+                     WHEN source IN ('src3', 'src4') THEN 1
+                     ELSE
+                       IF(substring(md5(CAST(doc_id AS STRING)), 1, 2) < '66', 1, 0)
+                   END AS reps
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM m LATERAL VIEW explode(sequence(1, reps)) t AS copy
+        WHERE reps > 0
+        GROUP BY source
+    """)
+
+
+MIX_SQL = """
+WITH m AS (
+    SELECT source, doc_id,
+           CASE
+             WHEN source IN ('src0', 'src1', 'src2') THEN
+               2 + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                        THEN 1 ELSE 0 END
+             WHEN source IN ('src3', 'src4') THEN 1
+             ELSE
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '66'
+                    THEN 1 ELSE 0 END
+           END AS reps
+    FROM documents
+)
+, copies AS (
+    SELECT source, doc_id, unnest(generate_series(1, reps)) AS copy
+    FROM m WHERE reps > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM copies
+GROUP BY source
+"""
+
+
+# --- Benchmark decontamination ------------------------------------------------
+
+NGRAM = 5
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-set decontamination: flag corpus documents sharing any
+    {NGRAM}-gram with a held-out benchmark set. Benchmark = doc_id % 97 = 0;
+    corpus = the rest PLUS the benchmark texts re-keyed (+1,000,000) as
+    planted leaks — detection must flag every plant (organic collisions, if
+    any, are identical on both engines). Returns flagged doc_id with the
+    count of distinct shared n-grams.
+
+    Scale: n-grams are hashed to md5 BEFORE the join (fixed-width keys, no
+    long-string shuffle); the benchmark side is distinct-reduced and tiny →
+    Spark broadcasts it, so the corpus side never shuffles. This is the
+    bucket-equi-join candidate-generation discipline (memory: never
+    all-pairs) applied to contamination checking."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql(f"""
+        WITH bench_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+        ),
+        corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM bench_docs
+        ),
+        grams AS (
+            SELECT doc_id,
+                   md5(concat_ws(' ', slice(toks, i, {NGRAM}))) AS g
+            FROM (
+                SELECT doc_id, split(text, ' ') AS toks,
+                       size(split(text, ' ')) AS n
+                FROM corpus
+            ) s LATERAL VIEW explode(sequence(1, n - {NGRAM} + 1)) t AS i
+            WHERE n >= {NGRAM}
+        ),
+        bgrams AS (
+            SELECT DISTINCT md5(concat_ws(' ', slice(toks, i, {NGRAM}))) AS g
+            FROM (
+                SELECT doc_id, split(text, ' ') AS toks,
+                       size(split(text, ' ')) AS n
+                FROM bench_docs
+            ) s LATERAL VIEW explode(sequence(1, n - {NGRAM} + 1)) t AS i
+            WHERE n >= {NGRAM}
+        )
+        SELECT grams.doc_id,
+               CAST(count(DISTINCT grams.g) AS BIGINT) AS n_shared,
+               grams.doc_id >= 1000000 AS is_planted
+        FROM grams JOIN bgrams ON grams.g = bgrams.g
+        GROUP BY grams.doc_id
+    """)
+
+
+DECONTAM_SQL = f"""
+WITH bench_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+),
+corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM bench_docs
+),
+grams AS (
+    SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + {NGRAM} - 1), ' ')) AS g
+    FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, n - {NGRAM} + 1)) AS i
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM corpus
+        ) raw WHERE n >= {NGRAM}
+    ) s
+),
+bgrams AS (
+    SELECT DISTINCT md5(array_to_string(list_slice(toks, i, i + {NGRAM} - 1), ' ')) AS g
+    FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, n - {NGRAM} + 1)) AS i
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM bench_docs
+        ) raw WHERE n >= {NGRAM}
+    ) s
+)
+SELECT grams.doc_id,
+       CAST(count(DISTINCT grams.g) AS BIGINT) AS n_shared,
+       grams.doc_id >= 1000000 AS is_planted
+FROM grams JOIN bgrams ON grams.g = bgrams.g
+GROUP BY grams.doc_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_chunk_windows": QuerySpec(text_chunk_windows, CHUNK_SQL),
+    "pack_sequences": QuerySpec(pack_sequences, PACK_SQL),
+    "mix_sources_weighted": QuerySpec(mix_sources_weighted, MIX_SQL),
+    "decontaminate_ngram_overlap": QuerySpec(decontaminate_ngram_overlap, DECONTAM_SQL),
+}
