@@ -63,6 +63,18 @@ AUDITS: dict[str, set[str]] = {
     "sample_stratified_hash": {"partial"},
     "funnel_signup_purchase": {"partial"},
     "retention_weekly": {"partial"},
+    # pipeline-maintenance batch
+    "merge_upsert": {"pushdown"},
+    "scd2_history": set(),
+    "salted_join_skew": {"bcast", "partial"},
+    "profile_columns": {"partial"},
+    "text_redact_pii": set(),
+    "hll_partitioned_distinct": {"partial"},
+    # dataset-shaping batch
+    "text_chunk_windows": set(),
+    "pack_sequences": {"partial"},
+    "mix_sources_weighted": {"partial"},
+    "decontaminate_ngram_overlap": {"bcast", "partial"},
 }
 
 
