@@ -131,9 +131,56 @@ def source_lineproto_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return _agg(typed)
 
 
+def source_partitioned_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-style directory partitioning + partition pruning — the layout
+    the reference approximates with per-10-minute files and a metadata.json
+    time index (hepop.js:114-132, query.js:22-63), done the lakehouse way:
+    events rewritten `partitionBy(event_date)`, then a date-range query
+    reads ONLY the 4 matching directories (PartitionFilters at plan time —
+    pinned by tests/test_storage.py; directories outside the range are
+    never listed into the scan). The oracle filters the unpartitioned
+    original: the layout must be result-invisible.
+
+    Scale: date partitioning is the first-line pruning axis at 100 TB;
+    z-order (storage/zorder.py) then handles dimensions INSIDE a date."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.to_date("ts").cast("string").alias("event_date"),
+    )
+    d = tempfile.mkdtemp(prefix="part_prune_")
+    try:
+        path = os.path.join(d, "events_by_date")
+        ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        rows = (
+            back.filter(F.col("event_date").between("2024-01-05", "2024-01-08"))
+            .groupBy(F.col("event_date").cast("string").alias("event_date"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_v"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, "event_date string, n bigint, sum_v double")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_PART_PRUNE_ORACLE = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_v
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-08'
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "source_csv_roundtrip": QuerySpec(source_csv_roundtrip, _AGG_ORACLE),
     "source_jsonl_roundtrip": QuerySpec(source_jsonl_roundtrip, _AGG_ORACLE),
     "source_orc_roundtrip": QuerySpec(source_orc_roundtrip, _AGG_ORACLE),
     "source_lineproto_roundtrip": QuerySpec(source_lineproto_roundtrip, _AGG_ORACLE),
+    "source_partitioned_prune": QuerySpec(source_partitioned_prune, _PART_PRUNE_ORACLE),
 }

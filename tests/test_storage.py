@@ -134,3 +134,22 @@ class TestPruning:
         assert "PartitionFilters" in plan
         got = df.count()
         assert 0 < got <= 2000
+
+    def test_hive_partition_prune_skips_files(self, spark, tmp_path):
+        # the source_partitioned_prune query shape: hive-style partitionBy
+        # directories + a range predicate on the partition column must list
+        # strictly fewer files into the scan, with a real PartitionFilter
+        base = str(tmp_path / "by_date")
+        ev = _mkevents(spark, 2000).withColumn(
+            "date", F.to_date("timestamp").cast("string")
+        )
+        ev.write.partitionBy("date").parquet(base)
+        back = spark.read.parquet(base)
+        sel = back.filter(F.col("date") == "2024-03-01")
+        plan = sel._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        scanned = sel.select(F.input_file_name()).distinct().count()
+        total = back.select(F.input_file_name()).distinct().count()
+        assert 0 < scanned < total
+        # pruning is result-invisible
+        assert sel.count() == ev.filter(F.col("date") == "2024-03-01").count()
