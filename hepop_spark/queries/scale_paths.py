@@ -109,10 +109,53 @@ GROUP BY user_id
 """
 
 
+def snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-log time travel (storage/snapshots.py) proven correct
+    through the result hash: commit v1 = events with event_id < 5000,
+    v2 = append of the rest, v3 = OVERWRITE with a 1000-row slice — then
+    aggregate the table AS OF v2, which must equal the full original table
+    even though the CURRENT version is the small overwrite. The oracle
+    aggregates the raw events directly."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..storage.snapshots import commit_snapshot, read_snapshot
+
+    ev = load_table(spark, sf, "events").select("event_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="snap_q_")
+    try:
+        base = os.path.join(d, "events_snap")
+        commit_snapshot(ev.filter(F.col("event_id") < 5000), base)
+        v2 = commit_snapshot(ev.filter(F.col("event_id") >= 5000), base)
+        commit_snapshot(ev.filter(F.col("event_id") < 1000), base, mode="overwrite")
+        rows = (
+            read_snapshot(spark, base, v2)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_v"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, "event_type string, n bigint, sum_v double")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SNAPSHOT_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_v
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
     "multimodal_features": QuerySpec(multimodal_features, None),
     "multimodal_frames": QuerySpec(multimodal_frames, None),
     "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),
+    "snapshot_time_travel": QuerySpec(snapshot_time_travel, SNAPSHOT_SQL),
 }
