@@ -37,6 +37,13 @@ HEADLINE = [
     "q7_volume_shipping",
     "q13_count_distribution",
     "text_token_stats",
+    # pipeline-maintenance + dataset-shaping families (round 1 final set)
+    "merge_upsert",
+    "scd2_history",
+    "profile_columns",
+    "hll_partitioned_distinct",
+    "text_chunk_windows",
+    "decontaminate_ngram_overlap",
 ]
 
 
@@ -67,7 +74,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-query wall time (15 queries)",
+                "metric": f"headline-query wall time ({len(HEADLINE)} queries)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
