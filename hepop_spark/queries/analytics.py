@@ -230,6 +230,79 @@ ON c.c_nationkey = s.s_nationkey
 """
 
 
+def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nationkeys
+    divisible by 7 are nulled on BOTH sides, and the null groups must still
+    pair up — the semantic a plain equi-join silently drops. Aggregated
+    before the join so each side is one row per key.
+
+    Scale: eqNullSafe is still a hash-join key (null hashes to a bucket
+    like any value) — same shuffle/broadcast behavior as `=`."""
+    cust = (
+        load_table(spark, sf, "customer")
+        .select(
+            F.when(F.col("c_nationkey") % 7 == 0, None)
+            .otherwise(F.col("c_nationkey"))
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_cust"))
+        .alias("c")
+    )
+    supp = (
+        load_table(spark, sf, "supplier")
+        .select(
+            F.when(F.col("s_nationkey") % 7 == 0, None)
+            .otherwise(F.col("s_nationkey"))
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_supp"))
+        .alias("s")
+    )
+    return cust.join(supp, F.col("c.k").eqNullSafe(F.col("s.k"))).select(
+        F.col("c.k").alias("k"), "n_cust", "n_supp"
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH c AS (
+    SELECT CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS k,
+           count(*) AS n_cust
+    FROM customer GROUP BY 1
+),
+s AS (
+    SELECT CASE WHEN s_nationkey % 7 = 0 THEN NULL ELSE s_nationkey END AS k,
+           count(*) AS n_supp
+    FROM supplier GROUP BY 1
+)
+SELECT c.k, c.n_cust, s.n_supp
+FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+"""
+
+
+LATERAL_TOPN_SQL = """
+SELECT n.n_name, l.c_name, l.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_name, c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name
+    LIMIT 2
+) l
+"""
+
+
+def lateral_join_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation) — the ANSI
+    form of per-group top-k, run as the IDENTICAL SQL text on both engines.
+    Catalyst decorrelates the lateral into a ranked window join (no
+    per-nation re-execution); the tiebreak (c_acctbal DESC, c_name) makes
+    the top-2 unique on both engines."""
+    register_views(spark, sf, tables=("nation", "customer"))
+    return spark.sql(LATERAL_TOPN_SQL)
+
+
 # --- Window functions -------------------------------------------------------
 
 
@@ -522,6 +595,8 @@ QUERIES: dict[str, QuerySpec] = {
     "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL),
     "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL),
     "join_outer": QuerySpec(join_outer, JOIN_OUTER_SQL),
+    "join_null_safe": QuerySpec(join_null_safe, JOIN_NULL_SAFE_SQL),
+    "lateral_join_topn": QuerySpec(lateral_join_topn, LATERAL_TOPN_SQL),
     "win_topk_per_group": QuerySpec(win_topk_per_group, WIN_TOPK_SQL),
     "win_lag_delta": QuerySpec(win_lag_delta, WIN_LAG_SQL),
     "win_moving_avg": QuerySpec(win_moving_avg, WIN_MOVING_SQL),
