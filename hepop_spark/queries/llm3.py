@@ -286,9 +286,56 @@ GROUP BY grams.doc_id
 """
 
 
+# --- URL / domain extraction --------------------------------------------------
+
+_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def text_url_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-level corpus accounting — the shape behind domain allow/deny
+    filtering and per-domain mixing in web-corpus pipelines: plant a
+    deterministic URL per document (synthetic corpus has none), extract the
+    registrable host with a shared Java∩RE2 regex, aggregate docs and
+    chars per domain.
+
+    Scale: regexp_extract is a narrow map; the aggregate shuffles on the
+    (bounded) domain key space — the classic high-fanin low-cardinality
+    reduce, fully map-side-combined."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql(f"""
+        WITH planted AS (
+            SELECT doc_id, n_chars,
+                   concat(text, ' see https://host', CAST(doc_id % 50 AS STRING),
+                          '.example.org/p/', CAST(doc_id AS STRING)) AS t2
+            FROM documents
+        )
+        SELECT regexp_extract(t2, '{_DOMAIN_RE}', 1) AS domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM planted
+        GROUP BY 1
+    """)
+
+
+URL_SQL = f"""
+WITH planted AS (
+    SELECT doc_id, n_chars,
+           concat(text, ' see https://host', CAST(doc_id % 50 AS VARCHAR),
+                  '.example.org/p/', CAST(doc_id AS VARCHAR)) AS t2
+    FROM documents
+)
+SELECT regexp_extract(t2, '{_DOMAIN_RE}', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM planted
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_chunk_windows": QuerySpec(text_chunk_windows, CHUNK_SQL),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SQL),
     "mix_sources_weighted": QuerySpec(mix_sources_weighted, MIX_SQL),
     "decontaminate_ngram_overlap": QuerySpec(decontaminate_ngram_overlap, DECONTAM_SQL),
+    "text_url_extract": QuerySpec(text_url_extract, URL_SQL),
 }
