@@ -319,17 +319,21 @@ def hll_partitioned_distinct(spark: SparkSession, sf: str) -> DataFrame:
     per day partition (hll_sketch_agg — partial, mergeable, constant size),
     persistable alongside a rollup, then hll_union_agg + estimate answers
     the global question WITHOUT rescanning raw data. The oracle is the
-    exact distinct count — equal here because at this cardinality (150
-    users / 5 types at sf0.01) the sketch is still in its exact sparse
-    regime; at real scale the estimate is ±~1.6% with lgConfigK=12 and the
-    entry's point is the merge algebra, not the estimate error.
+    exact distinct count — equal through sf0.1 because with lgConfigK = 20
+    the sketch holds its exact coupon regime far past these cardinalities
+    (verified: 1500 users exact at sf0.1); at true scale the estimate
+    degrades gracefully and the entry's point is the merge algebra, not
+    the estimate error.
 
     Scale: per-partition sketches are the canonical incremental-distinct
     design — rollup.py's monoid-merge story extended to COUNT DISTINCT."""
     ev = load_table(spark, sf, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.hll_sketch_agg("user_id").alias("sk_users"),
-        F.hll_sketch_agg("event_type").alias("sk_types"),
+        # lgConfigK=20: the sketch stays in its exact coupon regime well
+        # past sf0.1's 1.5k users (verified exact at sf0.1); per-sketch
+        # memory is still coupon-bounded, not 2^20, until densification
+        F.hll_sketch_agg("user_id", 20).alias("sk_users"),
+        F.hll_sketch_agg("event_type", 20).alias("sk_types"),
     )
     return daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk_users")).alias("n_users"),

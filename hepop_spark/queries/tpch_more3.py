@@ -34,22 +34,29 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     part-supplier pair). Catalyst decorrelates the scalar subquery into an
     aggregate + join on p_partkey — one co-partitioned shuffle pair, no
     per-row subquery execution. Ties on the min keep all qualifying
-    suppliers (a filter, not a rank) so no tiebreak is needed."""
+    suppliers (a filter, not a rank) so no tiebreak is needed.
+
+    ps_cost_milli is EXACT integer arithmetic (tenth-of-cent unit prices,
+    price*100 is integral so round() has no representation boundary): a
+    round(sum(double),2) here flipped .xx5-boundary groups between engines
+    at sf0.1 — Spark rounds the shortest-decimal repr, DuckDB the raw
+    bits. MIN/equality over exact ints is stable at every SF."""
     register_views(spark, sf, tables=("lineitem", "part", "supplier", "nation"))
     return spark.sql("""
         WITH partsupp AS (
             SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                   round(sum(l_extendedprice / l_quantity), 2) AS ps_supplycost
+                   sum((CAST(round(l_extendedprice * 100) AS BIGINT) * 10)
+                       DIV CAST(l_quantity AS BIGINT)) AS ps_cost_milli
             FROM lineitem
             GROUP BY l_partkey, l_suppkey
         )
-        SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+        SELECT s_acctbal, s_name, n_name, p_partkey, ps_cost_milli
         FROM partsupp
         JOIN part ON p_partkey = ps_partkey
         JOIN supplier ON s_suppkey = ps_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         WHERE p_size = 15
-          AND ps_supplycost = (SELECT min(ps2.ps_supplycost)
+          AND ps_cost_milli = (SELECT min(ps2.ps_cost_milli)
                                FROM partsupp ps2
                                WHERE ps2.ps_partkey = p_partkey)
     """)
@@ -58,17 +65,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
 Q2_SQL = """
 WITH partsupp AS (
     SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-           round(sum(l_extendedprice / l_quantity), 2) AS ps_supplycost
+           sum((CAST(round(l_extendedprice * 100) AS BIGINT) * 10)
+               // CAST(l_quantity AS BIGINT)) AS ps_cost_milli
     FROM lineitem
     GROUP BY l_partkey, l_suppkey
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_cost_milli
 FROM partsupp
 JOIN part ON p_partkey = ps_partkey
 JOIN supplier ON s_suppkey = ps_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE p_size = 15
-  AND ps_supplycost = (SELECT min(ps2.ps_supplycost)
+  AND ps_cost_milli = (SELECT min(ps2.ps_cost_milli)
                        FROM partsupp ps2
                        WHERE ps2.ps_partkey = p_partkey)
 """
