@@ -332,10 +332,67 @@ GROUP BY 1
 """
 
 
+# --- Quality-filter cascade ---------------------------------------------------
+
+_CASCADE_CASE = """
+CASE WHEN n_tok < 25 THEN 'too_short'
+     WHEN n_tok > 85 THEN 'too_long'
+     WHEN 100 * n_alpha < 81 * n_len THEN 'low_alpha'
+     ELSE 'keep' END
+"""
+
+
+def corpus_filter_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """The pretraining quality gate as one pass: every document gets a
+    verdict from a prioritized rule cascade (too_short → too_long →
+    low_alpha → keep) and the output is per-verdict accounting — the
+    report a corpus-cleaning run ships. All predicates are INTEGER
+    comparisons (token counts, char counts, 100·alpha < 81·len instead of
+    a float ratio) so the cascade is bit-identical on any engine.
+
+    Scale: narrow per-row classify + one aggregation on a 4-value key —
+    the classic full-corpus single-scan filter; at 100 TB you'd write the
+    `keep` partition out in the same pass."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql(f"""
+        WITH scored AS (
+            SELECT doc_id, n_chars,
+                   size(split(text, ' ')) AS n_tok,
+                   length(regexp_replace(text, '[^A-Za-z]', '')) AS n_alpha,
+                   length(text) AS n_len
+            FROM documents
+        )
+        SELECT {_CASCADE_CASE} AS verdict,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(doc_id) AS BIGINT) AS sample_doc
+        FROM scored
+        GROUP BY 1
+    """)
+
+
+CASCADE_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, n_chars,
+           len(string_split(text, ' ')) AS n_tok,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           length(text) AS n_len
+    FROM documents
+)
+SELECT {_CASCADE_CASE} AS verdict,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS sample_doc
+FROM scored
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_chunk_windows": QuerySpec(text_chunk_windows, CHUNK_SQL),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SQL),
     "mix_sources_weighted": QuerySpec(mix_sources_weighted, MIX_SQL),
     "decontaminate_ngram_overlap": QuerySpec(decontaminate_ngram_overlap, DECONTAM_SQL),
     "text_url_extract": QuerySpec(text_url_extract, URL_SQL),
+    "corpus_filter_cascade": QuerySpec(corpus_filter_cascade, CASCADE_SQL),
 }

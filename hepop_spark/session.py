@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # LP tag/field sections with a repeated key follow the reference's
+        # JS-object semantics (last assignment wins, lineproto.js:70-80);
+        # Spark's default map policy THROWS on duplicates instead
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # testdata events.ts is TIMESTAMP(NANOS); read as long and convert
         # (catalog.normalize_nanos) — Spark has no native nanos type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -25,6 +25,7 @@ names — a toy WAL, adequate for landing-dir tailing."""
 from __future__ import annotations
 
 import os
+import re
 from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
@@ -33,6 +34,8 @@ from pyspark.sql.datasource import (
     InputPartition,
     SimpleDataSourceStreamReader,
 )
+
+_INT_TOKEN = re.compile(r"[+-]?[0-9]+")
 
 LP_SCHEMA = (
     "measurement string, tags map<string,string>, "
@@ -75,11 +78,17 @@ def _parse_raw(line: str):
     fields = {k: (v if v != "" else None) for k, v in _kv(field_section).items()}
 
     ts = None
-    if ts_tok is not None:
+    if ts_tok is not None and _INT_TOKEN.fullmatch(ts_tok):
+        # int() alone is WIDER than Spark's try_cast (it accepts "1_0",
+        # unicode digits) and // FLOORS where Spark's `div` truncates
+        # toward zero — both would diverge from parse_lines_df
+        ns = int(ts_tok)
+        q, r = divmod(ns, 1_000_000)
+        if ns < 0 and r:
+            q += 1  # truncate toward zero, matching `div`
         try:
-            ms = int(ts_tok) // 1_000_000
-            ts = datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
-        except ValueError:
+            ts = datetime.fromtimestamp(q / 1000.0, tz=timezone.utc)
+        except (OverflowError, OSError, ValueError):
             ts = None
     return (measurement or None, tags, fields, ts)
 
