@@ -151,6 +151,52 @@ GROUP BY event_type
 """
 
 
+def bucketed_join_zero_exchange(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed co-located join (storage/bucketing.py) proven
+    result-invisible: orders and lineitem are persisted bucketBy(8) on the
+    order key, then joined + aggregated — with matching bucket layouts
+    Catalyst plans the join with ZERO Exchange on either side (pinned by
+    tests/test_bucketing.py; here the oracle pins that the layout changes
+    nothing). At 100 TB this is THE repeated-fact-join answer: both sides
+    pre-shuffled once at write time, every subsequent join is a local
+    per-bucket merge."""
+    import uuid
+
+    from ..storage.bucketing import write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    to, tl = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    line = load_table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    try:
+        write_bucketed(orders, to, "o_orderkey", 8)
+        write_bucketed(line, tl, "l_orderkey", 8)
+        rows = (
+            spark.table(to)
+            .join(spark.table(tl), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_rev"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "o_orderpriority string, n bigint, sum_rev double"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS sum_rev
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
@@ -158,4 +204,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_frames": QuerySpec(multimodal_frames, None),
     "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),
     "snapshot_time_travel": QuerySpec(snapshot_time_travel, SNAPSHOT_SQL),
+    "bucketed_join_zero_exchange": QuerySpec(
+        bucketed_join_zero_exchange, BUCKETED_JOIN_SQL
+    ),
 }

@@ -75,6 +75,11 @@ AUDITS: dict[str, set[str]] = {
     "pack_sequences": {"partial"},
     "mix_sources_weighted": {"partial"},
     "decontaminate_ngram_overlap": {"bcast", "partial"},
+    # joins + corpus accounting
+    "join_null_safe": {"bcast", "partial"},
+    "lateral_join_topn": {"bcast"},
+    "text_url_extract": {"partial"},
+    "corpus_filter_cascade": {"partial"},
 }
 
 
