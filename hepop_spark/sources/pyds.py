@@ -90,7 +90,9 @@ def _parse_raw(line: str):
             ts = datetime.fromtimestamp(q / 1000.0, tz=timezone.utc)
         except (OverflowError, OSError, ValueError):
             ts = None
-    return (measurement or None, tags, fields, ts)
+    # '' measurement stays '' (a ",tag=…"-headed line), matching
+    # parse_lines_df; downstream sinks filter empties (ingest.py)
+    return (measurement, tags, fields, ts)
 
 
 def _read_file(path: str):
