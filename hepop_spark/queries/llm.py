@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, register_views
 from . import QuerySpec
 
 # ---------------------------------------------------------------------------
@@ -713,6 +713,126 @@ JOIN (SELECT canonical_id, count(*) AS n FROM labels GROUP BY canonical_id) s
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing index
+# ---------------------------------------------------------------------------
+
+# The whole MinHash/LSH middle section is ENGINE-NEUTRAL SQL (md5 hashes,
+# band union, jaccard arithmetic) — only the shingle construction differs
+# per engine, so the pipeline is one shared template with two prefixes.
+
+_INCR_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 10 = 0 THEN 'batch' ELSE 'index' END AS side
+    FROM documents
+    UNION ALL
+    -- planted leaks: index docs re-keyed into the batch; detection must
+    -- pair each with its original at jaccard 1.0
+    SELECT doc_id + 1000000 AS doc_id, text, 'batch' AS side
+    FROM documents WHERE doc_id % 97 = 0 AND doc_id % 10 <> 0
+)
+"""
+
+_INCR_MIDDLE = f"""
+sides AS (SELECT doc_id, side FROM corpus),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(MINHASH_SEEDS))}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, {b} AS band, md5({expr}) AS bkey FROM sig".format(
+          b=b,
+          expr=" || ',' || ".join(
+              f"mh{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+          ),
+      )
+      for b in range(MINHASH_SEEDS // MINHASH_BAND_ROWS)
+  )}
+),
+candidates AS (
+  SELECT DISTINCT nb.doc_id AS batch_doc, ib.doc_id AS index_doc
+  FROM bands nb
+  JOIN sides ns ON ns.doc_id = nb.doc_id AND ns.side = 'batch'
+  JOIN bands ib ON ib.band = nb.band AND ib.bkey = nb.bkey
+  JOIN sides isd ON isd.doc_id = ib.doc_id AND isd.side = 'index'
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.batch_doc, c.index_doc, count(*) AS inter
+  FROM candidates c
+  JOIN shingles a ON a.doc_id = c.batch_doc
+  JOIN shingles b ON b.doc_id = c.index_doc AND a.sh = b.sh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.batch_doc, i.index_doc,
+         round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) AS jaccard
+  FROM inter i
+  JOIN counts ca ON i.batch_doc = ca.doc_id
+  JOIN counts cb ON i.index_doc = cb.doc_id
+  WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) >= {JACCARD_THRESHOLD}
+)
+SELECT batch_doc, index_doc, jaccard
+FROM (
+  SELECT batch_doc, index_doc, jaccard,
+         row_number() OVER (PARTITION BY batch_doc
+                            ORDER BY jaccard DESC, index_doc) AS rk
+  FROM scored
+) r WHERE rk = 1
+"""
+
+_INCR_SPARK_SHINGLES = """
+d AS (SELECT doc_id, split(text, ' ') AS t FROM corpus),
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           explode(transform(sequence(0, size(t) - 3),
+                   i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS sh
+    FROM d WHERE size(t) >= 3
+  ) x
+)
+"""
+
+_INCR_DUCK_SHINGLES = """
+d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+tok_i AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w FROM d),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+  FROM tok_i a
+  JOIN tok_i b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok_i c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+)
+"""
+
+
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup — the nightly-pipeline shape: a NEW batch of
+    documents (doc_id % 10 = 0, plus planted re-keyed index leaks) is
+    checked against the EXISTING index (the rest) without comparing the
+    index to itself. Same MinHash/band machinery as dedup_minhash_lsh but
+    the candidate join is ASYMMETRIC (batch bands × index bands), so the
+    work scales with |batch| × collision rate, not |corpus|²; each flagged
+    batch doc reports its best index match (jaccard desc, index_doc
+    tiebreak).
+
+    Scale: the index-side signatures are exactly what you'd persist
+    between runs (8 md5s/doc — tiny); only the batch re-shingles daily.
+    The oracle runs the identical engine-neutral SQL middle over DuckDB's
+    shingle construction."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql(
+        f"WITH {_INCR_CORPUS_CTE}, {_INCR_SPARK_SHINGLES}, {_INCR_MIDDLE}"
+    )
+
+
+DEDUP_INCREMENTAL_SQL = (
+    f"WITH {_INCR_CORPUS_CTE}, {_INCR_DUCK_SHINGLES}, {_INCR_MIDDLE}"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
@@ -730,4 +850,5 @@ QUERIES: dict[str, QuerySpec] = {
     "text_minhash_sketch": QuerySpec(text_minhash_sketch, TEXT_SKETCH_SQL),
     "dedup_cluster_cc": QuerySpec(dedup_cluster_cc, DEDUP_CLUSTER_CC_SQL),
     "text_doc_stats_by_source": QuerySpec(text_doc_stats_by_source, TEXT_SOURCE_SQL),
+    "dedup_incremental": QuerySpec(dedup_incremental, DEDUP_INCREMENTAL_SQL),
 }

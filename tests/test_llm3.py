@@ -82,6 +82,28 @@ class TestMixing:
                     assert r["n_rows"] == r["n_docs"] <= n
 
 
+class TestIncrementalDedup:
+    def test_plants_pair_with_originals(self, spark):
+        from pyspark.sql import functions as F2
+
+        from hepop_spark.queries.llm import dedup_incremental
+
+        docs = load_table(spark, SF, "documents")
+        plants = [
+            r["doc_id"]
+            for r in docs.filter(
+                (F2.col("doc_id") % 97 == 0) & (F2.col("doc_id") % 10 != 0)
+            ).collect()
+        ]
+        out = {r["batch_doc"]: r for r in dedup_incremental(spark, SF).collect()}
+        for p in plants:
+            hit = out.get(p + 1000000)
+            assert hit is not None, f"planted leak {p} not detected"
+            assert hit["index_doc"] == p and hit["jaccard"] == 1.0
+        # asymmetry: no index-side doc ever appears as batch_doc
+        assert all(b % 10 == 0 or b >= 1000000 for b in out)
+
+
 class TestDecontamination:
     def test_all_plants_flagged(self, spark):
         bench_ids = [
