@@ -388,6 +388,69 @@ GROUP BY 1
 """
 
 
+# --- Embedding scalar quantization (SQ8) -------------------------------------
+
+
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus — the 4×
+    storage/bandwidth reduction that makes billion-vector ANN affordable:
+    per-DIMENSION [min, max] learned from the corpus (one tiny aggregate),
+    each coordinate mapped to ⌊(x-lo)/(hi-lo)·255⌉. Verification is pure
+    INTEGER accounting per vector (Σq, Σq², dims, saturated endpoints), so
+    the oracle pins the exact quantized codes, not a float proxy.
+
+    Scale: posexplode → per-dim aggregate (k=dims groups — broadcastable)
+    → join back → per-vector aggregate. Two shuffles total, one over
+    (vec, dim) pairs; at 1B vectors you'd SAMPLE the min/max pass (the
+    clamp makes out-of-range codes saturate, which n_saturated tracks)."""
+    register_views(spark, sf, tables=("embeddings",))
+    return spark.sql("""
+        WITH e AS (
+            SELECT vec_id, pos, CAST(x AS DOUBLE) AS x
+            FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+        ),
+        dims AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos),
+        q AS (
+            SELECT e.vec_id,
+                   CASE WHEN d.hi > d.lo THEN
+                       CAST(round((e.x - d.lo) / (d.hi - d.lo) * 255) AS INT)
+                   ELSE 0 END AS q
+            FROM e JOIN dims d ON e.pos = d.pos
+        )
+        SELECT vec_id,
+               CAST(sum(q) AS BIGINT) AS sum_q,
+               CAST(sum(q * q) AS BIGINT) AS sum_q2,
+               CAST(count(*) AS BIGINT) AS n_dims,
+               CAST(sum(CASE WHEN q = 0 OR q = 255 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_saturated
+        FROM q GROUP BY vec_id
+    """)
+
+
+QUANTIZE_SQL = """
+WITH e AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+dims AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos),
+q AS (
+    SELECT e.vec_id,
+           CASE WHEN d.hi > d.lo THEN
+               CAST(round((e.x - d.lo) / (d.hi - d.lo) * 255) AS INTEGER)
+           ELSE 0 END AS q
+    FROM e JOIN dims d ON e.pos = d.pos
+)
+SELECT vec_id,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q * q) AS BIGINT) AS sum_q2,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(sum(CASE WHEN q = 0 OR q = 255 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_saturated
+FROM q GROUP BY vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_chunk_windows": QuerySpec(text_chunk_windows, CHUNK_SQL),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SQL),
@@ -395,4 +458,5 @@ QUERIES: dict[str, QuerySpec] = {
     "decontaminate_ngram_overlap": QuerySpec(decontaminate_ngram_overlap, DECONTAM_SQL),
     "text_url_extract": QuerySpec(text_url_extract, URL_SQL),
     "corpus_filter_cascade": QuerySpec(corpus_filter_cascade, CASCADE_SQL),
+    "embedding_quantize_int8": QuerySpec(embedding_quantize_int8, QUANTIZE_SQL),
 }
