@@ -204,3 +204,98 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
     )
+
+
+def sq8_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", top_k: int = 5, shortlist: int = 50) -> DataFrame:
+    """SQ8 ANN: per-dimension int8 scalar quantization (the 4× memory/IO
+    reduction of queries/llm3.embedding_quantize_int8) driving the
+    candidate stage — approximate scores over uint8 codes shortlist
+    per-query candidates, then ONLY the shortlist is exact-rerank'd on the
+    float vectors.
+
+    Scale shape: the [lo, hi] bounds pass aggregates to dims rows (tiny,
+    driver-broadcast, sample-able at 1B vectors); corpus codes are a
+    BINARY column 1/4 the float width — the form you'd persist; scoring is
+    mapInPandas over code batches against the broadcast query-code matrix
+    (numpy uint8→float32 GEMM per Arrow batch, no shuffle), emitting only
+    per-batch shortlists; the global shortlist is a bounded per-query
+    top-N window; the exact rerank joins float vectors back for
+    |q|·shortlist rows instead of |q|·|corpus|."""
+    from pyspark.sql.functions import pandas_udf
+
+    # per-dim bounds: one aggregation, dims rows
+    b = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    dims = len(b)
+    lo = np.zeros(dims); hi = np.zeros(dims)
+    for r in b:
+        lo[r["pos"]], hi[r["pos"]] = r["lo"], r["hi"]
+    span = np.where(hi > lo, hi - lo, 1.0)
+
+    def _codes(M: np.ndarray) -> np.ndarray:
+        return np.clip(np.round((M - lo) / span * 255), 0, 255).astype(np.uint8)
+
+    @pandas_udf("binary")
+    def qcode(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series([c.tobytes() for c in _codes(M)])
+
+    # query codes: reconstructed float32 matrix, closure-broadcast
+    qrows = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("v")).collect()
+    Qm = _codes(np.vstack([r["v"] for r in qrows]).astype(np.float64))
+    Qrec = (lo + Qm.astype(np.float32) * (span / 255.0))
+    Qrec = Qrec / np.linalg.norm(Qrec, axis=1, keepdims=True)
+    q_ids = np.array([r["q_id"] for r in qrows])
+
+    codes = corpus.select(F.col(id_col).alias("c_id"), qcode(vec_col).alias("code"))
+
+    def score_batches(it):
+        for pdf in it:
+            C = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), dims)
+            Crec = lo + C.astype(np.float32) * (span / 255.0)
+            n = np.linalg.norm(Crec, axis=1, keepdims=True)
+            Crec = Crec / np.where(n > 0, n, 1.0)
+            sims = Crec @ Qrec.T  # (batch, q)
+            m = min(shortlist, len(pdf))
+            top = np.argpartition(-sims, m - 1, axis=0)[:m]  # per query col
+            out = {"q_id": [], "c_id": [], "qsim": []}
+            cids = pdf["c_id"].to_numpy()
+            for j in range(sims.shape[1]):
+                idx = top[:, j]
+                out["q_id"].extend([q_ids[j]] * len(idx))
+                out["c_id"].extend(cids[idx])
+                out["qsim"].extend(sims[idx, j].astype(float))
+            yield pd.DataFrame(out)
+
+    cand = codes.mapInPandas(score_batches, "q_id long, c_id long, qsim double")
+    w = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("c_id"))
+    short = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist)
+        .select("q_id", "c_id")
+    )
+
+    # exact rerank on float vectors, shortlist rows only
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cvec"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        short.join(F.broadcast(qv), "q_id").join(cv, "c_id")
+        .withColumn("sim", F.round(dot / (norm("qvec") * norm("cvec")), 4))
+        .select("q_id", "c_id", "sim")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= top_k)

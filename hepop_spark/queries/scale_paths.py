@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.multimodal import decode_image_features, frame_sample
-from ..operators.similarity import ivf_topk, lsh_topk
+from ..operators.similarity import ivf_topk, lsh_topk, sq8_topk
 from . import QuerySpec
 
 
@@ -65,6 +65,17 @@ def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("{}").alias("meta"),
     )
     return frame_sample(media, every_n_bytes=64, max_frames=4)
+
+
+def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8-quantized ANN (operators/similarity.sq8_topk): int8 codes
+    shortlist candidates, float rerank finishes. Third scale path beside
+    sign-LSH and IVF; recall vs the exact baseline is pinned by
+    tests/test_operators.py."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return sq8_topk(corpus, queries, top_k=5)
 
 
 def zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
@@ -200,6 +211,7 @@ GROUP BY o_orderpriority
 QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
+    "ann_sq8_topk": QuerySpec(ann_sq8_topk, None),
     "multimodal_features": QuerySpec(multimodal_features, None),
     "multimodal_frames": QuerySpec(multimodal_frames, None),
     "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),

@@ -13,7 +13,12 @@ from hepop_spark.operators.multimodal import (
     frame_sample,
     media_metadata_stats,
 )
-from hepop_spark.operators.similarity import ivf_topk, lsh_topk, with_lsh_bucket
+from hepop_spark.operators.similarity import (
+    ivf_topk,
+    lsh_topk,
+    sq8_topk,
+    with_lsh_bucket,
+)
 from hepop_spark.queries import registry
 from hepop_spark.queries.llm import ann_cosine_topk
 
@@ -183,6 +188,27 @@ class TestIvfSimilarity:
         assert 0 < len(a) <= 50
         assert recall(8) >= recall(4)
         assert recall(16) == 1.0  # probing every cell IS brute force
+
+
+class TestSq8Similarity:
+    def test_recall_vs_exact_and_determinism(self, spark, sf_dir):
+        """64-dim SQ8 reconstruction is near-lossless, so the shortlist +
+        exact rerank should recover the exact top-5 almost perfectly."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        corpus = emb.filter(F.col("vec_id") >= 10)
+        exact = {}
+        for r in ann_cosine_topk(spark, sf_dir).collect():
+            exact.setdefault(r["q_id"], set()).add(r["c_id"])
+        a = sq8_topk(corpus, queries, top_k=5, shortlist=50).collect()
+        b = sq8_topk(corpus, queries, top_k=5, shortlist=50).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        ap: dict = {}
+        for r in a:
+            ap.setdefault(r["q_id"], set()).add(r["c_id"])
+        hits = sum(len(ap.get(q, set()) & cs) for q, cs in exact.items())
+        total = sum(len(cs) for cs in exact.values())
+        assert hits / total >= 0.9, f"sq8 recall {hits}/{total}"
 
 
 class TestRegistry:
