@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.multimodal import decode_image_features, frame_sample
+from ..operators.multimodal import audio_pcm_windows, decode_image_features, frame_sample
 from ..operators.similarity import ivf_topk, lsh_topk, sq8_topk
 from . import QuerySpec
 
@@ -65,6 +65,19 @@ def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("{}").alias("meta"),
     )
     return frame_sample(media, every_n_bytes=64, max_frames=4)
+
+
+def multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """PCM8 audio windowing (operators/multimodal.audio_pcm_windows) over
+    document bytes standing in as audio streams — the decode itself is
+    real (raw PCM), the plumbing identical to what a 100 TB audio corpus
+    needs."""
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return audio_pcm_windows(media, window=64, hop=32)
 
 
 def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -214,6 +227,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_sq8_topk": QuerySpec(ann_sq8_topk, None),
     "multimodal_features": QuerySpec(multimodal_features, None),
     "multimodal_frames": QuerySpec(multimodal_frames, None),
+    "multimodal_audio": QuerySpec(multimodal_audio, None),
     "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),
     "snapshot_time_travel": QuerySpec(snapshot_time_travel, SNAPSHOT_SQL),
     "bucketed_join_zero_exchange": QuerySpec(

@@ -190,6 +190,34 @@ class TestIvfSimilarity:
         assert recall(16) == 1.0  # probing every cell IS brute force
 
 
+class TestAudioWindows:
+    def test_known_pcm_values(self, spark):
+        from hepop_spark.operators.multimodal import audio_pcm_windows
+
+        # constant signal of 3s and 4s: rms known exactly per window
+        blob = bytes([3] * 8 + [4] * 8)
+        df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, payload binary")
+        rows = sorted(
+            (r["win_idx"], r["n_samples"], r["rms"], r["peak"])
+            for r in audio_pcm_windows(df, window=8, hop=4).collect()
+        )
+        # windows: [3]*8 rms=3; [3,3,3,3,4,4,4,4] rms=sqrt(12.5); [4]*8 rms=4;
+        # tail [4]*4 rms=4
+        assert rows[0] == (0, 8, 3.0, 3)
+        assert rows[1] == (1, 8, round((12.5) ** 0.5, 4), 4)
+        assert rows[2] == (2, 8, 4.0, 4)
+        assert rows[3] == (3, 4, 4.0, 4)
+
+    def test_signed_interpretation(self, spark):
+        from hepop_spark.operators.multimodal import audio_pcm_windows
+
+        blob = bytes([0x80, 0x7F])  # -128, 127 as int8
+        df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, payload binary")
+        (r,) = audio_pcm_windows(df, window=2, hop=2).collect()
+        assert r["peak"] == 128
+        assert r["rms"] == round(((128**2 + 127**2) / 2) ** 0.5, 4)
+
+
 class TestSq8Similarity:
     def test_recall_vs_exact_and_determinism(self, spark, sf_dir):
         """64-dim SQ8 reconstruction is near-lossless, so the shortlist +

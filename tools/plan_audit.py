@@ -80,6 +80,8 @@ AUDITS: dict[str, set[str]] = {
     "lateral_join_topn": {"bcast"},
     "text_url_extract": {"partial"},
     "corpus_filter_cascade": {"partial"},
+    "dedup_incremental": {"partial"},
+    "embedding_quantize_int8": {"partial"},
 }
 
 
