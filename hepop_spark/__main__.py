@@ -1,0 +1,156 @@
+"""`python -m hepop_spark` — run the engine as the reference runs
+(`bun start`, hepop.js:954-1016): HEP UDP+TCP receivers on PORT, the
+HTTP query/write API on HTTP_PORT, and the streaming ingest pipelines
+landing into PARQUET_DIR, all from the same five environment variables.
+
+Composition (every part individually tested elsewhere):
+  receivers (sources/receiver.py) -> landing spools
+  LP landing  -> read_lp_stream -> lp_sink  (streaming/ingest.py)
+  HEP landing -> binaryFile stream -> decode_hep_df -> hep_sink
+  HTTP (plans/http_server.py) -> spark.sql over registered tables
+
+Ctrl-C / SIGTERM stops receivers, flushes spools, and stops streaming
+queries — the reference's shutdown() contract (hepop.js:1132-1174), except
+checkpointing makes the "final flush" structural rather than load-bearing.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+
+from .config import ServerConfig
+
+
+def serve(cfg: ServerConfig, spark=None, block: bool = True):
+    """Start everything; returns a stop() callable when block=False."""
+    from .plans.http_server import HepopHttpServer
+    from .session import get_spark
+    from .sources.receiver import (
+        HepTcpReceiver,
+        HepUdpReceiver,
+        LpLineSpool,
+        SegmentSpool,
+    )
+    from .streaming.ingest import hep_sink, lp_sink, read_lp_stream
+
+    spark = spark or get_spark("hepop-serve")
+    lp_landing = os.path.join(cfg.data_dir, "_landing", "lp")
+    hep_landing = os.path.join(cfg.data_dir, "_landing", "hep")
+    ckpt = os.path.join(cfg.data_dir, "_checkpoints")
+    os.makedirs(lp_landing, exist_ok=True)
+    os.makedirs(hep_landing, exist_ok=True)
+
+    lp_spool = LpLineSpool(lp_landing)
+    hep_spool = SegmentSpool(hep_landing)
+    udp = HepUdpReceiver(hep_spool, host=cfg.host, port=cfg.port).start()
+    tcp = HepTcpReceiver(hep_spool, host=cfg.host, port=cfg.port).start()
+    http = HepopHttpServer(
+        spark, lp_spool=lp_spool, host=cfg.host, port=cfg.http_port
+    ).start()
+
+    root = cfg.table_root()
+    frames_dir = os.path.join(cfg.data_dir, "_landing", "hep_frames")
+    os.makedirs(frames_dir, exist_ok=True)
+
+    from .sources.hep import decode_hep_df
+
+    hep_stream = spark.readStream.schema("frame binary").parquet(
+        frames_dir + "/*.parquet"
+    )
+    queries = [
+        lp_sink(
+            read_lp_stream(spark, lp_landing), root, os.path.join(ckpt, "lp")
+        ).start(),
+        hep_sink(
+            decode_hep_df(hep_stream), root, os.path.join(ckpt, "hep")
+        ).start(),
+    ]
+
+    # segment drain timer — the reference's 10 s flush loop (hepop.js:151-157)
+    # as a consume-once mover: finished .seg -> parquet frames -> .done
+    import threading
+    import time as _time
+
+    from .sources.receiver import read_segments
+
+    stop_evt = threading.Event()
+
+    def _drain_once() -> int:
+        lp_spool.flush()  # reference flushes ALL buffers on the timer
+        hep_spool.flush()
+        segs = sorted(
+            f for f in os.listdir(hep_landing) if f.endswith(".seg")
+        )
+        n = 0
+        for name in segs:
+            path = os.path.join(hep_landing, name)
+            tmpdir = os.path.join(hep_landing, "_one")
+            os.makedirs(tmpdir, exist_ok=True)
+            done = path + ".done"
+            os.rename(path, os.path.join(tmpdir, name))
+            frames = read_segments(tmpdir)
+            if frames:
+                spark.createDataFrame(
+                    [(f,) for f in frames], "frame binary"
+                ).write.mode("append").parquet(frames_dir)
+            os.rename(os.path.join(tmpdir, name), done)
+            n += len(frames)
+        return n
+
+    def _drain_loop():
+        while not stop_evt.wait(2.0):
+            try:
+                _drain_once()
+            except Exception:
+                pass
+
+    drain_thread = threading.Thread(target=_drain_loop, daemon=True)
+    drain_thread.start()
+
+    def stop(*_a):
+        udp.stop()
+        tcp.stop()
+        lp_spool.flush()
+        stop_evt.set()
+        drain_thread.join(timeout=5)
+        _drain_once()
+        _time.sleep(0)
+        for q in queries:
+            q.stop()
+        http.stop()
+
+    if not block:
+        return {
+            "stop": stop,
+            "udp_port": udp.port,
+            "tcp_port": tcp.port,
+            "http_port": http.port,
+            "drain_once": _drain_once,
+        }
+    signal.signal(signal.SIGTERM, stop)
+    try:
+        for q in queries:
+            q.awaitTermination()
+    except KeyboardInterrupt:
+        stop()
+    return None
+
+
+def main(argv: list[str]) -> int:
+    cmd = argv[0] if argv else "serve"
+    if cmd != "serve":
+        print("usage: python -m hepop_spark serve", file=sys.stderr)
+        return 2
+    cfg = ServerConfig.from_env()
+    print(
+        f"hepop_spark serving: hep={cfg.host}:{cfg.port} "
+        f"http={cfg.host}:{cfg.http_port} data={cfg.table_root()}"
+    )
+    serve(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,43 @@
+"""Deployment configuration — the reference's exact environment surface
+(README.md:69-75): PORT, HTTP_PORT (default PORT+1), HOST, PARQUET_DIR,
+WRITER_ID (default hostname). `ServerConfig.from_env` reads the same
+variables so a reference deployment's env block drives this engine
+unchanged; explicit overrides win over the environment (for tests and
+embedding)."""
+
+from __future__ import annotations
+
+import os
+import socket
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ServerConfig:
+    port: int = 9069
+    http_port: int = 9070
+    host: str = "0.0.0.0"
+    data_dir: str = "./data"
+    writer_id: str = ""
+
+    @classmethod
+    def from_env(cls, env: dict | None = None, **overrides) -> "ServerConfig":
+        e = os.environ if env is None else env
+        port = int(overrides.get("port", e.get("PORT", 9069)))
+        http_port = int(
+            overrides.get("http_port", e.get("HTTP_PORT", port + 1))
+        )
+        return cls(
+            port=port,
+            http_port=http_port,
+            host=str(overrides.get("host", e.get("HOST", "0.0.0.0"))),
+            data_dir=str(overrides.get("data_dir", e.get("PARQUET_DIR", "./data"))),
+            writer_id=str(
+                overrides.get("writer_id", e.get("WRITER_ID", socket.gethostname()))
+            ),
+        )
+
+    def table_root(self) -> str:
+        """Reference directory convention: {data}/{writer}/dbs
+        (README.md:78-90)."""
+        return os.path.join(self.data_dir, self.writer_id, "dbs")

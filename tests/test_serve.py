@@ -1,0 +1,87 @@
+"""Deployment-surface tests: the reference's env-var config contract and
+the composed `python -m hepop_spark serve` pipeline — UDP HEP frames and
+HTTP LP writes land as queryable parquet tables under PARQUET_DIR with the
+reference's {data}/{writer}/dbs layout."""
+
+from __future__ import annotations
+
+import json
+import socket
+import time
+import urllib.request
+
+from hepop_spark.config import ServerConfig
+from hepop_spark.sources.hep import encapsulate
+
+
+class TestConfig:
+    def test_env_contract(self):
+        cfg = ServerConfig.from_env(env={"PORT": "7000", "WRITER_ID": "w1"})
+        assert cfg.port == 7000
+        assert cfg.http_port == 7001  # HTTP_PORT defaults to PORT+1
+        assert cfg.host == "0.0.0.0"
+        assert cfg.table_root().endswith("data/w1/dbs")
+
+    def test_overrides_beat_env(self):
+        cfg = ServerConfig.from_env(
+            env={"PORT": "7000", "HTTP_PORT": "9999"}, http_port=0, host="127.0.0.1"
+        )
+        assert cfg.http_port == 0 and cfg.host == "127.0.0.1"
+
+
+class TestServe:
+    def test_end_to_end(self, spark, tmp_path):
+        from hepop_spark.__main__ import serve
+
+        cfg = ServerConfig.from_env(
+            env={},
+            host="127.0.0.1",
+            port=0,
+            http_port=0,
+            data_dir=str(tmp_path / "data"),
+            writer_id="w1",
+        )
+        h = serve(cfg, spark=spark, block=False)
+        try:
+            # health
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{h['http_port']}/health", timeout=10
+            ) as r:
+                assert json.load(r)["status"] == "ok"
+
+            # LP over HTTP write API
+            body = b"cpu,host=a usage=1.5 1709290800000000000\n" * 3
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{h['http_port']}/write", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=10) as r:
+                assert r.status == 201
+
+            # HEP over UDP
+            frame = encapsulate(
+                {"timeSeconds": 1709290800, "timeUseconds": 0, "payloadType": 1},
+                "INVITE test",
+            )
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            for _ in range(3):
+                s.sendto(frame, ("127.0.0.1", h["udp_port"]))
+            s.close()
+
+            # wait for both pipelines to land tables under the dbs root
+            from hepop_spark.storage.writer import read_table
+
+            root = cfg.table_root()
+            deadline = time.time() + 120
+            seen = set()
+            while time.time() < deadline and len(seen) < 2:
+                h["drain_once"]()
+                for table, tag, want in (("cpu", "cpu", 3), ("hep_1", "hep", 3)):
+                    try:
+                        if read_table(spark, f"{root}/{table}").count() >= want:
+                            seen.add(tag)
+                    except Exception:
+                        pass
+                time.sleep(2)
+            assert seen == {"cpu", "hep"}, seen
+        finally:
+            h["stop"]()
