@@ -44,6 +44,7 @@ def registry() -> dict[str, QuerySpec]:
         reference_surface,
         scale_paths,
         sources_q,
+        streaming_q,
         timeseries,
         tpch_more,
         tpch_more2,
@@ -67,6 +68,7 @@ def registry() -> dict[str, QuerySpec]:
         sources_q,
         scale_paths,
         pipeline_ops,
+        streaming_q,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
