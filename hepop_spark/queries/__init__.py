@@ -46,6 +46,7 @@ def registry() -> dict[str, QuerySpec]:
         sources_q,
         streaming_q,
         timeseries,
+        udf_surface,
         tpch_more,
         tpch_more2,
         tpch_more3,
@@ -69,6 +70,7 @@ def registry() -> dict[str, QuerySpec]:
         scale_paths,
         pipeline_ops,
         streaming_q,
+        udf_surface,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
