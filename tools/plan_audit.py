@@ -82,6 +82,8 @@ AUDITS: dict[str, set[str]] = {
     "corpus_filter_cascade": {"partial"},
     "dedup_incremental": {"partial"},
     "embedding_quantize_int8": {"partial"},
+    # UDF surface: grouped pandas agg IS the (allowed) Arrow stage
+    "grouped_mad_pandas": {"arrow_ok"},
 }
 
 
