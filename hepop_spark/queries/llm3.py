@@ -451,6 +451,106 @@ FROM q GROUP BY vec_id
 """
 
 
+# --- Intra-document repetition ------------------------------------------------
+
+
+def text_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition quality signal (the Gopher-rules shape): per document,
+    total vs distinct word-3-gram counts — a high duplicate share marks
+    boilerplate/looping text. Pure integer accounting (n_grams,
+    n_distinct, repeated = n - distinct), so the score is engine-exact;
+    docs shorter than 3 tokens emit nothing (no grams).
+
+    Scale: one generator fan-out + two aggregations keyed on doc_id —
+    map-side combined, no joins."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql("""
+        WITH grams AS (
+            SELECT doc_id,
+                   concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+            FROM (SELECT doc_id, split(text, ' ') AS t FROM documents) d
+            LATERAL VIEW explode(sequence(0, size(t) - 3)) x AS i
+            WHERE size(t) >= 3
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+               CAST(count(*) - count(DISTINCT g) AS BIGINT) AS n_repeated
+        FROM grams
+        GROUP BY doc_id
+    """)
+
+
+REPETITION_SQL = """
+WITH grams AS (
+    SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS g
+    FROM (
+        SELECT doc_id,
+               unnest(t[1:len(t)-2]) AS w1,
+               unnest(t[2:len(t)-1]) AS w2,
+               unnest(t[3:len(t)]) AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+        WHERE len(t) >= 3
+    ) z
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT g) AS BIGINT) AS n_repeated
+FROM grams
+GROUP BY doc_id
+"""
+
+
+# --- Cross-source duplicate matrix -------------------------------------------
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Which sources copy from which: exact-content fingerprints grouped,
+    then every fingerprint shared by two sources contributes to the
+    (source_a, source_b) cell — the provenance overlap report that decides
+    which feeds to drop before training. Ordered pair (a < b) so each
+    cross-source relation appears once. A planted 'src_mirror' feed
+    re-publishing every 50th document proves the matrix actually fires
+    (the synthetic sources share no organic exact content).
+
+    Scale: hash → group (one shuffle); the pair explosion is bounded by
+    duplicate-group sizes, not corpus size."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql("""
+        WITH corpus AS (
+            SELECT source, text FROM documents
+            UNION ALL
+            SELECT 'src_mirror' AS source, text
+            FROM documents WHERE doc_id % 50 = 0
+        ),
+        fp AS (
+            SELECT DISTINCT md5(text) AS h, source FROM corpus
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_contents
+        FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    """)
+
+
+CROSS_SOURCE_SQL = """
+WITH corpus AS (
+    SELECT source, text FROM documents
+    UNION ALL
+    SELECT 'src_mirror' AS source, text
+    FROM documents WHERE doc_id % 50 = 0
+),
+fp AS (
+    SELECT DISTINCT md5(text) AS h, source FROM corpus
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_contents
+FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_chunk_windows": QuerySpec(text_chunk_windows, CHUNK_SQL),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SQL),
@@ -459,4 +559,6 @@ QUERIES: dict[str, QuerySpec] = {
     "text_url_extract": QuerySpec(text_url_extract, URL_SQL),
     "corpus_filter_cascade": QuerySpec(corpus_filter_cascade, CASCADE_SQL),
     "embedding_quantize_int8": QuerySpec(embedding_quantize_int8, QUANTIZE_SQL),
+    "text_repetition_score": QuerySpec(text_repetition_score, REPETITION_SQL),
+    "cross_source_dup_matrix": QuerySpec(cross_source_dup_matrix, CROSS_SOURCE_SQL),
 }
