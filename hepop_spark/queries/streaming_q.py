@@ -155,7 +155,77 @@ GROUP BY user_id
 """
 
 
+def streaming_dedup_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator (applyInPandasWithState first-arrival
+    dedup, streaming/stateful.py) under the oracle gate. Two
+    deterministic micro-batches (one file each, maxFilesPerTrigger=1):
+
+      batch 1 = events < 5000, plus in-batch duplicate copies of
+                event_id % 7 = 0  → emitted once with n_dups = 1;
+      batch 2 = events ≥ 5000, plus CROSS-BATCH copies of batch-1 keys
+                (event_id % 11 = 0) → fully suppressed by state.
+
+    Every key's payload is identical across its copies, so first-arrival
+    is value-deterministic; the oracle enumerates exactly one row per key
+    with the planted in-batch dup count. Suppression of the cross-batch
+    replays is what proves state survives micro-batch boundaries."""
+    import glob
+
+    from ..streaming.stateful import streaming_dedup
+
+    d = tempfile.mkdtemp(prefix="sdedup_replay_")
+    try:
+        ev = load_table(spark, sf, "events").select(
+            F.md5(F.col("event_id").cast("string")).alias("h"),
+            F.col("event_type").alias("payload"),
+            "event_id",
+        )
+        b1 = ev.filter(F.col("event_id") < 5000)
+        b1 = b1.unionAll(b1.filter(F.col("event_id") % 7 == 0))
+        b2 = ev.filter(F.col("event_id") >= 5000).unionAll(
+            ev.filter((F.col("event_id") < 5000) & (F.col("event_id") % 11 == 0))
+        )
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, b in enumerate((b1, b2)):
+            tmp = os.path.join(d, f"w{i}")
+            b.select("h", "payload").coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            os.rename(part, os.path.join(src, f"{i:02d}.parquet"))
+
+        stream = (
+            spark.readStream.schema("h string, payload string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = f"replay_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_dedup(stream, ttl_ms=None)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table(table).collect()
+        return spark.createDataFrame(rows, "h string, payload string, n_dups bigint")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT md5(CAST(event_id AS VARCHAR)) AS h,
+       event_type AS payload,
+       CAST(CASE WHEN event_id % 7 = 0 AND event_id < 5000 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_dups
+FROM events
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_window_replay": QuerySpec(streaming_window_replay, STREAMING_WINDOW_SQL),
     "streaming_session_replay": QuerySpec(streaming_session_replay, STREAMING_SESSION_SQL),
+    "streaming_dedup_replay": QuerySpec(streaming_dedup_replay, STREAMING_DEDUP_SQL),
 }
