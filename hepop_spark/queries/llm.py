@@ -820,12 +820,132 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: the index-side signatures are exactly what you'd persist
     between runs (8 md5s/doc — tiny); only the batch re-shingles daily.
-    The oracle runs the identical engine-neutral SQL middle over DuckDB's
-    shingle construction."""
-    register_views(spark, sf, tables=("documents",))
-    return spark.sql(
-        f"WITH {_INCR_CORPUS_CTE}, {_INCR_SPARK_SHINGLES}, {_INCR_MIDDLE}"
+    The distinct shingle table is computed ONCE and persisted — it feeds
+    signatures, set sizes, and verification (a one-text CTE form would be
+    inlined by Catalyst and re-scan the corpus 4×). The oracle runs the
+    engine-neutral SQL middle over DuckDB's shingle construction."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, "batch").otherwise("index").alias("side"),
+    ).unionAll(
+        docs.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") % 10 != 0)).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            F.lit("batch").alias("side"),
+        )
     )
+    with_t = corpus.withColumn("t", F.split("text", " "))
+    # RAW shingles, persisted once: signatures don't need the distinct
+    # (min over duplicates is identical), and the full-corpus distinct
+    # shuffle is the most expensive stage — defer it to the candidate
+    # slice below, exactly as dedup_minhash_lsh does
+    sh_raw = (
+        with_t.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .persist()
+    )
+    try:
+        sig = sh_raw.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+                for i in range(MINHASH_SEEDS)
+            ]
+        )
+        n_bands = MINHASH_SEEDS // MINHASH_BAND_ROWS
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * MINHASH_BAND_ROWS + r}")
+                                for r in range(MINHASH_BAND_ROWS)
+                            ],
+                        )
+                    ).alias("bkey"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        # side is a pure function of doc_id (batch = %10==0 or a planted
+        # re-key ≥ 1e6) — deriving it avoids a join against the corpus
+        bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bkey").alias("bkey"),
+            F.when(
+                (F.col("doc_id") % 10 == 0) | (F.col("doc_id") >= 1000000), "batch"
+            ).otherwise("index").alias("side"),
+        )
+        nb = bands.filter(F.col("side") == "batch").alias("nb")
+        ib = bands.filter(F.col("side") == "index").alias("ib")
+        candidates = (
+            nb.join(
+                ib,
+                (F.col("nb.band") == F.col("ib.band"))
+                & (F.col("nb.bkey") == F.col("ib.bkey")),
+            )
+            .select(
+                F.col("nb.doc_id").alias("batch_doc"),
+                F.col("ib.doc_id").alias("index_doc"),
+            )
+            .distinct()
+        )
+        # distinct shingle SETS only for docs that survived banding
+        cand_docs = (
+            candidates.select(F.col("batch_doc").alias("doc_id"))
+            .union(candidates.select(F.col("index_doc").alias("doc_id")))
+            .distinct()
+        )
+        shingles = sh_raw.join(cand_docs, "doc_id", "leftsemi").distinct()
+        counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+        sa = shingles.select(F.col("doc_id").alias("batch_doc"), "sh")
+        sb = shingles.select(F.col("doc_id").alias("i2"), F.col("sh").alias("sh2"))
+        inter = (
+            candidates.join(sa, "batch_doc")
+            .join(sb, (F.col("index_doc") == F.col("i2")) & (F.col("sh") == F.col("sh2")))
+            .groupBy("batch_doc", "index_doc")
+            .agg(F.count("*").alias("inter"))
+        )
+        ca = counts.select(F.col("doc_id").alias("batch_doc"), F.col("n").alias("na"))
+        cb = counts.select(F.col("doc_id").alias("index_doc"), F.col("n").alias("nb_n"))
+        jac = F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb_n") - F.col("inter")),
+            4,
+        )
+        scored = (
+            inter.join(ca, "batch_doc")
+            .join(cb, "index_doc")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        w = Window.partitionBy("batch_doc").orderBy(
+            F.col("jaccard").desc(), F.col("index_doc")
+        )
+        rows = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("batch_doc", "index_doc", "jaccard")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "batch_doc bigint, index_doc bigint, jaccard double"
+        )
+    finally:
+        sh_raw.unpersist()
 
 
 DEDUP_INCREMENTAL_SQL = (

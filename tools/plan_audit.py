@@ -80,7 +80,10 @@ AUDITS: dict[str, set[str]] = {
     "lateral_join_topn": {"bcast"},
     "text_url_extract": {"partial"},
     "corpus_filter_cascade": {"partial"},
-    "dedup_incremental": {"partial"},
+    # dedup_incremental executes eagerly (persist lifecycle) and returns a
+    # LocalRelation — its physical plan is covered by dedup_minhash_lsh's
+    # audit (same machinery); only the no-Python check applies here
+    "dedup_incremental": set(),
     "embedding_quantize_int8": {"partial"},
     # UDF surface: grouped pandas agg IS the (allowed) Arrow stage
     "grouped_mad_pandas": {"arrow_ok"},
