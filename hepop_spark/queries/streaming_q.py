@@ -224,8 +224,62 @@ FROM events
 """
 
 
+def exactly_once_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """The exactly-once sink (streaming/exactly_once.py) under the oracle
+    gate: events stream through the commit-marker foreachBatch sink in
+    multiple micro-batches, then batch 0 is RE-DELIVERED verbatim (the
+    at-least-once hazard) and must be a marker-gated no-op. The committed
+    read has to aggregate to exactly the batch SQL over the source — any
+    duplicate or loss from the retry layer breaks the hash. (Torn-write
+    repair is pinned separately in tests/test_exactly_once.py.)"""
+    from ..streaming.exactly_once import (
+        exactly_once_sink,
+        read_committed,
+        write_batch_exactly_once,
+    )
+
+    d = tempfile.mkdtemp(prefix="e1_replay_")
+    try:
+        src = os.path.join(d, "src")
+        ev = load_table(spark, sf, "events").select("event_id", "event_type", "value")
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        out = os.path.join(d, "out")
+        q = exactly_once_sink(stream, out, os.path.join(d, "ckpt")).start()
+        q.awaitTermination(120)
+        # simulate the at-least-once hazard: re-deliver batch 0 verbatim —
+        # the marker must make it a no-op
+        b0 = spark.read.parquet(os.path.join(out, "batch_id=0"))
+        assert write_batch_exactly_once(b0, 0, out) is False
+        rows = (
+            read_committed(spark, out)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_v"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, "event_type string, n bigint, sum_v double")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+EXACTLY_ONCE_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_v
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_window_replay": QuerySpec(streaming_window_replay, STREAMING_WINDOW_SQL),
     "streaming_session_replay": QuerySpec(streaming_session_replay, STREAMING_SESSION_SQL),
     "streaming_dedup_replay": QuerySpec(streaming_dedup_replay, STREAMING_DEDUP_SQL),
+    "exactly_once_replay": QuerySpec(exactly_once_replay, EXACTLY_ONCE_SQL),
 }
