@@ -551,6 +551,96 @@ GROUP BY 1, 2
 """
 
 
+# --- Train/val/test split -----------------------------------------------------
+
+
+def split_train_val_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~80/10/10 corpus split on md5(doc_id) hex thresholds
+    ('cc' = 204/256 ≈ 79.7%, 'e6' = 230/256 ≈ 89.8%) — the same
+    content-addressed discipline as sample_stratified_hash, so membership
+    never depends on engine, partitioning, or cluster size, and re-running
+    the pipeline never migrates a document across splits (the property
+    RNG splits lack). Returns per-(split, source) accounting.
+
+    Scale: a narrow hash classify + one aggregation on a tiny key space."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql("""
+        WITH assigned AS (
+            SELECT source, n_chars,
+                   CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc'
+                            THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < 'e6'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM assigned
+        GROUP BY split, source
+    """)
+
+
+SPLIT_SQL = """
+WITH assigned AS (
+    SELECT source, n_chars,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned
+GROUP BY split, source
+"""
+
+
+# --- Deterministic corpus shuffle --------------------------------------------
+
+
+def corpus_shuffle_head(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible global shuffle for training order: shuffle key =
+    md5(doc_id), globally ordered; returns the first 20 positions. The
+    Spark plan is TakeOrderedAndProject (per-partition partial top-k,
+    driver merges 20 rows — NO global sort, no single-partition window);
+    the rank window then runs over the 20 surviving rows only.
+
+    Scale: the full shuffled ORDER of 100 TB is never materialized — a
+    trainer consumes it as range-partitioned sorted output; heads/slices
+    use partial top-k exactly like this."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql("""
+        WITH head AS (
+            SELECT doc_id, substring(md5(CAST(doc_id AS STRING)), 1, 8) AS shuffle_key
+            FROM documents
+            ORDER BY md5(CAST(doc_id AS STRING))
+            LIMIT 20
+        )
+        SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER)
+                   AS position,
+               doc_id, shuffle_key
+        FROM head
+    """)
+
+
+SHUFFLE_HEAD_SQL = """
+WITH head AS (
+    SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR))
+    LIMIT 20
+)
+SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER) AS position,
+       doc_id, shuffle_key
+FROM head
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_chunk_windows": QuerySpec(text_chunk_windows, CHUNK_SQL),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SQL),
@@ -561,4 +651,6 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_quantize_int8": QuerySpec(embedding_quantize_int8, QUANTIZE_SQL),
     "text_repetition_score": QuerySpec(text_repetition_score, REPETITION_SQL),
     "cross_source_dup_matrix": QuerySpec(cross_source_dup_matrix, CROSS_SOURCE_SQL),
+    "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL),
+    "corpus_shuffle_head": QuerySpec(corpus_shuffle_head, SHUFFLE_HEAD_SQL),
 }
