@@ -641,6 +641,77 @@ FROM head
 """
 
 
+# --- Time-series correlation (integer-exact Pearson) -------------------------
+
+_TS_CORR_SQL = """
+WITH cohort AS (SELECT user_id, ts, value FROM events WHERE user_id < 40),
+h AS (
+    SELECT user_id, date_trunc('hour', ts) AS hr,
+           CAST(round(sum(value) * 100) AS BIGINT) AS vc
+    FROM cohort GROUP BY 1, 2
+),
+p AS (
+    SELECT a.user_id AS ua, b.user_id AS ub,
+           count(*) AS n,
+           sum(a.vc) AS sa, sum(b.vc) AS sb,
+           sum(a.vc * b.vc) AS sab,
+           sum(a.vc * a.vc) AS saa, sum(b.vc * b.vc) AS sbb
+    FROM h a JOIN h b ON a.hr = b.hr AND a.user_id < b.user_id
+    GROUP BY 1, 2
+)
+SELECT ua, ub, CAST(n AS BIGINT) AS n_hours,
+       round((n * sab - sa * sb) /
+             (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)), 4) AS corr_v
+FROM p
+WHERE n >= 6 AND (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+ORDER BY corr_v DESC, ua, ub
+LIMIT 20
+"""
+
+
+def ts_correlation_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series similarity search (the classic co-movement query): top
+    20 most-correlated user pairs over hourly value series. Every Pearson
+    moment (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer (hourly sums in
+    cents), so the correlation double and its top-k cut are bit-identical
+    across engines — the float-parity discipline applied to a second-order
+    statistic. The pair space is blocked to a cohort (user_id < 40 here);
+    at scale the cohort/blocking key IS the lever — correlate within
+    segments, never all-pairs. One aggregation + one hour-keyed self-join
+    + one aggregation; top-k via total order (corr desc, ua, ub)."""
+    register_views(spark, sf, tables=("events",))
+    return spark.sql(_TS_CORR_SQL)
+
+
+# --- Fuzzy string join (edit-distance with blocking) -------------------------
+
+_FUZZY_JOIN_SQL = """
+WITH c AS (
+    SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk FROM customer
+)
+SELECT a.blk AS block_prefix,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(a.c_custkey) AS BIGINT) AS first_key
+FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+GROUP BY 1
+"""
+
+
+def fuzzy_name_join(spark: SparkSession, sf: str) -> DataFrame:
+    """String-similarity self-join (edit distance ≤ 1) with prefix
+    blocking: candidate pairs come from a 16-char-prefix equi-join (~100
+    names per block), and levenshtein runs on candidates only — the
+    blocked form of a similarity join that would otherwise be |R|²
+    distance computations. Identical SQL text runs on both engines
+    (levenshtein is built into each).
+
+    Scale: blocking-key choice bounds the quadratic term (block_size² per
+    block); length-band + prefix blocks are the standard recipe."""
+    register_views(spark, sf, tables=("customer",))
+    return spark.sql(_FUZZY_JOIN_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_chunk_windows": QuerySpec(text_chunk_windows, CHUNK_SQL),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SQL),
@@ -653,4 +724,6 @@ QUERIES: dict[str, QuerySpec] = {
     "cross_source_dup_matrix": QuerySpec(cross_source_dup_matrix, CROSS_SOURCE_SQL),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL),
     "corpus_shuffle_head": QuerySpec(corpus_shuffle_head, SHUFFLE_HEAD_SQL),
+    "ts_correlation_pairs": QuerySpec(ts_correlation_pairs, _TS_CORR_SQL),
+    "fuzzy_name_join": QuerySpec(fuzzy_name_join, _FUZZY_JOIN_SQL),
 }
