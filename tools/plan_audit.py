@@ -87,6 +87,13 @@ AUDITS: dict[str, set[str]] = {
     "embedding_quantize_int8": {"partial"},
     # UDF surface: grouped pandas agg IS the (allowed) Arrow stage
     "grouped_mad_pandas": {"arrow_ok"},
+    # corpus-shaping + similarity additions
+    "split_train_val_test": {"partial"},
+    "corpus_shuffle_head": set(),  # TakeOrderedAndProject, no global sort
+    "ts_correlation_pairs": {"partial", "pushdown"},
+    "fuzzy_name_join": {"partial"},
+    "text_repetition_score": {"partial"},
+    "cross_source_dup_matrix": {"partial"},
 }
 
 
