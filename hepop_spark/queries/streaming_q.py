@@ -277,9 +277,99 @@ GROUP BY event_type
 """
 
 
+def streaming_late_drop_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """WATERMARK SEMANTICS under the oracle gate — the strongest streaming
+    proof in the inventory. Three pinned micro-batches:
+
+      batch 1: the real events (watermark still at epoch DURING the batch
+               — Spark applies a batch's max event time one batch later);
+      batch 2: copies of the LAST hour's rows — they advance nothing
+               visible (their window's end exceeds the final watermark,
+               so it never emits) but they make the Jan-30 watermark
+               EFFECTIVE, evicting + emitting every closed window;
+      batch 3: copies of the FIRST hour's rows — textbook late data.
+               Their windows were already emitted and evicted; the rows
+               must vanish (watermark drop / evict-without-reemit).
+
+    Append mode then emitted exactly: original rows only, windows whose
+    end ≤ max(ts) - 1h — which is precisely what the oracle computes from
+    the base table. Any late-row leak, double emission, or missed
+    eviction changes a count and breaks the hash."""
+    import glob
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix="late_replay_")
+    table = f"replay_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf, "events").select("ts", "event_type", "value")
+        first_hour = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0")).first()["h0"]
+        last_hour = ev.agg(F.date_trunc("hour", F.max("ts")).alias("hl")).first()["hl"]
+        late = ev.filter(F.date_trunc("hour", F.col("ts")) == first_hour)
+        advance = ev.filter(F.date_trunc("hour", F.col("ts")) == last_hour)
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        now = _time.time()
+        for i, b in enumerate((ev, advance, late)):
+            tmp = os.path.join(d, f"w{i}")
+            b.coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            os.rename(part, dst)
+            # FileStreamSource orders batches by modification time — pin it
+            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                fmt_ts(F.col("w.start"), "win_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")  # append: only watermark-closed windows emit
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table(table).collect()
+        return spark.createDataFrame(
+            rows, "win_start string, event_type string, n bigint, sum_value double"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+STREAMING_LATE_DROP_SQL = f"""
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_window_replay": QuerySpec(streaming_window_replay, STREAMING_WINDOW_SQL),
     "streaming_session_replay": QuerySpec(streaming_session_replay, STREAMING_SESSION_SQL),
     "streaming_dedup_replay": QuerySpec(streaming_dedup_replay, STREAMING_DEDUP_SQL),
     "exactly_once_replay": QuerySpec(exactly_once_replay, EXACTLY_ONCE_SQL),
+    "streaming_late_drop_replay": QuerySpec(
+        streaming_late_drop_replay, STREAMING_LATE_DROP_SQL
+    ),
 }
