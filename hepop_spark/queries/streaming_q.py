@@ -372,4 +372,77 @@ QUERIES: dict[str, QuerySpec] = {
     "streaming_late_drop_replay": QuerySpec(
         streaming_late_drop_replay, STREAMING_LATE_DROP_SQL
     ),
+    "streaming_join_replay": QuerySpec(None, None),  # bound below
 }
+
+
+def streaming_join_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.stream_stream_join)
+    under the oracle gate: clicks and purchases run as two real streams,
+    inner-joined on user within [click_ts, click_ts + 10 min]. On a
+    bounded replay an inner interval join must emit EXACTLY the batch
+    join's pairs — state buffering and eviction are result-invisible. The
+    oracle is the plain SQL interval self-join."""
+    from ..streaming.joins import stream_stream_join
+
+    d = tempfile.mkdtemp(prefix="sjoin_replay_")
+    table = f"replay_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf, "events")
+        sides = {}
+        for name, et in (("l", "click"), ("r", "purchase")):
+            path = os.path.join(d, name)
+            (
+                ev.filter(F.col("event_type") == et)
+                .select(
+                    F.col("user_id").cast("string").alias("h"),
+                    "ts",
+                    F.col("event_id").cast("string").alias("payload"),
+                )
+                .write.parquet(path)
+            )
+            sides[name] = spark.readStream.schema(
+                "h string, ts timestamp, payload string"
+            ).parquet(path)
+        joined = stream_stream_join(
+            sides["l"], sides["r"], max_skew="10 minutes", watermark="1 hour"
+        ).select(
+            "h",
+            fmt_ts(F.col("l_ts"), "click_ts"),
+            F.col("l_payload").alias("click_id"),
+            fmt_ts(F.col("r_ts"), "purchase_ts"),
+            F.col("r_payload").alias("purchase_id"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table(table).collect()
+        return spark.createDataFrame(
+            rows,
+            "h string, click_ts string, click_id string, "
+            "purchase_ts string, purchase_id string",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+STREAMING_JOIN_SQL = f"""
+SELECT CAST(c.user_id AS VARCHAR) AS h,
+       strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts,
+       CAST(c.event_id AS VARCHAR) AS click_id,
+       strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+       CAST(p.event_id AS VARCHAR) AS purchase_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+QUERIES["streaming_join_replay"] = QuerySpec(streaming_join_replay, STREAMING_JOIN_SQL)
