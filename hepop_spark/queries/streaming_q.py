@@ -446,3 +446,121 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 QUERIES["streaming_join_replay"] = QuerySpec(streaming_join_replay, STREAMING_JOIN_SQL)
+
+
+def streaming_enrich_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment (streaming/joins.stream_static_enrich)
+    under the oracle gate: the events stream left-joins a broadcast static
+    user-segment dim per micro-batch; on a bounded replay the per-segment
+    rollup must equal the batch left join. The stream side never shuffles
+    — the audit story is the broadcast, pinned here by the hash."""
+    from ..streaming.joins import stream_static_enrich
+
+    d = tempfile.mkdtemp(prefix="enrich_replay_")
+    table = f"replay_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(d, "src")
+        ev = load_table(spark, sf, "events").select(
+            F.col("user_id").cast("string").alias("h"), "value"
+        )
+        ev.write.parquet(src)
+        dim = spark.range(0, 2000).select(
+            F.col("id").cast("string").alias("h"),
+            F.concat(F.lit("seg_"), (F.col("id") % 5).cast("string")).alias("segment"),
+        )
+        stream = spark.readStream.schema("h string, value double").parquet(src)
+        enriched = stream_static_enrich(stream, dim).groupBy("segment").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_v")
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table(table).collect()
+        return spark.createDataFrame(rows, "segment string, n bigint, sum_v double")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+STREAMING_ENRICH_SQL = """
+WITH dim AS (
+    SELECT CAST(i AS VARCHAR) AS h, 'seg_' || CAST(i % 5 AS VARCHAR) AS segment
+    FROM range(2000) r(i)
+)
+SELECT d.segment, CAST(count(*) AS BIGINT) AS n, round(sum(e.value), 2) AS sum_v
+FROM events e LEFT JOIN dim d ON CAST(e.user_id AS VARCHAR) = d.h
+GROUP BY d.segment
+"""
+
+QUERIES["streaming_enrich_replay"] = QuerySpec(
+    streaming_enrich_replay, STREAMING_ENRICH_SQL
+)
+
+
+def streaming_wm_dedup_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's built-in dropDuplicatesWithinWatermark under the oracle
+    gate: batch 1 = all events (keyed md5(event_id)); batch 2 = copies of
+    the LAST hour's rows — inside the 1-hour watermark horizon, so their
+    keys are still in state and every copy must be suppressed. Output =
+    exactly one row per event, which is the oracle's SELECT DISTINCT."""
+    import glob
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix="wmdedup_replay_")
+    table = f"replay_{uuid.uuid4().hex[:8]}"
+    try:
+        from ..streaming.joins import watermark_dedup
+
+        ev = load_table(spark, sf, "events").select(
+            F.md5(F.col("event_id").cast("string")).alias("h"),
+            F.col("ts"),
+            F.col("event_type").alias("payload"),
+        )
+        last_hour = ev.agg(F.date_trunc("hour", F.max("ts")).alias("hl")).first()["hl"]
+        dups = ev.filter(F.date_trunc("hour", F.col("ts")) == last_hour)
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        now = _time.time()
+        for i, b in enumerate((ev, dups)):
+            tmp = os.path.join(d, f"w{i}")
+            b.coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (now - 200 + i * 100, now - 200 + i * 100))
+        stream = (
+            spark.readStream.schema("h string, ts timestamp, payload string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = watermark_dedup(stream, key="h", watermark="1 hour").select(
+            "h", "payload"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table(table).collect()
+        return spark.createDataFrame(rows, "h string, payload string")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+STREAMING_WM_DEDUP_SQL = """
+SELECT md5(CAST(event_id AS VARCHAR)) AS h, event_type AS payload
+FROM events
+"""
+
+QUERIES["streaming_wm_dedup_replay"] = QuerySpec(
+    streaming_wm_dedup_replay, STREAMING_WM_DEDUP_SQL
+)

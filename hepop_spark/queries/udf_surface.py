@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 from ..catalog import load_table, register_views
@@ -119,7 +120,80 @@ GROUP BY doc_id
 """
 
 
+# --- Co-grouped pandas: as-of join via merge_asof ----------------------------
+
+_TS_FMT_PD = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def asof_join_cogroup(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME as-of join semantics as the window-composition `asof_join`
+    (most recent click ≤ each purchase, per user), but through Spark's
+    CO-GROUPED pandas API: purchases and clicks are co-partitioned by
+    user, each group pair lands in one Arrow batch, and pd.merge_asof
+    (backward, exact-match allowed ≡ ASOF's >=) does the alignment.
+    The oracle is DuckDB's native ASOF LEFT JOIN — three implementations
+    (window composition, cogroup pandas, native ASOF) must agree on the
+    hash.
+
+    Scale: one co-partitioning shuffle on user_id; each user's pair of
+    frames must fit a worker (same bound as any cogroup)."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "purchase_ts", "click_ts"]
+            )
+        left = left.sort_values(["ts", "event_id"])
+        right = (
+            right.sort_values(["ts", "event_id"])[["ts"]]
+            .rename(columns={"ts": "click_ts_raw"})
+        )
+        if right.empty:
+            m = left.assign(click_ts_raw=pd.NaT)
+        else:
+            m = pd.merge_asof(
+                left, right, left_on="ts", right_on="click_ts_raw",
+                direction="backward",
+            )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": int(key[0]),
+                "purchase_ts": m["ts"].dt.strftime(_TS_FMT_PD),
+                "click_ts": m["click_ts_raw"].dt.strftime(_TS_FMT_PD),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id bigint, user_id bigint, purchase_ts string, click_ts string",
+        )
+    )
+
+
+# DuckDB native ASOF — identical to the window-composition oracle
+ASOF_COGROUP_SQL = """
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "grouped_mad_pandas": QuerySpec(grouped_mad_pandas, GROUPED_MAD_SQL),
     "sentence_split_udtf": QuerySpec(sentence_split_udtf, SENTENCE_UDTF_SQL),
+    "asof_join_cogroup": QuerySpec(asof_join_cogroup, ASOF_COGROUP_SQL),
 }
