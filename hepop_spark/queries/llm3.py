@@ -712,6 +712,53 @@ def fuzzy_name_join(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_FUZZY_JOIN_SQL)
 
 
+# --- Unigram LM scoring -------------------------------------------------------
+
+
+def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model scoring — the cheap perplexity proxy real
+    pipelines use as a quality filter: token probabilities learned from
+    the corpus itself (one aggregation), each document scored by
+    Σ log p(tok). The per-token log-prob is quantized to INTEGER
+    milli-nats BEFORE summing, so the doc score is an exact integer —
+    no float-accumulation-order hazard between engines (log p itself is a
+    single deterministic double from exact integer counts).
+
+    Scale: two token-keyed aggregations + one broadcast-sized vocab join —
+    identical shape to tfidf_top_terms."""
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql("""
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+        ),
+        vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT sum(c) AS n FROM vocab)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(round(ln(CAST(vocab.c AS DOUBLE) / total.n) * 1000) AS BIGINT))
+                    AS BIGINT) AS logprob_milli
+        FROM toks JOIN vocab ON toks.tok = vocab.tok CROSS JOIN total
+        GROUP BY doc_id
+    """)
+
+
+UNIGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT sum(c) AS n FROM vocab)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(round(ln(CAST(vocab.c AS DOUBLE) / total.n) * 1000) AS BIGINT))
+            AS BIGINT) AS logprob_milli
+FROM toks JOIN vocab ON toks.tok = vocab.tok CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_chunk_windows": QuerySpec(text_chunk_windows, CHUNK_SQL),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SQL),
@@ -726,4 +773,5 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_shuffle_head": QuerySpec(corpus_shuffle_head, SHUFFLE_HEAD_SQL),
     "ts_correlation_pairs": QuerySpec(ts_correlation_pairs, _TS_CORR_SQL),
     "fuzzy_name_join": QuerySpec(fuzzy_name_join, _FUZZY_JOIN_SQL),
+    "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_SQL),
 }
