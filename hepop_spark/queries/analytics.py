@@ -477,6 +477,50 @@ SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
 """
 
 
+def set_ops_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL — row
+    multiplicities preserved, unlike the DISTINCT defaults): customers'
+    nation keys vs suppliers' nation keys, with per-key multiplicity
+    accounting proving the ALL semantics survived. Identical SQL text on
+    both engines."""
+    register_views(spark, sf, tables=("customer", "supplier"))
+    return spark.sql(_SET_OPS_ALL_SQL)
+
+
+_SET_OPS_ALL_SQL = """
+WITH i AS (
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS k FROM supplier
+),
+e AS (
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS k FROM supplier
+)
+SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY k
+UNION ALL
+SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY k
+"""
+
+
+def group_by_all(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ALL (group on every non-aggregate select item — the
+    modern-SQL sugar both engines implement): identical SQL text runs on
+    both."""
+    register_views(spark, sf, tables=("orders",))
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ALL
+"""
+
+
 # --- Grouping sets / rollup / cube -----------------------------------------
 
 
@@ -597,6 +641,8 @@ QUERIES: dict[str, QuerySpec] = {
     "join_outer": QuerySpec(join_outer, JOIN_OUTER_SQL),
     "join_null_safe": QuerySpec(join_null_safe, JOIN_NULL_SAFE_SQL),
     "lateral_join_topn": QuerySpec(lateral_join_topn, LATERAL_TOPN_SQL),
+    "set_ops_all": QuerySpec(set_ops_all, _SET_OPS_ALL_SQL),
+    "group_by_all": QuerySpec(group_by_all, _GROUP_BY_ALL_SQL),
     "win_topk_per_group": QuerySpec(win_topk_per_group, WIN_TOPK_SQL),
     "win_lag_delta": QuerySpec(win_lag_delta, WIN_LAG_SQL),
     "win_moving_avg": QuerySpec(win_moving_avg, WIN_MOVING_SQL),
