@@ -269,3 +269,39 @@ FROM (SELECT user_id, event_id,
 """
 
 QUERIES["win_ignore_nulls"] = QuerySpec(win_ignore_nulls, WIN_IGNORE_NULLS_SQL)
+
+
+def variant_json_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4's VARIANT type over the reference's JSON-string data model
+    (rcinfo/props are stored as opaque JSON text, hepop.js:182-184):
+    parse_json(props) -> VARIANT, typed variant_get extraction, then an
+    aggregate over the extracted values. VARIANT keeps a binary-encoded
+    shredded form — repeated path access skips re-parsing the text, the
+    right answer for semi-structured columns at scale. The oracle extracts
+    the same path with DuckDB's JSON operators."""
+    register_views(spark, sf, tables=("events",))
+    return spark.sql("""
+        WITH v AS (
+            SELECT event_type, parse_json(props) AS pv FROM events
+        )
+        SELECT event_type,
+               CAST(count(variant_get(pv, '$.k', 'int')) AS BIGINT) AS n_k,
+               CAST(sum(variant_get(pv, '$.k', 'int')) AS BIGINT) AS sum_k,
+               CAST(min(variant_get(pv, '$.k', 'int')) AS INT) AS min_k,
+               CAST(max(variant_get(pv, '$.k', 'int')) AS INT) AS max_k
+        FROM v
+        GROUP BY event_type
+    """)
+
+
+VARIANT_SQL = """
+SELECT event_type,
+       CAST(count(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS n_k,
+       CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["variant_json_ops"] = QuerySpec(variant_json_ops, VARIANT_SQL)
