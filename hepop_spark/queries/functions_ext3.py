@@ -305,3 +305,57 @@ GROUP BY event_type
 """
 
 QUERIES["variant_json_ops"] = QuerySpec(variant_json_ops, VARIANT_SQL)
+
+
+def json_corrupt_handling(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-input discipline for JSON columns: every third event's
+    props is corrupted (truncated brace) before parsing; from_json /
+    try-style extraction must yield NULL for the bad rows — never an
+    error, never a phantom value — and the accounting splits good/bad
+    exactly. The reference would store the broken text silently and fail
+    at read (its payloads are never validated, hepop.js:183); here the
+    failure surface is explicit and bounded. get_json_object on a corrupt
+    document returns NULL on both engines (DuckDB: json_extract on
+    invalid -> NULL via TRY)."""
+    register_views(spark, sf, tables=("events",))
+    return spark.sql("""
+        WITH mangled AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 3 = 0
+                        THEN substring(props, 1, length(props) - 1)
+                        ELSE props END AS p
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(get_json_object(p, '$.k')) AS BIGINT) AS n_parsed,
+               CAST(sum(CASE WHEN get_json_object(p, '$.k') IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+               CAST(sum(CAST(get_json_object(p, '$.k') AS INT)) AS BIGINT) AS sum_k
+        FROM mangled
+        GROUP BY event_type
+    """)
+
+
+JSON_CORRUPT_SQL = """
+WITH mangled AS (
+    SELECT event_type,
+           CASE WHEN event_id % 3 = 0
+                THEN substring(props, 1, length(props) - 1)
+                ELSE props END AS p
+    FROM events
+),
+ex AS (
+    SELECT event_type,
+           CASE WHEN json_valid(p)
+                THEN CAST(json_extract_string(p, '$.k') AS INTEGER) END AS k
+    FROM mangled
+)
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM ex
+GROUP BY event_type
+"""
+
+QUERIES["json_corrupt_handling"] = QuerySpec(json_corrupt_handling, JSON_CORRUPT_SQL)
