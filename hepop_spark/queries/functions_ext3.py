@@ -359,3 +359,77 @@ GROUP BY event_type
 """
 
 QUERIES["json_corrupt_handling"] = QuerySpec(json_corrupt_handling, JSON_CORRUPT_SQL)
+
+
+def array_set_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Array set algebra (union / intersect / except) over per-user
+    event-type sets from the two halves of the month. collect_set order is
+    nondeterministic, so every array is array_sort'ed before comparison
+    and serialized with concat_ws — set semantics, stable hash. The
+    oracle rebuilds the same algebra from DuckDB list primitives
+    (list_except doesn't exist there: list_filter + NOT list_contains)."""
+    register_views(spark, sf, tables=("events",))
+    return spark.sql("""
+        WITH halves AS (
+            SELECT user_id,
+                   collect_set(event_type)
+                       FILTER (WHERE day(ts) <= 15) AS a,
+                   collect_set(event_type)
+                       FILTER (WHERE day(ts) > 15) AS b
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               concat_ws(',', array_sort(array_union(a, b))) AS u_types,
+               concat_ws(',', array_sort(array_intersect(a, b))) AS i_types,
+               concat_ws(',', array_sort(array_except(a, b))) AS e_types
+        FROM halves
+    """)
+
+
+ARRAY_SET_SQL = """
+WITH halves AS (
+    SELECT user_id,
+           coalesce(array_agg(DISTINCT event_type)
+               FILTER (WHERE date_part('day', ts) <= 15), []) AS a,
+           coalesce(array_agg(DISTINCT event_type)
+               FILTER (WHERE date_part('day', ts) > 15), []) AS b
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','),
+                '') AS u_types,
+       coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '')
+           AS i_types,
+       coalesce(array_to_string(
+           list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '')
+           AS e_types
+FROM halves
+"""
+
+QUERIES["array_set_funcs"] = QuerySpec(array_set_funcs, ARRAY_SET_SQL)
+
+
+def date_month_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-month arithmetic with end-of-month clamping (the semantics
+    both engines share: Jan 31 + 1 month = Feb 29 in a leap year):
+    add_months over a spread of offsets, aggregated per resulting month."""
+    register_views(spark, sf, tables=("events",))
+    return spark.sql("""
+        SELECT date_format(add_months(CAST(ts AS DATE),
+                                      CAST(event_id % 13 AS INT) - 6),
+                           'yyyy-MM') AS month,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1
+    """)
+
+
+DATE_MONTH_SQL = """
+SELECT strftime(CAST(ts AS DATE) + to_months(CAST(event_id % 13 AS INTEGER) - 6),
+                '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+"""
+
+QUERIES["date_month_arith"] = QuerySpec(date_month_arith, DATE_MONTH_SQL)
