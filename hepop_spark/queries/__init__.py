@@ -34,12 +34,14 @@ class QuerySpec:
 def registry() -> dict[str, QuerySpec]:
     from . import (
         analytics,
+        analytics2,
         functions_ext,
         functions_ext2,
         functions_ext3,
         llm,
         llm2,
         llm3,
+        mining_q,
         pipeline_ops,
         reference_surface,
         scale_paths,
@@ -56,6 +58,8 @@ def registry() -> dict[str, QuerySpec]:
     for mod in (
         reference_surface,
         analytics,
+        analytics2,
+        mining_q,
         timeseries,
         llm,
         llm2,
