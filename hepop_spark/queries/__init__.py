@@ -35,6 +35,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import (
         analytics,
         analytics2,
+        analytics3,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -59,6 +60,7 @@ def registry() -> dict[str, QuerySpec]:
         reference_surface,
         analytics,
         analytics2,
+        analytics3,
         mining_q,
         timeseries,
         llm,

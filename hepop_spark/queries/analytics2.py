@@ -41,9 +41,10 @@ def concurrency_sweep(spark: SparkSession, sf: str) -> DataFrame:
     base = ev.select(
         "event_type",
         F.unix_micros("ts").alias("t0"),
-        (F.unix_micros("ts") + (F.col("value") * 60).cast("long") * 1_000_000).alias(
-            "t1"
-        ),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 60, 0).cast("long") * 1_000_000
+        ).alias("t1"),
         "event_id",
     )
     starts = base.select(
@@ -87,7 +88,7 @@ CONCURRENCY_SQL = """
 WITH base AS (
   SELECT event_type,
          epoch_us(ts) AS t0,
-         epoch_us(ts) + CAST(value * 60 AS BIGINT) * 1000000 AS t1,
+         epoch_us(ts) + CAST(round(value * 60, 0) AS BIGINT) * 1000000 AS t1,
          event_id
   FROM events
 ), pts AS (
