@@ -94,6 +94,29 @@ AUDITS: dict[str, set[str]] = {
     "fuzzy_name_join": {"partial"},
     "text_repetition_score": {"partial"},
     "cross_source_dup_matrix": {"partial"},
+    # round-2 analytics batch
+    "concurrency_sweep": {"partial"},
+    "counter_rate": {"partial"},
+    "time_weighted_avg": {"partial"},
+    "rolling_zscore": {"partial"},
+    "ewma_smooth": {"partial"},
+    "activity_streaks": {"partial"},
+    "dq_constraint_suite": {"partial"},
+    "fk_orphan_audit": {"bcast", "partial"},
+    "triangle_count": {"partial"},
+    "pagerank_3iter": {"partial"},
+    "kmeans_assign": {"bcast"},
+    "knn_vote": {"bcast"},
+    # heavy_hitters_mg: the Misra-Gries summary IS the (allowed) Python stage
+    "heavy_hitters_mg": {"arrow_ok", "bcast", "partial"},
+    "abtest_welch": {"partial"},
+    "regr_by_group": {"partial"},
+    # interval_overlap_join is a pure equi-join + filter: no aggregate stage
+    "interval_overlap_join": set(),
+    "attribution_last_touch": set(),
+    "bm25_rank": {"bcast", "partial"},
+    "token_entropy": {"partial"},
+    "pareto_frontier": {"partial"},
 }
 
 
