@@ -36,6 +36,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -61,6 +62,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         mining_q,
         timeseries,
         llm,

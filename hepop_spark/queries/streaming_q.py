@@ -564,3 +564,102 @@ FROM events
 QUERIES["streaming_wm_dedup_replay"] = QuerySpec(
     streaming_wm_dedup_replay, STREAMING_WM_DEDUP_SQL
 )
+
+
+def streaming_counter_rate_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """The NUMERIC custom-stateful operator (streaming/stateful.py
+    streaming_counter_rate) under the oracle gate: counter-increase with
+    reset detection whose per-user state (last sample, running totals)
+    must survive THREE micro-batch boundaries. The source is sliced into
+    three time-ordered files (maxFilesPerTrigger=1 → three batches), so
+    ~every user's stream is split across batches and the first delta of
+    each later batch is computable only from carried state. The latest
+    update-mode emission per user must hash-match the batch window+agg
+    twin (analytics2.counter_rate's oracle)."""
+    import glob
+
+    from pyspark.sql import Window  # noqa: F811 — local to keep module header lean
+
+    from ..streaming.stateful import streaming_counter_rate
+
+    d = tempfile.mkdtemp(prefix="scrate_replay_")
+    try:
+        ev = load_table(spark, sf, "events").select(
+            "user_id",
+            "value",
+            F.row_number()
+            .over(Window.orderBy("ts", "event_id"))
+            .cast("long")
+            .alias("seq"),
+        )
+        n_total = ev.count()
+        cut = n_total // 3
+        slices = (
+            ev.filter(F.col("seq") <= cut),
+            ev.filter((F.col("seq") > cut) & (F.col("seq") <= 2 * cut)),
+            ev.filter(F.col("seq") > 2 * cut),
+        )
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, b in enumerate(slices):
+            tmp = os.path.join(d, f"w{i}")
+            b.select("user_id", "seq", "value").coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            os.rename(part, os.path.join(src, f"{i:02d}.parquet"))
+
+        stream = (
+            spark.readStream.schema("user_id long, seq long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = f"replay_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_counter_rate(stream)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        wlast = Window.partitionBy("user_id").orderBy(F.col("n_samples").desc())
+        rows = (
+            spark.table(table)
+            .withColumn("rk", F.row_number().over(wlast))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id",
+                F.round("total_increase", 2).alias("total_increase"),
+                "n_resets",
+                "n_samples",
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "user_id long, total_increase double, n_resets long, n_samples long",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+STREAMING_COUNTER_RATE_SQL = """
+WITH d AS (
+  SELECT user_id,
+         value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       round(sum(CASE WHEN prev IS NULL THEN 0
+                      WHEN value >= prev THEN value - prev
+                      ELSE value END), 2) AS total_increase,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       count(*) AS n_samples
+FROM d GROUP BY user_id
+"""
+
+QUERIES["streaming_counter_rate_replay"] = QuerySpec(
+    streaming_counter_rate_replay, STREAMING_COUNTER_RATE_SQL
+)

@@ -68,3 +68,57 @@ def streaming_dedup(events: DataFrame, key_col: str = "h",
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_counter_rate(events: DataFrame) -> DataFrame:
+    """Per-key monotonic-counter rate with reset detection, carried across
+    micro-batches — the streaming twin of queries/analytics2.counter_rate
+    (PromQL `increase` semantics). State per user: (last value, running
+    increase, resets, samples). Each batch's rows are processed in
+    (seq) order; the delta against the LAST SAMPLE OF THE PREVIOUS BATCH
+    comes from state, which is exactly what a per-batch window cannot see
+    — the cross-batch handoff is the operator. Emits the running totals
+    on every batch a key appears in (update semantics); the latest
+    emission per key is the final answer.
+
+    events: streaming DataFrame (user_id long, seq long, value double);
+    `seq` must be a total order consistent with event time. State is
+    NoTimeout: bounded sources / backfills; long-lived streams would add a
+    TTL exactly as streaming_dedup does."""
+    import pandas as pd  # executors
+
+    output_schema = (
+        "user_id long, total_increase double, n_resets long, n_samples long"
+    )
+    state_schema = "last double, total double, resets long, n long"
+
+    def step(key, pdfs, state: GroupState):
+        if state.exists:
+            last, total, resets, n = state.get
+        else:
+            last, total, resets, n = None, 0.0, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("seq")
+        for v in batch["value"]:
+            v = float(v)
+            if n == 0:
+                pass  # first-ever sample: no delta
+            elif v >= last:
+                total += v - last
+            else:
+                total += v
+                resets += 1
+            last = v
+            n += 1
+        state.update((last, total, resets, n))
+        yield pd.DataFrame(
+            [(key[0], total, resets, n)],
+            columns=["user_id", "total_increase", "n_resets", "n_samples"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -117,6 +117,11 @@ AUDITS: dict[str, set[str]] = {
     "bm25_rank": {"bcast", "partial"},
     "token_entropy": {"partial"},
     "pareto_frontier": {"partial"},
+    "chi_square_independence": {"bcast", "partial"},
+    "trend_movers_dod": {"partial"},
+    "share_of_total": {"bcast", "partial"},
+    "log_template_mine": {"partial"},
+    "state_occupancy": {"partial"},
 }
 
 
