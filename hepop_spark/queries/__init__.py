@@ -37,6 +37,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -63,6 +64,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         mining_q,
         timeseries,
         llm,

@@ -1,0 +1,224 @@
+"""Round-2 batch 4 — SRE alerting, recsys training data, and ANN quality
+evaluation: the operational closes of three families already in the
+inventory (rolling windows, similarity search, dataset shaping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+
+# ---------------------------------------------------------------------------
+# slo_burn_rate — multi-window error-budget burn
+# ---------------------------------------------------------------------------
+
+SLO_BUDGET = 0.25  # error budget: 25% of requests may error
+BURN_WINDOW_H = 6
+
+
+def slo_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """SRE error-budget burn rate: hourly error ratio over a rolling
+    6-hour window, normalized by the SLO budget (burn > 1 means the budget
+    is being consumed faster than allowed — the Google SRE multi-window
+    alert shape). The raw scan reduces to one hourly aggregate; the
+    rolling window then runs on the hours domain (720 rows/month — tiny at
+    any data scale). Integer counts; one deterministic division."""
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum((F.col("event_type") == "error").cast("int")).alias("errors"),
+        F.count("*").alias("total"),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-(BURN_WINDOW_H - 1), 0)
+    return (
+        hourly.withColumn("err6", F.sum("errors").over(w6))
+        .withColumn("tot6", F.sum("total").over(w6))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            "errors",
+            "total",
+            F.round(F.col("err6") / F.col("tot6") / SLO_BUDGET, 4).alias("burn_rate"),
+            (F.col("err6") / F.col("tot6") > SLO_BUDGET).alias("breach"),
+        )
+    )
+
+
+SLO_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+         count(*) AS total
+  FROM events GROUP BY 1
+), rolled AS (
+  SELECT h, errors, total,
+         sum(errors) OVER w AS err6,
+         sum(total) OVER w AS tot6
+  FROM hourly
+  WINDOW w AS (ORDER BY h ROWS BETWEEN {BURN_WINDOW_H - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, errors, total,
+       round(err6 / tot6 / {SLO_BUDGET}, 4) AS burn_rate,
+       err6 / tot6 > {SLO_BUDGET} AS breach
+FROM rolled
+"""
+
+
+# ---------------------------------------------------------------------------
+# negative_sample_pairs — recsys negative sampling
+# ---------------------------------------------------------------------------
+
+NEG_K = 3
+NEG_A = 9973
+NEG_B = 6151
+
+
+def negative_sample_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Recsys training-data negative sampling: for every customer with
+    purchases, K candidate parts drawn by a deterministic hash
+    (custkey*A + i*B mod |part|), with accidental positives rejected by an
+    anti join against the observed (customer, part) pairs. This is the
+    skip-gram/two-tower negative generation shape: candidate generation is
+    pure arithmetic (no shuffle), the only wide stage is the anti join on
+    the positives table — which at 100 TB is a bloom/shuffle-hash anti
+    join keyed by the pair. Rejected candidates are dropped (sampling
+    without replacement is a re-draw loop; the dropped count is part of
+    the output contract via i)."""
+    ord_ = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    positives = (
+        ord_.join(li, ord_.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    maxp = part.agg(F.max("p_partkey").alias("maxp"))
+    custs = positives.select("o_custkey").distinct()
+    cands = (
+        custs.crossJoin(F.broadcast(maxp))
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.lit(NEG_K))))
+        .withColumn(
+            "neg_partkey",
+            (F.col("o_custkey") * NEG_A + F.col("i") * NEG_B) % F.col("maxp") + 1,
+        )
+        .select("o_custkey", "i", "neg_partkey")
+    )
+    return cands.join(
+        positives,
+        (cands.o_custkey == positives.o_custkey)
+        & (cands.neg_partkey == positives.l_partkey),
+        "left_anti",
+    ).select("o_custkey", "i", "neg_partkey")
+
+
+NEGSAMPLE_SQL = f"""
+WITH positives AS (
+  SELECT DISTINCT o_custkey, l_partkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), maxp AS (SELECT max(p_partkey) AS maxp FROM part),
+cands AS (
+  SELECT c.o_custkey, i.i,
+         (c.o_custkey * {NEG_A} + i.i * {NEG_B}) % maxp.maxp + 1 AS neg_partkey
+  FROM (SELECT DISTINCT o_custkey FROM positives) c
+  CROSS JOIN maxp
+  CROSS JOIN (SELECT unnest(range(1, {NEG_K} + 1)) AS i) i
+)
+SELECT o_custkey, i, neg_partkey
+FROM cands c
+WHERE NOT EXISTS (
+  SELECT 1 FROM positives p
+  WHERE p.o_custkey = c.o_custkey AND p.l_partkey = c.neg_partkey
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_eval — recall@k of the LSH sketch path vs the exact baseline
+# ---------------------------------------------------------------------------
+
+RECALL_K = 5
+
+
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality evaluation of BOTH ANN sketch paths: per-query recall@5 of
+    the sign-LSH shortlist and of the IVF probe against exact brute-force
+    cosine — the harness that drives index choice at 100 TB. On this
+    corpus it quantifies a real trade-off: 8-bit multiprobe sign-LSH scans
+    ~3.5% of the corpus and lands ~0.1-0.2 recall@5 (top-5 neighbors here
+    are only moderately similar, so single-table sign buckets split them),
+    while IVF nprobe=4/16 scans ~25% and recovers most of the exact set —
+    exactly the measurement that tells an operator to pay for banding
+    amplification or more probes. Deterministic end-to-end. No SQL oracle
+    (both sketch paths are the non-SQL plans, like ann_lsh_topk); pinned
+    by tests/test_round2d.py floors instead."""
+    from ..operators.similarity import ivf_topk, lsh_topk
+
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "vec", F.expr("transform(embedding, x -> cast(x AS double))")
+    ).withColumn("norm", F.expr("sqrt(aggregate(vec, 0D, (acc, x) -> acc + x * x))"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    cos = (
+        "aggregate(zip_with(qvec, cvec, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        " / (qnorm * cnorm)"
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    exact = (
+        c.join(F.broadcast(q))
+        .withColumn("sim", F.round(F.expr(cos), 4))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("q_id", "c_id")
+    )
+    raw_corpus = load_table(spark, sf, "embeddings").filter(F.col("vec_id") >= 10)
+    raw_queries = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
+    lsh = lsh_topk(raw_corpus, raw_queries, top_k=RECALL_K, multiprobe=True).select(
+        "q_id", "c_id"
+    )
+    ivf = ivf_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
+
+    def hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(approx, ["q_id", "c_id"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits(lsh, "lsh_hits"), "q_id", "left")
+        .join(hits(ivf, "ivf_hits"), "q_id", "left")
+        .select(
+            "q_id",
+            F.round(
+                F.coalesce("lsh_hits", F.lit(0)) / F.col("n_exact"), 3
+            ).alias("recall_lsh"),
+            F.round(
+                F.coalesce("ivf_hits", F.lit(0)) / F.col("n_exact"), 3
+            ).alias("recall_ivf"),
+        )
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "slo_burn_rate": QuerySpec(
+        slo_burn_rate, SLO_SQL, "rolling error-budget burn-rate alerting"
+    ),
+    "negative_sample_pairs": QuerySpec(
+        negative_sample_pairs, NEGSAMPLE_SQL, "deterministic recsys negative sampling"
+    ),
+    "ann_recall_eval": QuerySpec(
+        ann_recall_eval, None, "recall@k evaluation of the LSH sketch path"
+    ),
+}

@@ -1,0 +1,75 @@
+"""Semantic contracts for round-2 batch 4 (queries/analytics5.py):
+negative-sample validity, burn-rate algebra, and the ANN recall floor
+that justifies the sketch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hepop_spark.catalog import load_table
+from hepop_spark.queries.analytics5 import (
+    NEG_K,
+    RECALL_K,
+    SLO_BUDGET,
+    ann_recall_eval,
+    negative_sample_pairs,
+    slo_burn_rate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestNegativeSampling:
+    def test_negatives_are_never_positives(self, spark):
+        ord_ = load_table(spark, SF, "orders")
+        li = load_table(spark, SF, "lineitem")
+        positives = {
+            (r["o_custkey"], r["l_partkey"])
+            for r in ord_.join(li, ord_.o_orderkey == li.l_orderkey)
+            .select("o_custkey", "l_partkey")
+            .distinct()
+            .collect()
+        }
+        rows = negative_sample_pairs(spark, SF).collect()
+        assert rows
+        maxp = load_table(spark, SF, "part").agg(F.max("p_partkey")).first()[0]
+        for r in rows:
+            assert (r["o_custkey"], r["neg_partkey"]) not in positives
+            assert 1 <= r["neg_partkey"] <= maxp
+            assert 1 <= r["i"] <= NEG_K
+
+    def test_at_most_k_per_customer(self, spark):
+        rows = negative_sample_pairs(spark, SF).collect()
+        per_cust: dict[int, int] = {}
+        for r in rows:
+            per_cust[r["o_custkey"]] = per_cust.get(r["o_custkey"], 0) + 1
+        assert all(1 <= v <= NEG_K for v in per_cust.values())
+
+
+class TestSlo:
+    def test_burn_consistent_with_flag(self, spark):
+        rows = slo_burn_rate(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert (r["burn_rate"] > 1.0) == bool(r["breach"]) or abs(
+                r["burn_rate"] - 1.0
+            ) < 1e-3
+            assert 0 <= r["errors"] <= r["total"]
+        assert SLO_BUDGET > 0
+
+
+class TestAnnRecall:
+    def test_recall_floors_and_ordering(self, spark):
+        rows = ann_recall_eval(spark, SF).collect()
+        assert rows
+        mean_lsh = sum(r["recall_lsh"] for r in rows) / len(rows)
+        mean_ivf = sum(r["recall_ivf"] for r in rows) / len(rows)
+        # IVF probes 25% of the corpus guided by centroids; it must beat
+        # the 3.5%-scan sign-LSH on mean recall, and clear a real floor
+        assert mean_ivf > mean_lsh
+        assert mean_ivf >= 0.4
+        for r in rows:
+            assert 0.0 <= r["recall_lsh"] <= 1.0
+            assert 0.0 <= r["recall_ivf"] <= 1.0
+        assert RECALL_K == 5
