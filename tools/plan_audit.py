@@ -122,6 +122,11 @@ AUDITS: dict[str, set[str]] = {
     "share_of_total": {"bcast", "partial"},
     "log_template_mine": {"partial"},
     "state_occupancy": {"partial"},
+    "slo_burn_rate": {"partial"},
+    "negative_sample_pairs": {"bcast", "partial"},
+    # ann_recall_eval: the IVF cell assignment is the (allowed) Arrow stage
+    "ann_recall_eval": {"arrow_ok", "bcast"},
+    "streaming_counter_rate_replay": set(),
 }
 
 
