@@ -71,6 +71,13 @@ def main() -> None:
         assert n >= 0
 
     total = round(sum(timings.values()), 3)
+
+    # Ingest throughput: the reference's core claim is ingest ("HEP Capture
+    # Server ... Parquet WAL"). Measure the Line Protocol hot path at the
+    # same scale: generate LP text distributed, parse with the zero-Python
+    # column-expression parser, write time-partitioned parquet.
+    ingest = _ingest_bench(spark, n_rows=500_000)
+
     print(
         json.dumps(
             {
@@ -78,11 +85,51 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest": ingest,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+
+
+def _ingest_bench(spark, n_rows: int) -> dict:
+    """LP-text -> parse -> partitioned parquet, end to end; rows/sec."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hepop_spark.sources.lineproto import parse_lines_df
+
+    d = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        lines = spark.range(n_rows).select(
+            F.format_string(
+                "cpu,host=h%d,region=r%d usage=%d.%02di,temp=%d.5 %d",
+                F.col("id") % 1000,
+                F.col("id") % 8,
+                F.col("id") % 100,
+                F.col("id") % 97,
+                F.col("id") % 60,
+                (F.lit(1_700_000_000_000_000_000) + F.col("id") * 1_000_000),
+            ).alias("value")
+        )
+        t0 = time.perf_counter()
+        parsed = parse_lines_df(lines).withColumn(
+            "date", F.to_date("timestamp")
+        )
+        parsed.write.mode("overwrite").partitionBy("date").parquet(
+            os.path.join(d, "out")
+        )
+        dt = time.perf_counter() - t0
+        return {
+            "rows": n_rows,
+            "sec": round(dt, 3),
+            "rows_per_sec": int(n_rows / dt),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

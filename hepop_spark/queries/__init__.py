@@ -38,6 +38,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -65,6 +66,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         mining_q,
         timeseries,
         llm,

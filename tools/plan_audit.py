@@ -127,6 +127,8 @@ AUDITS: dict[str, set[str]] = {
     # ann_recall_eval: the IVF cell assignment is the (allowed) Arrow stage
     "ann_recall_eval": {"arrow_ok", "bcast"},
     "streaming_counter_rate_replay": set(),
+    "pattern_3step_funnel": {"partial"},
+    "geo_distance_join": {"partial"},
 }
 
 
