@@ -39,6 +39,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -67,6 +68,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         mining_q,
         timeseries,
         llm,

@@ -129,6 +129,8 @@ AUDITS: dict[str, set[str]] = {
     "streaming_counter_rate_replay": set(),
     "pattern_3step_funnel": {"partial"},
     "geo_distance_join": {"partial"},
+    "cumulative_distinct_users": {"partial"},
+    "mv_join_refresh": {"bcast", "partial"},
 }
 
 
