@@ -58,23 +58,39 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", dim: int = 64, k_bits: int = 8,
-             top_k: int = 5, multiprobe: bool = True) -> DataFrame:
+             top_k: int = 5, multiprobe: bool = True,
+             n_tables: int = 1) -> DataFrame:
     """ANN top-k restricted to LSH bucket matches.
 
     corpus/queries: DataFrames with (id_col, vec_col). Returns
     (q_id, c_id, sim, rk) like the brute-force baseline but only scoring
     candidate pairs that share a bucket (or a Hamming-1 neighbor bucket when
-    multiprobe=True, trading more candidates for recall)."""
-    c = with_lsh_bucket(corpus, vec_col, dim, k_bits).select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("cvec"),
-        F.col("lsh_bucket").alias("c_bucket"),
-    )
-    q = with_lsh_bucket(queries, vec_col, dim, k_bits).select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col("lsh_bucket").alias("q_bucket"),
-    )
+    multiprobe=True, trading more candidates for recall).
+
+    n_tables > 1 enables BANDING AMPLIFICATION (independent hyperplane
+    tables, candidate = match in ANY table — the MinHash-band trick applied
+    to sign-LSH): single-table recall on moderately-similar neighbors is
+    the per-bit agreement to the k-th power, which collapses fast; OR-ing
+    L tables lifts it to 1-(1-r)^L at L× candidate cost. Measured by
+    queries/analytics5.ann_recall_eval: 1 table ≈ 0.16 recall@5 at sf0.1,
+    4 tables ≈ 3×  that at ~4× scan (still ≪ brute force). The join key
+    becomes (table, bucket), so the plan stays a pure equi-join."""
+
+    def bucketed(df: DataFrame, idc: str, vecc: str, bcol: str) -> DataFrame:
+        out = df
+        for t in range(n_tables):
+            out = with_lsh_bucket(
+                out, vec_col, dim, k_bits, seed=42 + 977 * t, out_col=f"_b{t}"
+            )
+        tables = F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
+        return out.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(vecc),
+            F.posexplode(tables).alias("tbl", bcol),
+        )
+
+    c = bucketed(corpus, "c_id", "cvec", "c_bucket")
+    q = bucketed(queries, "q_id", "qvec", "q_bucket")
     if multiprobe:
         probes = F.array(
             F.col("q_bucket"), *[F.expr(f"q_bucket ^ {1 << i}") for i in range(k_bits)]
@@ -98,10 +114,10 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
         )
     )
     scored = (
-        q.join(c, q.probe == c.c_bucket)
+        q.join(c, (q.tbl == c.tbl) & (q.probe == c.c_bucket))
         .withColumn("sim", F.round(dot / (norm("qvec") * norm("cvec")), 4))
         .select("q_id", "c_id", "sim")
-        .distinct()  # multiprobe can hit the same pair via two probes
+        .distinct()  # multiprobe/banding can hit the same pair repeatedly
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (

@@ -143,15 +143,15 @@ RECALL_K = 5
 def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Quality evaluation of BOTH ANN sketch paths: per-query recall@5 of
     the sign-LSH shortlist and of the IVF probe against exact brute-force
-    cosine — the harness that drives index choice at 100 TB. On this
-    corpus it quantifies a real trade-off: 8-bit multiprobe sign-LSH scans
-    ~3.5% of the corpus and lands ~0.1-0.2 recall@5 (top-5 neighbors here
-    are only moderately similar, so single-table sign buckets split them),
-    while IVF nprobe=4/16 scans ~25% and recovers most of the exact set —
-    exactly the measurement that tells an operator to pay for banding
-    amplification or more probes. Deterministic end-to-end. No SQL oracle
-    (both sketch paths are the non-SQL plans, like ann_lsh_topk); pinned
-    by tests/test_round2d.py floors instead."""
+    cosine — the harness that drives index choice at 100 TB, and the one
+    that already drove a fix: single-table 8-bit multiprobe sign-LSH
+    measured ~0.12 recall@5 here (top-5 neighbors are only moderately
+    similar, so one table's sign buckets split them), which motivated the
+    banding amplification now in operators/similarity.lsh_topk —
+    4 tables × multiprobe lands ~0.4, near IVF nprobe=4/16 at similar
+    candidate cost. Deterministic end-to-end. No SQL oracle (both sketch
+    paths are the non-SQL plans, like ann_lsh_topk); pinned by
+    tests/test_round2d.py floors instead."""
     from ..operators.similarity import ivf_topk, lsh_topk
 
     emb = load_table(spark, sf, "embeddings").withColumn(
@@ -182,9 +182,9 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
     raw_corpus = load_table(spark, sf, "embeddings").filter(F.col("vec_id") >= 10)
     raw_queries = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
-    lsh = lsh_topk(raw_corpus, raw_queries, top_k=RECALL_K, multiprobe=True).select(
-        "q_id", "c_id"
-    )
+    lsh = lsh_topk(
+        raw_corpus, raw_queries, top_k=RECALL_K, multiprobe=True, n_tables=4
+    ).select("q_id", "c_id")
     ivf = ivf_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
 
     def hits(approx: DataFrame, name: str) -> DataFrame:

@@ -26,7 +26,10 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return lsh_topk(corpus, queries, top_k=5, multiprobe=True)
+    # 4-table banding + Hamming-1 multiprobe: ann_recall_eval measured
+    # recall@5 of 0.12 (1 table) -> 0.38 (4 tables) -> 0.52 (6) at sf0.01;
+    # 4 tables is the knee of the recall/candidate-cost curve here
+    return lsh_topk(corpus, queries, top_k=5, multiprobe=True, n_tables=4)
 
 
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -65,10 +65,12 @@ class TestAnnRecall:
         assert rows
         mean_lsh = sum(r["recall_lsh"] for r in rows) / len(rows)
         mean_ivf = sum(r["recall_ivf"] for r in rows) / len(rows)
-        # IVF probes 25% of the corpus guided by centroids; it must beat
-        # the 3.5%-scan sign-LSH on mean recall, and clear a real floor
+        # IVF probes 25% of the corpus guided by centroids and still beats
+        # the banded 4-table LSH here; both must clear real floors (LSH's
+        # floor is 3x its pre-banding 0.12 — the eval-driven fix)
         assert mean_ivf > mean_lsh
         assert mean_ivf >= 0.4
+        assert mean_lsh >= 0.25
         for r in rows:
             assert 0.0 <= r["recall_lsh"] <= 1.0
             assert 0.0 <= r["recall_ivf"] <= 1.0
