@@ -40,6 +40,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -69,6 +70,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         mining_q,
         timeseries,
         llm,

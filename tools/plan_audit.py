@@ -131,6 +131,8 @@ AUDITS: dict[str, set[str]] = {
     "geo_distance_join": {"partial"},
     "cumulative_distinct_users": {"partial"},
     "mv_join_refresh": {"bcast", "partial"},
+    "latency_bands_hourly": {"partial"},
+    "session_paths_topk": set(),  # collect_list is not partial-aggregable
 }
 
 
