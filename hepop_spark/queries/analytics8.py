@@ -140,11 +140,58 @@ LIMIT {PATH_TOPN}
 """
 
 
+# ---------------------------------------------------------------------------
+# histogram_cumulative_le — Prometheus-style cumulative bucket export
+# ---------------------------------------------------------------------------
+
+LE_BOUNDS = (0.5, 1.0, 2.0, 4.0, 8.0, 16.0)
+
+
+def histogram_cumulative_le(spark: SparkSession, sf: str) -> DataFrame:
+    """Prometheus-layout histogram: per event_type, cumulative counts of
+    value <= each exponential bound (le buckets, +Inf implied by n_total)
+    — the export format scrape targets emit and TSDBs store. One scan
+    aggregates every bucket simultaneously (conditional sums — no
+    explode, no per-bucket pass); the cumulative property comes free from
+    `<=` so no window is needed at all. Bounds on the 2^k grid keep every
+    comparison exact."""
+    ev = load_table(spark, sf, "events")
+    aggs = [
+        F.sum((F.col("value") <= b).cast("long")).alias(f"le_{str(b).replace('.', '_')}")
+        for b in LE_BOUNDS
+    ]
+    wide = ev.groupBy("event_type").agg(*aggs, F.count("*").alias("n_total"))
+    stack_args = ", ".join(
+        f"'{b}', le_{str(b).replace('.', '_')}" for b in LE_BOUNDS
+    )
+    return wide.selectExpr(
+        "event_type",
+        "n_total",
+        f"stack({len(LE_BOUNDS)}, {stack_args}) AS (le, cum_count)",
+    )
+
+
+HISTOGRAM_LE_SQL = f"""
+WITH wide AS (
+  SELECT event_type,
+         {", ".join(f"sum(CASE WHEN value <= {b} THEN 1 ELSE 0 END) AS c{i}" for i, b in enumerate(LE_BOUNDS))},
+         count(*) AS n_total
+  FROM events GROUP BY event_type
+)
+{" UNION ALL ".join(f"SELECT event_type, n_total, '{b}' AS le, c{i} AS cum_count FROM wide" for i, b in enumerate(LE_BOUNDS))}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "latency_bands_hourly": QuerySpec(
         latency_bands_hourly, LATENCY_BANDS_SQL, "p50/p95/p99 bands per hour"
     ),
     "session_paths_topk": QuerySpec(
         session_paths_topk, SESSION_PATHS_SQL, "top-k session navigation paths"
+    ),
+    "histogram_cumulative_le": QuerySpec(
+        histogram_cumulative_le,
+        HISTOGRAM_LE_SQL,
+        "Prometheus-layout cumulative le buckets",
     ),
 }

@@ -26,6 +26,25 @@ class TestLatencyBands:
             assert r["n"] >= 1
 
 
+class TestHistogramLe:
+    def test_cumulative_monotone_per_type(self, spark):
+        from hepop_spark.queries.analytics8 import (
+            LE_BOUNDS,
+            histogram_cumulative_le,
+        )
+
+        rows = histogram_cumulative_le(spark, SF).collect()
+        by_type: dict[str, dict[float, int]] = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], {})[float(r["le"])] = r["cum_count"]
+        for et, buckets in by_type.items():
+            assert set(buckets) == set(LE_BOUNDS)
+            ordered = [buckets[b] for b in sorted(buckets)]
+            assert ordered == sorted(ordered)  # cumulative => monotone
+            n_total = {r["n_total"] for r in rows if r["event_type"] == et}.pop()
+            assert ordered[-1] <= n_total
+
+
 class TestSessionPaths:
     def test_paths_bounded_and_ranked(self, spark):
         rows = session_paths_topk(spark, SF).collect()

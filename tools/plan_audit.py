@@ -133,6 +133,7 @@ AUDITS: dict[str, set[str]] = {
     "mv_join_refresh": {"bcast", "partial"},
     "latency_bands_hourly": {"partial"},
     "session_paths_topk": set(),  # collect_list is not partial-aggregable
+    "histogram_cumulative_le": {"partial"},
 }
 
 
