@@ -1,11 +1,12 @@
-"""Scale-path operators. Most are exposed to the driver as rows-only
-checks (no SQL oracle — these are the operators whose *point* is a
-non-SQL-expressible plan: LSH candidate generation and Pandas-UDF
-multimodal pipelines); their correctness contracts are pinned by pytest
-(tests/test_operators.py), and the queries() entries make them visible to
-the driver's inventory with a weaker rows-only gate, as the contract
-allows. zorder_roundtrip IS fully oracle-checked: the clustered layout
-must be invisible in the result hash."""
+"""Scale-path operators. ann_lsh_topk and ann_ivf_topk are FULLY
+oracle-checked (their sketch plans are deterministic, so the md5-derived
+hyperplanes and the md5-ordered IVF sample are reproduced in DuckDB SQL —
+see the oracle builders below). Rows-only entries remain only where the
+result legitimately depends on physical execution (ann_sq8_topk's
+per-Arrow-batch shortlists) or on the stubbed decode (multimodal_*);
+those contracts are pinned by pytest (tests/test_operators.py).
+zorder_roundtrip is oracle-checked: the clustered layout must be
+invisible in the result hash."""
 
 from __future__ import annotations
 
@@ -224,9 +225,105 @@ GROUP BY o_orderpriority
 """
 
 
+# --- SQL oracles for the LSH / IVF sketch paths ------------------------------
+# Both sketch plans are deterministic, so they ARE oracle-expressible: the
+# hyperplanes are md5-derived constants (embedded below as literals from the
+# SAME generator the Spark side uses) and the IVF coarse quantizer is an
+# md5-ordered sample that DuckDB reproduces verbatim. This upgrades both
+# paths from the weaker rows-only check to the full value-hash gate — only
+# ann_sq8_topk stays rows-only (its per-Arrow-batch shortlists legitimately
+# depend on partition boundaries). The fold order of the dot products
+# differs between engines; a sign/argmax flip would need |dot| within
+# ~1e-15 of a tie, which the value distribution keeps improbable.
+
+
+def _lsh_oracle_sql(n_tables: int = 4, k_bits: int = 8, dim: int = 64) -> str:
+    from ..operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for b, plane in enumerate(_hyperplanes(dim, k_bits, seed=42 + 977 * t)):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {b}, CAST({arr} AS DOUBLE[]))")
+    planes_values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, bit, plane) AS (VALUES {planes_values}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+  SELECT e.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                  THEN 1 << p.bit ELSE 0 END) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+),
+qb AS (SELECT vec_id AS q_id, tbl, bucket FROM buckets WHERE vec_id < 10),
+probes AS (
+  SELECT q_id, tbl, bucket AS probe FROM qb
+  UNION
+  SELECT q_id, tbl, xor(bucket, 1 << i.i) AS probe
+  FROM qb, (SELECT unnest(range({k_bits})) AS i) i
+),
+cb AS (SELECT vec_id AS c_id, tbl, bucket FROM buckets WHERE vec_id >= 10),
+cand AS (
+  SELECT DISTINCT p.q_id, c.c_id
+  FROM probes p JOIN cb c ON p.tbl = c.tbl AND p.probe = c.bucket
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+         round(list_cosine_similarity(qe.v, ce.v), 4) AS sim
+  FROM cand
+  JOIN emb qe ON qe.vec_id = cand.q_id
+  JOIN emb ce ON ce.vec_id = cand.c_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
+
+
+IVF_ORACLE_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 10),
+queries AS (SELECT * FROM emb WHERE vec_id < 10),
+cent0 AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell
+  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+),
+cents AS (
+  SELECT cell,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+  FROM cent0
+),
+cassign AS (
+  SELECT vec_id AS c_id, v AS cvec, cell FROM (
+    SELECT c.vec_id, c.v, ct.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY list_dot_product(c.v, ct.cv) DESC, ct.cell) AS rn
+    FROM corpus c CROSS JOIN cents ct) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, v AS qvec, cell FROM (
+    SELECT q.vec_id, q.v, ct.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.v, ct.cv) DESC, ct.cell) AS rn
+    FROM queries q CROSS JOIN cents ct) WHERE rn <= 4
+),
+scored AS (
+  SELECT DISTINCT qp.q_id, ca.c_id,
+         round(list_cosine_similarity(qp.qvec, ca.cvec), 4) AS sim
+  FROM qprobe qp JOIN cassign ca USING (cell)
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
-    "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
-    "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, _lsh_oracle_sql()),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, IVF_ORACLE_SQL),
     "ann_sq8_topk": QuerySpec(ann_sq8_topk, None),
     "multimodal_features": QuerySpec(multimodal_features, None),
     "multimodal_frames": QuerySpec(multimodal_frames, None),
