@@ -1,12 +1,13 @@
-"""Scale-path operators. ann_lsh_topk and ann_ivf_topk are FULLY
-oracle-checked (their sketch plans are deterministic, so the md5-derived
-hyperplanes and the md5-ordered IVF sample are reproduced in DuckDB SQL —
-see the oracle builders below). Rows-only entries remain only where the
-result legitimately depends on physical execution (ann_sq8_topk's
-per-Arrow-batch shortlists) or on the stubbed decode (multimodal_*);
-those contracts are pinned by pytest (tests/test_operators.py).
-zorder_roundtrip is oracle-checked: the clustered layout must be
-invisible in the result hash."""
+"""Scale-path operators. ann_lsh_topk, ann_ivf_topk, multimodal_features
+and multimodal_audio are FULLY oracle-checked — their plans are
+deterministic functions of the data, so DuckDB reproduces the md5-derived
+hyperplanes, the md5-ordered IVF sample, the sha256 fake-decode features
+(float32 via CAST AS REAL), and the exact PCM window math. Rows-only
+entries remain only where the result legitimately depends on physical
+execution (ann_sq8_topk's per-Arrow-batch shortlists) or on binary
+payload rendering (multimodal_frames); those contracts are pinned by
+pytest (tests/test_operators.py). zorder_roundtrip is oracle-checked: the
+clustered layout must be invisible in the result hash."""
 
 from __future__ import annotations
 
@@ -321,13 +322,64 @@ WHERE rk <= 5
 """
 
 
+# The image-fake and PCM8-audio pipelines are ALSO deterministic functions
+# of the payload bytes, so they get oracles too: DuckDB reproduces the
+# sha256-derived fake features (hex-pair -> byte via strpos arithmetic;
+# float32 quantization via CAST AS REAL) and the exact integer RMS/peak
+# window math (ASCII text => code point == byte). Only multimodal_frames
+# (binary slice payloads — bytes render differently across drivers) and
+# ann_sq8_topk (partition-dependent shortlists) remain rows-only.
+
+MULTIMODAL_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         sha256(text) AS hx,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+), b AS (
+  SELECT media_id, n_bytes,
+         list_transform(range(16), i ->
+           (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1)) AS bs
+  FROM m
+)
+SELECT media_id,
+       CAST(16 + bs[1] AS INTEGER) AS width,
+       CAST(16 + bs[2] AS INTEGER) AS height,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       list_transform(bs, x -> CAST(x / 255.0 AS REAL)) AS features
+FROM b
+"""
+
+MULTIMODAL_AUDIO_SQL = """
+WITH t AS (
+  SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+), starts AS (
+  SELECT media_id, text, n, CAST(s.s AS INTEGER) AS start
+  FROM t, unnest(range(0, greatest(n - 1, 1), 32)) s(s)
+), w AS (
+  SELECT media_id, start // 32 AS win_idx,
+         list_transform(range(start, least(start + 64, n)), i ->
+           ord(substr(text, CAST(i + 1 AS INTEGER), 1))) AS samples
+  FROM starts WHERE least(start + 64, n) > start
+)
+SELECT media_id,
+       CAST(win_idx AS INTEGER) AS win_idx,
+       CAST(len(samples) AS INTEGER) AS n_samples,
+       round(sqrt(list_sum(list_transform(samples, x -> CAST(x * x AS DOUBLE)))
+                  / len(samples)), 4) AS rms,
+       CAST(list_max(list_transform(samples, x -> abs(x))) AS INTEGER) AS peak
+FROM w
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, _lsh_oracle_sql()),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, IVF_ORACLE_SQL),
     "ann_sq8_topk": QuerySpec(ann_sq8_topk, None),
-    "multimodal_features": QuerySpec(multimodal_features, None),
+    "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, None),
-    "multimodal_audio": QuerySpec(multimodal_audio, None),
+    "multimodal_audio": QuerySpec(multimodal_audio, MULTIMODAL_AUDIO_SQL),
     "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),
     "snapshot_time_travel": QuerySpec(snapshot_time_travel, SNAPSHOT_SQL),
     "bucketed_join_zero_exchange": QuerySpec(
