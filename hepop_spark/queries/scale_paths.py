@@ -1,12 +1,12 @@
-"""Scale-path operators. ann_lsh_topk, ann_ivf_topk, multimodal_features
-and multimodal_audio are FULLY oracle-checked — their plans are
+"""Scale-path operators. The ANN sketch paths (LSH, IVF) and ALL THREE
+multimodal pipelines are FULLY oracle-checked — their plans are
 deterministic functions of the data, so DuckDB reproduces the md5-derived
 hyperplanes, the md5-ordered IVF sample, the sha256 fake-decode features
-(float32 via CAST AS REAL), and the exact PCM window math. Rows-only
-entries remain only where the result legitimately depends on physical
-execution (ann_sq8_topk's per-Arrow-batch shortlists) or on binary
-payload rendering (multimodal_frames); those contracts are pinned by
-pytest (tests/test_operators.py). zorder_roundtrip is oracle-checked: the
+(float32 via CAST AS REAL), the md5 frame hashes over byte-stride slices,
+and the exact PCM window math. The only rows-only entry left here is
+ann_sq8_topk, whose per-Arrow-batch shortlists legitimately depend on
+partition boundaries; its recall contract is pinned by pytest
+(tests/test_operators.py). zorder_roundtrip is oracle-checked: the
 clustered layout must be invisible in the result hash."""
 
 from __future__ import annotations
@@ -61,8 +61,10 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
-    """Frame-sampling (1->N explosion) over binary payloads via mapInPandas."""
-    docs = load_table(spark, sf, "documents").limit(100)
+    """Frame-sampling (1->N explosion) over binary payloads via mapInPandas.
+    The doc subset is a deterministic id predicate (not LIMIT, whose row
+    set depends on scan order) so the frame hashes are oracle-checkable."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video/fake").alias("mime"),
@@ -351,6 +353,21 @@ SELECT media_id,
 FROM b
 """
 
+MULTIMODAL_FRAMES_SQL = """
+WITH t AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 100
+), frames AS (
+  SELECT media_id, CAST(f.i AS INTEGER) AS frame_idx,
+         substr(text, CAST(f.i * 64 + 1 AS INTEGER), 64) AS chunk
+  FROM t, unnest(range(4)) f(i)
+  WHERE f.i * 64 < length(text)
+)
+SELECT media_id, frame_idx,
+       CAST(length(chunk) AS INTEGER) AS n_bytes,
+       md5(chunk) AS frame_hash
+FROM frames
+"""
+
 MULTIMODAL_AUDIO_SQL = """
 WITH t AS (
   SELECT doc_id AS media_id, text, length(text) AS n FROM documents
@@ -378,7 +395,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, IVF_ORACLE_SQL),
     "ann_sq8_topk": QuerySpec(ann_sq8_topk, None),
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
-    "multimodal_frames": QuerySpec(multimodal_frames, None),
+    "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_audio": QuerySpec(multimodal_audio, MULTIMODAL_AUDIO_SQL),
     "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),
     "snapshot_time_travel": QuerySpec(snapshot_time_travel, SNAPSHOT_SQL),
