@@ -182,7 +182,48 @@ WITH wide AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# mode_per_group — deterministic-tie modal value
+# ---------------------------------------------------------------------------
+
+
+def mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Modal event_type per user with a DETERMINISTIC tie rule (highest
+    count, then lexicographically smallest value). Both engines' built-in
+    mode() leave ties implementation-defined, so the portable form is the
+    count + rank decomposition — two aggregations sharing one user_id
+    shuffle, the same shape either engine's mode uses internally."""
+    ev = load_table(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("c").alias("n_occurrences"),
+        )
+    )
+
+
+MODE_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS modal_type, c AS n_occurrences
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY c DESC, event_type) AS rk
+      FROM counts)
+WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mode_per_group": QuerySpec(
+        mode_per_group, MODE_SQL, "deterministic-tie modal value per group"
+    ),
     "latency_bands_hourly": QuerySpec(
         latency_bands_hourly, LATENCY_BANDS_SQL, "p50/p95/p99 bands per hour"
     ),

@@ -134,6 +134,7 @@ AUDITS: dict[str, set[str]] = {
     "latency_bands_hourly": {"partial"},
     "session_paths_topk": set(),  # collect_list is not partial-aggregable
     "histogram_cumulative_le": {"partial"},
+    "mode_per_group": {"partial"},
 }
 
 
