@@ -237,7 +237,17 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
     (numpy uint8→float32 GEMM per Arrow batch, no shuffle), emitting only
     per-batch shortlists; the global shortlist is a bounded per-query
     top-N window; the exact rerank joins float vectors back for
-    |q|·shortlist rows instead of |q|·|corpus|."""
+    |q|·shortlist rows instead of |q|·|corpus|.
+
+    The result is PARTITION-INVARIANT by construction: the quantizer is
+    floor(x + 0.5) (identical scalar arithmetic in any engine, unlike
+    banker's-rounding np.round), shortlist scores are integer keys
+    floor(sim * 1e4 + 0.5), and BOTH the per-batch selection and the
+    global window use the same total order (qkey desc, c_id asc) — an
+    element of the global top-N under a total order is in the top-N of
+    every subset containing it, so the batch-union stage is lossless and
+    the whole plan is a deterministic function of the data, fully
+    DuckDB-oracle-checkable."""
     from pyspark.sql.functions import pandas_udf
 
     # per-dim bounds: one aggregation, dims rows
@@ -254,7 +264,9 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
     span = np.where(hi > lo, hi - lo, 1.0)
 
     def _codes(M: np.ndarray) -> np.ndarray:
-        return np.clip(np.round((M - lo) / span * 255), 0, 255).astype(np.uint8)
+        # floor(x + 0.5), NOT np.round: half-even rounding is not portable
+        # across engines, floor(+0.5) is the same scalar ops everywhere
+        return np.clip(np.floor((M - lo) / span * 255.0 + 0.5), 0, 255).astype(np.uint8)
 
     @pandas_udf("binary")
     def qcode(vecs: pd.Series) -> pd.Series:
@@ -277,19 +289,22 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
             n = np.linalg.norm(Crec, axis=1, keepdims=True)
             Crec = Crec / np.where(n > 0, n, 1.0)
             sims = Crec @ Qrec.T  # (batch, q)
+            # integer shortlist keys + total-order selection: the batch
+            # union is then a superset of the global top-N regardless of
+            # Arrow batch boundaries (partition-invariance)
+            qkeys = np.floor(sims * 10000.0 + 0.5).astype(np.int64)
             m = min(shortlist, len(pdf))
-            top = np.argpartition(-sims, m - 1, axis=0)[:m]  # per query col
-            out = {"q_id": [], "c_id": [], "qsim": []}
+            out = {"q_id": [], "c_id": [], "qkey": []}
             cids = pdf["c_id"].to_numpy()
-            for j in range(sims.shape[1]):
-                idx = top[:, j]
+            for j in range(qkeys.shape[1]):
+                idx = np.lexsort((cids, -qkeys[:, j]))[:m]  # qkey desc, c_id asc
                 out["q_id"].extend([q_ids[j]] * len(idx))
                 out["c_id"].extend(cids[idx])
-                out["qsim"].extend(sims[idx, j].astype(float))
+                out["qkey"].extend(qkeys[idx, j])
             yield pd.DataFrame(out)
 
-    cand = codes.mapInPandas(score_batches, "q_id long, c_id long, qsim double")
-    w = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("c_id"))
+    cand = codes.mapInPandas(score_batches, "q_id long, c_id long, qkey long")
+    w = Window.partitionBy("q_id").orderBy(F.col("qkey").desc(), F.col("c_id"))
     short = (
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= shortlist)

@@ -1,12 +1,10 @@
-"""Scale-path operators. The ANN sketch paths (LSH, IVF) and ALL THREE
-multimodal pipelines are FULLY oracle-checked — their plans are
+"""Scale-path operators. ALL THREE ANN sketch paths (LSH, IVF, SQ8) and
+ALL THREE multimodal pipelines are FULLY oracle-checked — their plans are
 deterministic functions of the data, so DuckDB reproduces the md5-derived
-hyperplanes, the md5-ordered IVF sample, the sha256 fake-decode features
+hyperplanes, the md5-ordered IVF sample, the floor(x+0.5) SQ8 quantizer
+with its integer shortlist keys, the sha256 fake-decode features
 (float32 via CAST AS REAL), the md5 frame hashes over byte-stride slices,
-and the exact PCM window math. The only rows-only entry left here is
-ann_sq8_topk, whose per-Arrow-batch shortlists legitimately depend on
-partition boundaries; its recall contract is pinned by pytest
-(tests/test_operators.py). zorder_roundtrip is oracle-checked: the
+and the exact PCM window math. zorder_roundtrip is oracle-checked: the
 clustered layout must be invisible in the result hash."""
 
 from __future__ import annotations
@@ -91,7 +89,9 @@ def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SQ8-quantized ANN (operators/similarity.sq8_topk): int8 codes
     shortlist candidates, float rerank finishes. Third scale path beside
     sign-LSH and IVF; recall vs the exact baseline is pinned by
-    tests/test_operators.py."""
+    tests/test_operators.py. Partition-invariant since round 2 (floor(x+0.5)
+    quantizer + integer shortlist keys + total-order selection), so it is
+    now FULLY oracle-checked like the other two sketch paths."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
@@ -390,10 +390,76 @@ FROM w
 """
 
 
+# SQ8 oracle: every scalar step of sq8_topk replicated in SQL — per-dim
+# [lo, hi] bounds (min/max of doubles: exact), floor(x+0.5) quantization
+# and lo + code*(span/255.0) reconstruction (identical scalar-op sequences
+# to the numpy side, bit-exact in IEEE double), integer shortlist keys
+# floor(sim*1e4 + 0.5) ranked by (qkey DESC, c_id), then the exact float
+# rerank. Only the dot-product/norm REDUCTIONS can differ in the last ulp
+# (fold order); a flip needs sim*1e4 within ~1e-12 of a boundary — the
+# same accepted-improbable class as the LSH/IVF oracles above.
+
+SQ8_ORACLE_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 10),
+dims AS (
+  SELECT CAST(ix.i AS INTEGER) AS i,
+         min(c.v[ix.i + 1]) AS lo, max(c.v[ix.i + 1]) AS hi
+  FROM corpus c, (SELECT unnest(range(64)) AS i) ix
+  GROUP BY 1
+),
+b AS (
+  SELECT list(lo ORDER BY i) AS lo_a,
+         list(CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END ORDER BY i) AS span_a
+  FROM dims
+),
+rec AS (
+  SELECT e.vec_id, e.v,
+         list_transform(range(64), j ->
+           b.lo_a[CAST(j + 1 AS INTEGER)]
+           + least(greatest(floor((e.v[CAST(j + 1 AS INTEGER)]
+                                   - b.lo_a[CAST(j + 1 AS INTEGER)])
+                                  / b.span_a[CAST(j + 1 AS INTEGER)]
+                                  * 255.0 + 0.5), 0.0), 255.0)
+             * (b.span_a[CAST(j + 1 AS INTEGER)] / 255.0)) AS crec
+  FROM emb e CROSS JOIN b
+),
+recn AS (
+  SELECT vec_id,
+         list_transform(crec, x -> x /
+           (CASE WHEN sqrt(list_dot_product(crec, crec)) > 0
+                 THEN sqrt(list_dot_product(crec, crec)) ELSE 1.0 END)) AS cn
+  FROM rec
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(floor(list_dot_product(q.cn, c.cn) * 10000.0 + 0.5) AS BIGINT) AS qkey
+  FROM recn q JOIN recn c ON q.vec_id < 10 AND c.vec_id >= 10
+),
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY qkey DESC, c_id) AS rk
+    FROM scored) WHERE rk <= 50
+),
+rer AS (
+  SELECT s.q_id, s.c_id,
+         round(list_cosine_similarity(qe.v, ce.v), 4) AS sim
+  FROM short s
+  JOIN emb qe ON qe.vec_id = s.q_id
+  JOIN emb ce ON ce.vec_id = s.c_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+  FROM rer)
+WHERE rk <= 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, _lsh_oracle_sql()),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, IVF_ORACLE_SQL),
-    "ann_sq8_topk": QuerySpec(ann_sq8_topk, None),
+    "ann_sq8_topk": QuerySpec(ann_sq8_topk, SQ8_ORACLE_SQL),
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_audio": QuerySpec(multimodal_audio, MULTIMODAL_AUDIO_SQL),
