@@ -54,6 +54,11 @@ def get_spark(
         # testdata events.ts is TIMESTAMP(NANOS); read as long and convert
         # (catalog.normalize_nanos) — Spark has no native nanos type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata may also carry tz-less TIMESTAMP(MICROS); read those as
+        # session-TZ (UTC) TimestampType, not TIMESTAMP_NTZ, so unix_micros/
+        # window math works and collect() matches the DuckDB oracle's naive
+        # reading of the same column.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
