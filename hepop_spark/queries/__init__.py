@@ -41,6 +41,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -71,6 +72,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         mining_q,
         timeseries,
         llm,
