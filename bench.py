@@ -72,25 +72,59 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # Round-over-round continuity: diff against the latest BENCH_r{N}.json
+    # the driver recorded, so per-query regressions are visible in ONE place
+    # instead of requiring a manual two-file comparison next round.
+    prev_total, deltas = _previous_round_delta(timings)
+
     # Ingest throughput: the reference's core claim is ingest ("HEP Capture
     # Server ... Parquet WAL"). Measure the Line Protocol hot path at the
     # same scale: generate LP text distributed, parse with the zero-Python
     # column-expression parser, write time-partitioned parquet.
     ingest = _ingest_bench(spark, n_rows=500_000)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"headline-query wall time ({len(HEADLINE)} queries)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "ingest": ingest,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": f"headline-query wall time ({len(HEADLINE)} queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "ingest": ingest,
+        "sf": sf,
+    }
+    if prev_total is not None:
+        out["prev_total"] = prev_total
+        out["delta_vs_prev"] = deltas
+    print(json.dumps(out))
     spark.stop()
+
+
+def _previous_round_delta(timings: dict[str, float]):
+    """(prev_total, {query: sec_delta}) vs the newest BENCH_r*.json, or
+    (None, {}) when no prior round exists. Positive delta = slower now."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return None, {}
+    try:
+        with open(benches[-1]) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None, {}
+    # the driver wraps the bench line under "parsed"
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    prev_q = prev.get("queries", {})
+    deltas = {
+        name: round(sec - prev_q[name], 3)
+        for name, sec in timings.items()
+        if name in prev_q
+    }
+    return prev.get("value"), deltas
 
 
 def _ingest_bench(spark, n_rows: int) -> dict:

@@ -24,6 +24,33 @@ from . import ALL_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime session confs every query path depends on. These are ALSO set in
+# session.get_spark(), but the driver (and any embedding application) builds
+# its own SparkSession — so the load path must self-heal rather than assume a
+# tuned session. All four are runtime-settable (verified on pyspark 4.1).
+_QUERY_CONFS = (
+    # timestamps collected/compared against the ANSI oracle assume UTC
+    ("spark.sql.session.timeZone", "UTC"),
+    # tz-less TIMESTAMP(MICROS) must read as session-TZ TimestampType, not
+    # TIMESTAMP_NTZ: unix_micros()/window math reject NTZ inputs
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    # TIMESTAMP(NANOS) columns read as long; normalize_nanos converts
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    # LP tag/field repeated keys follow the reference's JS-object semantics
+    # (last assignment wins, lineproto.js:70-80); Spark default THROWS
+    ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
+)
+
+
+def ensure_query_confs(spark: SparkSession) -> None:
+    """Set the runtime confs the query surface depends on, tolerating
+    sessions/builds where a conf is missing or locked."""
+    for key, val in _QUERY_CONFS:
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -33,19 +60,30 @@ def normalize_nanos(df: DataFrame, cols=("ts",)) -> DataFrame:
     """Parquet TIMESTAMP(NANOS) columns arrive as long (nanosAsLong config);
     convert to microsecond TimestampType with integer division (floor-trunc,
     matching DuckDB's ns->us read). Integer `div`, not `/`: double math loses
-    precision above 2^53 ns."""
+    precision above 2^53 ns.
+
+    Also casts TIMESTAMP_NTZ -> TIMESTAMP (equivalent under the UTC session
+    timezone) as a second line of defense for sessions where the
+    inferTimestampNTZ conf was applied after a plan was cached."""
+    dtypes = dict(df.dtypes)
     for c in cols:
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in dtypes:
+            continue
+        if dtypes[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes[c] == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_query_confs(spark)
     return normalize_nanos(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     """Register each parquet table as a temp view named after the table."""
+    ensure_query_confs(spark)
     for name in tables:
         path = table_path(sf_dir, name)
         if os.path.exists(path):

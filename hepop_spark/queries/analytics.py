@@ -601,11 +601,11 @@ def pivot_conditional(spark: SparkSession, sf: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
 FROM events GROUP BY user_id
 """
 

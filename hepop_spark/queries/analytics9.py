@@ -18,12 +18,6 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from . import QuerySpec
 
-# Epoch microseconds of 2024-01-01 00:00:00 UTC — testdata's time origin.
-# Rebasing before building composite order keys keeps (ts_us << 20 | id)
-# inside BIGINT at any realistic scale.
-T0_US = 1_704_067_200_000_000
-
-
 # ---------------------------------------------------------------------------
 # ohlc_bars — open/high/low/close + VWAP per (hour, event_type)
 # ---------------------------------------------------------------------------
@@ -32,13 +26,20 @@ T0_US = 1_704_067_200_000_000
 def ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     """OHLC candlesticks + VWAP per (hour, series): the financial/monitoring
     downsample shape. One hash aggregation (partial -> final, no window):
-    open/close are min_by/max_by under a BIGINT (rebased_ts<<20 | event_id)
+    open/close are min_by/max_by under a BIGINT (us_into_hour<<31 | event_id)
     total-order key — collision-free and tie-free, unlike raw-timestamp
     argmin — and VWAP is exact integer price-cents x volume, divided once
     at the end. Scales as a plain groupBy: state per group is O(1), the
-    shuffle carries one row per (hour, series) per map task."""
+    shuffle carries one row per (hour, series) per map task.
+
+    Key invariant: ordering only matters WITHIN a (hour, series) group, so
+    the timestamp is rebased to its own hour (us_into_hour < 3.6e9 < 2^32,
+    so us_into_hour * 2^31 < 2^63 for any calendar span), and event_id must
+    be < 2^31 (~2.1e9 rows, i.e. valid to roughly sf2000) for uniqueness —
+    far past the 2^20 bound of the old days-since-epoch key."""
     ev = load_table(spark, sf, "events")
-    key = (F.unix_micros("ts") - F.lit(T0_US)) * F.lit(1_048_576) + F.col("event_id")
+    us_into_hour = F.unix_micros("ts") - F.unix_micros(F.date_trunc("hour", "ts"))
+    key = us_into_hour * F.lit(2_147_483_648) + F.col("event_id")
     vol = (F.col("user_id") % 10 + 1).cast("long")
     pv_cents = F.round(F.col("value") * 100).cast("long") * vol
     return (
@@ -57,7 +58,11 @@ def ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
             F.min("value").alias("low"),
             F.max_by("value", "k").alias("close"),
             F.sum("vol").alias("volume"),
-            F.round(F.sum("pv_cents") / (F.sum("vol") * 100.0), 4).alias("vwap"),
+            # unrounded single division of exact integer sums: bit-identical
+            # across engines (never round a double ratio at a reachable
+            # midpoint — sum(pv)/sum(vol*100) hits exact 4-decimal grid
+            # points, where HALF_UP vs binary rounding diverge)
+            (F.sum("pv_cents") / (F.sum("vol") * 100.0)).alias("vwap"),
         )
     )
 
@@ -65,13 +70,15 @@ def ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
 OHLC_SQL = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        event_type,
-       arg_min(value, (epoch_us(ts) - {T0_US}) * 1048576 + event_id) AS open,
+       arg_min(value, (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+                      * 2147483648 + event_id) AS open,
        max(value) AS high,
        min(value) AS low,
-       arg_max(value, (epoch_us(ts) - {T0_US}) * 1048576 + event_id) AS close,
+       arg_max(value, (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+                      * 2147483648 + event_id) AS close,
        sum(user_id % 10 + 1) AS volume,
-       round(sum(CAST(round(value * 100) AS BIGINT) * (user_id % 10 + 1))
-             / (sum(user_id % 10 + 1) * 100.0), 4) AS vwap
+       sum(CAST(round(value * 100) AS BIGINT) * (user_id % 10 + 1))
+             / (sum(user_id % 10 + 1) * 100.0) AS vwap
 FROM events
 GROUP BY 1, 2
 """
@@ -313,14 +320,18 @@ WITH daily AS (
            - {CUSUM_K} AS y
   FROM daily
   WINDOW tw AS (PARTITION BY event_type)
-), cum AS (
+), cum1 AS (
+  -- DuckDB rejects nested window calls; materialize the running sum first
   SELECT event_type, day, n,
-         sum(y) OVER ow AS c,
-         min(sum(y) OVER ow) OVER ow2 AS mc
+         sum(y) OVER ow AS c
   FROM scored
   WINDOW ow AS (PARTITION BY event_type ORDER BY day
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         ow2 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cum AS (
+  SELECT event_type, day, n, c,
+         min(c) OVER ow2 AS mc
+  FROM cum1
+  WINDOW ow2 AS (PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_type, day, n,

@@ -2,7 +2,12 @@
 on Spark and its oracle_sql() on DuckDB over the same parquet tables, then
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/check_parity.py [sf_dir] [query_name ...]
+Usage: python tools/check_parity.py [--vanilla] [sf_dir] [query_name ...]
+
+--vanilla builds a DEFAULT SparkSession (no tuned confs) like the driver
+does, so parity is measured against driver reality, not the builder's
+session. (r01 lesson: 4 queries passed under get_spark() but crashed under
+the driver's default session on TIMESTAMP_NTZ reads.)
 """
 
 from __future__ import annotations
@@ -48,13 +53,22 @@ def rows_key(rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from hepop_spark.queries import registry
 
     reg = registry()
-    spark = get_spark("parity-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "parity-vanilla"
+        ).getOrCreate()
+    else:
+        spark = get_spark("parity-check")
     con = duck_connection(sf_dir)
 
     failures = []
