@@ -48,6 +48,7 @@ def registry() -> dict[str, QuerySpec]:
         llm,
         llm2,
         llm3,
+        llm4,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -78,6 +79,7 @@ def registry() -> dict[str, QuerySpec]:
         llm,
         llm2,
         llm3,
+        llm4,
         functions_ext,
         functions_ext2,
         functions_ext3,

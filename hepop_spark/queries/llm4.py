@@ -1,0 +1,225 @@
+"""Round-2 LLM-pipeline batch: containment dedup (near-superset detection),
+boilerplate n-gram mining, prefix-duplicate groups, and semantic (embedding)
+dedup clusters.
+
+These fill the curation gaps between exact/Jaccard/MinHash dedup (llm.py)
+and the ANN scale paths (scale_paths.py): web-scale corpora need to catch
+documents EMBEDDED in other documents (containment — Jaccard misses a small
+doc swallowed by a big one), template/boilerplate text repeated across a
+source, shared-prefix (header) duplication, and embedding-space duplicate
+CLUSTERS with one canonical survivor per cluster.
+
+Engine-parity rules as llm.py: md5-keyed hashes, equi-join candidate
+generation, similarity ratios rounded on both sides before thresholding.
+No counterpart in the reference (opaque payload storage, hepop.js:183).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+from .llm import (
+    COSINE_THRESHOLD,
+    EMBEDDING_NEARDUP_SQL,
+    _DUCK_SHINGLES_CTE,
+    _shingles,
+    embedding_neardup,
+)
+
+CONTAINMENT_THRESHOLD = 0.5   # |A∩B| / min(|A|,|B|)  (probed: 25 pairs @ sf0.01)
+BOILERPLATE_MIN_DOCS = 2      # 5-gram in >= 2 distinct docs of one source
+PREFIX_TOKENS = 8             # shared-prefix length for header-dup groups
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — near-superset detection
+# ---------------------------------------------------------------------------
+
+
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) >= 0.5 over word
+    3-gram shingle sets. Catches a short document embedded inside a longer
+    one — a pair Jaccard (|A∩B|/|A∪B|) scores arbitrarily low as the long
+    side grows, which is why curation pipelines measure containment
+    separately. Same scale shape as dedup_ngram_jaccard: candidates from a
+    shingle equi-join (only docs sharing >= 1 shingle meet), one shuffle
+    keyed on shingle, no cross join."""
+    sh = _shingles(spark, sf)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "da")
+        .join(cb, "db")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least(F.col("na"), F.col("nb")), 4),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("da", "db", "containment")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_DUCK_SHINGLES_CTE},
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db,
+       round(inter * 1.0 / least(ca.n, cb.n), 4) AS containment
+FROM inter
+JOIN counts ca ON da = ca.doc_id
+JOIN counts cb ON db = cb.doc_id
+WHERE round(inter * 1.0 / least(ca.n, cb.n), 4) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_ngrams — repeated template text within a source
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Template/boilerplate mining (the CCNet/RefinedWeb shape): word
+    5-grams appearing in >= 2 DISTINCT documents of the same source are
+    boilerplate candidates (headers, footers, licenses). One explode ->
+    distinct -> count aggregation, shuffled on (source, ngram): at 100 TB
+    the ngram key space is huge but each key's group is tiny, so this is a
+    plain well-distributed hash aggregate — no skew hotspot, no window."""
+    docs = load_table(spark, sf, "documents").withColumn("t", F.split("text", " "))
+    grams = docs.filter(F.size("t") >= 5).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 5), i -> "
+                "concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3], ' ', t[i+4]))"
+            )
+        ).alias("ng"),
+    ).distinct()
+    return (
+        grams.groupBy("source", "ng")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+ti AS (SELECT doc_id, source, generate_subscripts(t, 1) AS i, unnest(t) AS w FROM d),
+g AS (
+  SELECT DISTINCT a.doc_id, a.source,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d2.w || ' ' || e.w AS ng
+  FROM ti a
+  JOIN ti b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN ti c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+  JOIN ti d2 ON a.doc_id = d2.doc_id AND d2.i = a.i + 3
+  JOIN ti e ON a.doc_id = e.doc_id AND e.i = a.i + 4
+)
+SELECT source, ng, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM g GROUP BY 1, 2 HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# prefix_dup_groups — shared-header duplicate groups
+# ---------------------------------------------------------------------------
+
+
+def prefix_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents sharing an identical first-8-token prefix (generated
+    headers, scraper artifacts). md5 the prefix so the shuffle key is
+    fixed-width; group -> keep the min doc id as canonical. One hash
+    aggregation; partial map-side combine makes it a single light shuffle
+    at any corpus size."""
+    docs = load_table(spark, sf, "documents").withColumn("t", F.split("text", " "))
+    pre = F.md5(F.concat_ws(" ", F.slice("t", 1, PREFIX_TOKENS)))
+    return (
+        docs.select("doc_id", pre.alias("prefix_md5"))
+        .groupBy("prefix_md5")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+PREFIX_DUP_SQL = f"""
+SELECT md5(array_to_string(string_split(text, ' ')[1:{PREFIX_TOKENS}], ' ')) AS prefix_md5,
+       count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_cc — embedding-space duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_cc(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup: connected components over the embedding-cosine
+    near-dup pairs, one canonical vector per cluster — the SemDeDup shape
+    (cluster embeddings, keep one representative). Reuses the alternating
+    star-contraction CC operator (operators/graph.py, O(log^2 n) rounds);
+    at 100 TB the pair generation is the LSH-bucketed path and this final
+    clustering step is unchanged."""
+    pairs = embedding_neardup(spark, sf)
+    from ..operators.graph import connected_components
+
+    comps = connected_components(pairs, src="va", dst="vb")
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return comps.join(sizes, "comp").select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("canonical_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT va, vb FROM ({EMBEDDING_NEARDUP_SQL}) q),
+edges AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+    SELECT a AS vec_id, least(min(b), a) AS canonical_id FROM reach GROUP BY a
+)
+SELECT l.vec_id, l.canonical_id, CAST(s.n AS BIGINT) AS cluster_size
+FROM labels l
+JOIN (SELECT canonical_id, count(*) AS n FROM labels GROUP BY canonical_id) s
+  USING (canonical_id)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_containment": QuerySpec(
+        dedup_containment, DEDUP_CONTAINMENT_SQL,
+        "near-superset pairs by shingle containment",
+    ),
+    "boilerplate_ngrams": QuerySpec(
+        boilerplate_ngrams, BOILERPLATE_SQL,
+        "repeated 5-gram boilerplate per source",
+    ),
+    "prefix_dup_groups": QuerySpec(
+        prefix_dup_groups, PREFIX_DUP_SQL,
+        "shared first-8-token prefix duplicate groups",
+    ),
+    "semantic_dedup_cc": QuerySpec(
+        semantic_dedup_cc, SEMANTIC_DEDUP_SQL,
+        "embedding near-dup clusters with canonical survivor",
+    ),
+}

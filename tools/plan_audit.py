@@ -135,6 +135,11 @@ AUDITS: dict[str, set[str]] = {
     "session_paths_topk": set(),  # collect_list is not partial-aggregable
     "histogram_cumulative_le": {"partial"},
     "mode_per_group": {"partial"},
+    # round-2 curation batch (llm4.py)
+    "dedup_containment": {"partial"},
+    "boilerplate_ngrams": {"partial"},
+    "prefix_dup_groups": {"partial"},
+    "semantic_dedup_cc": {"partial"},
 }
 
 
