@@ -222,6 +222,128 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
     )
 
 
+def pq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
+            id_col: str = "vec_id", m_sub: int = 4, k_codes: int = 16,
+            top_k: int = 5, shortlist: int = 50, dim: int = 64) -> DataFrame:
+    """Product-quantization ANN (the fourth scale path beside sign-LSH, IVF
+    and SQ8): split each vector into ``m_sub`` subspaces, quantize every
+    subvector to the nearest of ``k_codes`` codewords, score queries against
+    the code-reconstructed corpus (ADC — asymmetric distance computation via
+    per-query lookup tables), shortlist, exact-rerank.
+
+    PQ is the memory end of the quantization spectrum: m_sub bytes per
+    vector (here 4 B vs SQ8's 64 B vs float's 256 B) — the encoding you'd
+    persist for a 100-TB corpus whose float vectors don't fit hot storage.
+
+    Deterministic + engine-portable like the IVF/SQ8 paths: the codebook is
+    the md5-ordered sample of corpus vectors (k_codes rows via
+    TakeOrderedAndProject — bounded driver collect, stable across runs and
+    partitionings); encoding argmin uses d = |c|^2 - 2 x.c with (d, k)
+    tie-break; ADC scores become integer keys floor(sim*1e4+0.5) selected
+    under the (qkey DESC, c_id) total order at BOTH the per-batch and
+    global stages — the same partition-invariance construction proven for
+    sq8_topk, so the whole plan is DuckDB-oracle-checkable.
+
+    Scale shape: codebook O(k_codes x dim) broadcast; encoding + ADC are
+    vectorized numpy per Arrow batch (mapInPandas — dense GEMMs, the
+    legitimate Python case), emitting only per-batch shortlists; the exact
+    rerank touches |q| x shortlist rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // m_sub
+    cents = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("hk"),
+        )
+        .orderBy("hk")
+        .limit(k_codes)
+        .select("v")
+        .collect()
+    )
+    # codebook[m] : (k_codes, sub) — subspace m of each sampled vector
+    CB = np.array([r[0] for r in cents], dtype=np.float64)
+    books = [CB[:, m * sub:(m + 1) * sub] for m in range(m_sub)]
+    # |codeword|^2 per (m, k): for encoding argmin and reconstruction norm
+    b_sq = [np.sum(bm * bm, axis=1) for bm in books]
+
+    def _encode(M: np.ndarray) -> np.ndarray:
+        """(n, dim) float -> (n, m_sub) int codes, argmin |c|^2 - 2 x.c
+        with lowest-k tie-break (np.argmin takes the first minimum)."""
+        codes = np.empty((M.shape[0], m_sub), dtype=np.int64)
+        for m in range(m_sub):
+            X = M[:, m * sub:(m + 1) * sub]
+            d = b_sq[m][None, :] - 2.0 * (X @ books[m].T)
+            codes[:, m] = np.argmin(d, axis=1)
+        return codes
+
+    # queries: exact float side of ADC — per-query LUT of subspace dots
+    qrows = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("v")).collect()
+    Qm = np.vstack([r["v"] for r in qrows]).astype(np.float64)
+    q_ids = np.array([r["q_id"] for r in qrows])
+    qnorm = np.linalg.norm(Qm, axis=1)
+    qnorm = np.where(qnorm > 0, qnorm, 1.0)
+    # LUT[m] : (n_q, k_codes) = dot(q_m, codeword[m][k])
+    LUT = [Qm[:, m * sub:(m + 1) * sub] @ books[m].T for m in range(m_sub)]
+
+    @pandas_udf("array<int>")
+    def encode_codes(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(_encode(M).astype("int32")))
+
+    codes = corpus.select(F.col(id_col).alias("c_id"), encode_codes(vec_col).alias("code"))
+
+    def score_batches(it):
+        for pdf in it:
+            C = np.vstack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m_sub)
+            # ADC dot + reconstruction norm from the codes alone
+            dots = np.zeros((len(pdf), len(q_ids)))
+            c_sq = np.zeros(len(pdf))
+            for m in range(m_sub):
+                dots += LUT[m][:, C[:, m]].T  # (n, n_q)
+                c_sq += b_sq[m][C[:, m]]
+            cn = np.sqrt(c_sq)
+            cn = np.where(cn > 0, cn, 1.0)
+            sims = dots / (cn[:, None] * qnorm[None, :])
+            qkeys = np.floor(sims * 10000.0 + 0.5).astype(np.int64)
+            m_rows = min(shortlist, len(pdf))
+            out = {"q_id": [], "c_id": [], "qkey": []}
+            cids = pdf["c_id"].to_numpy()
+            for j in range(qkeys.shape[1]):
+                idx = np.lexsort((cids, -qkeys[:, j]))[:m_rows]  # qkey desc, c_id asc
+                out["q_id"].extend([q_ids[j]] * len(idx))
+                out["c_id"].extend(cids[idx])
+                out["qkey"].extend(qkeys[idx, j])
+            yield pd.DataFrame(out)
+
+    cand = codes.mapInPandas(score_batches, "q_id long, c_id long, qkey long")
+    w = Window.partitionBy("q_id").orderBy(F.col("qkey").desc(), F.col("c_id"))
+    short = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist)
+        .select("q_id", "c_id")
+    )
+
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cvec"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        short.join(F.broadcast(qv), "q_id").join(cv, "c_id")
+        .withColumn("sim", F.round(dot / (norm("qvec") * norm("cvec")), 4))
+        .select("q_id", "c_id", "sim")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= top_k)
+
+
 def sq8_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", top_k: int = 5, shortlist: int = 50) -> DataFrame:
     """SQ8 ANN: per-dimension int8 scalar quantization (the 4× memory/IO

@@ -141,8 +141,8 @@ RECALL_K = 5
 
 
 def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality evaluation of BOTH ANN sketch paths: per-query recall@5 of
-    the sign-LSH shortlist and of the IVF probe against exact brute-force
+    """Quality evaluation of ALL FOUR ANN sketch paths (LSH, IVF, SQ8,
+    PQ): per-query recall@5 against exact brute-force
     cosine — the harness that drives index choice at 100 TB, and the one
     that already drove a fix: single-table 8-bit multiprobe sign-LSH
     measured ~0.12 recall@5 here (top-5 neighbors are only moderately
@@ -152,7 +152,7 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     candidate cost. Deterministic end-to-end. No SQL oracle (both sketch
     paths are the non-SQL plans, like ann_lsh_topk); pinned by
     tests/test_round2d.py floors instead."""
-    from ..operators.similarity import ivf_topk, lsh_topk
+    from ..operators.similarity import ivf_topk, lsh_topk, pq_topk, sq8_topk
 
     emb = load_table(spark, sf, "embeddings").withColumn(
         "vec", F.expr("transform(embedding, x -> cast(x AS double))")
@@ -186,6 +186,8 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         raw_corpus, raw_queries, top_k=RECALL_K, multiprobe=True, n_tables=4
     ).select("q_id", "c_id")
     ivf = ivf_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
+    sq8 = sq8_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
+    pq = pq_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
 
     def hits(approx: DataFrame, name: str) -> DataFrame:
         return (
@@ -199,6 +201,8 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_exact"))
         .join(hits(lsh, "lsh_hits"), "q_id", "left")
         .join(hits(ivf, "ivf_hits"), "q_id", "left")
+        .join(hits(sq8, "sq8_hits"), "q_id", "left")
+        .join(hits(pq, "pq_hits"), "q_id", "left")
         .select(
             "q_id",
             F.round(
@@ -207,6 +211,12 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
             F.round(
                 F.coalesce("ivf_hits", F.lit(0)) / F.col("n_exact"), 3
             ).alias("recall_ivf"),
+            F.round(
+                F.coalesce("sq8_hits", F.lit(0)) / F.col("n_exact"), 3
+            ).alias("recall_sq8"),
+            F.round(
+                F.coalesce("pq_hits", F.lit(0)) / F.col("n_exact"), 3
+            ).alias("recall_pq"),
         )
     )
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.multimodal import audio_pcm_windows, decode_image_features, frame_sample
-from ..operators.similarity import ivf_topk, lsh_topk, sq8_topk
+from ..operators.similarity import ivf_topk, lsh_topk, pq_topk, sq8_topk
 from . import QuerySpec
 
 
@@ -96,6 +96,91 @@ def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     return sq8_topk(corpus, queries, top_k=5)
+
+
+def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): 4 subspaces
+    x 16 codewords = 4 BYTES per corpus vector (vs SQ8's 64, float's 256) —
+    the encoding that fits a 100-TB corpus in hot storage. ADC lookup-table
+    scoring shortlists candidates, float rerank finishes. Deterministic
+    codebook (md5-ordered sample) + integer shortlist keys under a total
+    order, so fully oracle-checked like LSH/IVF/SQ8."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return pq_topk(corpus, queries, m_sub=4, k_codes=16, top_k=5)
+
+
+# PQ oracle: codebook = the same md5-ordered sample (IVF trick), subspace
+# encode = argmin |cw|^2 - 2 x.cw with (d, k) tie-break, ADC dot/norm from
+# the codes, integer shortlist keys floor(sim*1e4+0.5) under (qkey DESC,
+# c_id) — every stage replayed in SQL. The 4-term ADC sums reduce in
+# engine-specific order; a flip needs a last-ulp tie at a key boundary
+# (the accepted-improbable class shared by the LSH/IVF/SQ8 oracles).
+PQ_ORACLE_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 10),
+queries AS (SELECT * FROM emb WHERE vec_id < 10),
+cb0 AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS k
+  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+),
+books AS (
+  SELECT k, CAST(ms.m AS INTEGER) AS m,
+         v[CAST(ms.m * 16 + 1 AS INTEGER):CAST((ms.m + 1) * 16 AS INTEGER)] AS cw
+  FROM cb0, (SELECT unnest(range(4)) AS m) ms
+),
+enc AS (
+  SELECT c_id, m, k AS code, cw FROM (
+    SELECT c.vec_id AS c_id, b.m, b.k, b.cw,
+           row_number() OVER (
+             PARTITION BY c.vec_id, b.m
+             ORDER BY list_dot_product(b.cw, b.cw)
+                      - 2 * list_dot_product(
+                          c.v[CAST(b.m * 16 + 1 AS INTEGER):CAST((b.m + 1) * 16 AS INTEGER)],
+                          b.cw),
+                      b.k) AS rn
+    FROM corpus c CROSS JOIN books b) WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS q_id, e.c_id,
+         sum(list_dot_product(
+               q.v[CAST(e.m * 16 + 1 AS INTEGER):CAST((e.m + 1) * 16 AS INTEGER)],
+               e.cw)) AS dot,
+         sqrt(sum(list_dot_product(e.cw, e.cw))) AS cnorm
+  FROM queries q CROSS JOIN enc e
+  GROUP BY 1, 2
+),
+qn AS (
+  SELECT vec_id AS q_id,
+         CASE WHEN sqrt(list_dot_product(v, v)) > 0
+              THEN sqrt(list_dot_product(v, v)) ELSE 1.0 END AS qnorm
+  FROM queries
+),
+keys AS (
+  SELECT a.q_id, a.c_id,
+         CAST(floor(a.dot
+                    / ((CASE WHEN a.cnorm > 0 THEN a.cnorm ELSE 1.0 END) * qn.qnorm)
+                    * 10000.0 + 0.5) AS BIGINT) AS qkey
+  FROM adc a JOIN qn USING (q_id)
+),
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qkey DESC, c_id) AS rk
+    FROM keys) WHERE rk <= 50
+),
+rer AS (
+  SELECT s.q_id, s.c_id,
+         round(list_cosine_similarity(qe.v, ce.v), 4) AS sim
+  FROM short s
+  JOIN emb qe ON qe.vec_id = s.q_id
+  JOIN emb ce ON ce.vec_id = s.c_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+  FROM rer)
+WHERE rk <= 5
+"""
 
 
 def zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
@@ -460,6 +545,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, _lsh_oracle_sql()),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, IVF_ORACLE_SQL),
     "ann_sq8_topk": QuerySpec(ann_sq8_topk, SQ8_ORACLE_SQL),
+    "ann_pq_topk": QuerySpec(ann_pq_topk, PQ_ORACLE_SQL),
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_audio": QuerySpec(multimodal_audio, MULTIMODAL_AUDIO_SQL),

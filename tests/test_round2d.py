@@ -71,7 +71,16 @@ class TestAnnRecall:
         assert mean_ivf > mean_lsh
         assert mean_ivf >= 0.4
         assert mean_lsh >= 0.25
+        # round-2 paths: SQ8's 50-of-490 shortlist rerank is near-exact on
+        # this corpus (measured 1.0); PQ at 4 bytes/vector trades recall
+        # for 64x compression (measured 0.44)
+        mean_sq8 = sum(r["recall_sq8"] for r in rows) / len(rows)
+        mean_pq = sum(r["recall_pq"] for r in rows) / len(rows)
+        assert mean_sq8 >= 0.9
+        assert mean_pq >= 0.3
         for r in rows:
             assert 0.0 <= r["recall_lsh"] <= 1.0
             assert 0.0 <= r["recall_ivf"] <= 1.0
+            assert 0.0 <= r["recall_sq8"] <= 1.0
+            assert 0.0 <= r["recall_pq"] <= 1.0
         assert RECALL_K == 5

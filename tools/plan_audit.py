@@ -140,6 +140,9 @@ AUDITS: dict[str, set[str]] = {
     "boilerplate_ngrams": {"partial"},
     "prefix_dup_groups": {"partial"},
     "semantic_dedup_cc": {"partial"},
+    # PQ ANN: the encode/ADC GEMMs are the allowed Arrow stages; rerank
+    # broadcasts the query side
+    "ann_pq_topk": {"arrow_ok", "bcast"},
 }
 
 
