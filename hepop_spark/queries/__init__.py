@@ -114,17 +114,18 @@ HEADLINE_50 = (
     # TPC-H flagships
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     # join / window / set-op / grouping representatives
-    "join_broadcast_dim", "asof_join", "win_topk_per_group", "win_moving_avg",
+    "join_broadcast_dim", "asof_join", "win_topk_per_group",
     "set_ops_all", "grouping_sets_agg",
     # r01 red rows, now fixed — prove them green
     "pivot_conditional", "abtest_welch", "cusum_shift_detect", "ohlc_bars",
     "concurrency_sweep", "time_weighted_avg", "interval_overlap_join",
     "attribution_last_touch",
-    # dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_cluster_cc", "dedup_incremental",
-    # ANN / embeddings family
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk",
+    # dedup family (round-2 additions included: containment + semantic CC)
+    "dedup_exact", "dedup_containment", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_cluster_cc", "dedup_incremental", "semantic_dedup_cc",
+    # ANN / embeddings family (the four sketch paths; the brute baseline
+    # ann_cosine_topk is each path's oracle-shape and sits just past 50)
+    "ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk", "ann_pq_topk",
     "embedding_neardup",
     # multimodal family
     "multimodal_features", "multimodal_frames", "multimodal_audio",

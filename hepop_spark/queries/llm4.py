@@ -205,6 +205,155 @@ JOIN (SELECT canonical_id, count(*) AS n FROM labels GROUP BY canonical_id) s
 """
 
 
+# ---------------------------------------------------------------------------
+# curation_funnel — the whole pretraining-curation pipeline as ONE DAG
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The full corpus-curation pipeline chained end-to-end with per-stage
+    survivor accounting — the funnel report a dataset build ships:
+    raw → drop held-out benchmark docs → quality cascade (llm3 rules) →
+    exact dedup (md5) → token-set-fingerprint dedup → 5-gram benchmark
+    decontamination. Each stage consumes the previous stage's survivors,
+    so the counts are the real marginal cost of each gate, not
+    independent measurements.
+
+    Scale: one DAG — Catalyst pipelines the narrow stages into the same
+    scan; the only shuffles are the two dedup windows (hash-partitioned on
+    md5 keys) and the contamination join (md5-hashed 5-grams, benchmark
+    side distinct-reduced and broadcastable). This is the shape you run
+    nightly at 100 TB, writing stage-6 out in the same pass."""
+    from ..catalog import register_views
+    from .llm3 import _CASCADE_CASE, NGRAM
+
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql(f"""
+WITH raw AS (SELECT doc_id, text, n_chars FROM documents),
+corp AS (SELECT * FROM raw WHERE doc_id % 97 <> 0),
+scored AS (
+  SELECT doc_id, text, n_chars,
+         size(split(text, ' ')) AS n_tok,
+         length(regexp_replace(text, '[^A-Za-z]', '')) AS n_alpha,
+         length(text) AS n_len
+  FROM corp
+),
+quality AS (
+  SELECT doc_id, text, n_chars FROM scored WHERE ({_CASCADE_CASE}) = 'keep'
+),
+exact AS (
+  SELECT doc_id, text, n_chars FROM (
+    SELECT doc_id, text, n_chars,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS kd
+    FROM quality) x
+  WHERE doc_id = kd
+),
+fp AS (
+  SELECT doc_id, text, n_chars FROM (
+    SELECT doc_id, text, n_chars,
+           min(doc_id) OVER (PARTITION BY md5(concat_ws(' ',
+             array_sort(array_distinct(split(text, ' ')))))) AS kd
+    FROM exact) x
+  WHERE doc_id = kd
+),
+bgrams AS (
+  SELECT DISTINCT md5(concat_ws(' ', slice(toks, i, {NGRAM}))) AS g
+  FROM (SELECT split(text, ' ') AS toks, size(split(text, ' ')) AS n
+        FROM raw WHERE doc_id % 97 = 0) s
+  LATERAL VIEW explode(sequence(1, n - {NGRAM} + 1)) t AS i
+  WHERE n >= {NGRAM}
+),
+fgrams AS (
+  SELECT doc_id, md5(concat_ws(' ', slice(toks, i, {NGRAM}))) AS g
+  FROM (SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS n
+        FROM fp) s
+  LATERAL VIEW explode(sequence(1, n - {NGRAM} + 1)) t AS i
+  WHERE n >= {NGRAM}
+),
+contaminated AS (SELECT DISTINCT f.doc_id FROM fgrams f JOIN bgrams b ON f.g = b.g),
+clean AS (
+  SELECT * FROM fp
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = fp.doc_id)
+)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_chars AS BIGINT) AS sum_chars
+FROM (
+  SELECT '1_raw' AS stage, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM raw
+  UNION ALL SELECT '2_corpus', count(*), sum(n_chars) FROM corp
+  UNION ALL SELECT '3_quality', count(*), sum(n_chars) FROM quality
+  UNION ALL SELECT '4_exact_dedup', count(*), sum(n_chars) FROM exact
+  UNION ALL SELECT '5_fp_dedup', count(*), sum(n_chars) FROM fp
+  UNION ALL SELECT '6_decontaminated', count(*), sum(n_chars) FROM clean
+) f
+""")
+
+
+def _funnel_oracle_sql() -> str:
+    from .llm3 import _CASCADE_CASE, NGRAM
+
+    return f"""
+WITH raw AS (SELECT doc_id, text, n_chars FROM documents),
+corp AS (SELECT * FROM raw WHERE doc_id % 97 <> 0),
+scored AS (
+  SELECT doc_id, text, n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_len
+  FROM corp
+),
+quality AS (
+  SELECT doc_id, text, n_chars FROM scored WHERE ({_CASCADE_CASE}) = 'keep'
+),
+exact AS (
+  SELECT doc_id, text, n_chars FROM (
+    SELECT doc_id, text, n_chars,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS kd
+    FROM quality) x
+  WHERE doc_id = kd
+),
+fp AS (
+  SELECT doc_id, text, n_chars FROM (
+    SELECT doc_id, text, n_chars,
+           min(doc_id) OVER (PARTITION BY md5(array_to_string(
+             list_sort(list_distinct(string_split(text, ' '))), ' '))) AS kd
+    FROM exact) x
+  WHERE doc_id = kd
+),
+bgrams AS (
+  SELECT DISTINCT md5(array_to_string(list_slice(toks, i, i + {NGRAM} - 1), ' ')) AS g
+  FROM (
+    SELECT toks, unnest(generate_series(1, n - {NGRAM} + 1)) AS i
+    FROM (SELECT string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+          FROM raw WHERE doc_id % 97 = 0) r
+    WHERE n >= {NGRAM}
+  ) s
+),
+fgrams AS (
+  SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + {NGRAM} - 1), ' ')) AS g
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, n - {NGRAM} + 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM fp) r
+    WHERE n >= {NGRAM}
+  ) s
+),
+contaminated AS (SELECT DISTINCT f.doc_id FROM fgrams f JOIN bgrams b ON f.g = b.g),
+clean AS (
+  SELECT * FROM fp
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = fp.doc_id)
+)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_chars AS BIGINT) AS sum_chars
+FROM (
+  SELECT '1_raw' AS stage, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM raw
+  UNION ALL SELECT '2_corpus', count(*), sum(n_chars) FROM corp
+  UNION ALL SELECT '3_quality', count(*), sum(n_chars) FROM quality
+  UNION ALL SELECT '4_exact_dedup', count(*), sum(n_chars) FROM exact
+  UNION ALL SELECT '5_fp_dedup', count(*), sum(n_chars) FROM fp
+  UNION ALL SELECT '6_decontaminated', count(*), sum(n_chars) FROM clean
+) f
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_containment": QuerySpec(
         dedup_containment, DEDUP_CONTAINMENT_SQL,
@@ -221,5 +370,9 @@ QUERIES: dict[str, QuerySpec] = {
     "semantic_dedup_cc": QuerySpec(
         semantic_dedup_cc, SEMANTIC_DEDUP_SQL,
         "embedding near-dup clusters with canonical survivor",
+    ),
+    "curation_funnel": QuerySpec(
+        curation_funnel, _funnel_oracle_sql(),
+        "full curation pipeline with per-stage survivor accounting",
     ),
 }

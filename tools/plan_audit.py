@@ -143,6 +143,9 @@ AUDITS: dict[str, set[str]] = {
     # PQ ANN: the encode/ADC GEMMs are the allowed Arrow stages; rerank
     # broadcasts the query side
     "ann_pq_topk": {"arrow_ok", "bcast"},
+    # the chained pipeline: benchmark n-gram side is broadcast into the
+    # contamination join; stage accounting partial-aggregates
+    "curation_funnel": {"partial", "bcast"},
 }
 
 
