@@ -231,7 +231,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .union(candidates.select(F.col("db").alias("doc_id")))
         .distinct()
     )
-    sh = sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi").distinct()
+    # the candidate-restricted slice IS worth materializing (unlike the
+    # full shingle table): it feeds three consumers (counts + both join
+    # sides), it is bounded by the near-dup rate rather than corpus size,
+    # and RDD-level localCheckpoint leaves no session cache entry behind
+    # (a DataFrame persist() lives in the session CacheManager until
+    # explicitly unpersisted — the r01 leak). Steady-state at sf0.1 this
+    # matches the r01 leaky-persist speed (~3.8 s) and beats no-cache by
+    # the cost of two extra slice recomputes (~0.5 s).
+    sh = (
+        sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
