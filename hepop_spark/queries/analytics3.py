@@ -197,6 +197,83 @@ WHERE least(a.e, b.e) - greatest(a.s, b.s) > 0
 
 
 # ---------------------------------------------------------------------------
+# interval_overlap_grid — the KEYLESS interval join, grid-bucketed
+# ---------------------------------------------------------------------------
+
+GRID_US = 3_600_000_000  # 1-hour grid cells (max interval ~100 min spans <=3)
+
+
+def interval_overlap_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval overlap WITHOUT a join key — the case interval_overlap_join
+    documents but rides user_id around: every error interval (sampled
+    deterministically, id % 10 = 0) against every purchase interval,
+    overlap > 0. The naive plan is a cross join; the scale plan explodes
+    each interval into the 1-hour grid cells it spans and equi-joins on
+    cell. Dedup is FREE: a pair sharing several cells is kept only where
+    cell = floor(greatest(start_a, start_b) / G) — the cell containing the
+    overlap start — so each overlapping pair appears exactly once, no
+    distinct() shuffle. The oracle is the naive cross join, proving the
+    grid loses nothing. At 100 TB: shuffle keyed on (bounded-fanout) grid
+    cells instead of an all-pairs product; cell size tunes fanout vs key
+    cardinality; hot cells split by AQE skew handling."""
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 60, 0).cast("long") * 1_000_000
+        ).alias("e"),
+    )
+    a = iv.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 10 == 0)
+    ).select(
+        F.col("event_id").alias("a_id"), F.col("s").alias("a_s"), F.col("e").alias("a_e")
+    )
+    b = iv.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), F.col("s").alias("b_s"), F.col("e").alias("b_e")
+    )
+    ae = a.withColumn(
+        "cell", F.explode(F.expr(f"sequence(a_s div {GRID_US}, a_e div {GRID_US})"))
+    )
+    be = b.withColumn(
+        "cell", F.explode(F.expr(f"sequence(b_s div {GRID_US}, b_e div {GRID_US})"))
+    )
+    ov = F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+    return (
+        ae.join(be, "cell")
+        .filter(
+            (ov > 0)
+            & (F.col("cell") == F.expr(f"greatest(a_s, b_s) div {GRID_US}"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.expr("(least(a_e, b_e) - greatest(a_s, b_s)) div 1000000").alias(
+                "overlap_s"
+            ),
+        )
+    )
+
+
+INTERVAL_GRID_SQL = """
+WITH iv AS (
+  SELECT event_id, event_type,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 60, 0) AS BIGINT) * 1000000 AS e
+  FROM events
+)
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       CAST((least(a.e, b.e) - greatest(a.s, b.s)) // 1000000 AS BIGINT) AS overlap_s
+FROM iv a JOIN iv b
+  ON a.event_type = 'error' AND a.event_id % 10 = 0
+ AND b.event_type = 'purchase'
+ AND least(a.e, b.e) - greatest(a.s, b.s) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # attribution_last_touch — marketing attribution via carry-forward window
 # ---------------------------------------------------------------------------
 
@@ -467,6 +544,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "regr_by_group": QuerySpec(
         regr_by_group, REGR_SQL, "per-group OLS slope/intercept/R2"
+    ),
+    "interval_overlap_grid": QuerySpec(
+        interval_overlap_grid, INTERVAL_GRID_SQL,
+        "keyless interval overlap via grid bucketing (no cross join)",
     ),
     "interval_overlap_join": QuerySpec(
         interval_overlap_join, INTERVAL_OVERLAP_SQL, "key-bounded interval overlap join"

@@ -146,6 +146,8 @@ AUDITS: dict[str, set[str]] = {
     # the chained pipeline: benchmark n-gram side is broadcast into the
     # contamination join; stage accounting partial-aggregates
     "curation_funnel": {"partial", "bcast"},
+    # keyless interval join: event_type filters must reach the scan
+    "interval_overlap_grid": {"pushdown"},
 }
 
 
