@@ -376,3 +376,60 @@ QUERIES: dict[str, QuerySpec] = {
         "full curation pipeline with per-stage survivor accounting",
     ),
 }
+
+
+def sample_importance_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Importance sampling: keep each document with probability equal to
+    its quality weight (alpha-character ratio in [0, 1]) — the data-mixing
+    primitive that upsamples clean text without a global sort or RNG.
+    Content-addressed like sample_stratified_hash: the uniform draw is the
+    first 8 md5 hex chars of doc_id compared against the hex-encoded
+    weight threshold, so the SAME rows are kept on any engine, partition
+    layout, or cluster size. One narrow filter over the scan + one small
+    aggregation on (source, lang)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql("""
+        WITH w AS (
+          SELECT doc_id, source, lang, n_chars,
+                 length(regexp_replace(text, '[^A-Za-z]', '')) * 1.0
+                   / length(text) AS wt
+          FROM documents
+        )
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS total_docs,
+               CAST(count_if(substring(md5(CAST(doc_id AS STRING)), 1, 8) <
+                    lpad(lower(hex(CAST(floor(wt * 4294967296) AS BIGINT))), 8, '0'))
+                    AS BIGINT) AS kept_docs,
+               CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 8) <
+                    lpad(lower(hex(CAST(floor(wt * 4294967296) AS BIGINT))), 8, '0')
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM w
+        GROUP BY source, lang
+    """)
+
+
+SAMPLE_IMPORTANCE_SQL = """
+WITH w AS (
+  SELECT doc_id, source, lang, n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+           / length(text) AS wt
+  FROM documents
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS total_docs,
+       CAST(count(*) FILTER (WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+            lpad(lower(to_hex(CAST(floor(wt * 4294967296) AS BIGINT))), 8, '0'))
+            AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+            lpad(lower(to_hex(CAST(floor(wt * 4294967296) AS BIGINT))), 8, '0')
+            THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM w
+GROUP BY source, lang
+"""
+
+QUERIES["sample_importance_weighted"] = QuerySpec(
+    sample_importance_weighted, SAMPLE_IMPORTANCE_SQL,
+    "content-addressed importance sampling by quality weight",
+)

@@ -148,6 +148,7 @@ AUDITS: dict[str, set[str]] = {
     "curation_funnel": {"partial", "bcast"},
     # keyless interval join: event_type filters must reach the scan
     "interval_overlap_grid": {"pushdown"},
+    "sample_importance_weighted": {"partial"},
 }
 
 
