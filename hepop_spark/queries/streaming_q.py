@@ -663,3 +663,55 @@ FROM d GROUP BY user_id
 QUERIES["streaming_counter_rate_replay"] = QuerySpec(
     streaming_counter_rate_replay, STREAMING_COUNTER_RATE_SQL
 )
+
+
+def streaming_topk_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming top-k (the live-dashboard staple): hourly event-type
+    counts as the ONE stateful streaming aggregation, then the top-3
+    types per window ranked batch-side over the memory sink (a rank
+    cannot live inside the stream above an aggregation — Spark allows a
+    single stateful operator per streaming query, so the production shape
+    is exactly this: windowed counts in the stream, rank in the serving
+    layer). Final ranking must hash-match the batch twin."""
+    from pyspark.sql import Window
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(fmt_ts(F.col("w.start"), "win_start"), "event_type", "n")
+        )
+
+    def post(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("win_start").orderBy(
+            F.col("n").desc(), F.col("event_type")
+        )
+        return (
+            df.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 3)
+        )
+
+    return _replay(
+        spark, sf, transform,
+        "win_start string, event_type string, n bigint, rk bigint",
+        post=post,
+    )
+
+
+STREAMING_TOPK_SQL = f"""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start, event_type, n, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY win_start
+                               ORDER BY n DESC, event_type) AS rk
+  FROM hourly)
+WHERE rk <= 3
+"""
+
+QUERIES["streaming_topk_replay"] = QuerySpec(
+    streaming_topk_replay, STREAMING_TOPK_SQL
+)
