@@ -177,10 +177,109 @@ GROUP BY 1
 """
 
 
+def hep_sip_call_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """SIP dialog correlation through the REAL HEP v3 binary path — the
+    query a HEPop user actually wants from the capture store (the
+    reference stores frames but never correlates; SURVEY §1.2): each
+    event under id 2000 becomes a deterministic SIP dialog (INVITE at the
+    event time, 200 OK exactly event_id % 97 + 1 seconds later, same
+    Call-ID), ENCODED into HEP v3 frames (sources/hep.py encapsulate),
+    decoded back through the engine's mapInPandas decoder, correlated by
+    the Call-ID header (regexp, JVM-side), and rolled up per hour: calls
+    and exact integer setup-time stats.
+
+    The oracle computes the same rollup straight from the events table —
+    the binary encode→decode→regex-correlate round-trip must be
+    result-invisible. Scale shape: frame codec is the legitimate
+    Arrow-batched Python stage (A3); correlation is ONE hash shuffle on
+    Call-ID; the rollup is a partial-aggregated groupBy on hours."""
+    from ..sources.hep import decode_hep_df, encapsulate
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", F.unix_timestamp("ts").alias("t_sec"))
+    )
+
+    def build_frames(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            frames = []
+            for eid, uid, t in zip(pdf["event_id"], pdf["user_id"], pdf["t_sec"]):
+                setup = int(eid) % 97 + 1
+                call_id = f"call-{int(eid)}"
+                base = {
+                    "protocolFamily": 2, "protocol": 17,
+                    "srcIp": "192.168.1.10", "dstIp": "10.0.0.5",
+                    "srcPort": 5060, "dstPort": 5060,
+                    "timeUseconds": 0, "payloadType": 1, "captureId": 2001,
+                }
+                inv = dict(base, timeSeconds=int(t))
+                ok = dict(base, timeSeconds=int(t) + setup)
+                frames.append(encapsulate(
+                    inv,
+                    f"INVITE sip:u{int(uid)}@example.com SIP/2.0\r\n"
+                    f"Call-ID: {call_id}\r\n\r\n",
+                ))
+                frames.append(encapsulate(
+                    ok, f"SIP/2.0 200 OK\r\nCall-ID: {call_id}\r\n\r\n",
+                ))
+            yield pd.DataFrame({"frame": frames})
+
+    frames = ev.mapInPandas(build_frames, "frame binary")
+    decoded = decode_hep_df(frames)
+    legs = decoded.select(
+        F.regexp_extract("payload", r"Call-ID: (\S+)", 1).alias("call_id"),
+        F.unix_millis("timestamp").alias("t_ms"),
+    )
+    calls = legs.groupBy("call_id").agg(
+        F.min("t_ms").alias("t_inv"),
+        F.max("t_ms").alias("t_ok"),
+        F.count("*").alias("n_legs"),
+    )
+    return (
+        calls.filter(F.col("n_legs") == 2)
+        .select(
+            F.date_format(
+                F.date_trunc("hour", F.timestamp_millis("t_inv")),
+                "yyyy-MM-dd HH:00",
+            ).alias("hour"),
+            F.expr("(t_ok - t_inv) div 1000").alias("setup_s"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum("setup_s").alias("sum_setup_s"),
+            F.max("setup_s").alias("max_setup_s"),
+        )
+    )
+
+
+HEP_SIP_SQL = """
+WITH c AS (
+  -- floor, not ::BIGINT: DuckDB's double->int cast ROUNDS while Spark's
+  -- unix_timestamp truncates; a xx:59:59.5 event would cross the hour
+  SELECT strftime(date_trunc('hour', to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))),
+                  '%Y-%m-%d %H:00') AS hour,
+         event_id % 97 + 1 AS setup_s
+  FROM events WHERE event_id < 2000
+)
+SELECT hour, count(*) AS n_calls,
+       CAST(sum(setup_s) AS BIGINT) AS sum_setup_s,
+       CAST(max(setup_s) AS BIGINT) AS max_setup_s
+FROM c GROUP BY hour
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "source_csv_roundtrip": QuerySpec(source_csv_roundtrip, _AGG_ORACLE),
     "source_jsonl_roundtrip": QuerySpec(source_jsonl_roundtrip, _AGG_ORACLE),
     "source_orc_roundtrip": QuerySpec(source_orc_roundtrip, _AGG_ORACLE),
     "source_lineproto_roundtrip": QuerySpec(source_lineproto_roundtrip, _AGG_ORACLE),
     "source_partitioned_prune": QuerySpec(source_partitioned_prune, _PART_PRUNE_ORACLE),
+    "hep_sip_call_stats": QuerySpec(
+        hep_sip_call_stats, HEP_SIP_SQL,
+        "SIP dialog correlation through the HEP v3 binary codec",
+    ),
 }

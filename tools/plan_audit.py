@@ -149,6 +149,8 @@ AUDITS: dict[str, set[str]] = {
     # keyless interval join: event_type filters must reach the scan
     "interval_overlap_grid": {"pushdown"},
     "sample_importance_weighted": {"partial"},
+    # HEP codec round-trip is the allowed Arrow stage; id slice pushes down
+    "hep_sip_call_stats": {"arrow_ok", "partial", "pushdown"},
 }
 
 

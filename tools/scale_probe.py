@@ -1,0 +1,123 @@
+"""Scale-pressure probe: run the heaviest operators at ~20x the bench
+volume (sf0.1 testdata replicated with re-keyed ids and shifted time) and
+report wall times, so the "would this survive a scale-up?" claims in
+SCALE.md are measured, not asserted.
+
+Replication shapes the stress realistically:
+ - events: 20 copies shifted by k days (same per-hour density, 20x span —
+   window/aggregation state must stay bounded per key);
+ - documents: 20 copies re-keyed (every doc becomes a 20-way duplicate
+   group — the dedup pipelines face a 20x corpus whose candidate volume
+   grows ~19x pairs per group, the adversarial direction for LSH);
+ - embeddings: 20 copies re-keyed (ANN corpus 20x, same dim).
+
+Usage: python tools/scale_probe.py [replication] [sf_dir]
+Writes nothing outside a temp dir; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from hepop_spark.session import get_spark
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    d = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        big = os.path.join(d, "big")
+        os.makedirs(big)
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n_ev = ev.count()
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        (
+            ev.crossJoin(reps)
+            .select(
+                (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id"),
+                (F.col("ts") + F.make_interval(days=F.col("rep") * 31)).alias("ts"),
+                (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .write.parquet(f"{big}/events.parquet")
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+            .write.parquet(f"{big}/documents.parquet")
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_emb = emb.count()
+        (
+            emb.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+                "embedding", "label",
+            )
+            .write.parquet(f"{big}/embeddings.parquet")
+        )
+        # the TPC-H tables pass through un-replicated (probed ops below
+        # only touch events/documents/embeddings)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"):
+            src = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(src):
+                spark.read.parquet(src).write.parquet(f"{big}/{t}.parquet")
+
+        from hepop_spark.queries import registry
+
+        reg = registry()
+        probes = [
+            "ohlc_bars",            # full-scan groupBy at 20x rows
+            "session_windows",      # per-user window at 20x users
+            "cusum_shift_detect",   # two window passes at 20x days
+            "streaming_window_replay",  # stateful stream replay at 20x
+            "dedup_exact",          # hash grouping, 20-way dup groups
+            "dedup_minhash_lsh",    # LSH under adversarial 20-way groups
+            "dedup_cluster_cc",     # CC over the blown-up pair graph
+            "ann_sq8_topk",         # code-scan GEMM over 20x corpus
+            "ann_pq_topk",          # PQ ADC over 20x corpus
+            "curation_funnel",      # the whole pipeline end to end
+        ]
+        timings: dict[str, dict] = {}
+        for name in probes:
+            t0 = time.perf_counter()
+            n = reg[name].fn(spark, big).count()
+            timings[name] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "rows": n,
+            }
+        print(json.dumps({
+            "replication": k,
+            "events_rows": n_ev * k,
+            "documents_rows": n_docs * k,
+            "embeddings_rows": n_emb * k,
+            "probes": timings,
+        }))
+        return 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
