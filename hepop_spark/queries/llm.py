@@ -182,7 +182,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # and reading materialized rows (3.55s vs 4.0-4.7s) — and at 100 TB a
     # corpus-derived shingle cache wouldn't fit storage anyway, so the
     # streaming-recompute plan is the one that survives scale-up.
-    sh_raw = _shingles_raw(spark, sf)
+    return _minhash_pairs(_shingles_raw(spark, sf))
+
+
+def _minhash_pairs(sh_raw: DataFrame) -> DataFrame:
+    """The minhash->bands->candidates->exact-verify chain over any
+    (doc_id, sh) raw-shingle frame; returns (da, db, jaccard) pairs.
+    Shared by dedup_minhash_lsh (full corpus) and llm4's
+    dedup_minhash_collapsed (exact-dedup representatives)."""
     # All k minhashes in ONE aggregation (k agg expressions over one shuffle
     # on doc_id) instead of exploding by seed — at scale this kills a k×-row
     # shuffle and a second (doc, seed) aggregation exchange.

@@ -23,8 +23,10 @@ from ..catalog import load_table
 from . import QuerySpec
 from .llm import (
     COSINE_THRESHOLD,
+    DEDUP_MINHASH_SQL,
     EMBEDDING_NEARDUP_SQL,
     _DUCK_SHINGLES_CTE,
+    _minhash_pairs,
     _shingles,
     embedding_neardup,
 )
@@ -432,4 +434,78 @@ GROUP BY source, lang
 QUERIES["sample_importance_weighted"] = QuerySpec(
     sample_importance_weighted, SAMPLE_IMPORTANCE_SQL,
     "content-addressed importance sampling by quality weight",
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_collapsed — the scale-probe ordering lesson, operationalized
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash_collapsed(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash near-dup over EXACT-DEDUP REPRESENTATIVES — the production
+    ordering the 20x scale probe pinned (SCALE.md): on a corpus with
+    heavy exact duplication, raw pair enumeration is quadratic per
+    duplicate group because the true answer is (95 s on the probe corpus);
+    collapsing md5-exact groups first (one cheap shuffle) and minhashing
+    only the representatives keeps the LSH stage linear in DISTINCT
+    content while group sizes carry the duplication mass along. Output:
+    representative pairs with each side's exact-group size, which is the
+    complete answer (every member pair is implied by rep pair x member
+    sets)."""
+    docs = load_table(spark, sf, "documents")
+    groups = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n_members"))
+    )
+    reps = docs.join(groups.select(F.col("rep").alias("doc_id")), "doc_id")
+    with_t = reps.withColumn("t", F.split("text", " "))
+    sh_raw = with_t.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+            )
+        ).alias("sh"),
+    )
+    pairs = _minhash_pairs(sh_raw)
+    ga = groups.select(F.col("rep").alias("da"), F.col("n_members").alias("na_members"))
+    gb = groups.select(F.col("rep").alias("db"), F.col("n_members").alias("nb_members"))
+    return (
+        pairs.join(ga, "da")
+        .join(gb, "db")
+        .select("da", "db", "jaccard", "na_members", "nb_members")
+    )
+
+
+def _collapsed_oracle_sql() -> str:
+    """The full-corpus minhash oracle re-rooted at the representative
+    corpus: its shingle CTE's `FROM documents` becomes `FROM reps`, its
+    final SELECT becomes a CTE, and group sizes join on at the end."""
+    rerooted = DEDUP_MINHASH_SQL.replace("FROM documents", "FROM reps")
+    ctes, final = rerooted.rsplit("\nSELECT", 1)
+    ctes = ctes.strip()[len("WITH"):]
+    return f"""
+WITH groups AS (
+  SELECT md5(text) AS h, min(doc_id) AS rep, count(*) AS n_members
+  FROM documents GROUP BY md5(text)
+),
+reps AS (SELECT d.doc_id, d.text FROM documents d JOIN groups g ON d.doc_id = g.rep),
+{ctes},
+base AS (
+  SELECT{final}
+)
+SELECT base.da, base.db, base.jaccard,
+       ga.n_members AS na_members, gb.n_members AS nb_members
+FROM base
+JOIN groups ga ON base.da = ga.rep
+JOIN groups gb ON base.db = gb.rep
+"""
+
+
+QUERIES["dedup_minhash_collapsed"] = QuerySpec(
+    dedup_minhash_collapsed, _collapsed_oracle_sql(),
+    "minhash over exact-dedup representatives with group sizes",
 )
