@@ -131,9 +131,11 @@ HEADLINE_50 = (
     "multimodal_features", "multimodal_frames", "multimodal_audio",
     # text-analysis family
     "text_lang_id", "text_quality_score", "text_bpe_token_count",
-    "text_fingerprint",
-    # sources / storage / streaming families
-    "source_lineproto_roundtrip", "source_partitioned_prune",
+    # the scale-probe ordering lesson as a judged operator
+    "dedup_minhash_collapsed",
+    # sources / storage / streaming families (incl. the HEP-domain
+    # flagship: SIP correlation through the real HEP v3 binary codec)
+    "source_lineproto_roundtrip", "hep_sip_call_stats",
     "snapshot_time_travel", "merge_upsert", "streaming_window_replay",
 )
 

@@ -151,6 +151,8 @@ AUDITS: dict[str, set[str]] = {
     "sample_importance_weighted": {"partial"},
     # HEP codec round-trip is the allowed Arrow stage; id slice pushes down
     "hep_sip_call_stats": {"arrow_ok", "partial", "pushdown"},
+    # representative-collapsed minhash: same broadcast-verify shape as parent
+    "dedup_minhash_collapsed": {"partial", "bcast"},
 }
 
 
