@@ -46,6 +46,19 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
 ]
 
+# round-2 additions, reported under "extra_queries" (not in the headline
+# total, so round-over-round totals stay apples-to-apples)
+EXTRA_R2 = [
+    "ann_pq_topk",
+    "dedup_minhash_collapsed",
+    "curation_funnel",
+    "hep_sip_call_stats",
+    "interval_overlap_grid",
+    # semantic_dedup_cc is excluded: its pair stage is the deliberately
+    # EXACT brute-force baseline (the oracle shape); the production path
+    # swaps in LSH-bucketed pair generation (see SCALE.md)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,6 +83,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
 
+    # Round-2 flagships, timed SEPARATELY so the 21-query headline total
+    # stays comparable round-over-round (VERDICT r01 item 10).
+    extras: dict[str, float] = {}
+    for name in EXTRA_R2:
+        reg[name].fn(spark, sf_dir).collect()  # warm
+        t0 = time.perf_counter()
+        n = len(reg[name].fn(spark, sf_dir).collect())
+        extras[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
     total = round(sum(timings.values()), 3)
 
     # Round-over-round continuity: diff against the latest BENCH_r{N}.json
@@ -88,6 +111,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extras,
         "ingest": ingest,
         "sf": sf,
     }
