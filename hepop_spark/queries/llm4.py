@@ -509,3 +509,58 @@ QUERIES["dedup_minhash_collapsed"] = QuerySpec(
     dedup_minhash_collapsed, _collapsed_oracle_sql(),
     "minhash over exact-dedup representatives with group sizes",
 )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — Zipf-law fit over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+
+def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency table: OLS slope of
+    ln(freq) against ln(rank) (rank by freq desc, token asc — a total
+    order, so ranks are engine-identical). A natural-text corpus sits
+    near slope -1; synthetic or templated text drifts — the one-number
+    corpus-health check. The regression runs over the VOCABULARY table
+    (bounded, thousands of rows at any corpus size), so the single-pass
+    regr_* aggregates cost nothing; the corpus-sized work is one token
+    count shuffle. Rounding to 4 absorbs the engines' summation-order
+    wobble in the regr_* reductions (the accepted class used by
+    regr_by_group)."""
+    docs = load_table(spark, sf, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+        F.round(F.regr_slope(F.ln("n"), F.ln("rank")), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.ln("n"), F.ln("rank")), 4).alias("zipf_intercept"),
+    )
+
+
+ZIPF_SQL = """
+WITH freq AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+  GROUP BY tok
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM freq
+)
+SELECT count(*) AS vocab_size,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+       round(regr_intercept(ln(n), ln(rank)), 4) AS zipf_intercept
+FROM ranked
+"""
+
+QUERIES["text_zipf_fit"] = QuerySpec(
+    text_zipf_fit, ZIPF_SQL, "Zipf-law exponent fit over the vocabulary"
+)

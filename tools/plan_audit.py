@@ -153,6 +153,8 @@ AUDITS: dict[str, set[str]] = {
     "hep_sip_call_stats": {"arrow_ok", "partial", "pushdown"},
     # representative-collapsed minhash: same broadcast-verify shape as parent
     "dedup_minhash_collapsed": {"partial", "bcast"},
+    # vocab-sized regression input; token count partial-aggregates
+    "text_zipf_fit": {"partial"},
 }
 
 
