@@ -564,3 +564,93 @@ FROM ranked
 QUERIES["text_zipf_fit"] = QuerySpec(
     text_zipf_fit, ZIPF_SQL, "Zipf-law exponent fit over the vocabulary"
 )
+
+
+# ---------------------------------------------------------------------------
+# heaps_law_curve — vocabulary growth vs corpus size
+# ---------------------------------------------------------------------------
+
+
+def heaps_law_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law curve: distinct-vocabulary size after each decile of the
+    corpus (by doc_id order) — how fast new types appear as the corpus
+    grows, the measurement behind 'will more data add new vocabulary?'.
+    Uses the first-seen decomposition (a token joins the vocabulary at
+    min(doc_id)), so the cumulative distinct needs NO windowed
+    COUNT(DISTINCT): one groupBy per token (corpus-sized shuffle), then a
+    10-row-per-token bucket join — all integers, engine-exact."""
+    from ..catalog import register_views
+
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql("""
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        firsts AS (
+          SELECT tok, min(doc_id) AS first_doc
+          FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents) t
+          GROUP BY tok
+        ),
+        deciles AS (SELECT explode(sequence(1, 10)) AS decile)
+        SELECT d.decile,
+               CAST((SELECT n_docs FROM n) * d.decile DIV 10 AS BIGINT) AS docs_seen,
+               CAST(count_if(f.first_doc <
+                    (SELECT n_docs FROM n) * d.decile DIV 10) AS BIGINT) AS vocab_size
+        FROM deciles d CROSS JOIN firsts f
+        GROUP BY d.decile
+    """)
+
+
+HEAPS_SQL = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+firsts AS (
+  SELECT tok, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+  GROUP BY tok
+),
+deciles AS (SELECT unnest(generate_series(1, 10)) AS decile)
+SELECT d.decile,
+       CAST((SELECT n_docs FROM n) * d.decile // 10 AS BIGINT) AS docs_seen,
+       CAST(count(*) FILTER (WHERE f.first_doc <
+            (SELECT n_docs FROM n) * d.decile // 10) AS BIGINT) AS vocab_size
+FROM deciles d CROSS JOIN firsts f
+GROUP BY d.decile
+"""
+
+QUERIES["heaps_law_curve"] = QuerySpec(
+    heaps_law_curve, HEAPS_SQL, "vocabulary growth per corpus decile"
+)
+
+
+# ---------------------------------------------------------------------------
+# ttr_by_source — lexical diversity per source
+# ---------------------------------------------------------------------------
+
+
+def ttr_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-token ratio per source: distinct types over total tokens —
+    the lexical-diversity gate (templated/generated text scores low).
+    One aggregation on (source, token) then one on source; the only
+    double is the final single division of two exact integers."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.countDistinct("tok").alias("n_types"),
+            F.count("*").alias("n_tokens"),
+        )
+        .withColumn("ttr", F.col("n_types") / F.col("n_tokens"))
+    )
+
+
+TTR_SQL = """
+SELECT source,
+       count(DISTINCT tok) AS n_types,
+       count(*) AS n_tokens,
+       count(DISTINCT tok) / count(*) AS ttr
+FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t
+GROUP BY source
+"""
+
+QUERIES["ttr_by_source"] = QuerySpec(
+    ttr_by_source, TTR_SQL, "type-token lexical diversity per source"
+)

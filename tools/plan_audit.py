@@ -155,6 +155,8 @@ AUDITS: dict[str, set[str]] = {
     "dedup_minhash_collapsed": {"partial", "bcast"},
     # vocab-sized regression input; token count partial-aggregates
     "text_zipf_fit": {"partial"},
+    "heaps_law_curve": {"partial"},
+    "ttr_by_source": {"partial"},
 }
 
 
