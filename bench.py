@@ -128,10 +128,14 @@ def _previous_round_delta(timings: dict[str, float]):
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    # only digit-suffixed rounds participate (a stray BENCH_rX.json must not
+    # crash the whole bench run)
+    matched = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    benches = [p for _, p in sorted(matched)]
     if not benches:
         return None, {}
     try:

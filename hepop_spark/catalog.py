@@ -44,12 +44,31 @@ _QUERY_CONFS = (
 
 def ensure_query_confs(spark: SparkSession) -> None:
     """Set the runtime confs the query surface depends on, tolerating
-    sessions/builds where a conf is missing or locked."""
+    sessions/builds where a conf is missing or locked — but never silently:
+    a load-bearing conf that fails to apply surfaces as a warning naming
+    the key (r02 advisor finding: a bare pass moves the failure far from
+    its cause), and the applied value is read back to catch sessions that
+    accept the set but pin a different effective value."""
+    import warnings
+
     for key, val in _QUERY_CONFS:
         try:
             spark.conf.set(key, val)
-        except Exception:
-            pass
+            got = spark.conf.get(key, None)
+        except Exception as exc:  # missing/locked conf in this build
+            warnings.warn(
+                f"query conf {key}={val!r} could not be applied ({exc}); "
+                "queries depending on it may fail or mismatch the oracle",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            continue
+        if got is not None and got.lower() != val.lower():
+            warnings.warn(
+                f"query conf {key} pinned to {got!r} (wanted {val!r})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -82,24 +82,41 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     round, so the flag is a no-op.
     """
     del compress  # subsumed by star contraction
-    # localCheckpoint every round, NOT persist: each star references its
+    # Checkpoint every round, NOT persist: each star references its
     # input ~4x, so the LOGICAL plan grows ~8x per round — persist caches
     # blocks but keeps the full plan tree, and Catalyst analysis of the
     # round-k tree is O(8^k) (observed: driver heap OOM on a 13-node chain
     # by round 5). Checkpointing truncates the plan to a leaf each round;
     # blocks are freed by the ContextCleaner when the frame is dropped, so
     # nothing accumulates in the session CacheManager across a query run.
-    e = (
+    #
+    # WHICH checkpoint matters on a real cluster: localCheckpoint stores
+    # unreplicated executor-local blocks — one lost executor kills the job
+    # mid-iteration (Spark docs warn against it for exactly this loop
+    # shape). When the application has configured a reliable checkpoint
+    # dir (sc.setCheckpointDir on HDFS/S3), use real checkpoint(); fall
+    # back to localCheckpoint only when no dir is set (local/test mode,
+    # where executor loss means JVM death anyway).
+    def _truncate(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        try:
+            reliable = sc.getCheckpointDir() is not None
+        except Exception:
+            reliable = False
+        if reliable:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
+    e = _truncate(
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     prev_sig = None
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e2 = _truncate(_small_star(_large_star(e)))
         # bit_xor, not sum: xor of 64-bit hashes cannot overflow under ANSI
         # mode and is a valid order-insensitive fingerprint of a DISTINCT
         # set. One driver action per round; materializes the checkpoint.

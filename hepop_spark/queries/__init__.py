@@ -49,6 +49,7 @@ def registry() -> dict[str, QuerySpec]:
         llm2,
         llm3,
         llm4,
+        llm5,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -80,6 +81,7 @@ def registry() -> dict[str, QuerySpec]:
         llm2,
         llm3,
         llm4,
+        llm5,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -96,16 +98,16 @@ def registry() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(mod.QUERIES)
-    return _headline_first(out)
+    return out
 
 
-# The driver's correctness gate checks the FIRST 50 registry entries each
-# round (r01 lesson: everything after entry 50 got no hard signal). This
-# block pins a representative cross-section of every operator family —
-# reference surface, TPC-H, joins/windows/set-ops, all r01-red fixes, and
-# one-or-more of each LLM-pipeline family (dedup, ANN, multimodal, text,
-# sources, storage, streaming) — into the checked window. Order within the
-# block is family-grouped for the judge's reading convenience.
+# Curated cross-section of every operator family — reference surface, TPC-H,
+# joins/windows/set-ops, dedup, ANN, multimodal, text, sources, storage,
+# streaming. This is a SHOWCASE list for readers and for bench composition;
+# it does NOT affect registry order (r02 advisor finding: reordering the
+# dict the correctness gate samples shapes the evaluation — the gate must
+# see the registry in natural build order and sample as it pleases; the
+# builder's own tools/check_parity.py checks ALL entries every round).
 HEADLINE_50 = (
     # reference query surface (B layer)
     "b1_projection", "b2_filter_like", "b3_time_range", "b4_order_limit",
@@ -140,10 +142,3 @@ HEADLINE_50 = (
 )
 
 
-def _headline_first(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    missing = [n for n in HEADLINE_50 if n not in reg]
-    if missing:
-        raise ValueError(f"HEADLINE_50 names not in registry: {missing}")
-    head = {n: reg[n] for n in HEADLINE_50}
-    head.update((n, s) for n, s in reg.items() if n not in head)
-    return head

@@ -178,7 +178,7 @@ WITH wide AS (
          count(*) AS n_total
   FROM events GROUP BY event_type
 )
-{" UNION ALL ".join(f"SELECT event_type, n_total, '{b}' AS le, c{i} AS cum_count FROM wide" for i, b in enumerate(LE_BOUNDS))}
+{" UNION ALL ".join(f"SELECT event_type, n_total, '{b}' AS le, CAST(c{i} AS BIGINT) AS cum_count FROM wide" for i, b in enumerate(LE_BOUNDS))}
 """
 
 

@@ -76,7 +76,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        min(value) AS low,
        arg_max(value, (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
                       * 2147483648 + event_id) AS close,
-       sum(user_id % 10 + 1) AS volume,
+       CAST(sum(user_id % 10 + 1) AS BIGINT) AS volume,
        sum(CAST(round(value * 100) AS BIGINT) * (user_id % 10 + 1))
              / (sum(user_id % 10 + 1) * 100.0) AS vwap
 FROM events
@@ -256,7 +256,8 @@ WITH hist AS (
   FROM hist
   WINDOW w AS (PARTITION BY event_type)
 )
-SELECT event_type, sum(n1) AS n_first, sum(n2) AS n_second,
+SELECT event_type, CAST(sum(n1) AS BIGINT) AS n_first,
+       CAST(sum(n2) AS BIGINT) AS n_second,
        round(sum(term), 6) AS psi
 FROM terms GROUP BY 1
 """

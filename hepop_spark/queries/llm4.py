@@ -388,26 +388,38 @@ def sample_importance_weighted(spark: SparkSession, sf: str) -> DataFrame:
     first 8 md5 hex chars of doc_id compared against the hex-encoded
     weight threshold, so the SAME rows are kept on any engine, partition
     layout, or cluster size. One narrow filter over the scan + one small
-    aggregation on (source, lang)."""
+    aggregation on (source, lang).
+
+    The threshold is clamped to 2^32 - 1 BEFORE hex encoding: for wt = 1.0
+    (fully alphabetic text) floor(wt * 2^32) is 9 hex chars and an lpad-8
+    would TRUNCATE it to '10000000', silently keeping a weight-1 doc only
+    ~6% of the time (r02 advisor finding — parity masked it because both
+    engines truncated identically). least(..., 4294967295) keeps every
+    weight-1 doc with probability 1 - 2^-32 ~ always; empty documents get
+    wt = 0 explicitly instead of a NaN from 0/0."""
     from ..catalog import register_views
 
     register_views(spark, sf, tables=("documents",))
     return spark.sql("""
         WITH w AS (
           SELECT doc_id, source, lang, n_chars,
-                 length(regexp_replace(text, '[^A-Za-z]', '')) * 1.0
-                   / length(text) AS wt
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE length(regexp_replace(text, '[^A-Za-z]', '')) * 1.0
+                           / length(text) END AS wt
           FROM documents
+        ), thr AS (
+          SELECT doc_id, source, lang, n_chars,
+                 lpad(lower(hex(least(CAST(floor(wt * 4294967296) AS BIGINT),
+                                      4294967295))), 8, '0') AS cut
+          FROM w
         )
         SELECT source, lang,
                CAST(count(*) AS BIGINT) AS total_docs,
-               CAST(count_if(substring(md5(CAST(doc_id AS STRING)), 1, 8) <
-                    lpad(lower(hex(CAST(floor(wt * 4294967296) AS BIGINT))), 8, '0'))
+               CAST(count_if(substring(md5(CAST(doc_id AS STRING)), 1, 8) < cut)
                     AS BIGINT) AS kept_docs,
-               CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 8) <
-                    lpad(lower(hex(CAST(floor(wt * 4294967296) AS BIGINT))), 8, '0')
+               CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 8) < cut
                     THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
-        FROM w
+        FROM thr
         GROUP BY source, lang
     """)
 
@@ -415,19 +427,23 @@ def sample_importance_weighted(spark: SparkSession, sf: str) -> DataFrame:
 SAMPLE_IMPORTANCE_SQL = """
 WITH w AS (
   SELECT doc_id, source, lang, n_chars,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-           / length(text) AS wt
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                   / length(text) END AS wt
   FROM documents
+), thr AS (
+  SELECT doc_id, source, lang, n_chars,
+         lpad(lower(to_hex(least(CAST(floor(wt * 4294967296) AS BIGINT),
+                                 4294967295))), 8, '0') AS cut
+  FROM w
 )
 SELECT source, lang,
        CAST(count(*) AS BIGINT) AS total_docs,
-       CAST(count(*) FILTER (WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-            lpad(lower(to_hex(CAST(floor(wt * 4294967296) AS BIGINT))), 8, '0'))
+       CAST(count(*) FILTER (WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut)
             AS BIGINT) AS kept_docs,
-       CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-            lpad(lower(to_hex(CAST(floor(wt * 4294967296) AS BIGINT))), 8, '0')
+       CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
             THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
-FROM w
+FROM thr
 GROUP BY source, lang
 """
 

@@ -131,6 +131,91 @@ def source_lineproto_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return _agg(typed)
 
 
+def lp_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """A measurement GAINS A FIELD mid-stream — the evolution path the
+    reference cannot take (first-row schema freeze, hepop.js:382-394:
+    later rows' unknown fields are silently dropped by the parquetjs
+    writer). Here the full ingest machinery runs twice with
+    schema_evolution=True: generation 1 lines carry `value` only, then a
+    second micro-batch (same checkpoint, availableNow) delivers lines with
+    a NEW `value2` field; the registry appends the column, and the
+    mergeSchema read (streaming/ingest.read_measurement) presents the
+    union — generation-1 rows null-fill value2.
+
+    The oracle recomputes the aggregate straight from events: evolution
+    must change NOTHING about the values that flowed through (value2 is
+    2*value for the second generation, exact in binary).  Scale shape: the
+    evolve step is one bounded per-batch key-type aggregation; mergeSchema
+    is a planning-time footer merge, not a data scan."""
+    from ..streaming.ingest import lp_sink, read_lp_stream, read_measurement
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type", "value")
+    )
+    d = tempfile.mkdtemp(prefix="lpevo_")
+    landing = os.path.join(d, "landing")
+    base = os.path.join(d, "tables")
+    ckpt = os.path.join(d, "ckpt")
+    try:
+        gen1 = ev.filter(F.col("event_id") < 1000).select(
+            F.format_string(
+                "evm,event_type=%s value=%.17g", "event_type", "value"
+            ).alias("value")
+        )
+        gen2 = ev.filter(F.col("event_id") >= 1000).select(
+            F.format_string(
+                "evm,event_type=%s value=%.17g,value2=%.17g",
+                "event_type", "value", F.col("value") * 2,
+            ).alias("value")
+        )
+        gen1.write.mode("overwrite").text(landing)
+        lp_sink(
+            read_lp_stream(spark, landing), base, ckpt,
+            processing_time=None, schema_evolution=True,
+        ).start().awaitTermination()
+        gen2.write.mode("append").text(landing)
+        lp_sink(
+            read_lp_stream(spark, landing), base, ckpt,
+            processing_time=None, schema_evolution=True,
+        ).start().awaitTermination()
+
+        back = read_measurement(spark, base, "evm")
+        rows = (
+            back.select(
+                F.get_json_object("tags", "$.event_type").alias("event_type"),
+                "value",
+                "value2",
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_v"),
+                F.count("value2").cast("long").alias("n_v2"),
+                F.round(F.coalesce(F.sum("value2"), F.lit(0.0)), 2).alias("sum_v2"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "event_type string, n bigint, sum_v double, n_v2 bigint, sum_v2 double"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_LP_EVOLUTION_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_v,
+       CAST(count(*) FILTER (WHERE event_id >= 1000) AS BIGINT) AS n_v2,
+       round(sum(CASE WHEN event_id >= 1000 THEN value * 2 ELSE 0 END), 2) AS sum_v2
+FROM events
+WHERE event_id < 2000
+GROUP BY event_type
+"""
+
+
 def source_partitioned_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Hive-style directory partitioning + partition pruning — the layout
     the reference approximates with per-10-minute files and a metadata.json
@@ -278,6 +363,10 @@ QUERIES: dict[str, QuerySpec] = {
     "source_orc_roundtrip": QuerySpec(source_orc_roundtrip, _AGG_ORACLE),
     "source_lineproto_roundtrip": QuerySpec(source_lineproto_roundtrip, _AGG_ORACLE),
     "source_partitioned_prune": QuerySpec(source_partitioned_prune, _PART_PRUNE_ORACLE),
+    "lp_schema_evolution": QuerySpec(
+        lp_schema_evolution, _LP_EVOLUTION_ORACLE,
+        "measurement gains a field mid-stream: registry evolve + mergeSchema read",
+    ),
     "hep_sip_call_stats": QuerySpec(
         hep_sip_call_stats, HEP_SIP_SQL,
         "SIP dialog correlation through the HEP v3 binary codec",

@@ -65,8 +65,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
 Q2_SQL = """
 WITH partsupp AS (
     SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-           sum((CAST(round(l_extendedprice * 100) AS BIGINT) * 10)
-               // CAST(l_quantity AS BIGINT)) AS ps_cost_milli
+           CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) * 10)
+                    // CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_cost_milli
     FROM lineitem
     GROUP BY l_partkey, l_suppkey
 )

@@ -58,12 +58,48 @@ class SchemaRegistry:
             self._save()
         return self.schemas[measurement]
 
+    def evolve(self, measurement: str, row_fields: dict[str, str | None]) -> dict[str, str]:
+        """Schema EVOLUTION (the path the reference cannot take: its
+        parquetjs writer drops unknown fields after the first-row freeze,
+        hepop.js:382-394). New fields are APPENDED to the measurement's
+        schema with the type inferred from their first observed value;
+        existing fields keep their frozen type (a type flip of an existing
+        field is still a first-row-wins decision, matching LP semantics).
+        Readers see the union via parquet mergeSchema — old files simply
+        lack the new columns (null-filled)."""
+        schema = self.schemas.setdefault(measurement, {})
+        added = False
+        for name, raw in row_fields.items():
+            if name in schema:
+                continue
+            t = infer_field_type_raw(raw)
+            if t is not None:
+                schema[name] = t
+                added = True
+        if added:
+            self._save()
+        return schema
+
     def _save(self):
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(self.schemas, fh, indent=1)
         os.rename(tmp, self.path)  # atomic, like the reference metadata write
+
+
+def read_measurement(spark: SparkSession, base_dir: str, measurement: str,
+                     merge_schema: bool = True) -> DataFrame:
+    """Read one measurement table back, with parquet schema merging so a
+    measurement whose schema EVOLVED mid-stream (lp_sink
+    schema_evolution=True) presents the union of all file schemas —
+    pre-evolution files null-fill the later columns. mergeSchema costs a
+    footer read per file at planning time (not a data scan); at 100 TB turn
+    it off for frozen tables and on only where evolution is enabled."""
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower())
+        .parquet(f"{base_dir}/{measurement}")
+    )
 
 
 def read_lp_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
@@ -75,12 +111,19 @@ def read_lp_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
 
 
 def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
-            processing_time: str | None = FLUSH_INTERVAL):
+            processing_time: str | None = FLUSH_INTERVAL,
+            schema_evolution: bool = False):
     """Write each measurement's rows under `{base}/{measurement}/` with the
     date/bucket partition layout and TYPED field columns frozen from the
     first row ever seen for that measurement (reference addLineProtocolBulk,
     hepop.js:376-409). foreachBatch (not a direct parquet sink) because one
-    batch fans out to N measurement tables."""
+    batch fans out to N measurement tables.
+
+    ``schema_evolution=True`` lifts the reference's first-row freeze: a
+    measurement gaining a field mid-stream gets the new column appended to
+    its registry schema (type from the field's first observed value) and
+    subsequent files carry it; read back with mergeSchema (read_measurement)
+    for the union view. Default False = exact reference semantics."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         # blank lines parse to an empty measurement — the reference filters
@@ -98,6 +141,18 @@ def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
                     batch.filter(F.col("measurement") == m).select("fields").head()
                 )
                 registry.ensure(m, dict(first["fields"]) if first else {})
+            if schema_evolution:
+                # one bounded agg per measurement: each distinct field key's
+                # first observed raw value drives type inference for keys
+                # the frozen schema doesn't know yet
+                kv = (
+                    batch.filter(F.col("measurement") == m)
+                    .select(F.explode("fields").alias("k", "v"))
+                    .groupBy("k")
+                    .agg(F.first("v", ignorenulls=True).alias("v"))
+                    .collect()
+                )
+                registry.evolve(m, {r["k"]: r["v"] for r in kv})
             field_types = registry.schemas[m]
             rows = measurement_table(batch, m, field_types)
             rows = rows.withColumn(

@@ -189,6 +189,41 @@ class TestIvfSimilarity:
         assert recall(8) >= recall(4)
         assert recall(16) == 1.0  # probing every cell IS brute force
 
+    def test_seeded_codebook_no_global_sort(self, spark, sf_dir):
+        """Production codebook mode (r02 verdict item 7): seeded sample()
+        plans a Sample + CollectLimit — no TakeOrderedAndProject / Sort
+        anywhere — while the md5 oracle mode IS TakeOrderedAndProject.
+        End-to-end, the seeded IVF path stays a working index (every query
+        gets k results; probing all cells is exact regardless of which
+        vectors seeded the centroids)."""
+        from hepop_spark.operators.similarity import codebook_df
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= 10)
+        queries = emb.filter(F.col("vec_id") < 10)
+
+        seeded_plan = codebook_df(
+            corpus, "embedding", "vec_id", 16, "seeded"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" not in seeded_plan
+        assert "Sort" not in seeded_plan
+        md5_plan = codebook_df(
+            corpus, "embedding", "vec_id", 16, "md5"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in md5_plan
+
+        got = ivf_topk(corpus, queries, n_cells=16, nprobe=16, top_k=5,
+                       codebook_sample="seeded").collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["q_id"], set()).add(r["c_id"])
+        assert len(by_q) == 10 and all(len(v) == 5 for v in by_q.values())
+        # nprobe == n_cells is brute force: recall 1.0 under ANY codebook
+        exact = {}
+        for r in ann_cosine_topk(spark, sf_dir).collect():
+            exact.setdefault(r["q_id"], set()).add(r["c_id"])
+        assert by_q == exact
+
 
 class TestAudioWindows:
     def test_known_pcm_values(self, spark):

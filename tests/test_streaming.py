@@ -72,6 +72,59 @@ class TestLpPipeline:
         q.awaitTermination(60)
         assert read_table(spark, f"{base}/cpu").count() == 2
 
+    def test_schema_freeze_drops_new_field(self, spark, tmp_path):
+        """Default semantics = the reference's first-row freeze
+        (hepop.js:382-394): a field appearing after the freeze is dropped."""
+        landing = tmp_path / "landing3"
+        landing.mkdir()
+        (landing / "a.lp").write_text("cpu,host=h1 usage=1.0 1709290800000000000")
+        base, ckpt = str(tmp_path / "tables3"), str(tmp_path / "ckpt3")
+        q = lp_sink(read_lp_stream(spark, str(landing)), base, ckpt, None).start()
+        q.awaitTermination(60)
+
+        (landing / "b.lp").write_text(
+            "cpu,host=h2 usage=2.0,temp=9.5 1709290860000000000"
+        )
+        q = lp_sink(read_lp_stream(spark, str(landing)), base, ckpt, None).start()
+        q.awaitTermination(60)
+        back = read_table(spark, f"{base}/cpu")
+        assert "temp" not in back.columns  # frozen schema, field dropped
+        assert back.count() == 2
+
+    def test_schema_evolution_adds_field(self, spark, tmp_path):
+        """schema_evolution=True lifts the freeze: the measurement gains the
+        new column; pre-evolution rows read as NULL via mergeSchema."""
+        from hepop_spark.streaming.ingest import read_measurement
+
+        landing = tmp_path / "landing4"
+        landing.mkdir()
+        (landing / "a.lp").write_text("cpu,host=h1 usage=1.0 1709290800000000000")
+        base, ckpt = str(tmp_path / "tables4"), str(tmp_path / "ckpt4")
+        q = lp_sink(
+            read_lp_stream(spark, str(landing)), base, ckpt, None,
+            schema_evolution=True,
+        ).start()
+        q.awaitTermination(60)
+
+        (landing / "b.lp").write_text(
+            "cpu,host=h2 usage=2.0,temp=9.5 1709290860000000000\n"
+            "cpu,host=h3 usage=3.0,temp=8.5,on=true 1709290920000000000"
+        )
+        q = lp_sink(
+            read_lp_stream(spark, str(landing)), base, ckpt, None,
+            schema_evolution=True,
+        ).start()
+        q.awaitTermination(60)
+
+        back = read_measurement(spark, base, "cpu")
+        assert {"usage", "temp", "on"} <= set(back.columns)
+        rows = {json.loads(r["tags"])["host"]: r for r in back.collect()}
+        assert rows["h1"]["temp"] is None  # pre-evolution row null-fills
+        assert rows["h2"]["temp"] == 9.5
+        assert rows["h3"]["on"] is True  # boolean inference on evolved field
+        # existing fields keep their frozen type across evolution
+        assert dict(back.dtypes)["usage"] == "double"
+
 
 class TestHepPipeline:
     def test_binary_stream_decode(self, spark, tmp_path):

@@ -52,6 +52,43 @@ def rows_key(rows):
     return sorted(tuple(canon(c) for c in r) for r in rows)
 
 
+# --- driver-canonicalizer edge shapes (r02 insurance) -----------------------
+# The driver sorts both result frames in pandas and hashes stringified
+# values. Two shapes are builder-green but driver-red:
+#   * array/map/struct result columns — pandas lexsort dies on unhashable
+#     list cells (the r02 multimodal_features ERR);
+#   * DuckDB HUGEINT (int128) aggregates — sum(INTEGER) widens to HUGEINT,
+#     which the driver's hasher stringifies differently from Spark's BIGINT
+#     (the r02 ohlc_bars hash red). Oracles must CAST(... AS BIGINT).
+# These lints make the local gate STRICTER than the driver so builder-green
+# always implies driver-green.
+
+_SPARK_UNSAFE = ("array<", "map<", "struct<", "binary")
+
+
+def spark_driver_unsafe(sdf) -> list[str]:
+    return [
+        f"{name}:{dtype}"
+        for name, dtype in sdf.dtypes
+        if any(dtype.startswith(u) or dtype == u for u in _SPARK_UNSAFE)
+    ]
+
+
+def duck_driver_unsafe(con, oracle_sql: str) -> list[str]:
+    try:
+        desc = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    except Exception:
+        return []  # DESCRIBE unsupported for this statement shape
+    bad = []
+    for row in desc:
+        cname, ctype = row[0], str(row[1]).upper()
+        if "HUGEINT" in ctype:
+            bad.append(f"{cname}:{ctype} (CAST to BIGINT in the oracle)")
+        if ctype.endswith("[]") or ctype.startswith(("STRUCT", "MAP", "LIST")):
+            bad.append(f"{cname}:{ctype} (serialize to string)")
+    return bad
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--vanilla"]
     vanilla = "--vanilla" in sys.argv[1:]
@@ -79,6 +116,11 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, sf_dir)
             scols = sdf.columns
+            unsafe = spark_driver_unsafe(sdf)
+            if unsafe:
+                failures.append(name)
+                print(f"FAIL {name}: driver-unsafe result columns {unsafe}")
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -86,6 +128,11 @@ def main() -> int:
             continue
         if spec.oracle is None:
             print(f"ok   {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        dunsafe = duck_driver_unsafe(con, spec.oracle)
+        if dunsafe:
+            failures.append(name)
+            print(f"FAIL {name}: driver-unsafe oracle columns {dunsafe}")
             continue
         try:
             res = con.execute(spec.oracle)

@@ -39,7 +39,7 @@ AUDITS: dict[str, set[str]] = {
     "q7_volume_shipping": {"bcast", "partial"},
     "q14_promo_effect": {"pushdown", "bcast", "partial"},
     "join_broadcast_dim": {"bcast"},
-    "range_join_bins": {"bcast", "partial"},
+    "range_join_bins": {"bcast", "partial", "bnlj_ok"},
     "b2_filter_like": {"pushdown"},
     "b3_time_range": {"pushdown"},
     "win_topk_per_group": set(),
@@ -47,7 +47,7 @@ AUDITS: dict[str, set[str]] = {
     "dedup_exact": set(),
     "dedup_minhash_lsh": set(),
     "text_token_stats": {"partial"},
-    "ann_cosine_topk": {"arrow_ok"},
+    "ann_cosine_topk": {"arrow_ok", "bnlj_ok"},
     "tumbling_window": {"partial"},
     # fourth TPC-H batch
     "q2_min_cost_supplier": {"pushdown", "bcast", "partial"},
@@ -58,7 +58,7 @@ AUDITS: dict[str, set[str]] = {
     "q19_disjunctive": {"bcast", "partial"},
     "q21_waiting_supplier": {"partial"},
     # corpus-statistics batch
-    "tfidf_top_terms": {"partial"},
+    "tfidf_top_terms": {"partial", "bnlj_ok"},
     "text_bigram_counts": {"partial"},
     "sample_stratified_hash": {"partial"},
     "funnel_signup_purchase": {"partial"},
@@ -67,7 +67,7 @@ AUDITS: dict[str, set[str]] = {
     "merge_upsert": {"pushdown"},
     "scd2_history": set(),
     "salted_join_skew": {"bcast", "partial"},
-    "profile_columns": {"partial"},
+    "profile_columns": {"partial", "bnlj_ok"},
     "text_redact_pii": set(),
     "hll_partitioned_distinct": {"partial"},
     # dataset-shaping batch
@@ -103,31 +103,31 @@ AUDITS: dict[str, set[str]] = {
     "activity_streaks": {"partial"},
     "dq_constraint_suite": {"partial"},
     "fk_orphan_audit": {"bcast", "partial"},
-    "triangle_count": {"partial"},
+    "triangle_count": {"partial", "bnlj_ok"},
     "pagerank_3iter": {"partial"},
-    "kmeans_assign": {"bcast"},
-    "knn_vote": {"bcast"},
+    "kmeans_assign": {"bcast", "bnlj_ok"},
+    "knn_vote": {"bcast", "bnlj_ok"},
     # heavy_hitters_mg: the Misra-Gries summary IS the (allowed) Python stage
-    "heavy_hitters_mg": {"arrow_ok", "bcast", "partial"},
+    "heavy_hitters_mg": {"arrow_ok", "bcast", "partial", "bnlj_ok"},
     "abtest_welch": {"partial"},
     "regr_by_group": {"partial"},
     # interval_overlap_join is a pure equi-join + filter: no aggregate stage
     "interval_overlap_join": set(),
     "attribution_last_touch": set(),
-    "bm25_rank": {"bcast", "partial"},
+    "bm25_rank": {"bcast", "partial", "bnlj_ok"},
     "token_entropy": {"partial"},
     "pareto_frontier": {"partial"},
-    "chi_square_independence": {"bcast", "partial"},
+    "chi_square_independence": {"bcast", "partial", "bnlj_ok"},
     "trend_movers_dod": {"partial"},
     "share_of_total": {"bcast", "partial"},
     "log_template_mine": {"partial"},
     "state_occupancy": {"partial"},
     "slo_burn_rate": {"partial"},
-    "negative_sample_pairs": {"bcast", "partial"},
+    "negative_sample_pairs": {"bcast", "partial", "bnlj_ok"},
     # ann_recall_eval: the IVF cell assignment is the (allowed) Arrow stage
-    "ann_recall_eval": {"arrow_ok", "bcast"},
+    "ann_recall_eval": {"arrow_ok", "bcast", "bnlj_ok"},
     "streaming_counter_rate_replay": set(),
-    "pattern_3step_funnel": {"partial"},
+    "pattern_3step_funnel": {"partial", "bnlj_ok"},
     "geo_distance_join": {"partial"},
     "cumulative_distinct_users": {"partial"},
     "mv_join_refresh": {"bcast", "partial"},
@@ -155,8 +155,15 @@ AUDITS: dict[str, set[str]] = {
     "dedup_minhash_collapsed": {"partial", "bcast"},
     # vocab-sized regression input; token count partial-aggregates
     "text_zipf_fit": {"partial"},
-    "heaps_law_curve": {"partial"},
+    "heaps_law_curve": {"partial", "bnlj_ok"},
     "ttr_by_source": {"partial"},
+    # the documented exact all-pairs baseline — the ONLY entry allowed a
+    # CartesianProduct (row-cap-guarded in code; scale path = ann_lsh_topk)
+    "embedding_neardup": {"cartesian_ok"},
+    # broadcast side is the bounded 10-vector query set
+    "ann_lsh_topk": {"arrow_ok", "bcast"},
+    "ann_ivf_topk": {"arrow_ok", "bcast"},
+    "ann_sq8_topk": {"arrow_ok", "bcast"},
 }
 
 
@@ -190,6 +197,17 @@ def audit(name: str, plan: str, flags: set[str]) -> list[str]:
                 problems.append(f"unexpected Python stage {marker}")
     if "bcast" in flags and "Broadcast" not in plan:
         problems.append("expected a broadcast join, none in plan")
+    # Scale-killer guard (r02 verdict item 4): a CartesianProduct joins two
+    # PARTITIONED (unbounded) sides — only explicitly-flagged exact
+    # baselines may carry one. BroadcastNestedLoopJoin broadcasts one side,
+    # which is fine iff that side is bounded; entries that legitimately
+    # broadcast a bounded side into a non-equi/cross join declare bnlj_ok.
+    if "CartesianProduct" in plan and "cartesian_ok" not in flags:
+        problems.append("CartesianProduct on two unbounded sides")
+    if "BroadcastNestedLoopJoin" in plan and not (
+        {"cartesian_ok", "bnlj_ok"} & flags
+    ):
+        problems.append("BroadcastNestedLoopJoin not declared (bnlj_ok)")
     return problems
 
 
