@@ -42,6 +42,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -75,6 +76,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         mining_q,
         timeseries,
         llm,
