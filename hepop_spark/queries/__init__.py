@@ -51,6 +51,7 @@ def registry() -> dict[str, QuerySpec]:
         llm3,
         llm4,
         llm5,
+        llm6,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -84,6 +85,7 @@ def registry() -> dict[str, QuerySpec]:
         llm3,
         llm4,
         llm5,
+        llm6,
         functions_ext,
         functions_ext2,
         functions_ext3,
