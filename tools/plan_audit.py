@@ -164,6 +164,24 @@ AUDITS: dict[str, set[str]] = {
     "ann_lsh_topk": {"arrow_ok", "bcast"},
     "ann_ivf_topk": {"arrow_ok", "bcast"},
     "ann_sq8_topk": {"arrow_ok", "bcast"},
+    # round-3 statistics batch (analytics10.py)
+    "benford_first_digit": {"pushdown", "partial", "bcast"},
+    "mutual_information_cells": {"bcast", "partial"},
+    "gini_split_eval": {"partial"},
+    "calibration_bins": {"partial"},
+    "kanonymity_audit": {"bcast", "partial"},
+    "entropy_by_column": {"bcast", "partial"},
+    "quantile_bins_equidepth": {"partial"},
+    "winsorize_clip": {"bcast", "partial"},
+    # round-3 LLM batch (llm6.py)
+    "pmi_collocations": {"bcast", "partial"},
+    "rare_token_oov_rate": {"bcast", "partial"},
+    "lsh_range_search": {"partial"},
+    "feature_hashing_vec": {"pushdown", "partial"},
+    "target_encoding_loo": {"bcast", "partial"},
+    "tokenizer_bpe_apply": {"partial"},
+    "copurchase_jaccard": {"bcast", "partial"},
+    "embedding_centroid_dist": {"bcast", "partial"},
 }
 
 
