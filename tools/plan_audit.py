@@ -164,21 +164,25 @@ AUDITS: dict[str, set[str]] = {
     "ann_lsh_topk": {"arrow_ok", "bcast"},
     "ann_ivf_topk": {"arrow_ok", "bcast"},
     "ann_sq8_topk": {"arrow_ok", "bcast"},
-    # round-3 statistics batch (analytics10.py)
-    "benford_first_digit": {"pushdown", "partial", "bcast"},
-    "mutual_information_cells": {"bcast", "partial"},
+    # round-3 statistics batch (analytics10.py). bnlj_ok entries join a
+    # broadcast 1-ROW aggregate (grand total / scalar marginal) — a scalar
+    # BNLJ is constant-cost at any corpus scale, unlike a cartesian.
+    "benford_first_digit": {"pushdown", "partial", "bcast", "bnlj_ok"},
+    "mutual_information_cells": {"bcast", "partial", "bnlj_ok"},
     "gini_split_eval": {"partial"},
     "calibration_bins": {"partial"},
-    "kanonymity_audit": {"bcast", "partial"},
+    "kanonymity_audit": {"bcast", "partial", "bnlj_ok"},
     "entropy_by_column": {"bcast", "partial"},
     "quantile_bins_equidepth": {"partial"},
     "winsorize_clip": {"bcast", "partial"},
     # round-3 LLM batch (llm6.py)
-    "pmi_collocations": {"bcast", "partial"},
+    "pmi_collocations": {"bcast", "partial", "bnlj_ok"},
     "rare_token_oov_rate": {"bcast", "partial"},
-    "lsh_range_search": {"partial"},
+    # range search: the only aggregate is the keys-only pair distinct
+    # (no partial_* functions in the plan); candidate gen is an equi-join
+    "lsh_range_search": set(),
     "feature_hashing_vec": {"pushdown", "partial"},
-    "target_encoding_loo": {"bcast", "partial"},
+    "target_encoding_loo": {"bcast", "partial", "bnlj_ok"},
     "tokenizer_bpe_apply": {"partial"},
     "copurchase_jaccard": {"bcast", "partial"},
     "embedding_centroid_dist": {"bcast", "partial"},
