@@ -43,6 +43,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics8,
         analytics9,
         analytics10,
+        analytics11,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -78,6 +79,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics8,
         analytics9,
         analytics10,
+        analytics11,
         mining_q,
         timeseries,
         llm,
