@@ -186,6 +186,18 @@ AUDITS: dict[str, set[str]] = {
     "tokenizer_bpe_apply": {"partial"},
     "copurchase_jaccard": {"bcast", "partial"},
     "embedding_centroid_dist": {"bcast", "partial"},
+    # round-3 model-eval batch (analytics11.py)
+    "auc_roc_exact": {"partial"},
+    "ks_test_twosample": {"pushdown", "partial", "bnlj_ok"},  # scalar totals join
+    "bootstrap_ci_hash": {"pushdown", "partial"},
+    # top-k order stats: TakeOrdered window + broadcast scalar, no aggregate
+    "tail_index_hill": {"bcast", "bnlj_ok"},  # broadcast 1-row x_k
+    "dp_noise_count": {"partial"},
+    # iterative cached-edge loop; covered by the no-Python check
+    "label_propagation_3iter": set(),
+    # pure narrow map — 16 dot products per row, zero shuffles
+    "random_projection_reduce": set(),
+    "ngram_lm_bigram": {"bcast", "partial", "bnlj_ok"},
 }
 
 
