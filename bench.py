@@ -57,6 +57,13 @@ EXTRA_R2 = [
     # semantic_dedup_cc is excluded: its pair stage is the deliberately
     # EXACT brute-force baseline (the oracle shape); the production path
     # swaps in LSH-bucketed pair generation (see SCALE.md)
+    # round-3 flagships: the production LSH range search, the one-pass
+    # model-eval statistics, and collocation mining
+    "lsh_range_search",
+    "auc_roc_exact",
+    "pmi_collocations",
+    "copurchase_jaccard",
+    "gini_split_eval",
 ]
 
 
