@@ -44,6 +44,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics9,
         analytics10,
         analytics11,
+        analytics12,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -81,6 +82,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics9,
         analytics10,
         analytics11,
+        analytics12,
         mining_q,
         timeseries,
         llm,
