@@ -198,6 +198,18 @@ AUDITS: dict[str, set[str]] = {
     # pure narrow map — 16 dot products per row, zero shuffles
     "random_projection_reduce": set(),
     "ngram_lm_bigram": {"bcast", "partial", "bnlj_ok"},
+    # round-3 VoIP batch (voip_q.py): planted-dialog plants are narrow maps,
+    # rollups are bounded-key aggregations
+    "sip_response_class_rates": {"pushdown", "partial"},
+    "sip_pdd_percentiles": {"pushdown", "partial"},
+    "rtcp_mos_rollup": {"pushdown", "partial"},
+    "call_duration_log_hist": {"pushdown", "partial", "bcast", "bnlj_ok"},
+    "sip_retransmission_rate": {"pushdown", "partial"},
+    # round-3 SQL-surface batch (analytics12.py)
+    "agg_modern_funcs": {"partial"},
+    "hierarchy_rollup_tree": {"partial"},
+    "table_checksum": {"partial"},
+    "weighted_percentile_disc": {"partial"},
 }
 
 
