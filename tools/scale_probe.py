@@ -97,6 +97,12 @@ def main() -> int:
             "ann_sq8_topk",         # code-scan GEMM over 20x corpus
             "ann_pq_topk",          # PQ ADC over 20x corpus
             "curation_funnel",      # the whole pipeline end to end
+            # round-3 heavies (20x documents/embeddings/events is the
+            # adversarial direction for each)
+            "lsh_range_search",     # bucket self-join under 20-way dup groups
+            "embedding_centroid_dist",  # exact-grid centroids over 20x corpus
+            "pmi_collocations",     # pair counts at 20x corpus volume
+            "auc_roc_exact",        # rank-sum AUC at 20x events
         ]
         timings: dict[str, dict] = {}
         for name in probes:
