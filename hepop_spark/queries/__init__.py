@@ -54,6 +54,7 @@ def registry() -> dict[str, QuerySpec]:
         llm4,
         llm5,
         llm6,
+        llm7,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -61,6 +62,7 @@ def registry() -> dict[str, QuerySpec]:
         sources_q,
         streaming_q,
         timeseries,
+        timeseries2,
         udf_surface,
         voip_q,
         tpch_more,
@@ -85,12 +87,14 @@ def registry() -> dict[str, QuerySpec]:
         analytics12,
         mining_q,
         timeseries,
+        timeseries2,
         llm,
         llm2,
         llm3,
         llm4,
         llm5,
         llm6,
+        llm7,
         functions_ext,
         functions_ext2,
         functions_ext3,

@@ -1,0 +1,326 @@
+"""Round-3 text/embedding batch two: RAKE keyword extraction, k-NN graph
+construction from LSH candidates, and near-dup threshold calibration via
+a similarity histogram over candidate pairs.
+
+Reference scope: north-star extensions over the opaque-payload store.
+
+Engine-parity rules as established: fixed stopword list embedded in both
+plans, md5-derived hyperplanes for LSH, exact integer counts, round-4
+similarity grid, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+from .llm6 import RANGE_BITS, RANGE_TABLES
+from ..operators.similarity import _hyperplanes, with_lsh_bucket
+
+# ---------------------------------------------------------------------------
+# keyword_rake_topk — RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+# fixed function-word list (RAKE delimiter set), embedded in both plans
+RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+RAKE_TOP = 50
+RAKE_MAX_PHRASE = 3
+
+
+def keyword_rake_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) over the corpus: candidate
+    phrases are maximal stopword-free token runs (capped at 3 words);
+    phrase score = sum over member words of deg(w)/freq(w), where deg(w)
+    counts co-membership slots across all candidate occurrences. Top-50
+    phrases by (score, phrase) with integer-exact deg/freq and one
+    division per word.
+
+    Scale: phrase segmentation is a narrow map (regex split on the
+    stopword set); word stats and phrase scores are vocabulary-bounded
+    aggregations; the corpus never shuffles."""
+    docs = load_table(spark, sf, "documents")
+    # token-wise stopword masking (NO regex: DuckDB's RE2 has no
+    # lookaround, and literal-replace chains mis-handle adjacent
+    # stopwords) — map each stopword token to '|', rejoin, split on '|'
+    sw_list = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    masked = F.expr(
+        "array_join(transform(split(text, ' '), "
+        f"t -> CASE WHEN t IN ({sw_list}) THEN '|' ELSE t END), ' ')"
+    )
+    phrases = docs.select(
+        F.explode(F.split(masked, r"\|")).alias("phrase_raw")
+    ).select(F.trim(F.col("phrase_raw")).alias("phrase")).filter(
+        (F.col("phrase") != "") & (F.size(F.split(F.col("phrase"), " ")) <= RAKE_MAX_PHRASE)
+    )
+    pw = phrases.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    # freq(w) = occurrences in candidates; deg(w) = sum of phrase lengths
+    wstats = pw.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = (
+        pw.join(F.broadcast(wstats), "w")
+        .groupBy("phrase")
+        .agg(
+            (F.count("*") / F.max("plen")).cast("long").alias("n_occurrences"),
+            F.round(F.sum(F.col("deg") / F.col("freq")) / F.max("plen"), 4).alias(
+                "score_per_occurrence"
+            ),
+        )
+    )
+    wtop = Window.orderBy(F.col("score_per_occurrence").desc(), F.col("phrase"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop).cast("long"))
+        .filter(F.col("rk") <= RAKE_TOP)
+        .select("phrase", "n_occurrences", "score_per_occurrence", "rk")
+    )
+
+
+def _rake_sql() -> str:
+    sw_list = ", ".join(f"''{w}''" for w in RAKE_STOPWORDS).replace("''", "'")
+    return f"""
+WITH masked AS (
+  SELECT array_to_string(list_transform(string_split(text, ' '),
+           t -> CASE WHEN t IN ({sw_list}) THEN '|' ELSE t END), ' ') AS m
+  FROM documents
+), phr AS (
+  SELECT trim(p) AS phrase
+  FROM masked, unnest(string_split(m, '|')) t(p)
+  WHERE trim(p) != '' AND len(string_split(trim(p), ' ')) <= {RAKE_MAX_PHRASE}
+), pw AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS w
+  FROM phr
+), wstats AS (
+  SELECT w, count(*) AS freq, sum(plen) AS deg FROM pw GROUP BY w
+), scored AS (
+  SELECT phrase,
+         CAST(count(*) / max(plen) AS BIGINT) AS n_occurrences,
+         round(sum(deg * 1.0 / freq) / max(plen), 4) AS score_per_occurrence
+  FROM pw JOIN wstats USING (w)
+  GROUP BY phrase
+)
+SELECT phrase, n_occurrences, score_per_occurrence,
+       CAST(row_number() OVER (ORDER BY score_per_occurrence DESC, phrase) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {RAKE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_build — k-NN graph from LSH candidates
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def knn_graph_build(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN graph construction over the embedding corpus — the input
+    structure for NN-descent / HNSW-style indexes and graph-based
+    clustering: candidate neighbors from the 4-table sign-LSH self-join
+    (never all pairs), exact cosine on candidates, top-k per node with
+    deterministic tie-break. Directed edges (node, nbr, sim, rk).
+
+    Scale: identical candidate complexity to lsh_range_search; the per-
+    node top-k is a bounded window over candidate edges only."""
+    emb = load_table(spark, sf, "embeddings")
+    b = emb
+    for t in range(RANGE_TABLES):
+        b = with_lsh_bucket(b, "embedding", 64, RANGE_BITS, seed=42 + 977 * t,
+                            out_col=f"_b{t}")
+    tables = F.array(*[F.col(f"_b{t}") for t in range(RANGE_TABLES)])
+    buck = b.select("vec_id", F.posexplode(tables).alias("tbl", "bucket"))
+    cand = (
+        buck.alias("x")
+        .join(buck.alias("y"), ["tbl", "bucket"])
+        .select(
+            F.col("x.vec_id").alias("node"), F.col("y.vec_id").alias("nbr")
+        )
+        .filter(F.col("node") != F.col("nbr"))
+        .distinct()
+    )
+    vecs = emb.select("vec_id", "embedding")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        cand.join(vecs.select(F.col("vec_id").alias("node"), F.col("embedding").alias("va")), "node")
+        .join(vecs.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("vb")), "nbr")
+        .withColumn("sim", F.round(dot / (norm("va") * norm("vb")), 4))
+        .select("node", "nbr", "sim")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KNN_K)
+        .select("node", "nbr", "sim", "rk")
+    )
+
+
+def _knn_graph_sql() -> str:
+    rows = []
+    for t in range(RANGE_TABLES):
+        for b, plane in enumerate(_hyperplanes(64, RANGE_BITS, seed=42 + 977 * t)):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {b}, CAST({arr} AS DOUBLE[]))")
+    planes_values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, bit, plane) AS (VALUES {planes_values}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+  SELECT e.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                  THEN 1 << p.bit ELSE 0 END) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS node, y.vec_id AS nbr
+  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.vec_id != y.vec_id
+),
+scored AS (
+  SELECT c.node, c.nbr, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+  FROM cand c JOIN emb a ON a.vec_id = c.node JOIN emb b ON b.vec_id = c.nbr
+)
+SELECT node, nbr, sim, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr) AS BIGINT) AS rk
+  FROM scored)
+WHERE rk <= {KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_sim_histogram — near-dup threshold calibration
+# ---------------------------------------------------------------------------
+
+SIM_BIN_E2 = 5  # 0.05-wide bins on the similarity axis
+
+
+def embedding_sim_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold-calibration histogram: cosine similarities of ALL LSH
+    candidate pairs bucketed into 0.05-wide bins — the curve an operator
+    reads to pick the dedup threshold (where does the near-dup mode
+    separate from the background?). One pass over candidates; counts per
+    bin plus each bin's cumulative share from the top.
+
+    Scale: candidate generation is the bucket self-join; the histogram is
+    a bounded-key (≤40 bins) aggregate with a window over bins only."""
+    emb = load_table(spark, sf, "embeddings")
+    b = emb
+    for t in range(RANGE_TABLES):
+        b = with_lsh_bucket(b, "embedding", 64, RANGE_BITS, seed=42 + 977 * t,
+                            out_col=f"_b{t}")
+    tables = F.array(*[F.col(f"_b{t}") for t in range(RANGE_TABLES)])
+    buck = b.select("vec_id", F.posexplode(tables).alias("tbl", "bucket"))
+    cand = (
+        buck.alias("x")
+        .join(buck.alias("y"), ["tbl", "bucket"])
+        .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .distinct()
+    )
+    vecs = emb.select("vec_id", "embedding")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        cand.join(vecs.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")), "a_id")
+        .join(vecs.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")), "b_id")
+        .withColumn("sim", F.round(dot / (norm("va") * norm("vb")), 4))
+    )
+    bin_lo = (F.floor(F.col("sim") * 100 / SIM_BIN_E2) * SIM_BIN_E2).cast("long")
+    g = scored.select(bin_lo.alias("bin_lo_e2")).groupBy("bin_lo_e2").agg(
+        F.count("*").alias("n")
+    )
+    tot = g.agg(F.sum("n").alias("total"))
+    wcum = Window.orderBy(F.col("bin_lo_e2").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("cum_from_top", F.sum("n").over(wcum))
+        .select(
+            "bin_lo_e2",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("cum_from_top") / F.col("total"), 6).alias("cum_share_from_top"),
+        )
+        .orderBy("bin_lo_e2")
+    )
+
+
+def _sim_hist_sql() -> str:
+    rows = []
+    for t in range(RANGE_TABLES):
+        for b, plane in enumerate(_hyperplanes(64, RANGE_BITS, seed=42 + 977 * t)):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {b}, CAST({arr} AS DOUBLE[]))")
+    planes_values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, bit, plane) AS (VALUES {planes_values}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+  SELECT e.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                  THEN 1 << p.bit ELSE 0 END) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT round(list_cosine_similarity(a.v, b.v), 4) AS sim
+  FROM cand c JOIN emb a ON a.vec_id = c.a_id JOIN emb b ON b.vec_id = c.b_id
+),
+g AS (
+  SELECT CAST(floor(sim * 100 / {SIM_BIN_E2}) * {SIM_BIN_E2} AS BIGINT) AS bin_lo_e2,
+         count(*) AS n
+  FROM scored GROUP BY 1
+), tot AS (SELECT sum(n) AS total FROM g)
+SELECT bin_lo_e2, CAST(n AS BIGINT) AS n,
+       round(sum(n) OVER (ORDER BY bin_lo_e2 DESC) * 1.0 / total, 6) AS cum_share_from_top
+FROM g, tot
+ORDER BY bin_lo_e2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "keyword_rake_topk": QuerySpec(
+        keyword_rake_topk, _rake_sql(),
+        "RAKE keyword extraction: stopword-run phrases, deg/freq scores",
+    ),
+    "knn_graph_build": QuerySpec(
+        knn_graph_build, _knn_graph_sql(),
+        "k-NN graph from LSH candidates, top-k directed edges per node",
+    ),
+    "embedding_sim_histogram": QuerySpec(
+        embedding_sim_histogram, _sim_hist_sql(),
+        "candidate-pair similarity histogram for threshold calibration",
+    ),
+}
