@@ -210,6 +210,14 @@ AUDITS: dict[str, set[str]] = {
     "hierarchy_rollup_tree": {"partial"},
     "table_checksum": {"partial"},
     "weighted_percentile_disc": {"partial"},
+    # round-3 batch three (llm7.py / timeseries2.py)
+    "keyword_rake_topk": {"bcast", "partial"},
+    # keys-only pair distinct (no partial_* funcs), like lsh_range_search
+    "knn_graph_build": set(),
+    "embedding_sim_histogram": {"partial", "bcast", "bnlj_ok"},
+    "downsample_m4": {"partial"},
+    "seasonal_residual_stats": {"bcast", "partial"},
+    "partition_skew_stats": {"partial", "bcast", "bnlj_ok"},
 }
 
 
