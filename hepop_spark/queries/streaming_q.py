@@ -715,3 +715,63 @@ WHERE rk <= 3
 QUERIES["streaming_topk_replay"] = QuerySpec(
     streaming_topk_replay, STREAMING_TOPK_SQL
 )
+
+
+def streaming_m4_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """M4 downsampling AS A STREAM (round-3 downsample_m4's streaming
+    twin): first/last/min/max per hourly window per event_type are all
+    monoid aggregates, so the dashboard downsample runs incrementally
+    under a watermark with bounded state — final values must hash-match
+    the batch M4 table. The live-charting shape: the sink holds 4 points
+    per (type, hour) whatever the ingest volume."""
+
+    def transform(stream: DataFrame) -> DataFrame:
+        cents = F.round(F.col("value") * 100).cast("long")
+        tkey = (F.unix_micros("ts") % 3_600_000_000) * 2_097_152 + F.col("event_id")
+        return (
+            stream.select(
+                "event_type", "ts", cents.alias("cents"), tkey.alias("tkey")
+            )
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_raw"),
+                F.min_by("cents", "tkey").cast("long").alias("first_cents"),
+                F.max_by("cents", "tkey").cast("long").alias("last_cents"),
+                F.min("cents").cast("long").alias("min_cents"),
+                F.max("cents").cast("long").alias("max_cents"),
+            )
+            .select(
+                fmt_ts(F.col("w.start"), "win_start"), "event_type", "n_raw",
+                "first_cents", "last_cents", "min_cents", "max_cents",
+            )
+        )
+
+    return _replay(
+        spark, sf, transform,
+        "win_start string, event_type string, n_raw bigint, first_cents bigint, "
+        "last_cents bigint, min_cents bigint, max_cents bigint",
+    )
+
+
+STREAMING_M4_SQL = f"""
+WITH base AS (
+  SELECT event_type, strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         (epoch_us(ts) % 3600000000) * 2097152 + event_id AS tkey
+  FROM events
+)
+SELECT win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(min_by(cents, tkey) AS BIGINT) AS first_cents,
+       CAST(max_by(cents, tkey) AS BIGINT) AS last_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM base
+GROUP BY win_start, event_type
+"""
+
+QUERIES["streaming_m4_replay"] = QuerySpec(
+    streaming_m4_replay, STREAMING_M4_SQL,
+    "M4 downsample as a watermarked stream == batch M4 table",
+)
