@@ -324,3 +324,134 @@ QUERIES: dict[str, QuerySpec] = {
         "candidate-pair similarity histogram for threshold calibration",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# lsh_range_search_collapsed — range search over exact-dup representatives
+# ---------------------------------------------------------------------------
+
+
+def lsh_range_search_collapsed(spark: SparkSession, sf: str) -> DataFrame:
+    """The production range-search recipe under duplicate-heavy corpora
+    (the 20x probe measured raw lsh_range_search emitting 520k pairs in
+    213s because range-search OUTPUT is quadratic in duplicate
+    multiplicity): collapse exact-identical vectors to one representative
+    first (e5-grid md5 key), range-search only representatives, and
+    report group sizes instead of expanding pairs — the
+    dedup_minhash_collapsed lesson applied to the embedding path.
+
+    Scale: the collapse is one hash groupBy; candidate volume then scales
+    with DISTINCT vectors, and the n_a*n_b expansion stays virtual."""
+    emb = load_table(spark, sf, "embeddings")
+    vkey = F.md5(
+        F.expr(
+            "array_join(transform(embedding, x -> cast(cast(round(cast(x as double) * 100000) as bigint) as string)), ',')"
+        )
+    )
+    groups = emb.select(vkey.alias("vkey"), "vec_id").groupBy("vkey").agg(
+        F.min("vec_id").alias("rep_id"), F.count("*").alias("n_members")
+    )
+    reps = groups.join(
+        emb.select(F.col("vec_id").alias("rep_id"), "embedding"), "rep_id"
+    ).select("rep_id", "n_members", "embedding")
+
+    b = reps
+    for t in range(RANGE_TABLES):
+        b = with_lsh_bucket(b, "embedding", 64, RANGE_BITS, seed=42 + 977 * t,
+                            out_col=f"_b{t}")
+    tables = F.array(*[F.col(f"_b{t}") for t in range(RANGE_TABLES)])
+    buck = b.select("rep_id", F.posexplode(tables).alias("tbl", "bucket"))
+    cand = (
+        buck.alias("x")
+        .join(buck.alias("y"), ["tbl", "bucket"])
+        .select(F.col("x.rep_id").alias("a_id"), F.col("y.rep_id").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .distinct()
+    )
+    vecs = reps.select("rep_id", "n_members", "embedding")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    from .llm6 import RANGE_TAU
+
+    return (
+        cand.join(
+            vecs.select(F.col("rep_id").alias("a_id"), F.col("n_members").alias("n_a"),
+                        F.col("embedding").alias("va")), "a_id")
+        .join(
+            vecs.select(F.col("rep_id").alias("b_id"), F.col("n_members").alias("n_b"),
+                        F.col("embedding").alias("vb")), "b_id")
+        .withColumn("sim", F.round(dot / (norm("va") * norm("vb")), 4))
+        .filter(F.col("sim") >= RANGE_TAU)
+        .select(
+            "a_id", "b_id", "sim",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("expanded_pairs"),
+        )
+    )
+
+
+def _range_collapsed_sql() -> str:
+    from .llm6 import RANGE_TAU
+
+    rows = []
+    for t in range(RANGE_TABLES):
+        for b, plane in enumerate(_hyperplanes(64, RANGE_BITS, seed=42 + 977 * t)):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {b}, CAST({arr} AS DOUBLE[]))")
+    planes_values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, bit, plane) AS (VALUES {planes_values}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+keyed AS (
+  SELECT vec_id, v,
+         md5(array_to_string(list_transform(v,
+             x -> CAST(CAST(round(x * 100000) AS BIGINT) AS VARCHAR)), ',')) AS vkey
+  FROM emb
+),
+groups AS (
+  SELECT vkey, min(vec_id) AS rep_id, count(*) AS n_members
+  FROM keyed GROUP BY vkey
+),
+reps AS (
+  SELECT g.rep_id, g.n_members, e.v
+  FROM groups g JOIN emb e ON e.vec_id = g.rep_id
+),
+buckets AS (
+  SELECT r.rep_id, p.tbl,
+         sum(CASE WHEN list_dot_product(r.v, p.plane) > 0
+                  THEN 1 << p.bit ELSE 0 END) AS bucket
+  FROM reps r CROSS JOIN planes p
+  GROUP BY r.rep_id, p.tbl
+),
+cand AS (
+  SELECT DISTINCT x.rep_id AS a_id, y.rep_id AS b_id
+  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.rep_id < y.rep_id
+)
+SELECT c.a_id, c.b_id,
+       round(list_cosine_similarity(ra.v, rb.v), 4) AS sim,
+       CAST(ra.n_members AS BIGINT) AS n_a,
+       CAST(rb.n_members AS BIGINT) AS n_b,
+       CAST(ra.n_members * rb.n_members AS BIGINT) AS expanded_pairs
+FROM cand c
+JOIN reps ra ON ra.rep_id = c.a_id
+JOIN reps rb ON rb.rep_id = c.b_id
+WHERE round(list_cosine_similarity(ra.v, rb.v), 4) >= {RANGE_TAU}
+"""
+
+
+QUERIES["lsh_range_search_collapsed"] = QuerySpec(
+    lsh_range_search_collapsed, _range_collapsed_sql(),
+    "range search over exact-dup representatives with virtual expansion",
+)
