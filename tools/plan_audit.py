@@ -218,6 +218,9 @@ AUDITS: dict[str, set[str]] = {
     "downsample_m4": {"partial"},
     "seasonal_residual_stats": {"bcast", "partial"},
     "partition_skew_stats": {"partial", "bcast", "bnlj_ok"},
+    "lsh_range_search_collapsed": {"partial"},  # collapse groupBy partials
+    # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
+    "streaming_m4_replay": set(),
 }
 
 

@@ -103,6 +103,7 @@ def main() -> int:
             "embedding_centroid_dist",  # exact-grid centroids over 20x corpus
             "pmi_collocations",     # pair counts at 20x corpus volume
             "auc_roc_exact",        # rank-sum AUC at 20x events
+            "lsh_range_search_collapsed",  # the collapse fix, same corpus
         ]
         timings: dict[str, dict] = {}
         for name in probes:
