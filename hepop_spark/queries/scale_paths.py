@@ -9,7 +9,7 @@ clustered layout must be invisible in the result hash."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -190,6 +190,261 @@ rer AS (
 )
 SELECT q_id, c_id, sim, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+  FROM rer)
+WHERE rk <= 5
+"""
+
+
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ compound index (the FAISS-flagship composition): IVF coarse
+    cells restrict WHICH candidates are scored, PQ codes decide HOW they
+    are scored — 4-byte codes + a 16-cell router instead of 256-byte
+    floats, the encoding a 100 TB vector store actually persists.
+
+    Fully COLUMN-NATIVE (unlike ann_pq_topk's mapInPandas GEMM twin): the
+    PQ encode is an argmin over a broadcast 64-row codeword table (16
+    codes x 4 subspaces) via one window, ADC is a 4-row-per-pair
+    aggregation — so the entire compound plan is whole-stage-codegen JVM
+    and the DuckDB oracle replays it expression for expression.
+
+    Scale: cells and codewords are bounded broadcasts; candidate volume
+    is |q| x (corpus/n_cells) x nprobe; everything downstream touches
+    candidates only. Same md5-sample codebook trick as IVF/PQ (seeded
+    sample() behind the flag for production, similarity.py)."""
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    n_cells, nprobe, m_sub, sub, k_codes, shortlist, top_k = 16, 4, 4, 16, 16, 50, 5
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+    # 16 md5-ordered sample vectors serve as BOTH coarse centroids
+    # (normalized) and the PQ codeword source — one bounded sample
+    wsamp = Window.orderBy(F.md5(F.col("c_id").cast("string")))
+    samp = (
+        corpus.withColumn("k", F.row_number().over(wsamp) - 1)
+        .filter(F.col("k") < k_codes)
+        .select("k", F.col("cv").alias("sv"))
+    )
+    cents = samp.select(
+        F.col("k").alias("cell"),
+        F.expr("transform(sv, x -> cast(x as double) / sqrt(aggregate(transform(sv, y -> cast(y as double) * cast(y as double)), 0D, (a, y) -> a + y)))").alias("cw_cell"),
+    )
+    # corpus cell assignment: argmax dot with (desc, cell) tie-break
+    wassign = Window.partitionBy("c_id").orderBy(
+        F.col("cd").desc(), F.col("cell")
+    )
+    cassign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("cd", F.aggregate(
+            F.zip_with(F.col("cv"), F.col("cw_cell"), lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x))
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("c_id", "cell")
+    )
+    # query probes: top-nprobe cells
+    wprobe = Window.partitionBy("q_id").orderBy(F.col("cd").desc(), F.col("cell"))
+    qprobe = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cd", F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cw_cell"), lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cell")
+    )
+    # PQ codeword table: 64 rows (m, k, cw)
+    books = samp.select(
+        "k", "sv",
+        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+    ).select(
+        "m", "k",
+        F.expr(f"transform(slice(sv, m * {sub} + 1, {sub}), x -> cast(x as double))").alias("cw"),
+    )
+    # encode: per (c_id, m) argmin |cw|^2 - 2 c_sub . cw, tie-break k
+    csub = corpus.select(
+        "c_id", "cv",
+        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+    ).select(
+        "c_id", "m", F.expr(f"slice(cv, m * {sub} + 1, {sub})").alias("cs")
+    )
+    wenc = Window.partitionBy("c_id", "m").orderBy(F.col("d"), F.col("k"))
+    enc = (
+        csub.join(F.broadcast(books), "m")
+        .withColumn(
+            "d",
+            norm2("cw")
+            - 2 * F.aggregate(
+                F.zip_with(F.col("cs"), F.col("cw"), lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x),
+        )
+        .withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("c_id", "m", "cw")
+    )
+    # candidates from the IVF router
+    cand = qprobe.join(cassign, "cell").select("q_id", "c_id").distinct()
+    # ADC: per (q, c): dot = sum_m q_sub . cw_code, cnorm from codes
+    qsub = queries.select(
+        "q_id", "qv",
+        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+    ).select(
+        "q_id", "m", F.expr(f"slice(qv, m * {sub} + 1, {sub})").alias("qs")
+    )
+    adc = (
+        cand.join(enc, "c_id")
+        .join(qsub, ["q_id", "m"])
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum(
+                F.aggregate(
+                    F.zip_with(F.col("qs"), F.col("cw"), lambda x, y: x.cast("double") * y),
+                    F.lit(0.0), lambda acc, x: acc + x)
+            ).alias("dot"),
+            F.sqrt(F.sum(norm2("cw"))).alias("cnorm"),
+        )
+    )
+    qn = queries.select(
+        "q_id",
+        F.when(F.sqrt(norm2("qv")) > 0, F.sqrt(norm2("qv"))).otherwise(F.lit(1.0)).alias("qnorm"),
+    )
+    keys = adc.join(F.broadcast(qn), "q_id").select(
+        "q_id", "c_id",
+        F.floor(
+            F.col("dot")
+            / (F.when(F.col("cnorm") > 0, F.col("cnorm")).otherwise(F.lit(1.0)) * F.col("qnorm"))
+            * 10000.0 + 0.5
+        ).cast("long").alias("qkey"),
+    )
+    wshort = Window.partitionBy("q_id").orderBy(F.col("qkey").desc(), F.col("c_id"))
+    short = (
+        keys.withColumn("rk", F.row_number().over(wshort))
+        .filter(F.col("rk") <= shortlist)
+        .select("q_id", "c_id")
+    )
+    rer = (
+        short.join(queries, "q_id")
+        .join(corpus, "c_id")
+        .withColumn(
+            "sim",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")),
+                    F.lit(0.0), lambda acc, x: acc + x)
+                / (F.sqrt(norm2("qv")) * F.sqrt(norm2("cv"))),
+                4,
+            ),
+        )
+        .select("q_id", "c_id", "sim")
+    )
+    wfin = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(wfin).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("q_id", "c_id", "sim", "rk")
+    )
+
+
+IVFPQ_ORACLE_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id >= 10),
+queries AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 10),
+samp AS (
+  SELECT cv AS sv, row_number() OVER (ORDER BY md5(CAST(c_id AS VARCHAR))) - 1 AS k
+  FROM corpus ORDER BY md5(CAST(c_id AS VARCHAR)) LIMIT 16
+),
+cents AS (
+  SELECT k AS cell,
+         list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv))) AS cw_cell
+  FROM samp
+),
+cassign AS (
+  SELECT c_id, cell FROM (
+    SELECT c.c_id, ct.cell,
+           row_number() OVER (PARTITION BY c.c_id
+                              ORDER BY list_dot_product(c.cv, ct.cw_cell) DESC, ct.cell) AS rn
+    FROM corpus c CROSS JOIN cents ct) WHERE rn = 1
+),
+qprobe AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, ct.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY list_dot_product(q.qv, ct.cw_cell) DESC, ct.cell) AS rn
+    FROM queries q CROSS JOIN cents ct) WHERE rn <= 4
+),
+books AS (
+  SELECT CAST(ms.m AS INTEGER) AS m, k,
+         sv[CAST(ms.m * 16 + 1 AS INTEGER):CAST((ms.m + 1) * 16 AS INTEGER)] AS cw
+  FROM samp, (SELECT unnest(range(4)) AS m) ms
+),
+enc AS (
+  SELECT c_id, m, cw FROM (
+    SELECT c.c_id, b.m, b.k, b.cw,
+           row_number() OVER (
+             PARTITION BY c.c_id, b.m
+             ORDER BY list_dot_product(b.cw, b.cw)
+                      - 2 * list_dot_product(
+                          c.cv[CAST(b.m * 16 + 1 AS INTEGER):CAST((b.m + 1) * 16 AS INTEGER)],
+                          b.cw),
+                      b.k) AS rn
+    FROM corpus c CROSS JOIN books b) WHERE rn = 1
+),
+cand AS (
+  SELECT DISTINCT p.q_id, a.c_id
+  FROM qprobe p JOIN cassign a USING (cell)
+),
+adc AS (
+  SELECT cd.q_id, cd.c_id,
+         sum(list_dot_product(
+               q.qv[CAST(e.m * 16 + 1 AS INTEGER):CAST((e.m + 1) * 16 AS INTEGER)],
+               e.cw)) AS dot,
+         sqrt(sum(list_dot_product(e.cw, e.cw))) AS cnorm
+  FROM cand cd
+  JOIN enc e ON e.c_id = cd.c_id
+  JOIN queries q ON q.q_id = cd.q_id
+  GROUP BY 1, 2
+),
+qn AS (
+  SELECT q_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+              THEN sqrt(list_dot_product(qv, qv)) ELSE 1.0 END AS qnorm
+  FROM queries
+),
+keys AS (
+  SELECT a.q_id, a.c_id,
+         CAST(floor(a.dot
+                    / ((CASE WHEN a.cnorm > 0 THEN a.cnorm ELSE 1.0 END) * qn.qnorm)
+                    * 10000.0 + 0.5) AS BIGINT) AS qkey
+  FROM adc a JOIN qn USING (q_id)
+),
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qkey DESC, c_id) AS rk
+    FROM keys) WHERE rk <= 50
+),
+rer AS (
+  SELECT s.q_id, s.c_id,
+         round(list_cosine_similarity(q.qv, c.cv), 4) AS sim
+  FROM short s
+  JOIN queries q USING (q_id)
+  JOIN corpus c USING (c_id)
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rk
   FROM rer)
 WHERE rk <= 5
 """
@@ -634,6 +889,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, IVF_ORACLE_SQL),
     "ann_sq8_topk": QuerySpec(ann_sq8_topk, SQ8_ORACLE_SQL),
     "ann_pq_topk": QuerySpec(ann_pq_topk, PQ_ORACLE_SQL),
+    "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, IVFPQ_ORACLE_SQL),
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_audio": QuerySpec(multimodal_audio, MULTIMODAL_AUDIO_SQL),
