@@ -164,6 +164,9 @@ AUDITS: dict[str, set[str]] = {
     "ann_lsh_topk": {"arrow_ok", "bcast"},
     "ann_ivf_topk": {"arrow_ok", "bcast"},
     "ann_sq8_topk": {"arrow_ok", "bcast"},
+    # IVF-PQ compound is fully column-native: bounded broadcasts (cells,
+    # codewords), no Python anywhere
+    "ann_ivfpq_topk": {"bcast", "bnlj_ok"},  # bounded 16-row cells/books crossJoins
     # round-3 statistics batch (analytics10.py). bnlj_ok entries join a
     # broadcast 1-ROW aggregate (grand total / scalar marginal) — a scalar
     # BNLJ is constant-cost at any corpus scale, unlike a cartesian.
