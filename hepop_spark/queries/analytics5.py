@@ -192,6 +192,9 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     ivf = ivf_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
     sq8 = sq8_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
     pq = pq_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
+    from .scale_paths import ann_ivfpq_topk
+
+    ivfpq = ann_ivfpq_topk(spark, sf).select("q_id", "c_id")
 
     def hits(approx: DataFrame, name: str) -> DataFrame:
         return (
@@ -207,6 +210,7 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         .join(hits(ivf, "ivf_hits"), "q_id", "left")
         .join(hits(sq8, "sq8_hits"), "q_id", "left")
         .join(hits(pq, "pq_hits"), "q_id", "left")
+        .join(hits(ivfpq, "ivfpq_hits"), "q_id", "left")
         .select(
             "q_id",
             F.round(
@@ -221,6 +225,9 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
             F.round(
                 F.coalesce("pq_hits", F.lit(0)) / F.col("n_exact"), 3
             ).alias("recall_pq"),
+            F.round(
+                F.coalesce("ivfpq_hits", F.lit(0)) / F.col("n_exact"), 3
+            ).alias("recall_ivfpq"),
         )
     )
 
@@ -234,6 +241,7 @@ def _recall_oracle_sql() -> str:
     from .llm import ANN_TOPK_SQL
     from .scale_paths import (
         IVF_ORACLE_SQL,
+        IVFPQ_ORACLE_SQL,
         PQ_ORACLE_SQL,
         SQ8_ORACLE_SQL,
         _lsh_oracle_sql,
@@ -254,17 +262,20 @@ lsh5 AS ({body(_lsh_oracle_sql())}),
 ivf5 AS ({body(IVF_ORACLE_SQL)}),
 sq85 AS ({body(SQ8_ORACLE_SQL)}),
 pq5 AS ({body(PQ_ORACLE_SQL)}),
+ivfpq5 AS ({body(IVFPQ_ORACLE_SQL)}),
 base AS (SELECT q_id, count(*) AS n_exact FROM exact5 GROUP BY q_id)
 SELECT b.q_id,
        round(coalesce(l.h, 0) * 1.0 / b.n_exact, 3) AS recall_lsh,
        round(coalesce(i.h, 0) * 1.0 / b.n_exact, 3) AS recall_ivf,
        round(coalesce(s.h, 0) * 1.0 / b.n_exact, 3) AS recall_sq8,
-       round(coalesce(p.h, 0) * 1.0 / b.n_exact, 3) AS recall_pq
+       round(coalesce(p.h, 0) * 1.0 / b.n_exact, 3) AS recall_pq,
+       round(coalesce(cp.h, 0) * 1.0 / b.n_exact, 3) AS recall_ivfpq
 FROM base b
 LEFT JOIN ({hits('lsh5')}) l ON b.q_id = l.q_id
 LEFT JOIN ({hits('ivf5')}) i ON b.q_id = i.q_id
 LEFT JOIN ({hits('sq85')}) s ON b.q_id = s.q_id
 LEFT JOIN ({hits('pq5')}) p ON b.q_id = p.q_id
+LEFT JOIN ({hits('ivfpq5')}) cp ON b.q_id = cp.q_id
 """
 
 
@@ -278,6 +289,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_recall_eval": QuerySpec(
         ann_recall_eval,
         _recall_oracle_sql(),
-        "recall@k evaluation of all four ANN sketch paths",
+        "recall@k evaluation of all five ANN sketch paths",
     ),
 }

@@ -78,9 +78,15 @@ class TestAnnRecall:
         mean_pq = sum(r["recall_pq"] for r in rows) / len(rows)
         assert mean_sq8 >= 0.9
         assert mean_pq >= 0.3
+        # round-3 compound: IVF-PQ >= plain PQ (the router discards only
+        # low-sim candidates) but <= the IVF ceiling (lossy code scoring);
+        # measured 0.46 vs PQ 0.44 / IVF 0.56
+        mean_ivfpq = sum(r["recall_ivfpq"] for r in rows) / len(rows)
+        assert mean_ivfpq >= 0.35
         for r in rows:
             assert 0.0 <= r["recall_lsh"] <= 1.0
             assert 0.0 <= r["recall_ivf"] <= 1.0
             assert 0.0 <= r["recall_sq8"] <= 1.0
             assert 0.0 <= r["recall_pq"] <= 1.0
+            assert 0.0 <= r["recall_ivfpq"] <= 1.0
         assert RECALL_K == 5
