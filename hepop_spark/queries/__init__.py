@@ -155,4 +155,24 @@ HEADLINE_50 = (
     "snapshot_time_travel", "merge_upsert", "streaming_window_replay",
 )
 
+# Round-3 showcase additions (same doc-only purpose as HEADLINE_50; the
+# gate still samples the registry in natural build order).
+HEADLINE_R3 = (
+    # production similarity paths + the FAISS-style compound
+    "lsh_range_search", "lsh_range_search_collapsed", "knn_graph_build",
+    "ann_ivfpq_topk",
+    # one-pass statistics / model eval
+    "auc_roc_exact", "gini_split_eval", "calibration_bins",
+    "benford_first_digit", "bootstrap_ci_hash", "kanonymity_audit",
+    # VoIP domain (the reference's own field)
+    "sip_response_class_rates", "rtcp_mos_rollup", "sip_pdd_percentiles",
+    # SQL surface / migration
+    "hierarchy_rollup_tree", "table_checksum", "weighted_percentile_disc",
+    # text / graph
+    "pmi_collocations", "keyword_rake_topk", "label_propagation_3iter",
+    "tokenizer_bpe_apply",
+    # time series + streaming composition
+    "downsample_m4", "streaming_m4_replay", "seasonal_residual_stats",
+)
+
 
