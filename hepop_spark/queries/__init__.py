@@ -45,6 +45,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics10,
         analytics11,
         analytics12,
+        analytics13,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -85,6 +86,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics10,
         analytics11,
         analytics12,
+        analytics13,
         mining_q,
         timeseries,
         timeseries2,
