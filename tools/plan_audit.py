@@ -213,6 +213,12 @@ AUDITS: dict[str, set[str]] = {
     "hierarchy_rollup_tree": {"partial"},
     "table_checksum": {"partial"},
     "weighted_percentile_disc": {"partial"},
+    # round-3 closing batch (analytics13.py)
+    "vocab_size_sweep": {"partial", "bcast", "bnlj_ok"},
+    "stratified_kfold_assign": {"bcast", "partial"},
+    "negative_mining_hard": {"pushdown", "bcast", "bnlj_ok"},
+    "sip_dialog_progress": {"pushdown", "partial", "bcast", "bnlj_ok"},
+    "cdc_keep_latest": set(),  # pure window rank, no aggregate stage
     # round-3 batch three (llm7.py / timeseries2.py)
     "keyword_rake_topk": {"bcast", "partial"},
     # keys-only pair distinct (no partial_* funcs), like lsh_range_search
