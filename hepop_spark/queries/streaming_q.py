@@ -775,3 +775,111 @@ QUERIES["streaming_m4_replay"] = QuerySpec(
     streaming_m4_replay, STREAMING_M4_SQL,
     "M4 downsample as a watermarked stream == batch M4 table",
 )
+
+
+def streaming_cdc_latest_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC keep-latest AS A STREAM (analytics13.cdc_keep_latest's
+    streaming twin): per (user_id, event_type) the latest version under
+    the unique (ts, event_id) order, maintained incrementally as max_by
+    over a packed version key — a monoid, so the stream needs ONE
+    stateful aggregation and state stays one row per key. The change
+    stream every CDC consumer materializes."""
+
+    def transform(stream: DataFrame) -> DataFrame:
+        cents = F.round(F.col("value") * 100).cast("long")
+        # one BIGINT version key on the ms grid with a 2020 epoch base:
+        # raw us * 2^21 overflows BIGINT; (ms - base) * 1e7 + event_id
+        # stays < 2^61 for decades of data and 10M events/ms-tie
+        vkey = (
+            F.unix_millis("ts") - F.lit(1_577_836_800_000)
+        ) * 10_000_000 + F.col("event_id")
+        return (
+            stream.select(
+                "user_id", "event_type", "event_id", cents.alias("cents"),
+                vkey.alias("vkey"),
+            )
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.max_by("event_id", "vkey").cast("long").alias("latest_event_id"),
+                F.max_by("cents", "vkey").cast("long").alias("latest_cents"),
+                F.count("*").cast("long").alias("n_versions"),
+            )
+        )
+
+    return _replay(
+        spark, sf, transform,
+        "user_id long, event_type string, latest_event_id long, "
+        "latest_cents long, n_versions long",
+    )
+
+
+STREAMING_CDC_SQL = """
+SELECT user_id, event_type,
+       CAST(max_by(event_id, (epoch_ms(ts) - 1577836800000) * 10000000 + event_id) AS BIGINT) AS latest_event_id,
+       CAST(max_by(CAST(round(value * 100) AS BIGINT), (epoch_ms(ts) - 1577836800000) * 10000000 + event_id) AS BIGINT) AS latest_cents,
+       CAST(count(*) AS BIGINT) AS n_versions
+FROM events
+GROUP BY user_id, event_type
+"""
+
+QUERIES["streaming_cdc_latest_replay"] = QuerySpec(
+    streaming_cdc_latest_replay, STREAMING_CDC_SQL,
+    "CDC keep-latest as one monoid streaming aggregation",
+)
+
+
+def streaming_sip_asr_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's real-time promise delivered: live SIP
+    answer-seizure-ratio per trunk (voip_q.sip_response_class_rates as a
+    stream) — planted final codes folded into per-trunk counters, all
+    monoid, one stateful aggregation, ASR computed at the sink. The
+    capture store's live dashboard over the same frames it persists
+    (hepop.js:996-1014 receives; this is the analytics it never had)."""
+
+    def transform(stream: DataFrame) -> DataFrame:
+        codes = [200, 200, 200, 200, 486, 503, 200, 404, 480, 200]
+        code = F.element_at(
+            F.array(*[F.lit(c) for c in codes]),
+            (F.col("event_id") % 10 + 1).cast("int"),
+        )
+        return (
+            stream.filter(F.col("event_id") < 3000)
+            .select((F.col("user_id") % 20).alias("trunk"), code.alias("final_code"))
+            .groupBy("trunk")
+            .agg(
+                F.count("*").cast("long").alias("calls"),
+                F.sum(F.when(F.col("final_code") == 200, 1).otherwise(0))
+                .cast("long").alias("answered"),
+            )
+        )
+
+    def post(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("trunk").cast("long").alias("trunk"), "calls", "answered",
+            F.round(F.col("answered") / F.col("calls"), 6).alias("asr"),
+        )
+
+    return _replay(
+        spark, sf, transform,
+        "trunk long, calls long, answered long, asr double",
+        post=post,
+    )
+
+
+STREAMING_ASR_SQL = """
+WITH d AS (
+  SELECT user_id % 20 AS trunk,
+         ([200, 200, 200, 200, 486, 503, 200, 404, 480, 200])[CAST(event_id % 10 + 1 AS INTEGER)] AS final_code
+  FROM events WHERE event_id < 3000
+)
+SELECT CAST(trunk AS BIGINT) AS trunk,
+       CAST(count(*) AS BIGINT) AS calls,
+       CAST(sum(CASE WHEN final_code = 200 THEN 1 ELSE 0 END) AS BIGINT) AS answered,
+       round(sum(CASE WHEN final_code = 200 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS asr
+FROM d GROUP BY trunk
+"""
+
+QUERIES["streaming_sip_asr_replay"] = QuerySpec(
+    streaming_sip_asr_replay, STREAMING_ASR_SQL,
+    "live per-trunk SIP ASR as a monoid streaming aggregation",
+)

@@ -230,6 +230,8 @@ AUDITS: dict[str, set[str]] = {
     "lsh_range_search_collapsed": {"partial"},  # collapse groupBy partials
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
+    "streaming_cdc_latest_replay": set(),
+    "streaming_sip_asr_replay": set(),
 }
 
 
