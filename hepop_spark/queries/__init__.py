@@ -46,6 +46,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics11,
         analytics12,
         analytics13,
+        analytics14,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -87,6 +88,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics11,
         analytics12,
         analytics13,
+        analytics14,
         mining_q,
         timeseries,
         timeseries2,

@@ -219,6 +219,9 @@ AUDITS: dict[str, set[str]] = {
     "negative_mining_hard": {"pushdown", "bcast", "bnlj_ok"},
     "sip_dialog_progress": {"pushdown", "partial", "bcast", "bnlj_ok"},
     "cdc_keep_latest": set(),  # pure window rank, no aggregate stage
+    # eager iterative/storage entries (LocalRelation results)
+    "graph_bfs_distance": set(),
+    "snapshot_diff": set(),
     # round-3 batch three (llm7.py / timeseries2.py)
     "keyword_rake_topk": {"bcast", "partial"},
     # keys-only pair distinct (no partial_* funcs), like lsh_range_search
