@@ -50,6 +50,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_ext,
         functions_ext2,
         functions_ext3,
+        functions_ext4,
         llm,
         llm2,
         llm3,
@@ -102,6 +103,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_ext,
         functions_ext2,
         functions_ext3,
+        functions_ext4,
         tpch_more,
         tpch_more2,
         tpch_more3,

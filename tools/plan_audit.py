@@ -222,6 +222,10 @@ AUDITS: dict[str, set[str]] = {
     # eager iterative/storage entries (LocalRelation results)
     "graph_bfs_distance": set(),
     "snapshot_diff": set(),
+    # function-surface batch (functions_ext4.py)
+    "agg_bitwise_masks": {"partial"},
+    "str_funcs2": set(),
+    "interval_arith": {"pushdown"},
     # round-3 batch three (llm7.py / timeseries2.py)
     "keyword_rake_topk": {"bcast", "partial"},
     # keys-only pair distinct (no partial_* funcs), like lsh_range_search
