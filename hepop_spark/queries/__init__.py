@@ -47,6 +47,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics12,
         analytics13,
         analytics14,
+        analytics15,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -90,6 +91,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics12,
         analytics13,
         analytics14,
+        analytics15,
         mining_q,
         timeseries,
         timeseries2,

@@ -226,6 +226,10 @@ AUDITS: dict[str, set[str]] = {
     "agg_bitwise_masks": {"partial"},
     "str_funcs2": set(),
     "interval_arith": {"pushdown"},
+    # round-3 analytics trio (analytics15.py)
+    "asof_join_nearest": {"pushdown", "partial"},
+    "rolling_corr": {"pushdown", "partial"},
+    "percentile_cont_family": {"partial"},
     # round-3 batch three (llm7.py / timeseries2.py)
     "keyword_rake_topk": {"bcast", "partial"},
     # keys-only pair distinct (no partial_* funcs), like lsh_range_search
