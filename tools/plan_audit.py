@@ -227,7 +227,8 @@ AUDITS: dict[str, set[str]] = {
     "str_funcs2": set(),
     "interval_arith": {"pushdown"},
     # round-3 analytics trio (analytics15.py)
-    "asof_join_nearest": {"pushdown", "partial"},
+    # keys-only pair distinct + window rank; no partial_* agg functions
+    "asof_join_nearest": {"pushdown"},
     "rolling_corr": {"pushdown", "partial"},
     "percentile_cont_family": {"partial"},
     # round-3 batch three (llm7.py / timeseries2.py)
