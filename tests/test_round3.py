@@ -270,3 +270,55 @@ class TestSqlSurfaceBatch:
 
         for r in weighted_percentile_disc(spark, sf_dir).collect():
             assert r["p50_cents"] <= r["p90_cents"] <= r["p99_cents"]
+
+
+class TestClosingBatches:
+    def test_asof_nearest_picks_minimum_gap(self, spark, sf_dir):
+        from hepop_spark.queries.analytics15 import ASOF_TOL_S, asof_join_nearest
+
+        rows = asof_join_nearest(spark, sf_dir).collect()
+        p_ids = [r["p_id"] for r in rows]
+        assert len(p_ids) == len(set(p_ids))  # one match per purchase
+        for r in rows:
+            assert r["gap_us"] <= ASOF_TOL_S * 1_000_000
+
+    def test_rolling_corr_bounds(self, spark, sf_dir):
+        from hepop_spark.queries.analytics15 import rolling_corr
+
+        for r in rolling_corr(spark, sf_dir).collect():
+            if r["corr24"] is not None:
+                assert -1.0 - 1e-9 <= r["corr24"] <= 1.0 + 1e-9
+
+    def test_percentile_cont_ordering(self, spark, sf_dir):
+        from hepop_spark.queries.analytics15 import percentile_cont_family
+
+        for r in percentile_cont_family(spark, sf_dir).collect():
+            assert r["p25"] <= r["p50"] <= r["p75"]
+
+    def test_bfs_distance_semantics(self, spark, sf_dir):
+        from hepop_spark.queries.analytics14 import BFS_MAX_DEPTH, graph_bfs_distance
+
+        rows = graph_bfs_distance(spark, sf_dir).collect()
+        dists = {r["node"]: r["dist_to_hub"] for r in rows}
+        assert any(d == 0 for d in dists.values())  # hubs themselves
+        assert all(d == -1 or 0 <= d <= BFS_MAX_DEPTH for d in dists.values())
+
+    def test_snapshot_diff_counts(self, spark, sf_dir):
+        from hepop_spark.queries.analytics14 import snapshot_diff
+
+        rows = snapshot_diff(spark, sf_dir).collect()
+        from hepop_spark.catalog import load_table
+
+        max_id = load_table(spark, sf_dir, "events").agg(F.max("event_id")).collect()[0][0]
+        if max_id >= 5000:  # the append slice is non-empty only above sf0.001
+            assert sum(r["n_added"] for r in rows) > 0
+        assert all(r["n_removed"] == 0 for r in rows)  # v2 superset of v1
+        assert sum(r["n_changed"] for r in rows) > 0
+
+    def test_bitwise_masks_algebra(self, spark, sf_dir):
+        from hepop_spark.queries.functions_ext4 import agg_bitwise_masks
+
+        for r in agg_bitwise_masks(spark, sf_dir).collect():
+            # bits present in every row are present in some row
+            assert r["bits_all"] & r["bits_any"] == r["bits_all"]
+            assert 0 <= r["bits_any"] <= 255
