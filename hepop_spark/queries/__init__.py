@@ -52,6 +52,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_ext2,
         functions_ext3,
         functions_ext4,
+        functions_ext5,
         llm,
         llm2,
         llm3,
@@ -106,6 +107,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_ext2,
         functions_ext3,
         functions_ext4,
+        functions_ext5,
         tpch_more,
         tpch_more2,
         tpch_more3,

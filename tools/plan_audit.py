@@ -231,6 +231,9 @@ AUDITS: dict[str, set[str]] = {
     "asof_join_nearest": {"pushdown"},
     "rolling_corr": {"pushdown", "partial"},
     "percentile_cont_family": {"partial"},
+    # type-surface batch (functions_ext5.py)
+    "decimal_exact_money": {"partial"},
+    "union_by_name_evolution": {"pushdown", "partial"},
     # round-3 batch three (llm7.py / timeseries2.py)
     "keyword_rake_topk": {"bcast", "partial"},
     # keys-only pair distinct (no partial_* funcs), like lsh_range_search
