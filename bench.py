@@ -120,6 +120,7 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extras,
         "ingest": ingest,
+        "registry_size": len(reg),
         "sf": sf,
     }
     if prev_total is not None:
