@@ -83,12 +83,20 @@ def main() -> None:
         reg[name].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    best: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = reg[name].fn(spark, sf_dir)
         n = df.count() if name.endswith("_stats") else len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        # second timed run: the steadier per-query number (run-to-run
+        # noise on this box is ~±10%); the headline total stays the
+        # single-shot pass so round-over-round totals are comparable
+        t0 = time.perf_counter()
+        df = reg[name].fn(spark, sf_dir)
+        n = df.count() if name.endswith("_stats") else len(df.collect())
+        best[name] = round(min(timings[name], time.perf_counter() - t0), 3)
 
     # Round-2 flagships, timed SEPARATELY so the 21-query headline total
     # stays comparable round-over-round (VERDICT r01 item 10).
@@ -118,6 +126,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_best": best,
+        "best_total": round(sum(best.values()), 3),
         "extra_queries": extras,
         "ingest": ingest,
         "registry_size": len(reg),
