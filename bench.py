@@ -64,6 +64,8 @@ EXTRA_R2 = [
     "pmi_collocations",
     "copurchase_jaccard",
     "gini_split_eval",
+    "ann_ivfpq_topk",
+    "weighted_percentile_disc",
 ]
 
 
