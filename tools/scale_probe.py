@@ -104,6 +104,7 @@ def main() -> int:
             "pmi_collocations",     # pair counts at 20x corpus volume
             "auc_roc_exact",        # rank-sum AUC at 20x events
             "lsh_range_search_collapsed",  # the collapse fix, same corpus
+            "ann_ivfpq_topk",       # compound router+codes at 20x corpus
         ]
         timings: dict[str, dict] = {}
         for name in probes:
