@@ -455,3 +455,137 @@ QUERIES["lsh_range_search_collapsed"] = QuerySpec(
     lsh_range_search_collapsed, _range_collapsed_sql(),
     "range search over exact-dup representatives with virtual expansion",
 )
+
+
+# ---------------------------------------------------------------------------
+# pq_encode_stats — the persisted PQ-codes table + reconstruction quality
+# ---------------------------------------------------------------------------
+
+
+def pq_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The INGEST-side artifact of the IVF-PQ path (scale_paths.
+    ann_ivfpq_topk): the persisted 4-byte code table itself, judged with
+    its quality metric — per-vector cosine between the float vector and
+    its code reconstruction. At 100 TB this encode runs ONCE at ingest
+    (64 codeword-distance comparisons per vector, column-native) and the
+    codes (m_sub bytes/vector) are what queries scan; this entry is that
+    table plus the fidelity distribution a capacity review reads.
+
+    Output: vec_id, the 4 codes packed as one BIGINT (the persisted
+    form), and recon_cos on the round-4 grid."""
+    emb = load_table(spark, sf, "embeddings")
+    m_sub, sub, k_codes = 4, 16, 16
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    wsamp = Window.orderBy(F.md5(F.col("c_id").cast("string")))
+    samp = (
+        corpus.withColumn("k", F.row_number().over(wsamp) - 1)
+        .filter(F.col("k") < k_codes)
+        .select("k", F.col("cv").alias("sv"))
+    )
+    books = samp.select(
+        "k", "sv",
+        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+    ).select(
+        "m", "k",
+        F.expr(f"transform(slice(sv, m * {sub} + 1, {sub}), x -> cast(x as double))").alias("cw"),
+    )
+    csub = corpus.select(
+        "c_id", "cv",
+        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+    ).select("c_id", "m", F.expr(f"slice(cv, m * {sub} + 1, {sub})").alias("cs"))
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    dotc = F.aggregate(
+        F.zip_with(F.col("cs"), F.col("cw"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    wenc = Window.partitionBy("c_id", "m").orderBy(F.col("d"), F.col("k"))
+    enc = (
+        csub.join(F.broadcast(books), "m")
+        .withColumn("d", norm2("cw") - 2 * dotc)
+        .withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("c_id", "m", "k", "cw", dotc.alias("dot_m"), norm2("cw").alias("cw2"))
+    )
+    per_vec = enc.groupBy("c_id").agg(
+        # packed BIGINT: code_m in [0,16) -> 4 bits each (shiftleft's
+        # numBits arg must be a literal, so go through expr)
+        F.sum(F.expr("shiftleft(cast(k as bigint), m * 4)")).alias("packed_code"),
+        F.sum("dot_m").alias("dot"),
+        F.sqrt(F.sum("cw2")).alias("rnorm"),
+    )
+    vn = corpus.select(
+        "c_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("cv"), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+        ).alias("vnorm"),
+    )
+    return (
+        per_vec.join(vn, "c_id")
+        .select(
+            F.col("c_id").alias("vec_id"),
+            F.col("packed_code").cast("long").alias("packed_code"),
+            F.round(
+                F.col("dot")
+                / (
+                    F.when(F.col("rnorm") > 0, F.col("rnorm")).otherwise(F.lit(1.0))
+                    * F.when(F.col("vnorm") > 0, F.col("vnorm")).otherwise(F.lit(1.0))
+                ),
+                4,
+            ).alias("recon_cos"),
+        )
+    )
+
+
+PQ_ENCODE_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (SELECT vec_id AS c_id, v AS cv FROM emb),
+samp AS (
+  SELECT cv AS sv, row_number() OVER (ORDER BY md5(CAST(c_id AS VARCHAR))) - 1 AS k
+  FROM corpus ORDER BY md5(CAST(c_id AS VARCHAR)) LIMIT 16
+),
+books AS (
+  SELECT CAST(ms.m AS INTEGER) AS m, k,
+         sv[CAST(ms.m * 16 + 1 AS INTEGER):CAST((ms.m + 1) * 16 AS INTEGER)] AS cw
+  FROM samp, (SELECT unnest(range(4)) AS m) ms
+),
+enc AS (
+  SELECT c_id, m, k, cw,
+         list_dot_product(cs, cw) AS dot_m,
+         list_dot_product(cw, cw) AS cw2
+  FROM (
+    SELECT c.c_id, b.m, b.k, b.cw,
+           c.cv[CAST(b.m * 16 + 1 AS INTEGER):CAST((b.m + 1) * 16 AS INTEGER)] AS cs,
+           row_number() OVER (
+             PARTITION BY c.c_id, b.m
+             ORDER BY list_dot_product(b.cw, b.cw)
+                      - 2 * list_dot_product(
+                          c.cv[CAST(b.m * 16 + 1 AS INTEGER):CAST((b.m + 1) * 16 AS INTEGER)],
+                          b.cw),
+                      b.k) AS rn
+    FROM corpus c CROSS JOIN books b) WHERE rn = 1
+),
+per_vec AS (
+  SELECT c_id,
+         sum(CAST(k AS BIGINT) << (m * 4)) AS packed_code,
+         sum(dot_m) AS dot, sqrt(sum(cw2)) AS rnorm
+  FROM enc GROUP BY c_id
+),
+vn AS (
+  SELECT c_id, sqrt(list_dot_product(cv, cv)) AS vnorm FROM corpus
+)
+SELECT p.c_id AS vec_id, CAST(p.packed_code AS BIGINT) AS packed_code,
+       round(p.dot / ((CASE WHEN p.rnorm > 0 THEN p.rnorm ELSE 1.0 END)
+                      * (CASE WHEN v.vnorm > 0 THEN v.vnorm ELSE 1.0 END)), 4) AS recon_cos
+FROM per_vec p JOIN vn v USING (c_id)
+"""
+
+QUERIES["pq_encode_stats"] = QuerySpec(
+    pq_encode_stats, PQ_ENCODE_SQL,
+    "persisted PQ code table with per-vector reconstruction cosine",
+)

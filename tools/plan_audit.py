@@ -243,6 +243,7 @@ AUDITS: dict[str, set[str]] = {
     "seasonal_residual_stats": {"bcast", "partial"},
     "partition_skew_stats": {"partial", "bcast", "bnlj_ok"},
     "lsh_range_search_collapsed": {"partial"},  # collapse groupBy partials
+    "pq_encode_stats": {"partial", "bcast"},
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
     "streaming_cdc_latest_replay": set(),
