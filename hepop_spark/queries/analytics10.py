@@ -126,13 +126,16 @@ def mutual_information_cells(spark: SparkSession, sf: str) -> DataFrame:
             "o_orderpriority",
             "o_orderstatus",
             F.col("n_xy").cast("long").alias("n_xy"),
-            F.round(
-                (F.col("n_xy") / F.col("n_tot"))
-                * F.log(
-                    F.col("n_xy") * F.col("n_tot")
-                    / (F.col("n_x") * F.col("n_y"))
-                ),
-                6,
+            (
+                F.round(
+                    (F.col("n_xy") / F.col("n_tot"))
+                    * F.log(
+                        F.col("n_xy") * F.col("n_tot")
+                        / (F.col("n_x") * F.col("n_y"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 (signed-zero insurance)
             ).alias("mi_cell"),
         )
         .orderBy("o_orderpriority", "o_orderstatus")
@@ -147,7 +150,7 @@ WITH joint AS (
    my AS (SELECT o_orderstatus, count(*) AS n_y FROM orders GROUP BY 1),
    tot AS (SELECT count(*) AS n_tot FROM orders)
 SELECT j.o_orderpriority, j.o_orderstatus, CAST(j.n_xy AS BIGINT) AS n_xy,
-       round((j.n_xy * 1.0 / n_tot) * ln(j.n_xy * 1.0 * n_tot / (n_x * 1.0 * n_y)), 6) AS mi_cell
+       round((j.n_xy * 1.0 / n_tot) * ln(j.n_xy * 1.0 * n_tot / (n_x * 1.0 * n_y)), 6) + 0.0 AS mi_cell
 FROM joint j JOIN mx USING (o_orderpriority) JOIN my USING (o_orderstatus), tot
 ORDER BY 1, 2
 """

@@ -61,8 +61,11 @@ def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "pair",
             F.col("n_pair").cast("long").alias("n_pair"),
-            F.round(
-                F.log(F.col("n_pair") * F.col("n_pos") / (F.col("n_w1") * F.col("n_w2"))), 6
+            (
+                F.round(
+                    F.log(F.col("n_pair") * F.col("n_pos") / (F.col("n_w1") * F.col("n_w2"))), 6
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0
             ).alias("pmi"),
         )
     )
@@ -90,7 +93,7 @@ WITH docs AS (
 ), npos AS (SELECT count(*) AS n_pos FROM pairs)
 SELECT pair, CAST(n_pair AS BIGINT) AS n_pair, pmi, CAST(rk AS BIGINT) AS rk FROM (
   SELECT pc.pair, pc.n_pair,
-         round(ln(pc.n_pair * 1.0 * n_pos / (u1.n_tok * 1.0 * u2.n_tok)), 6) AS pmi,
+         round(ln(pc.n_pair * 1.0 * n_pos / (u1.n_tok * 1.0 * u2.n_tok)), 6) + 0.0 AS pmi,
          row_number() OVER (ORDER BY pc.n_pair DESC, pc.pair) AS rk
   FROM pc
   JOIN uc u1 ON u1.tok = string_split(pc.pair, ' ')[1]
