@@ -205,10 +205,25 @@ def _ingest_bench(spark, n_rows: int) -> dict:
             os.path.join(d, "out")
         )
         dt = time.perf_counter() - t0
+
+        # isolated parse+write: pre-materialize the LP text so the timed
+        # section measures ONLY the engine's parse + partitioned write
+        # (the end-to-end number above stays comparable round-over-round;
+        # this one is the honest ingest-throughput figure)
+        src = os.path.join(d, "lines")
+        lines.write.mode("overwrite").text(src)
+        raw = spark.read.text(src)
+        t1 = time.perf_counter()
+        parse_lines_df(raw).withColumn("date", F.to_date("timestamp")).write.mode(
+            "overwrite"
+        ).partitionBy("date").parquet(os.path.join(d, "out2"))
+        dt2 = time.perf_counter() - t1
         return {
             "rows": n_rows,
             "sec": round(dt, 3),
             "rows_per_sec": int(n_rows / dt),
+            "parse_write_only_sec": round(dt2, 3),
+            "parse_write_rows_per_sec": int(n_rows / dt2),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
