@@ -60,6 +60,7 @@ def registry() -> dict[str, QuerySpec]:
         llm5,
         llm6,
         llm7,
+        llm8,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -103,6 +104,7 @@ def registry() -> dict[str, QuerySpec]:
         llm5,
         llm6,
         llm7,
+        llm8,
         functions_ext,
         functions_ext2,
         functions_ext3,

@@ -244,6 +244,10 @@ AUDITS: dict[str, set[str]] = {
     "partition_skew_stats": {"partial", "bcast", "bnlj_ok"},
     "lsh_range_search_collapsed": {"partial"},  # collapse groupBy partials
     "pq_encode_stats": {"partial", "bcast"},
+    # data-mixing batch (llm8.py)
+    "domain_reweight_step": {"partial", "bcast", "bnlj_ok"},
+    "decontaminate_exact_substring": {"pushdown", "partial", "bcast", "bnlj_ok"},
+    "token_budget_allocation": {"partial", "bcast", "bnlj_ok"},
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
     "streaming_cdc_latest_replay": set(),
