@@ -186,8 +186,16 @@ def gini_split_eval(spark: SparkSession, sf: str) -> DataFrame:
     # weighted gini = (nl/n)*(1 - (pl/nl)^2 - ((nl-pl)/nl)^2) + symmetric
     #               = (nl^2 - pl^2 - (nl-pl)^2) / (n*nl) + symmetric
     n = F.col("nl") + F.col("nr")
-    gl = (F.col("nl") * F.col("nl") - F.col("pl") * F.col("pl") - (F.col("nl") - F.col("pl")) * (F.col("nl") - F.col("pl"))) / (n * F.col("nl"))
-    gr = (F.col("nr") * F.col("nr") - F.col("pr") * F.col("pr") - (F.col("nr") - F.col("pr")) * (F.col("nr") - F.col("pr"))) / (n * F.col("nr"))
+    # an empty side contributes 0 impurity (guard: at tiny scales a
+    # threshold can have nl or nr = 0 -> ANSI division-by-zero)
+    gl = F.when(
+        F.col("nl") > 0,
+        (F.col("nl") * F.col("nl") - F.col("pl") * F.col("pl") - (F.col("nl") - F.col("pl")) * (F.col("nl") - F.col("pl"))) / (n * F.col("nl")),
+    ).otherwise(F.lit(0.0))
+    gr = F.when(
+        F.col("nr") > 0,
+        (F.col("nr") * F.col("nr") - F.col("pr") * F.col("pr") - (F.col("nr") - F.col("pr")) * (F.col("nr") - F.col("pr"))) / (n * F.col("nr")),
+    ).otherwise(F.lit(0.0))
     return agg.select(
         F.col("t").cast("long").alias("t"),
         F.col("nl").cast("long").alias("n_left"),
@@ -215,8 +223,8 @@ WITH e AS (
 SELECT CAST(t AS BIGINT) AS t,
        CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
        CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
-       round((nl * nl - pl * pl - (nl - pl) * (nl - pl)) * 1.0 / ((nl + nr) * nl)
-             + (nr * nr - pr * pr - (nr - pr) * (nr - pr)) * 1.0 / ((nl + nr) * nr), 6) AS gini_weighted
+       round(CASE WHEN nl > 0 THEN (nl * nl - pl * pl - (nl - pl) * (nl - pl)) * 1.0 / ((nl + nr) * nl) ELSE 0.0 END
+             + CASE WHEN nr > 0 THEN (nr * nr - pr * pr - (nr - pr) * (nr - pr)) * 1.0 / ((nl + nr) * nr) ELSE 0.0 END, 6) AS gini_weighted
 FROM agg
 ORDER BY t
 """

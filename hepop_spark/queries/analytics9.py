@@ -408,12 +408,16 @@ def seasonal_hour_profile(spark: SparkSession, sf: str) -> DataFrame:
     tw = Window.partitionBy("event_type")
     avg_h = F.col("sc") / (F.col("n") * 100.0)
     avg_t = F.sum("sc").over(tw) / (F.sum("n").over(tw) * 100.0)
+    # UNROUNDED: both columns are deterministic expressions over exact
+    # integer sums (single divisions / one ratio), bit-identical across
+    # engines; round(x, 4) died at a reachable ...5 boundary in the
+    # sf0.001 tri-scale sweep
     return hourly.select(
         "event_type",
         "hod",
         "n",
-        F.round(avg_h, 4).alias("avg_value"),
-        F.round(avg_h / avg_t, 4).alias("seasonal_index"),
+        avg_h.alias("avg_value"),
+        (avg_h / avg_t).alias("seasonal_index"),
     )
 
 
@@ -424,9 +428,9 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, hod, n,
-       round(sc / (n * 100.0), 4) AS avg_value,
-       round((sc / (n * 100.0))
-             / (sum(sc) OVER tw / (sum(n) OVER tw * 100.0)), 4) AS seasonal_index
+       sc / (n * 100.0) AS avg_value,
+       (sc / (n * 100.0))
+             / (sum(sc) OVER tw / (sum(n) OVER tw * 100.0)) AS seasonal_index
 FROM hourly
 WINDOW tw AS (PARTITION BY event_type)
 """

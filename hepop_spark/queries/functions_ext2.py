@@ -284,18 +284,22 @@ def median_agg(spark: SparkSession, sf: str) -> DataFrame:
     aggregation within groups — prefer approx_percentile at 100 TB unless
     exactness is contractual (the percentiles query covers the approx path)."""
     register_views(spark, sf, tables=("lineitem",))
+    # medians computed on the exact cents/unit grids and emitted UNROUNDED:
+    # the interpolated midpoint of two integers is an exact .0/.5 double on
+    # both engines, while round(median(price), 2) dies at a reachable ...5
+    # boundary (found by the sf0.001 tri-scale sweep)
     return spark.sql("""
         SELECT l_returnflag,
-               round(median(l_quantity), 2) AS med_qty,
-               round(median(l_extendedprice), 2) AS med_price
+               median(CAST(round(l_quantity) AS BIGINT)) AS med_qty,
+               median(CAST(round(l_extendedprice * 100) AS BIGINT)) AS med_price_cents
         FROM lineitem GROUP BY l_returnflag
     """)
 
 
 MEDIAN_AGG_SQL = """
 SELECT l_returnflag,
-       round(median(l_quantity), 2) AS med_qty,
-       round(median(l_extendedprice), 2) AS med_price
+       median(CAST(round(l_quantity) AS BIGINT)) AS med_qty,
+       median(CAST(round(l_extendedprice * 100) AS BIGINT)) AS med_price_cents
 FROM lineitem GROUP BY l_returnflag
 """
 

@@ -159,12 +159,15 @@ def lp_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     base = os.path.join(d, "tables")
     ckpt = os.path.join(d, "ckpt")
     try:
-        gen1 = ev.filter(F.col("event_id") < 1000).select(
+        # parity split (NOT an id threshold): both generations must be
+        # non-empty at EVERY sf — at sf0.001 ids stop below 1000 and an
+        # empty gen2 means value2 never materializes (sf0.001 sweep find)
+        gen1 = ev.filter(F.col("event_id") % 2 == 0).select(
             F.format_string(
                 "evm,event_type=%s value=%.17g", "event_type", "value"
             ).alias("value")
         )
-        gen2 = ev.filter(F.col("event_id") >= 1000).select(
+        gen2 = ev.filter(F.col("event_id") % 2 == 1).select(
             F.format_string(
                 "evm,event_type=%s value=%.17g,value2=%.17g",
                 "event_type", "value", F.col("value") * 2,
@@ -208,8 +211,8 @@ _LP_EVOLUTION_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_v,
-       CAST(count(*) FILTER (WHERE event_id >= 1000) AS BIGINT) AS n_v2,
-       round(sum(CASE WHEN event_id >= 1000 THEN value * 2 ELSE 0 END), 2) AS sum_v2
+       CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_v2,
+       round(sum(CASE WHEN event_id % 2 = 1 THEN value * 2 ELSE 0 END), 2) AS sum_v2
 FROM events
 WHERE event_id < 2000
 GROUP BY event_type
