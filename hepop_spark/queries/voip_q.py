@@ -363,3 +363,66 @@ QUERIES: dict[str, QuerySpec] = {
         "retransmission rate per 10-minute storage bucket",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# capture_seq_gaps — frame sequence-gap (loss) detection per trunk
+# ---------------------------------------------------------------------------
+
+
+def capture_seq_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Capture-pipeline loss detection: each trunk's frames carry a
+    monotonically increasing sequence number (planted: seq = call_id, with
+    every 97th frame dropped — the deterministic stand-in for UDP loss);
+    a lag() pass finds the gaps. Per trunk: frames seen, gap events,
+    frames lost, largest single gap — the capture-health panel that tells
+    an operator a probe or link is dropping frames BEFORE queries go
+    quietly wrong.
+
+    Scale: one window pass partitioned by the bounded trunk key; the
+    rollup partial-combines."""
+    d = _dialogs(spark, sf).filter(F.col("call_id") % 97 != 0)
+    w = Window.partitionBy("trunk").orderBy("call_id")
+    gaps = d.select(
+        "trunk",
+        "call_id",
+        (F.col("call_id") - F.lag("call_id").over(w)).alias("step"),
+    )
+    return (
+        gaps.groupBy("trunk")
+        .agg(
+            F.count("*").cast("long").alias("frames_seen"),
+            F.sum(F.when(F.col("step") > 1, 1).otherwise(0)).cast("long").alias("gap_events"),
+            F.sum(F.when(F.col("step") > 1, F.col("step") - 1).otherwise(0))
+            .cast("long")
+            .alias("frames_lost"),
+            F.coalesce(F.max(F.when(F.col("step") > 1, F.col("step") - 1)), F.lit(0))
+            .cast("long")
+            .alias("max_gap"),
+        )
+        .orderBy("trunk")
+    )
+
+
+CAPTURE_GAPS_SQL = f"""
+WITH d AS ({_DIALOGS_SQL}),
+kept AS (
+  SELECT trunk, call_id FROM d WHERE call_id % 97 != 0
+), gaps AS (
+  SELECT trunk, call_id,
+         call_id - lag(call_id) OVER (PARTITION BY trunk ORDER BY call_id) AS step
+  FROM kept
+)
+SELECT trunk, CAST(count(*) AS BIGINT) AS frames_seen,
+       CAST(sum(CASE WHEN step > 1 THEN 1 ELSE 0 END) AS BIGINT) AS gap_events,
+       CAST(sum(CASE WHEN step > 1 THEN step - 1 ELSE 0 END) AS BIGINT) AS frames_lost,
+       CAST(coalesce(max(CASE WHEN step > 1 THEN step - 1 END), 0) AS BIGINT) AS max_gap
+FROM gaps
+GROUP BY trunk
+ORDER BY trunk
+"""
+
+QUERIES["capture_seq_gaps"] = QuerySpec(
+    capture_seq_gaps, CAPTURE_GAPS_SQL,
+    "sequence-gap (frame loss) detection per trunk via one lag pass",
+)

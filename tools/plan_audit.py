@@ -208,6 +208,7 @@ AUDITS: dict[str, set[str]] = {
     "rtcp_mos_rollup": {"pushdown", "partial"},
     "call_duration_log_hist": {"pushdown", "partial", "bcast", "bnlj_ok"},
     "sip_retransmission_rate": {"pushdown", "partial"},
+    "capture_seq_gaps": {"pushdown", "partial"},
     # round-3 SQL-surface batch (analytics12.py)
     "agg_modern_funcs": {"partial"},
     "hierarchy_rollup_tree": {"partial"},
