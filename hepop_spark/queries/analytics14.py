@@ -151,15 +151,23 @@ def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
             .join(b.select("event_id", F.col("cents").alias("c2")), "event_id")
             .filter(F.col("c1") != F.col("c2"))
         )
+        # anchor on the v2 type domain so types with NO changes still emit
+        # an all-zero row (matches the oracle's types CTE — a full-outer
+        # join of the three non-empty groupings would silently drop them)
+        types = b.select("event_type").distinct()
         rows = (
-            added.groupBy("event_type").agg(F.count("*").alias("n_added"))
+            types
+            .join(
+                added.groupBy("event_type").agg(F.count("*").alias("n_added")),
+                "event_type", "left",
+            )
             .join(
                 removed.groupBy("event_type").agg(F.count("*").alias("n_removed")),
-                "event_type", "full",
+                "event_type", "left",
             )
             .join(
                 changed.groupBy("event_type").agg(F.count("*").alias("n_changed")),
-                "event_type", "full",
+                "event_type", "left",
             )
             .select(
                 "event_type",

@@ -476,10 +476,13 @@ def pq_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     m_sub, sub, k_codes = 4, 16, 16
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    # orderBy+limit = TakeOrderedAndProject (distributed top-k), so the
+    # rank window only sees the 16 survivors, never the corpus
     wsamp = Window.orderBy(F.md5(F.col("c_id").cast("string")))
     samp = (
-        corpus.withColumn("k", F.row_number().over(wsamp) - 1)
-        .filter(F.col("k") < k_codes)
+        corpus.orderBy(F.md5(F.col("c_id").cast("string")))
+        .limit(k_codes)
+        .withColumn("k", F.row_number().over(wsamp) - 1)
         .select("k", F.col("cv").alias("sv"))
     )
     books = samp.select(
@@ -511,10 +514,18 @@ def pq_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     per_vec = enc.groupBy("c_id").agg(
         # packed BIGINT: code_m in [0,16) -> 4 bits each (shiftleft's
-        # numBits arg must be a literal, so go through expr)
+        # numBits arg must be a literal, so go through expr); exact
+        # integer arithmetic, order-free
         F.sum(F.expr("shiftleft(cast(k as bigint), m * 4)")).alias("packed_code"),
-        F.sum("dot_m").alias("dot"),
-        F.sqrt(F.sum("cw2")).alias("rnorm"),
+        # the double sums fold a by-m-sorted struct array so accumulation
+        # order is fixed regardless of shuffle order
+        F.array_sort(F.collect_list(F.struct("m", "dot_m", "cw2"))).alias("terms"),
+    ).select(
+        "c_id", "packed_code",
+        F.aggregate(F.col("terms"), F.lit(0.0), lambda a, s: a + s["dot_m"]).alias("dot"),
+        F.sqrt(
+            F.aggregate(F.col("terms"), F.lit(0.0), lambda a, s: a + s["cw2"])
+        ).alias("rnorm"),
     )
     vn = corpus.select(
         "c_id",

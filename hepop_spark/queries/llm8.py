@@ -114,6 +114,9 @@ def decontaminate_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_id").alias("probe_src"),
             F.substring("text", 20, 35).alias("probe"),
         )
+        # deterministic TakeOrdered probe selection — a bare .limit() is
+        # partition-order dependent once the %250 slice exceeds BENCH_N
+        .orderBy("probe_src")
         .limit(BENCH_N)
     )
     hits = (
@@ -169,8 +172,11 @@ def token_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
     base = toks.crossJoin(F.broadcast(tot)).select(
         "source",
         F.col("n_toks").cast("long").alias("n_toks"),
-        # exact integer floor share and remainder (scaled by total)
-        (F.col("n_toks") * BUDGET_TOKENS / F.col("total")).cast("long").alias("floor_alloc"),
+        # exact integer floor share and remainder (scaled by total) —
+        # `div` is Spark's integer division, so floor and remainder come
+        # from the same exact arithmetic (double division truncates once
+        # n_toks * budget exceeds 2^53)
+        F.expr(f"n_toks * {BUDGET_TOKENS} div total").cast("long").alias("floor_alloc"),
         ((F.col("n_toks") * BUDGET_TOKENS) % F.col("total")).alias("rem"),
     )
     leftover = base.agg(

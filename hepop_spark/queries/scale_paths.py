@@ -232,11 +232,15 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     # 16 md5-ordered sample vectors serve as BOTH coarse centroids
-    # (normalized) and the PQ codeword source — one bounded sample
+    # (normalized) and the PQ codeword source — one bounded sample.
+    # Selection is orderBy+limit (TakeOrderedAndProject, a distributed
+    # per-partition top-k + driver merge); the rank window then runs over
+    # only the 16 surviving rows, never the corpus.
     wsamp = Window.orderBy(F.md5(F.col("c_id").cast("string")))
     samp = (
-        corpus.withColumn("k", F.row_number().over(wsamp) - 1)
-        .filter(F.col("k") < k_codes)
+        corpus.orderBy(F.md5(F.col("c_id").cast("string")))
+        .limit(k_codes)
+        .withColumn("k", F.row_number().over(wsamp) - 1)
         .select("k", F.col("cv").alias("sv"))
     )
     cents = samp.select(
@@ -305,17 +309,31 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "q_id", "m", F.expr(f"slice(qv, m * {sub} + 1, {sub})").alias("qs")
     )
+    # fixed-order ADC accumulation: collect the m_sub per-subspace terms
+    # into an array sorted by m and fold left-to-right, so the double sum
+    # has ONE evaluation order regardless of shuffle/partitioning (a
+    # shuffled SUM of doubles could flip the floor(x*10000+0.5) shortlist
+    # key at a representable boundary)
     adc = (
         cand.join(enc, "c_id")
         .join(qsub, ["q_id", "m"])
+        .select(
+            "q_id", "c_id", "m",
+            F.aggregate(
+                F.zip_with(F.col("qs"), F.col("cw"), lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x).alias("t_dot"),
+            norm2("cw").alias("t_n2"),
+        )
         .groupBy("q_id", "c_id")
-        .agg(
-            F.sum(
-                F.aggregate(
-                    F.zip_with(F.col("qs"), F.col("cw"), lambda x, y: x.cast("double") * y),
-                    F.lit(0.0), lambda acc, x: acc + x)
+        .agg(F.array_sort(F.collect_list(F.struct("m", "t_dot", "t_n2"))).alias("terms"))
+        .select(
+            "q_id", "c_id",
+            F.aggregate(
+                F.col("terms"), F.lit(0.0), lambda acc, s: acc + s["t_dot"]
             ).alias("dot"),
-            F.sqrt(F.sum(norm2("cw"))).alias("cnorm"),
+            F.sqrt(F.aggregate(
+                F.col("terms"), F.lit(0.0), lambda acc, s: acc + s["t_n2"]
+            )).alias("cnorm"),
         )
     )
     qn = queries.select(
