@@ -417,22 +417,60 @@ def quantile_bins_equidepth(spark: SparkSession, sf: str) -> DataFrame:
     (cents, l_orderkey, l_linenumber) so NTILE assignment is identical
     across engines.
 
-    Scale: the global sort behind NTILE is the one range shuffle; at 100 TB
-    swap NTILE for approx percentile_approx boundaries + a broadcast bin
-    join (documented trade: exact equi-depth needs the sort)."""
+    Scale: NTILE over raw rows would be a single-task global sort of the
+    corpus, so the bins are derived on the AGGREGATED cents grid instead
+    (r04 rewrite): groupBy(cents) -> per-value counts, a cumulative window
+    over the bounded distinct-cents domain gives each value's global
+    position range [start+1, end], and NTILE's closed-form boundaries
+    (first N%k bins get ceil(N/k) rows) are intersected with those ranges
+    via a 10-row broadcast range join. Rows inside one cents group are
+    interchangeable under the (cents, orderkey, linenumber) order — they
+    share the value — so every per-bin aggregate is IDENTICAL to row-level
+    NTILE, with no corpus-wide sort anywhere."""
     li = load_table(spark, sf, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    w = Window.orderBy(F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber"))
-    binned = li.select(
-        cents.alias("cents"), "l_orderkey", "l_linenumber"
-    ).withColumn("bin", F.ntile(N_BINS).over(w))
+    per = (
+        li.select(cents.alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").alias("n_c"))
+    )
+    wcum = Window.orderBy("cents")  # distinct-cents grid: bounded domain
+    cum = per.withColumn("end_pos", F.sum("n_c").over(wcum)).withColumn(
+        "start_pos", F.col("end_pos") - F.col("n_c")
+    )
+    tot = per.agg(F.sum("n_c").alias("n_total"))
+    bins = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(N_BINS))).alias("bin"), "n_total"
+    ).select(
+        "bin",
+        (
+            (F.col("bin") - 1) * F.expr(f"n_total div {N_BINS}")
+            + F.least(F.col("bin") - 1, F.col("n_total") % N_BINS)
+            + 1
+        ).alias("bin_start"),
+        (
+            F.col("bin") * F.expr(f"n_total div {N_BINS}")
+            + F.least(F.col("bin"), F.col("n_total") % N_BINS)
+        ).alias("bin_end"),
+    )
+    overlap = (
+        F.least(F.col("end_pos"), F.col("bin_end"))
+        - F.greatest(F.col("start_pos") + 1, F.col("bin_start"))
+        + 1
+    )
     return (
-        binned.groupBy("bin")
+        cum.join(
+            F.broadcast(bins),
+            (F.col("start_pos") + 1 <= F.col("bin_end"))
+            & (F.col("end_pos") >= F.col("bin_start")),
+        )
+        .withColumn("ov", overlap)
+        .groupBy("bin")
         .agg(
-            F.count("*").alias("n"),
+            F.sum("ov").alias("n"),
             F.min("cents").alias("min_cents"),
             F.max("cents").alias("max_cents"),
-            F.sum("cents").alias("sum_cents"),
+            F.sum(F.col("cents") * F.col("ov")).alias("sum_cents"),
         )
         .select(
             "bin",

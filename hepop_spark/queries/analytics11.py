@@ -219,11 +219,14 @@ def tail_index_hill(spark: SparkSession, sf: str) -> DataFrame:
     (ln-sum under the psi_drift bound, round 4)."""
     orders = load_table(spark, sf, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # TakeOrdered selects the k largest (distributed partial top-k);
+    # the rank window then covers only HILL_K rows
     w = Window.orderBy(F.col("cents").desc(), F.col("o_orderkey"))
     top = (
         orders.select(cents.alias("cents"), "o_orderkey")
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+        .limit(HILL_K)
         .withColumn("i", F.row_number().over(w).cast("long"))
-        .filter(F.col("i") <= HILL_K)
     )
     xk = top.filter(F.col("i") == HILL_K).select(F.col("cents").alias("xk"))
     return (

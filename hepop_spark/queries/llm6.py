@@ -69,10 +69,12 @@ def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # TakeOrdered top-k first; the rank window sees only PMI_TOP rows
     w = Window.orderBy(F.col("n_pair").desc(), F.col("pair"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= PMI_TOP)
+        scored.orderBy(F.col("n_pair").desc(), F.col("pair"))
+        .limit(PMI_TOP)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .select("pair", "n_pair", "pmi", "rk")
     )
 
@@ -124,10 +126,12 @@ def rare_token_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     broadcast semi-join lookup — corpus-linear, no unbounded shuffle."""
     toks = _tokens(spark, sf)
     uni = toks.groupBy("tok").agg(F.count("*").alias("n"))
-    wv = Window.orderBy(F.col("n").desc(), F.col("tok"))
-    vocab = uni.withColumn("rk", F.row_number().over(wv)).filter(
-        F.col("rk") <= VOCAB_TOP
-    ).select("tok", F.lit(1).alias("in_vocab"))
+    # membership only needs the top-V set — TakeOrdered, no rank window
+    vocab = (
+        uni.orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(VOCAB_TOP)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
     scored = (
         toks.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
@@ -383,9 +387,12 @@ def tokenizer_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     tokenization map with zero shuffles."""
     toks = _tokens(spark, sf)
     uni = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # TakeOrdered top-k; rank window covers only the BPE_TOK_TOP survivors
     w = Window.orderBy(F.col("n").desc(), F.col("tok"))
-    top = uni.withColumn("rk", F.row_number().over(w).cast("long")).filter(
-        F.col("rk") <= BPE_TOK_TOP
+    top = (
+        uni.orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(BPE_TOK_TOP)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
     )
     # ' c h a r s ' with boundary sentinels
     spaced = F.concat(

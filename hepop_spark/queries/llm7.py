@@ -73,10 +73,13 @@ def keyword_rake_topk(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+    # orderBy+limit = TakeOrderedAndProject (distributed partial top-k);
+    # the rank window then covers only the RAKE_TOP survivors
     wtop = Window.orderBy(F.col("score_per_occurrence").desc(), F.col("phrase"))
     return (
-        scored.withColumn("rk", F.row_number().over(wtop).cast("long"))
-        .filter(F.col("rk") <= RAKE_TOP)
+        scored.orderBy(F.col("score_per_occurrence").desc(), F.col("phrase"))
+        .limit(RAKE_TOP)
+        .withColumn("rk", F.row_number().over(wtop).cast("long"))
         .select("phrase", "n_occurrences", "score_per_occurrence", "rk")
     )
 

@@ -12,9 +12,19 @@ For each audited query we assert, from `explain("formatted")` output:
                allowed only for queries flagged arrow_ok
   broadcast  — queries flagged bcast must contain a BroadcastHashJoin or
                BroadcastNestedLoopJoin
+  global_win — (r03 verdict item 3) any Window node with an EMPTY
+               partition spec moves ALL rows to one task; only entries
+               flagged global_ok (documented bounded-domain windows —
+               skylines, vocabularies, group rollups) may carry one
   (WholeStageCodegen isn't assertable pre-execution under AQE — the
   formatted plan is the initial, pre-codegen one — so JVM-sidedness is
   covered by the no-Python checks instead)
+
+Additionally a SOURCE lint (r03 verdict item 2): every `F.broadcast(`
+call site in hepop_spark/ must appear in BOUNDED_BROADCASTS with a
+one-line boundedness justification — a hinted broadcast of a side that
+grows with the corpus is a forced-OOM at scale (the r03 copurchase_jaccard
+lesson), so new hints fail the audit until justified here.
 
 Run: python tools/plan_audit.py [sf_dir]
 Exit code 1 if any audit fails — wired for CI-style use.
@@ -89,7 +99,7 @@ AUDITS: dict[str, set[str]] = {
     "grouped_mad_pandas": {"arrow_ok"},
     # corpus-shaping + similarity additions
     "split_train_val_test": {"partial"},
-    "corpus_shuffle_head": set(),  # TakeOrderedAndProject, no global sort
+    "corpus_shuffle_head": {"global_ok"},  # rank window over the 20 post-LIMIT rows
     "ts_correlation_pairs": {"partial", "pushdown"},
     "fuzzy_name_join": {"partial"},
     "text_repetition_score": {"partial"},
@@ -116,20 +126,20 @@ AUDITS: dict[str, set[str]] = {
     "attribution_last_touch": set(),
     "bm25_rank": {"bcast", "partial", "bnlj_ok"},
     "token_entropy": {"partial"},
-    "pareto_frontier": {"partial"},
-    "chi_square_independence": {"bcast", "partial", "bnlj_ok"},
+    "pareto_frontier": {"partial", "global_ok"},  # skyline over grouped (brand, container) domain
+    "chi_square_independence": {"bcast", "partial", "bnlj_ok", "global_ok"},  # chi2 total over contingency cells (|types| x 2)
     "trend_movers_dod": {"partial"},
-    "share_of_total": {"bcast", "partial"},
+    "share_of_total": {"bcast", "partial", "global_ok"},  # cumulative share over 25-nation rollup
     "log_template_mine": {"partial"},
     "state_occupancy": {"partial"},
-    "slo_burn_rate": {"partial"},
+    "slo_burn_rate": {"partial", "global_ok"},  # rolling window over hourly aggregate series
     "negative_sample_pairs": {"bcast", "partial", "bnlj_ok"},
     # ann_recall_eval: the IVF cell assignment is the (allowed) Arrow stage
-    "ann_recall_eval": {"arrow_ok", "bcast", "bnlj_ok"},
+    "ann_recall_eval": {"arrow_ok", "bcast", "bnlj_ok", "global_ok"},  # 16-row post-LIMIT codebook rank windows
     "streaming_counter_rate_replay": set(),
     "pattern_3step_funnel": {"partial", "bnlj_ok"},
     "geo_distance_join": {"partial"},
-    "cumulative_distinct_users": {"partial"},
+    "cumulative_distinct_users": {"partial", "global_ok"},  # cumsum over distinct-days domain
     "mv_join_refresh": {"bcast", "partial"},
     "latency_bands_hourly": {"partial"},
     "session_paths_topk": set(),  # collect_list is not partial-aggregable
@@ -154,7 +164,7 @@ AUDITS: dict[str, set[str]] = {
     # representative-collapsed minhash: same broadcast-verify shape as parent
     "dedup_minhash_collapsed": {"partial", "bcast"},
     # vocab-sized regression input; token count partial-aggregates
-    "text_zipf_fit": {"partial"},
+    "text_zipf_fit": {"partial", "global_ok"},  # rank regression needs the full vocab (Heaps-sublinear domain)
     "heaps_law_curve": {"partial", "bnlj_ok"},
     "ttr_by_source": {"partial"},
     # the documented exact all-pairs baseline — the ONLY entry allowed a
@@ -166,7 +176,7 @@ AUDITS: dict[str, set[str]] = {
     "ann_sq8_topk": {"arrow_ok", "bcast"},
     # IVF-PQ compound is fully column-native: bounded broadcasts (cells,
     # codewords), no Python anywhere
-    "ann_ivfpq_topk": {"bcast", "bnlj_ok"},  # bounded 16-row cells/books crossJoins
+    "ann_ivfpq_topk": {"bcast", "bnlj_ok", "global_ok"},  # bounded 16-row cells/books crossJoins; 16-row post-LIMIT sample rank
     # round-3 statistics batch (analytics10.py). bnlj_ok entries join a
     # broadcast 1-ROW aggregate (grand total / scalar marginal) — a scalar
     # BNLJ is constant-cost at any corpus scale, unlike a cartesian.
@@ -176,25 +186,25 @@ AUDITS: dict[str, set[str]] = {
     "calibration_bins": {"partial"},
     "kanonymity_audit": {"bcast", "partial", "bnlj_ok"},
     "entropy_by_column": {"bcast", "partial"},
-    "quantile_bins_equidepth": {"partial"},
+    "quantile_bins_equidepth": {"partial", "bcast", "bnlj_ok", "global_ok"},  # cumsum over distinct-cents grid; 10-row bin-range BNLJ
     "winsorize_clip": {"bcast", "partial"},
     # round-3 LLM batch (llm6.py)
-    "pmi_collocations": {"bcast", "partial", "bnlj_ok"},
-    "rare_token_oov_rate": {"bcast", "partial"},
+    "pmi_collocations": {"bcast", "partial", "bnlj_ok", "global_ok"},  # rank over PMI_TOP post-LIMIT rows
+    "rare_token_oov_rate": {"bcast", "partial"},  # vocab via TakeOrdered, no window
     # range search: the only aggregate is the keys-only pair distinct
     # (no partial_* functions in the plan); candidate gen is an equi-join
     "lsh_range_search": set(),
     "feature_hashing_vec": {"pushdown", "partial"},
     "target_encoding_loo": {"bcast", "partial", "bnlj_ok"},
-    "tokenizer_bpe_apply": {"partial"},
+    "tokenizer_bpe_apply": {"partial", "global_ok"},  # rank over BPE_TOK_TOP post-LIMIT rows
     "copurchase_jaccard": {"bcast", "partial"},
     "embedding_centroid_dist": {"bcast", "partial"},
     # round-3 model-eval batch (analytics11.py)
-    "auc_roc_exact": {"partial"},
-    "ks_test_twosample": {"pushdown", "partial", "bnlj_ok"},  # scalar totals join
+    "auc_roc_exact": {"partial", "global_ok"},  # cumsum over the bounded score grid
+    "ks_test_twosample": {"pushdown", "partial", "bnlj_ok", "global_ok"},  # scalar totals join; cumsum over bounded cents grid
     "bootstrap_ci_hash": {"pushdown", "partial"},
     # top-k order stats: TakeOrdered window + broadcast scalar, no aggregate
-    "tail_index_hill": {"bcast", "bnlj_ok"},  # broadcast 1-row x_k
+    "tail_index_hill": {"bcast", "bnlj_ok", "global_ok"},  # broadcast 1-row x_k; rank over HILL_K post-LIMIT rows
     "dp_noise_count": {"partial"},
     # iterative cached-edge loop; covered by the no-Python check
     "label_propagation_3iter": set(),
@@ -213,9 +223,9 @@ AUDITS: dict[str, set[str]] = {
     "agg_modern_funcs": {"partial"},
     "hierarchy_rollup_tree": {"partial"},
     "table_checksum": {"partial"},
-    "weighted_percentile_disc": {"partial"},
+    "weighted_percentile_disc": {"partial"},  # window now over per-flag distinct-cents domain (partitioned)
     # round-3 closing batch (analytics13.py)
-    "vocab_size_sweep": {"partial", "bcast", "bnlj_ok"},
+    "vocab_size_sweep": {"partial", "bcast", "bnlj_ok", "global_ok"},  # cumulative coverage needs the full ranked vocab (Heaps-sublinear)
     "stratified_kfold_assign": {"bcast", "partial"},
     "negative_mining_hard": {"pushdown", "bcast", "bnlj_ok"},
     "sip_dialog_progress": {"pushdown", "partial", "bcast", "bnlj_ok"},
@@ -230,30 +240,177 @@ AUDITS: dict[str, set[str]] = {
     # round-3 analytics trio (analytics15.py)
     # keys-only pair distinct + window rank; no partial_* agg functions
     "asof_join_nearest": {"pushdown"},
-    "rolling_corr": {"pushdown", "partial"},
+    "rolling_corr": {"pushdown", "partial", "global_ok"},  # rolling window over hourly joined series
     "percentile_cont_family": {"partial"},
     # type-surface batch (functions_ext5.py)
     "decimal_exact_money": {"partial"},
     "union_by_name_evolution": {"pushdown", "partial"},
     # round-3 batch three (llm7.py / timeseries2.py)
-    "keyword_rake_topk": {"bcast", "partial"},
+    "keyword_rake_topk": {"bcast", "partial", "global_ok"},  # rank over RAKE_TOP post-LIMIT rows
     # keys-only pair distinct (no partial_* funcs), like lsh_range_search
     "knn_graph_build": set(),
-    "embedding_sim_histogram": {"partial", "bcast", "bnlj_ok"},
+    "embedding_sim_histogram": {"partial", "bcast", "bnlj_ok", "global_ok"},  # cumulative over bounded e2 histogram bins
     "downsample_m4": {"partial"},
     "seasonal_residual_stats": {"bcast", "partial"},
     "partition_skew_stats": {"partial", "bcast", "bnlj_ok"},
     "lsh_range_search_collapsed": {"partial"},  # collapse groupBy partials
-    "pq_encode_stats": {"partial", "bcast"},
+    "pq_encode_stats": {"partial", "bcast", "global_ok"},  # 16-row post-LIMIT codebook rank
     # data-mixing batch (llm8.py)
     "domain_reweight_step": {"partial", "bcast", "bnlj_ok"},
     "decontaminate_exact_substring": {"pushdown", "partial", "bcast", "bnlj_ok"},
-    "token_budget_allocation": {"partial", "bcast", "bnlj_ok"},
+    "token_budget_allocation": {"partial", "bcast", "bnlj_ok", "global_ok"},  # largest-remainder rank over per-source domain
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
     "streaming_cdc_latest_replay": set(),
     "streaming_sip_asr_replay": set(),
 }
+
+
+# ---------------------------------------------------------------------------
+# bounded-broadcast catalog: "relpath:first-arg-identifier" -> why the
+# broadcast side is bounded (does NOT grow with the corpus, or grows
+# strictly sublinearly with a documented cap). A site missing here FAILS.
+# ---------------------------------------------------------------------------
+BOUNDED_BROADCASTS: dict[str, str] = {
+    "hepop_spark/operators/similarity.py:qv": "bounded query set (|q| vectors, contract of the topk API)",
+    "hepop_spark/queries/analytics.py:cust": "TPC-H dim: segment-filtered customer, small side vs orders x lineitem",
+    "hepop_spark/queries/analytics.py:customer": "TPC-H dim, small side vs the lineitem fact",
+    "hepop_spark/queries/analytics.py:supplier": "TPC-H dim (SF/100 of lineitem)",
+    "hepop_spark/queries/analytics.py:nation": "fixed 25 rows",
+    "hepop_spark/queries/analytics.py:region": "fixed 5 rows",
+    "hepop_spark/queries/analytics.py:part": "TPC-H dim, small side vs lineitem",
+    "hepop_spark/queries/analytics10.py:total": "1-row grand-total aggregate",
+    "hepop_spark/queries/analytics10.py:mx": "marginal over o_orderpriority (5 values)",
+    "hepop_spark/queries/analytics10.py:my": "marginal over o_orderstatus (3 values)",
+    "hepop_spark/queries/analytics10.py:tot": "1-row / per-column-name scalar aggregates",
+    "hepop_spark/queries/analytics10.py:viol": "1-row violation-count aggregate",
+    "hepop_spark/queries/analytics10.py:counts": "per-event_type counts (bounded type domain)",
+    "hepop_spark/queries/analytics10.py:bounds": "per-event_type clip bounds (bounded type domain)",
+    "hepop_spark/queries/analytics10.py:bins": "fixed N_BINS=10 ntile boundary rows",
+    "hepop_spark/queries/analytics11.py:tot": "1-row totals aggregate",
+    "hepop_spark/queries/analytics11.py:xk": "1-row k-th order statistic",
+    "hepop_spark/queries/analytics11.py:bc": "bigram-context counts over the capped vocab",
+    "hepop_spark/queries/analytics11.py:uni": "unigram vocab (Heaps-law sublinear, min-count capped)",
+    "hepop_spark/queries/analytics11.py:vsize": "1-row vocab size",
+    "hepop_spark/queries/analytics13.py:tot": "1-row / per-source totals (bounded source domain)",
+    "hepop_spark/queries/analytics13.py:anchors": "fixed 8-row anchor-point sample",
+    "hepop_spark/queries/analytics2.py:dim": "keys-only projection of the declared dim table (API contract)",
+    "hepop_spark/queries/analytics3.py:stats": "1-row corpus stats (N, avgdl)",
+    "hepop_spark/queries/analytics3.py:idf": "token vocab (Heaps-law sublinear; df>=2 floor)",
+    "hepop_spark/queries/analytics4.py:row_m": "contingency row marginals (bounded event_type domain)",
+    "hepop_spark/queries/analytics4.py:col_m": "contingency col marginals (bounded variant domain)",
+    "hepop_spark/queries/analytics4.py:n": "1-row grand total",
+    "hepop_spark/queries/analytics4.py:nat": "fixed 25-row nation dim",
+    "hepop_spark/queries/analytics5.py:maxp": "1-row max aggregate",
+    "hepop_spark/queries/analytics5.py:q": "bounded query-point set (10 rows)",
+    "hepop_spark/queries/analytics7.py:nat": "fixed 25-row nation dim",
+    "hepop_spark/queries/llm.py:cand_docs": "LSH candidate doc ids (near-dup volume, << corpus by construction)",
+    "hepop_spark/queries/llm.py:candidates": "LSH candidate pairs (near-dup volume)",
+    "hepop_spark/queries/llm.py:queries": "bounded 10-vector query set",
+    "hepop_spark/queries/llm5.py:sa": "signatures of candidate docs only (near-dup volume)",
+    "hepop_spark/queries/llm5.py:sb": "signatures of candidate docs only (near-dup volume)",
+    "hepop_spark/queries/llm5.py:cand_docs": "candidate doc ids (near-dup volume)",
+    "hepop_spark/queries/llm5.py:candidates": "candidate pairs (near-dup volume)",
+    "hepop_spark/queries/llm5.py:tot": "1-row total token count",
+    "hepop_spark/queries/llm5.py:freq_n": "token frequency vocab (Heaps-law sublinear)",
+    "hepop_spark/queries/llm6.py:uni": "unigram vocab above min-count floor",
+    "hepop_spark/queries/llm6.py:n_pos": "1-row position count",
+    "hepop_spark/queries/llm6.py:vocab": "min-count-capped vocab",
+    "hepop_spark/queries/llm6.py:per_src": "per-source aggregates (bounded source domain)",
+    "hepop_spark/queries/llm6.py:glob": "1-row global aggregate",
+    "hepop_spark/queries/llm6.py:cent": "per-(label, dim) centroids: |labels| x 64 rows",
+    "hepop_spark/queries/llm7.py:wstats": "per-window-size stats (3 rows)",
+    "hepop_spark/queries/llm7.py:tot": "1-row total",
+    "hepop_spark/queries/llm7.py:books": "fixed 64-row PQ codeword table",
+    "hepop_spark/queries/llm8.py:tot": "1-row totals aggregate",
+    "hepop_spark/queries/llm8.py:z": "1-row normalizer",
+    "hepop_spark/queries/llm8.py:probes": "fixed BENCH_N=20 probe set (TakeOrdered-selected)",
+    "hepop_spark/queries/llm8.py:leftover": "1-row leftover count",
+    "hepop_spark/queries/mining_q.py:cent": "k centroids (k=4)",
+    "hepop_spark/queries/mining_q.py:q": "bounded query-point set",
+    "hepop_spark/queries/mining_q.py:candidates": "min-support-capped candidate itemsets",
+    "hepop_spark/queries/scale_paths.py:cents": "fixed 16-row coarse-centroid table",
+    "hepop_spark/queries/scale_paths.py:books": "fixed 64-row PQ codeword table",
+    "hepop_spark/queries/scale_paths.py:qn": "per-query norms (bounded query set)",
+    "hepop_spark/queries/timeseries2.py:slot": "per-(event_type, hour-of-day) seasonal means (bounded 24x|types|)",
+    "hepop_spark/queries/timeseries2.py:tot": "1-row total",
+    "hepop_spark/queries/tpch_more.py:cust": "TPC-H dim, small side vs orders/lineitem",
+    "hepop_spark/queries/tpch_more.py:part": "filtered part dim, small side vs lineitem",
+    "hepop_spark/queries/voip_q.py:tot": "1-row total",
+    "hepop_spark/streaming/joins.py:dim": "enrich-with-dimension API: caller passes a dim table by contract",
+}
+
+_BCAST_RE = __import__("re").compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def lint_broadcast_sites(repo_root: str) -> list[str]:
+    """Every F.broadcast( call site must be justified in BOUNDED_BROADCASTS;
+    stale catalog entries (site gone) also fail so the catalog stays true."""
+    import pathlib
+
+    problems: list[str] = []
+    found: set[str] = set()
+    pkg = pathlib.Path(repo_root) / "hepop_spark"
+    for p in sorted(pkg.rglob("*.py")):
+        rel = p.relative_to(repo_root).as_posix()
+        for i, ln in enumerate(p.read_text().splitlines(), 1):
+            for m in _BCAST_RE.finditer(ln):
+                key = f"{rel}:{m.group(1)}"
+                found.add(key)
+                if key not in BOUNDED_BROADCASTS:
+                    problems.append(
+                        f"{rel}:{i} unjustified F.broadcast({m.group(1)}) — "
+                        "add a boundedness entry to BOUNDED_BROADCASTS or drop the hint"
+                    )
+    for key in sorted(set(BOUNDED_BROADCASTS) - found):
+        problems.append(f"stale BOUNDED_BROADCASTS entry (site gone): {key}")
+    return problems
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] group contents of a formatted-plan Arguments line."""
+    groups: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def global_windows(plan: str) -> int:
+    """Number of Window nodes with an EMPTY partition spec (all rows to one
+    task). Shapes of the Arguments line:
+      [exprs], [partition], [order]  -> partitioned (3 groups)
+      [exprs], [partition]           -> partitioned, no order (2, no ASC/DESC)
+      [exprs], [order]               -> GLOBAL sorted window (2, has ASC/DESC)
+      [exprs]                        -> GLOBAL unordered window (1)
+    """
+    lines = plan.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        if _WINDOW_NODE_RE.search(ln):
+            for la in lines[i + 1 : i + 4]:
+                la = la.strip()
+                if la.startswith("Arguments:"):
+                    groups = _bracket_groups(la)
+                    if len(groups) <= 1:
+                        n += 1
+                    elif len(groups) == 2 and (
+                        " ASC" in groups[1] or " DESC" in groups[1]
+                    ):
+                        n += 1
+                    break
+    return n
+
+
+_WINDOW_NODE_RE = __import__("re").compile(r"^\s*(?:[+:*-]+\s*)?\(\d+\) Window$")
 
 
 def explain_str(df) -> str:
@@ -297,14 +454,30 @@ def audit(name: str, plan: str, flags: set[str]) -> list[str]:
         {"cartesian_ok", "bnlj_ok"} & flags
     ):
         problems.append("BroadcastNestedLoopJoin not declared (bnlj_ok)")
+    # r03 verdict item 3: an unpartitioned Window sorts ALL rows in one
+    # task. Entries whose global window provably runs over a bounded
+    # domain (skyline, vocab, group rollup, top-k survivors) declare
+    # global_ok with a justification comment at the AUDITS entry.
+    gw = global_windows(plan)
+    if gw and "global_ok" not in flags:
+        problems.append(
+            f"{gw} unpartitioned Window node(s) — single-task global sort; "
+            "declare global_ok only if the input domain is bounded"
+        )
     return problems
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bcast_problems = lint_broadcast_sites(repo_root)
+    for p in bcast_problems:
+        print(f"FAIL broadcast-lint: {p}")
+    if not bcast_problems:
+        print(f"ok   broadcast-lint ({len(BOUNDED_BROADCASTS)} justified sites)")
     spark = get_spark("plan-audit")
     reg = registry()
-    failures = 0
+    failures = len(bcast_problems)
     for name, flags in AUDITS.items():
         plan = explain_str(reg[name].fn(spark, sf_dir))
         problems = audit(name, plan, flags)
