@@ -115,7 +115,7 @@ def main() -> None:
     # Round-over-round continuity: diff against the latest BENCH_r{N}.json
     # the driver recorded, so per-query regressions are visible in ONE place
     # instead of requiring a manual two-file comparison next round.
-    prev_total, deltas = _previous_round_delta(timings)
+    prev_total, deltas, extra_deltas = _previous_round_delta(timings, extras)
 
     # Ingest throughput: the reference's core claim is ingest ("HEP Capture
     # Server ... Parquet WAL"). Measure the Line Protocol hot path at the
@@ -138,13 +138,17 @@ def main() -> None:
     if prev_total is not None:
         out["prev_total"] = prev_total
         out["delta_vs_prev"] = deltas
+        # r03 verdict item 4: the slowest registry entries live in extras —
+        # a regression there must be as visible as a headline one
+        out["delta_extras_vs_prev"] = extra_deltas
     print(json.dumps(out))
     spark.stop()
 
 
-def _previous_round_delta(timings: dict[str, float]):
-    """(prev_total, {query: sec_delta}) vs the newest BENCH_r*.json, or
-    (None, {}) when no prior round exists. Positive delta = slower now."""
+def _previous_round_delta(timings: dict[str, float], extras: dict[str, float]):
+    """(prev_total, {query: sec_delta}, {extra: sec_delta}) vs the newest
+    BENCH_r*.json, or (None, {}, {}) when no prior round exists. Positive
+    delta = slower now."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -157,12 +161,12 @@ def _previous_round_delta(timings: dict[str, float]):
     ]
     benches = [p for _, p in sorted(matched)]
     if not benches:
-        return None, {}
+        return None, {}, {}
     try:
         with open(benches[-1]) as f:
             prev = json.load(f)
     except (OSError, ValueError):
-        return None, {}
+        return None, {}, {}
     # the driver wraps the bench line under "parsed"
     if "queries" not in prev and isinstance(prev.get("parsed"), dict):
         prev = prev["parsed"]
@@ -172,7 +176,13 @@ def _previous_round_delta(timings: dict[str, float]):
         for name, sec in timings.items()
         if name in prev_q
     }
-    return prev.get("value"), deltas
+    prev_x = prev.get("extra_queries", {})
+    extra_deltas = {
+        name: round(sec - prev_x[name], 3)
+        for name, sec in extras.items()
+        if name in prev_x
+    }
+    return prev.get("value"), deltas, extra_deltas
 
 
 def _ingest_bench(spark, n_rows: int) -> dict:

@@ -186,12 +186,23 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
     raw_corpus = load_table(spark, sf, "embeddings").filter(F.col("vec_id") >= 10)
     raw_queries = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
+    from .scale_paths import (
+        IVF_CELLS, IVF_NPROBE, LSH_TABLES, PQ_K, PQ_M, PQ_SHORT,
+    )
+
     lsh = lsh_topk(
-        raw_corpus, raw_queries, top_k=RECALL_K, multiprobe=True, n_tables=4
+        raw_corpus, raw_queries, top_k=RECALL_K, multiprobe=True,
+        n_tables=LSH_TABLES,
     ).select("q_id", "c_id")
-    ivf = ivf_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
+    ivf = ivf_topk(
+        raw_corpus, raw_queries, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
+        top_k=RECALL_K,
+    ).select("q_id", "c_id")
     sq8 = sq8_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
-    pq = pq_topk(raw_corpus, raw_queries, top_k=RECALL_K).select("q_id", "c_id")
+    pq = pq_topk(
+        raw_corpus, raw_queries, m_sub=PQ_M, k_codes=PQ_K, shortlist=PQ_SHORT,
+        top_k=RECALL_K,
+    ).select("q_id", "c_id")
     from .scale_paths import ann_ivfpq_topk
 
     ivfpq = ann_ivfpq_topk(spark, sf).select("q_id", "c_id")

@@ -18,6 +18,22 @@ from ..operators.similarity import ivf_topk, lsh_topk, pq_topk, sq8_topk
 from . import QuerySpec
 
 
+# r04 tuned ANN operating points (measured with ann_recall_eval's exact
+# ground truth at sf0.01; r03 verdict item 5 asked for recall@5 >= 0.7):
+#   LSH   4 tables -> 0.38 ; 10 tables -> 0.70   (candidates scale ~linearly)
+#   IVF   16 cells/nprobe 4 (25% probe mass) -> 0.56 ;
+#         32 cells/nprobe 12 (37.5% probe mass) -> 0.70
+#   PQ    m=4,K=16,short=50 -> 0.44 ; m=8,K=32,short=100 -> 0.80
+#         (8-byte codes vs 256-byte floats; still 32x smaller)
+LSH_TABLES = 10
+IVF_CELLS, IVF_NPROBE = 32, 12
+PQ_M, PQ_SUB, PQ_K, PQ_SHORT = 8, 8, 32, 100
+# the IVF-PQ compound loses a little recall to the coarse router, so its
+# rerank shortlist is deeper (150 -> recall@5 0.70 at nprobe 12/32; the
+# rerank cost delta is 50 extra exact cosines per query — negligible)
+IVFPQ_SHORT = 150
+
+
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Sign-LSH bucketed ANN over the embeddings table: deterministic
     hyperplanes, bucket equi-join candidate generation, top-5 per query.
@@ -26,21 +42,25 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    # 4-table banding + Hamming-1 multiprobe: ann_recall_eval measured
-    # recall@5 of 0.12 (1 table) -> 0.38 (4 tables) -> 0.52 (6) at sf0.01;
-    # 4 tables is the knee of the recall/candidate-cost curve here
-    return lsh_topk(corpus, queries, top_k=5, multiprobe=True, n_tables=4)
+    # banding + Hamming-1 multiprobe: recall@5 0.12 (1 table) -> 0.38 (4)
+    # -> 0.60 (8) -> 0.70 (10 tables, the r04 default operating point)
+    return lsh_topk(
+        corpus, queries, top_k=5, multiprobe=True, n_tables=LSH_TABLES
+    )
 
 
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF inverted-list ANN over the embeddings table: deterministic coarse
-    quantizer, nprobe=4 of 16 cells, exact rerank of probed candidates only
+    quantizer, nprobe=12 of 32 cells (recall@5 0.70), exact rerank of
+    probed candidates only
     — the second scale path beside sign-LSH (different recall/cost curve:
     data-adaptive cells vs data-oblivious hyperplanes)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return ivf_topk(corpus, queries, n_cells=16, nprobe=4, top_k=5)
+    return ivf_topk(
+        corpus, queries, n_cells=IVF_CELLS, nprobe=IVF_NPROBE, top_k=5
+    )
 
 
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -111,8 +131,8 @@ def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Product-quantization ANN (operators/similarity.pq_topk): 4 subspaces
-    x 16 codewords = 4 BYTES per corpus vector (vs SQ8's 64, float's 256) —
+    """Product-quantization ANN (operators/similarity.pq_topk): 8 subspaces
+    x 32 codewords = 8 BYTES per corpus vector (vs SQ8's 64, float's 256) —
     the encoding that fits a 100-TB corpus in hot storage. ADC lookup-table
     scoring shortlists candidates, float rerank finishes. Deterministic
     codebook (md5-ordered sample) + integer shortlist keys under a total
@@ -120,27 +140,29 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return pq_topk(corpus, queries, m_sub=4, k_codes=16, top_k=5)
+    return pq_topk(
+        corpus, queries, m_sub=PQ_M, k_codes=PQ_K, shortlist=PQ_SHORT, top_k=5
+    )
 
 
 # PQ oracle: codebook = the same md5-ordered sample (IVF trick), subspace
 # encode = argmin |cw|^2 - 2 x.cw with (d, k) tie-break, ADC dot/norm from
 # the codes, integer shortlist keys floor(sim*1e4+0.5) under (qkey DESC,
-# c_id) — every stage replayed in SQL. The 4-term ADC sums reduce in
+# c_id) — every stage replayed in SQL. The per-subspace ADC sums reduce in
 # engine-specific order; a flip needs a last-ulp tie at a key boundary
 # (the accepted-improbable class shared by the LSH/IVF/SQ8 oracles).
-PQ_ORACLE_SQL = """
+PQ_ORACLE_SQL = f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 corpus AS (SELECT * FROM emb WHERE vec_id >= 10),
 queries AS (SELECT * FROM emb WHERE vec_id < 10),
 cb0 AS (
   SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS k
-  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PQ_K}
 ),
 books AS (
   SELECT k, CAST(ms.m AS INTEGER) AS m,
-         v[CAST(ms.m * 16 + 1 AS INTEGER):CAST((ms.m + 1) * 16 AS INTEGER)] AS cw
-  FROM cb0, (SELECT unnest(range(4)) AS m) ms
+         v[CAST(ms.m * {PQ_SUB} + 1 AS INTEGER):CAST((ms.m + 1) * {PQ_SUB} AS INTEGER)] AS cw
+  FROM cb0, (SELECT unnest(range({PQ_M})) AS m) ms
 ),
 enc AS (
   SELECT c_id, m, k AS code, cw FROM (
@@ -149,7 +171,7 @@ enc AS (
              PARTITION BY c.vec_id, b.m
              ORDER BY list_dot_product(b.cw, b.cw)
                       - 2 * list_dot_product(
-                          c.v[CAST(b.m * 16 + 1 AS INTEGER):CAST((b.m + 1) * 16 AS INTEGER)],
+                          c.v[CAST(b.m * {PQ_SUB} + 1 AS INTEGER):CAST((b.m + 1) * {PQ_SUB} AS INTEGER)],
                           b.cw),
                       b.k) AS rn
     FROM corpus c CROSS JOIN books b) WHERE rn = 1
@@ -157,7 +179,7 @@ enc AS (
 adc AS (
   SELECT q.vec_id AS q_id, e.c_id,
          sum(list_dot_product(
-               q.v[CAST(e.m * 16 + 1 AS INTEGER):CAST((e.m + 1) * 16 AS INTEGER)],
+               q.v[CAST(e.m * {PQ_SUB} + 1 AS INTEGER):CAST((e.m + 1) * {PQ_SUB} AS INTEGER)],
                e.cw)) AS dot,
          sqrt(sum(list_dot_product(e.cw, e.cw))) AS cnorm
   FROM queries q CROSS JOIN enc e
@@ -179,7 +201,7 @@ keys AS (
 short AS (
   SELECT q_id, c_id FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qkey DESC, c_id) AS rk
-    FROM keys) WHERE rk <= 50
+    FROM keys) WHERE rk <= {PQ_SHORT}
 ),
 rer AS (
   SELECT s.q_id, s.c_id,
@@ -200,12 +222,12 @@ WHERE rk <= 5
 def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ compound index (the FAISS-flagship composition): IVF coarse
     cells restrict WHICH candidates are scored, PQ codes decide HOW they
-    are scored — 4-byte codes + a 16-cell router instead of 256-byte
+    are scored — 8-byte codes + a 32-cell router instead of 256-byte
     floats, the encoding a 100 TB vector store actually persists.
 
     Fully COLUMN-NATIVE (unlike ann_pq_topk's mapInPandas GEMM twin): the
-    PQ encode is an argmin over a broadcast 64-row codeword table (16
-    codes x 4 subspaces) via one window, ADC is a 4-row-per-pair
+    PQ encode is an argmin over a broadcast 256-row codeword table (32
+    codes x 8 subspaces) via one window, ADC is an 8-row-per-pair
     aggregation — so the entire compound plan is whole-stage-codegen JVM
     and the DuckDB oracle replays it expression for expression.
 
@@ -220,7 +242,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    n_cells, nprobe, m_sub, sub, k_codes, shortlist, top_k = 16, 4, 4, 16, 16, 50, 5
+    n_cells, nprobe, m_sub, sub, k_codes, shortlist, top_k = (
+        IVF_CELLS, IVF_NPROBE, PQ_M, PQ_SUB, PQ_K, IVFPQ_SHORT, 5
+    )
 
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
@@ -377,13 +401,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-IVFPQ_ORACLE_SQL = """
+IVFPQ_ORACLE_SQL = f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 corpus AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id >= 10),
 queries AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 10),
 samp AS (
   SELECT cv AS sv, row_number() OVER (ORDER BY md5(CAST(c_id AS VARCHAR))) - 1 AS k
-  FROM corpus ORDER BY md5(CAST(c_id AS VARCHAR)) LIMIT 16
+  FROM corpus ORDER BY md5(CAST(c_id AS VARCHAR)) LIMIT {PQ_K}
 ),
 cents AS (
   SELECT k AS cell,
@@ -402,12 +426,12 @@ qprobe AS (
     SELECT q.q_id, ct.cell,
            row_number() OVER (PARTITION BY q.q_id
                               ORDER BY list_dot_product(q.qv, ct.cw_cell) DESC, ct.cell) AS rn
-    FROM queries q CROSS JOIN cents ct) WHERE rn <= 4
+    FROM queries q CROSS JOIN cents ct) WHERE rn <= {IVF_NPROBE}
 ),
 books AS (
   SELECT CAST(ms.m AS INTEGER) AS m, k,
-         sv[CAST(ms.m * 16 + 1 AS INTEGER):CAST((ms.m + 1) * 16 AS INTEGER)] AS cw
-  FROM samp, (SELECT unnest(range(4)) AS m) ms
+         sv[CAST(ms.m * {PQ_SUB} + 1 AS INTEGER):CAST((ms.m + 1) * {PQ_SUB} AS INTEGER)] AS cw
+  FROM samp, (SELECT unnest(range({PQ_M})) AS m) ms
 ),
 enc AS (
   SELECT c_id, m, cw FROM (
@@ -416,7 +440,7 @@ enc AS (
              PARTITION BY c.c_id, b.m
              ORDER BY list_dot_product(b.cw, b.cw)
                       - 2 * list_dot_product(
-                          c.cv[CAST(b.m * 16 + 1 AS INTEGER):CAST((b.m + 1) * 16 AS INTEGER)],
+                          c.cv[CAST(b.m * {PQ_SUB} + 1 AS INTEGER):CAST((b.m + 1) * {PQ_SUB} AS INTEGER)],
                           b.cw),
                       b.k) AS rn
     FROM corpus c CROSS JOIN books b) WHERE rn = 1
@@ -428,7 +452,7 @@ cand AS (
 adc AS (
   SELECT cd.q_id, cd.c_id,
          sum(list_dot_product(
-               q.qv[CAST(e.m * 16 + 1 AS INTEGER):CAST((e.m + 1) * 16 AS INTEGER)],
+               q.qv[CAST(e.m * {PQ_SUB} + 1 AS INTEGER):CAST((e.m + 1) * {PQ_SUB} AS INTEGER)],
                e.cw)) AS dot,
          sqrt(sum(list_dot_product(e.cw, e.cw))) AS cnorm
   FROM cand cd
@@ -452,7 +476,7 @@ keys AS (
 short AS (
   SELECT q_id, c_id FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qkey DESC, c_id) AS rk
-    FROM keys) WHERE rk <= 50
+    FROM keys) WHERE rk <= {IVFPQ_SHORT}
 ),
 rer AS (
   SELECT s.q_id, s.c_id,
@@ -686,7 +710,7 @@ GROUP BY o_orderpriority
 # ~1e-15 of a tie, which the value distribution keeps improbable.
 
 
-def _lsh_oracle_sql(n_tables: int = 4, k_bits: int = 8, dim: int = 64) -> str:
+def _lsh_oracle_sql(n_tables: int = LSH_TABLES, k_bits: int = 8, dim: int = 64) -> str:
     from ..operators.similarity import _hyperplanes
 
     rows = []
@@ -731,13 +755,13 @@ WHERE rk <= 5
 """
 
 
-IVF_ORACLE_SQL = """
+IVF_ORACLE_SQL = f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 corpus AS (SELECT * FROM emb WHERE vec_id >= 10),
 queries AS (SELECT * FROM emb WHERE vec_id < 10),
 cent0 AS (
   SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell
-  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
 ),
 cents AS (
   SELECT cell,
@@ -756,7 +780,7 @@ qprobe AS (
     SELECT q.vec_id, q.v, ct.cell,
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY list_dot_product(q.v, ct.cv) DESC, ct.cell) AS rn
-    FROM queries q CROSS JOIN cents ct) WHERE rn <= 4
+    FROM queries q CROSS JOIN cents ct) WHERE rn <= {IVF_NPROBE}
 ),
 scored AS (
   SELECT DISTINCT qp.q_id, ca.c_id,

@@ -65,24 +65,22 @@ class TestAnnRecall:
         assert rows
         mean_lsh = sum(r["recall_lsh"] for r in rows) / len(rows)
         mean_ivf = sum(r["recall_ivf"] for r in rows) / len(rows)
-        # IVF probes 25% of the corpus guided by centroids and still beats
-        # the banded 4-table LSH here; both must clear real floors (LSH's
-        # floor is 3x its pre-banding 0.12 — the eval-driven fix)
-        assert mean_ivf > mean_lsh
-        assert mean_ivf >= 0.4
-        assert mean_lsh >= 0.25
-        # round-2 paths: SQ8's 50-of-490 shortlist rerank is near-exact on
-        # this corpus (measured 1.0); PQ at 4 bytes/vector trades recall
-        # for 64x compression (measured 0.44)
+        # r04 tuned operating points (verdict item 5: production floor is
+        # recall@5 >= 0.7 minus run noise): LSH 10 tables -> 0.70, IVF
+        # 32 cells / nprobe 12 -> 0.70
+        assert mean_ivf >= 0.6
+        assert mean_lsh >= 0.6
+        # SQ8's 50-of-490 shortlist rerank is near-exact on this corpus
+        # (measured 1.0); PQ at 8 bytes/vector (m=8, K=32, short=100)
+        # measured 0.80 — compression still 32x
         mean_sq8 = sum(r["recall_sq8"] for r in rows) / len(rows)
         mean_pq = sum(r["recall_pq"] for r in rows) / len(rows)
         assert mean_sq8 >= 0.9
-        assert mean_pq >= 0.3
-        # round-3 compound: IVF-PQ >= plain PQ (the router discards only
-        # low-sim candidates) but <= the IVF ceiling (lossy code scoring);
-        # measured 0.46 vs PQ 0.44 / IVF 0.56
+        assert mean_pq >= 0.65
+        # compound IVF-PQ: lossy code scoring under a coarse router;
+        # deeper 150-row shortlist recovers to 0.70 measured
         mean_ivfpq = sum(r["recall_ivfpq"] for r in rows) / len(rows)
-        assert mean_ivfpq >= 0.35
+        assert mean_ivfpq >= 0.6
         for r in rows:
             assert 0.0 <= r["recall_lsh"] <= 1.0
             assert 0.0 <= r["recall_ivf"] <= 1.0
