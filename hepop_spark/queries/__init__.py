@@ -61,6 +61,7 @@ def registry() -> dict[str, QuerySpec]:
         llm6,
         llm7,
         llm8,
+        llm9,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -105,6 +106,7 @@ def registry() -> dict[str, QuerySpec]:
         llm6,
         llm7,
         llm8,
+        llm9,
         functions_ext,
         functions_ext2,
         functions_ext3,

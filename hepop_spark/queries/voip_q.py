@@ -426,3 +426,89 @@ QUERIES["capture_seq_gaps"] = QuerySpec(
     capture_seq_gaps, CAPTURE_GAPS_SQL,
     "sequence-gap (frame loss) detection per trunk via one lag pass",
 )
+
+
+# ---------------------------------------------------------------------------
+# rtp_jitter_rfc3550 — interarrival jitter estimate per trunk
+# ---------------------------------------------------------------------------
+
+JITTER_NOMINAL_US = 20_000  # 20 ms packetization interval
+
+
+def rtp_jitter_rfc3550(spark: SparkSession, sf: str) -> DataFrame:
+    """RFC 3550 §6.4.1 interarrival jitter per trunk: D_i = (arrival gap)
+    - (nominal 20 ms media gap); the running estimate J += (|D|-J)/16 is
+    re-expressed as the closed-form weighted sum J_n = Σ |D_i| · (1/16) ·
+    (15/16)^(n-i) — the same recursion-to-window trick as ewma_smooth,
+    which turns a sequential per-packet scan into one distributable
+    window pass + one aggregation. Weights underflow to exact 0.0 for
+    old packets identically in both engines (IEEE pow), so the sum is a
+    finite tail either way. The per-trunk jitter is the RTCP field a
+    capture store surfaces on its trunk-quality panel.
+
+    Scale: one window rank per bounded trunk key + one groupBy; packets
+    shuffle once on trunk. Events stand in for RTP arrivals (same device
+    as the rest of voip_q; both engines replant identically)."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 6000)
+    pk = ev.select(
+        (F.col("user_id") % 20).alias("trunk"),
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("trunk").orderBy("t_us", "event_id")
+    wn = Window.partitionBy("trunk")
+    d = (
+        pk.withColumn("gap", F.col("t_us") - F.lag("t_us").over(w))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("gap").isNotNull())
+        .withColumn("absd", F.abs(F.col("gap") - JITTER_NOMINAL_US))
+    )
+    return (
+        d.groupBy("trunk")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(
+                F.sum(
+                    F.col("absd")
+                    * F.pow(F.lit(15.0 / 16.0), F.col("n") - F.col("i"))
+                    / 16.0
+                )
+                / 1000.0,
+                3,
+            ).alias("jitter_ms"),
+        )
+        .select(
+            F.col("trunk").cast("long").alias("trunk"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            "jitter_ms",
+        )
+        .orderBy("trunk")
+    )
+
+
+JITTER_SQL = f"""
+WITH pk AS (
+  SELECT user_id % 20 AS trunk, epoch_us(ts) AS t_us, event_id
+  FROM events WHERE event_id < 6000
+), d AS (
+  SELECT trunk,
+         t_us - lag(t_us) OVER (PARTITION BY trunk ORDER BY t_us, event_id) AS gap,
+         row_number() OVER (PARTITION BY trunk ORDER BY t_us, event_id) AS i,
+         count(*) OVER (PARTITION BY trunk) AS n
+  FROM pk
+)
+SELECT CAST(trunk AS BIGINT) AS trunk,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(sum(abs(gap - {JITTER_NOMINAL_US}) * pow(CAST(15 AS DOUBLE) / 16, n - i) / 16)
+             / 1000.0, 3) AS jitter_ms
+FROM d
+WHERE gap IS NOT NULL
+GROUP BY trunk
+ORDER BY trunk
+"""
+
+QUERIES["rtp_jitter_rfc3550"] = QuerySpec(
+    rtp_jitter_rfc3550, JITTER_SQL,
+    "RFC 3550 interarrival jitter per trunk, closed-form window pass",
+)

@@ -1,0 +1,125 @@
+"""Round-4 batch semantics: normalization dedup plants, Bloom-sketch
+no-false-negative property, looping-text plants, minhash merge monoid,
+RFC 3550 jitter sanity, and the equi-depth grid rewrite equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+from hepop_spark.queries.analytics10 import quantile_bins_equidepth
+from hepop_spark.queries.llm9 import (
+    BLOOM_PROBE_MOD,
+    LOOP_MIN_REPEATS,
+    LOOP_PLANT_MOD,
+    NORM_PLANT_MOD,
+    NORM_PLANT_OFFSET,
+    bloom_decontaminate,
+    dedup_norm_whitespace,
+    minhash_merge_shards,
+    ngram_repetition_loop,
+)
+from hepop_spark.queries.voip_q import rtp_jitter_rfc3550
+from hepop_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test-round4")
+
+
+class TestNormDedup:
+    def test_planted_variants_collapse(self, spark):
+        rows = dedup_norm_whitespace(spark, SF).collect()
+        # every 97th doc has a planted case/space/punct variant; each must
+        # land in the same normalized group as its original
+        reps = {r["rep_doc"]: r for r in rows}
+        import duckdb
+
+        n_docs = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchone()[0]
+        planted = [i for i in range(0, n_docs, NORM_PLANT_MOD)]
+        for doc in planted:
+            assert doc in reps, f"planted group for doc {doc} missing"
+            assert reps[doc]["max_doc"] == doc + NORM_PLANT_OFFSET
+            assert reps[doc]["n_docs"] >= 2
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        """Every benchmark document must flag itself: Bloom filters have
+        false positives but NEVER false negatives."""
+        rows = {r["source"]: r for r in bloom_decontaminate(spark, SF).collect()}
+        import duckdb
+
+        bench_by_source = duckdb.sql(
+            f"""SELECT source, count(*) FROM read_parquet('{SF}/documents.parquet')
+                WHERE doc_id % {BLOOM_PROBE_MOD} = 0 GROUP BY source"""
+        ).fetchall()
+        for source, n_bench in bench_by_source:
+            assert rows[source]["n_docs_flagged"] >= n_bench
+        total_flagged = sum(r["n_grams_flagged"] for r in rows.values())
+        total_scanned = sum(r["n_grams_scanned"] for r in rows.values())
+        # the sketch is 62 Kbit for a few hundred benchmark grams: the
+        # false-positive mass must stay a sliver of the corpus
+        assert total_flagged < total_scanned * 0.1
+
+
+class TestLoopDetect:
+    def test_planted_loops_flagged(self, spark):
+        rows = {r["doc_id"]: r for r in ngram_repetition_loop(spark, SF).collect()}
+        import duckdb
+
+        n_docs = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchone()[0]
+        for doc in range(0, n_docs, LOOP_PLANT_MOD):
+            assert doc in rows, f"planted looping doc {doc} not flagged"
+            assert rows[doc]["n_repeats"] >= LOOP_MIN_REPEATS
+            assert "loop" in rows[doc]["top_gram"]
+
+
+class TestMinhashMerge:
+    def test_merge_equals_direct(self, spark):
+        rows = minhash_merge_shards(spark, SF).collect()
+        assert rows
+        assert all(r["n_mismatch"] == 0 for r in rows), (
+            "element-wise min of shard signatures must equal the direct "
+            "signature (merge monoid property)"
+        )
+        assert all(r["sig_checksum"] >= 0 for r in rows)
+
+
+class TestJitter:
+    def test_jitter_nonnegative_and_bounded_trunks(self, spark):
+        rows = rtp_jitter_rfc3550(spark, SF).collect()
+        assert 0 < len(rows) <= 20
+        for r in rows:
+            assert r["jitter_ms"] >= 0.0
+            assert r["n_gaps"] > 0
+
+
+class TestEquidepthGridRewrite:
+    def test_matches_rowlevel_ntile(self, spark):
+        """The aggregated-grid derivation must reproduce row-level NTILE
+        exactly (DuckDB computes the row-level reference)."""
+        got = {
+            r["bin"]: (r["n"], r["min_cents"], r["max_cents"])
+            for r in quantile_bins_equidepth(spark, SF).collect()
+        }
+        import duckdb
+
+        ref = duckdb.sql(
+            f"""WITH binned AS (
+                  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                         ntile(10) OVER (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                                         l_orderkey, l_linenumber) AS bin
+                  FROM read_parquet('{SF}/lineitem.parquet'))
+                SELECT bin, count(*), min(cents), max(cents)
+                FROM binned GROUP BY bin ORDER BY bin"""
+        ).fetchall()
+        assert len(got) == 10
+        for bin_, n, lo, hi in ref:
+            assert got[bin_] == (n, lo, hi)

@@ -259,6 +259,12 @@ AUDITS: dict[str, set[str]] = {
     "domain_reweight_step": {"partial", "bcast", "bnlj_ok"},
     "decontaminate_exact_substring": {"pushdown", "partial", "bcast", "bnlj_ok"},
     "token_budget_allocation": {"partial", "bcast", "bnlj_ok", "global_ok"},  # largest-remainder rank over per-source domain
+    # round-4 curation batch (llm9.py) + VoIP jitter
+    "dedup_norm_whitespace": {"partial"},
+    "bloom_decontaminate": {"bcast", "partial"},
+    "ngram_repetition_loop": {"partial"},
+    "minhash_merge_shards": {"partial"},
+    "rtp_jitter_rfc3550": {"pushdown", "partial"},
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
     "streaming_cdc_latest_replay": set(),
@@ -326,6 +332,8 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm8.py:z": "1-row normalizer",
     "hepop_spark/queries/llm8.py:probes": "fixed BENCH_N=20 probe set (TakeOrdered-selected)",
     "hepop_spark/queries/llm8.py:leftover": "1-row leftover count",
+    "hepop_spark/queries/llm9.py:s1": "fixed 1024-word Bloom sketch (8 KB)",
+    "hepop_spark/queries/llm9.py:s2": "fixed 1024-word Bloom sketch (8 KB)",
     "hepop_spark/queries/mining_q.py:cent": "k centroids (k=4)",
     "hepop_spark/queries/mining_q.py:q": "bounded query-point set",
     "hepop_spark/queries/mining_q.py:candidates": "min-support-capped candidate itemsets",

@@ -75,10 +75,30 @@ def main() -> int:
             )
             .write.parquet(f"{big}/embeddings.parquet")
         )
-        # the TPC-H tables pass through un-replicated (probed ops below
-        # only touch events/documents/embeddings)
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem"):
+        # orders/lineitem replicate too (r04: the percentile, co-purchase,
+        # equi-depth and Hill probes stress the fact tables) — orderkeys
+        # shift in lockstep so order-grain joins keep their structure
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n_li = li.count()
+        (
+            li.crossJoin(reps)
+            .withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.col("rep") * 100_000_000
+            )
+            .drop("rep")
+            .write.parquet(f"{big}/lineitem.parquet")
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        (
+            orders.crossJoin(reps)
+            .withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.col("rep") * 100_000_000
+            )
+            .drop("rep")
+            .write.parquet(f"{big}/orders.parquet")
+        )
+        # the small TPC-H dims pass through un-replicated
+        for t in ("region", "nation", "customer", "supplier", "part"):
             src = f"{sf_dir}/{t}.parquet"
             if os.path.exists(src):
                 spark.read.parquet(src).write.parquet(f"{big}/{t}.parquet")
@@ -105,6 +125,11 @@ def main() -> int:
             "auc_roc_exact",        # rank-sum AUC at 20x events
             "lsh_range_search_collapsed",  # the collapse fix, same corpus
             "ann_ivfpq_topk",       # compound router+codes at 20x corpus
+            # round-4 additions: fact-table heavies after the r04 rewrites
+            "weighted_percentile_disc",  # window over per-flag cents domain
+            "copurchase_jaccard",   # order self-join, unhinted degree joins
+            "quantile_bins_equidepth",   # aggregated-grid ntile derivation
+            "tail_index_hill",      # TakeOrdered top-k of 20x orders
         ]
         timings: dict[str, dict] = {}
         for name in probes:
@@ -119,6 +144,7 @@ def main() -> int:
             "events_rows": n_ev * k,
             "documents_rows": n_docs * k,
             "embeddings_rows": n_emb * k,
+            "lineitem_rows": n_li * k,
             "probes": timings,
         }))
         return 0
