@@ -480,3 +480,97 @@ QUERIES: dict[str, QuerySpec] = {
         "minhash shard-merge monoid verification + signature checksum",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# curriculum_shard_roundrobin — rank-ordered round-robin shard assignment
+# ---------------------------------------------------------------------------
+
+CURR_SHARDS = 8
+
+
+def curriculum_shard_roundrobin(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum sharding: documents ordered easiest-first (quality proxy
+    = n_chars, ties by doc_id) are dealt round-robin into 8 training
+    shards, so every shard sees the same difficulty mixture — then each
+    shard's size and total quality mass are reported for balance review.
+
+    The scale trick mirrors quantile_bins_equidepth: NO row-level global
+    rank is ever computed. Per n_chars value the cumulative window (over
+    the bounded distinct-quality grid) gives the group's global position
+    range [start+1, start+n]; the number of that group's rows landing in
+    shard s is the CLOSED-FORM count of positions p in the range with
+    (p-1) % K == s — g(end) - g(start) with g(x) = (x-1-s) div K + 1 for
+    x >= s+1 (all operands non-negative, so truncating and flooring
+    division agree on both engines). Ties within a group are
+    interchangeable for every reported aggregate because they share the
+    quality value.
+
+    Scale: one groupBy on the quality grid + a bounded-domain window + an
+    8-row broadcast — corpus-linear with no global sort anywhere."""
+    docs = load_table(spark, sf, "documents")
+    per = docs.groupBy("n_chars").agg(F.count("*").alias("n_c"))
+    wcum = Window.orderBy("n_chars")  # distinct n_chars grid: bounded
+    cum = per.withColumn("end_pos", F.sum("n_c").over(wcum)).withColumn(
+        "start_pos", F.col("end_pos") - F.col("n_c")
+    )
+    shards = spark.range(CURR_SHARDS).select(F.col("id").cast("long").alias("shard"))
+    g_end = F.when(
+        F.col("end_pos") >= F.col("shard") + 1,
+        F.expr(f"(end_pos - 1 - shard) div {CURR_SHARDS}") + 1,
+    ).otherwise(F.lit(0))
+    g_start = F.when(
+        F.col("start_pos") >= F.col("shard") + 1,
+        F.expr(f"(start_pos - 1 - shard) div {CURR_SHARDS}") + 1,
+    ).otherwise(F.lit(0))
+    return (
+        cum.crossJoin(F.broadcast(shards))
+        .withColumn("n_in_shard", g_end - g_start)
+        .filter(F.col("n_in_shard") > 0)
+        .groupBy("shard")
+        .agg(
+            F.sum("n_in_shard").cast("long").alias("n_docs"),
+            F.sum(F.col("n_in_shard") * F.col("n_chars")).cast("long").alias(
+                "sum_quality"
+            ),
+            F.min("n_chars").cast("long").alias("min_quality"),
+            F.max("n_chars").cast("long").alias("max_quality"),
+        )
+        .orderBy("shard")
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH per AS (
+  SELECT n_chars, count(*) AS n_c FROM documents GROUP BY n_chars
+),
+cum AS (
+  SELECT n_chars, n_c,
+         sum(n_c) OVER (ORDER BY n_chars) AS end_pos,
+         sum(n_c) OVER (ORDER BY n_chars) - n_c AS start_pos
+  FROM per
+),
+dealt AS (
+  SELECT c.n_chars, c.n_c, s.shard,
+         (CASE WHEN c.end_pos >= s.shard + 1
+               THEN (c.end_pos - 1 - s.shard) // {CURR_SHARDS} + 1 ELSE 0 END)
+         - (CASE WHEN c.start_pos >= s.shard + 1
+                 THEN (c.start_pos - 1 - s.shard) // {CURR_SHARDS} + 1 ELSE 0 END)
+           AS n_in_shard
+  FROM cum c CROSS JOIN (SELECT unnest(range({CURR_SHARDS})) AS shard) s
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(sum(n_in_shard) AS BIGINT) AS n_docs,
+       CAST(sum(n_in_shard * n_chars) AS BIGINT) AS sum_quality,
+       CAST(min(n_chars) AS BIGINT) AS min_quality,
+       CAST(max(n_chars) AS BIGINT) AS max_quality
+FROM dealt
+WHERE n_in_shard > 0
+GROUP BY shard
+ORDER BY shard
+"""
+
+QUERIES["curriculum_shard_roundrobin"] = QuerySpec(
+    curriculum_shard_roundrobin, CURRICULUM_SQL,
+    "round-robin curriculum sharding on the aggregated quality grid",
+)

@@ -123,3 +123,21 @@ class TestEquidepthGridRewrite:
         assert len(got) == 10
         for bin_, n, lo, hi in ref:
             assert got[bin_] == (n, lo, hi)
+
+
+class TestCurriculumShards:
+    def test_balance_and_totals(self, spark):
+        from hepop_spark.queries.llm9 import CURR_SHARDS, curriculum_shard_roundrobin
+
+        rows = curriculum_shard_roundrobin(spark, SF).collect()
+        assert len(rows) == CURR_SHARDS
+        import duckdb
+
+        n_docs, sum_q = duckdb.sql(
+            f"SELECT count(*), sum(n_chars) FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchone()
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        assert sum(r["sum_quality"] for r in rows) == sum_q
+        # round-robin deal: shard sizes differ by at most 1
+        sizes = [r["n_docs"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1

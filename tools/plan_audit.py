@@ -265,6 +265,8 @@ AUDITS: dict[str, set[str]] = {
     "ngram_repetition_loop": {"partial"},
     "minhash_merge_shards": {"partial"},
     "rtp_jitter_rfc3550": {"pushdown", "partial"},
+    # window over the bounded distinct-n_chars grid; 8-row shard broadcast
+    "curriculum_shard_roundrobin": {"partial", "bcast", "bnlj_ok", "global_ok"},
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
     "streaming_cdc_latest_replay": set(),
@@ -333,6 +335,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm8.py:probes": "fixed BENCH_N=20 probe set (TakeOrdered-selected)",
     "hepop_spark/queries/llm8.py:leftover": "1-row leftover count",
     "hepop_spark/queries/llm9.py:s1": "fixed 1024-word Bloom sketch (8 KB)",
+    "hepop_spark/queries/llm9.py:shards": "fixed CURR_SHARDS=8 rows",
     "hepop_spark/queries/llm9.py:s2": "fixed 1024-word Bloom sketch (8 KB)",
     "hepop_spark/queries/mining_q.py:cent": "k centroids (k=4)",
     "hepop_spark/queries/mining_q.py:q": "bounded query-point set",
