@@ -160,16 +160,35 @@ def _previous_round_delta(timings: dict[str, float], extras: dict[str, float]):
         if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     benches = [p for _, p in sorted(matched)]
-    if not benches:
+    # newest round whose record is actually parseable: the driver wraps the
+    # bench line under "parsed", but a truncated capture leaves parsed=null
+    # and a clipped "tail" (r03) — walk backwards and salvage what exists
+    prev = None
+    for path in reversed(benches):
+        try:
+            with open(path) as f:
+                cand = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if "queries" in cand:
+            prev = cand
+            break
+        if isinstance(cand.get("parsed"), dict) and "queries" in cand["parsed"]:
+            prev = cand["parsed"]
+            break
+        tail = cand.get("tail")
+        if isinstance(tail, str) and '{"metric"' in tail:
+            try:
+                obj, _ = json.JSONDecoder().raw_decode(
+                    tail[tail.index('{"metric"'):]
+                )
+                if "queries" in obj:
+                    prev = obj
+                    break
+            except ValueError:
+                continue
+    if prev is None:
         return None, {}, {}
-    try:
-        with open(benches[-1]) as f:
-            prev = json.load(f)
-    except (OSError, ValueError):
-        return None, {}, {}
-    # the driver wraps the bench line under "parsed"
-    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
-        prev = prev["parsed"]
     prev_q = prev.get("queries", {})
     deltas = {
         name: round(sec - prev_q[name], 3)

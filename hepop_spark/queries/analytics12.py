@@ -223,7 +223,13 @@ def weighted_percentile_disc(spark: SparkSession, sf: str) -> DataFrame:
     cumulative weight also crosses it, and no earlier cents value can
     qualify — so min(cents | cw >= ceil(q*tw)) is unchanged.  (Round-3
     verdict item #1: previously the window sorted every lineitem row
-    partitioned by a 3-value key — a single-task corpus sort at 100x.)"""
+    partitioned by a 3-value key — a single-task corpus sort at 100x.)
+
+    At sf0.1 the distinct-cents grid is ~594k of 600k rows (TPC-H prices
+    rarely repeat), so the bench wall there barely moves; the gain is the
+    ASYMPTOTE: the grid saturates while rows grow — the 20x probe (12M
+    rows, same 594k-row window) measures 0.8s vs 3.4s at 1/20 the data
+    (tools/scale_probe.py, SCALE.md r04)."""
     li = load_table(spark, sf, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     qty = F.round(F.col("l_quantity")).cast("long")
