@@ -574,3 +574,109 @@ QUERIES["curriculum_shard_roundrobin"] = QuerySpec(
     curriculum_shard_roundrobin, CURRICULUM_SQL,
     "round-robin curriculum sharding on the aggregated quality grid",
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_recall_eval — ground-truth recall of the minhash pipeline
+# ---------------------------------------------------------------------------
+
+DEDUP_EVAL_MOD = 53
+DEDUP_EVAL_OFFSET = 20_000_000
+
+
+def dedup_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup twin of ann_recall_eval: every 53rd document (with >= 10
+    tokens) gets a planted NEAR-duplicate — the same text with its third
+    token deleted (shingle-set Jaccard ~0.96, above the pipeline's
+    threshold) — and the FULL production minhash pipeline
+    (llm.dedup_minhash_lsh's signature -> band -> candidate -> exact-verify
+    chain, unchanged) runs over the planted corpus. Reported: planted
+    pairs, planted pairs the pipeline recovered (its measured recall on
+    known-positive near-dups), and total verified pairs (candidate volume
+    sanity). This is the harness that catches a silent banding/threshold
+    regression the way ann_recall_eval catches an ANN one.
+
+    Scale: inherits dedup_minhash_lsh's shape exactly (bounded-key hash
+    shuffles; quadratic work confined to band buckets); the plant is a
+    narrow map over a 1/53 slice."""
+    from .llm import _minhash_pairs
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    elig = (F.col("doc_id") % DEDUP_EVAL_MOD == 0) & (
+        F.size(F.split("text", " ")) >= 10
+    )
+    variants = docs.filter(elig).select(
+        (F.col("doc_id") + DEDUP_EVAL_OFFSET).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', concat(slice(split(text, ' '), 1, 2), "
+            "slice(split(text, ' '), 4, size(split(text, ' ')) - 3)))"
+        ).alias("text"),
+    )
+    base = docs.unionByName(variants).withColumn("t", F.split("text", " "))
+    sh_raw = base.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+            )
+        ).alias("sh"),
+    )
+    pairs = _minhash_pairs(sh_raw).select("da", "db")
+    n_planted = docs.filter(elig).agg(F.count("*").alias("n_planted"))
+    return (
+        pairs.agg(
+            F.count("*").cast("long").alias("n_pairs_total"),
+            F.sum(
+                F.when(
+                    (F.col("db") == F.col("da") + DEDUP_EVAL_OFFSET)
+                    & (F.col("da") % DEDUP_EVAL_MOD == 0)
+                    & (F.col("da") < DEDUP_EVAL_OFFSET),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_caught"),
+        )
+        .crossJoin(F.broadcast(n_planted))
+        .select(
+            F.col("n_planted").cast("long").alias("n_planted"),
+            "n_caught",
+            "n_pairs_total",
+        )
+    )
+
+
+def _dedup_eval_sql() -> str:
+    from .llm import DEDUP_MINHASH_SQL
+
+    inner = DEDUP_MINHASH_SQL.replace("FROM documents)", "FROM eval_base)")
+    assert inner != DEDUP_MINHASH_SQL, "table substitution failed"
+    return f"""
+WITH eval_base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DEDUP_EVAL_OFFSET} AS doc_id,
+         array_to_string(list_concat(
+           string_split(text, ' ')[1:2],
+           string_split(text, ' ')[4:len(string_split(text, ' '))]), ' ') AS text
+  FROM documents
+  WHERE doc_id % {DEDUP_EVAL_MOD} = 0 AND len(string_split(text, ' ')) >= 10
+),
+pairs AS (SELECT da, db FROM ({inner}) q),
+planted AS (
+  SELECT count(*) AS n_planted FROM documents
+  WHERE doc_id % {DEDUP_EVAL_MOD} = 0 AND len(string_split(text, ' ')) >= 10
+)
+SELECT CAST(p.n_planted AS BIGINT) AS n_planted,
+       CAST((SELECT count(*) FROM pairs
+             WHERE db = da + {DEDUP_EVAL_OFFSET}
+               AND da % {DEDUP_EVAL_MOD} = 0
+               AND da < {DEDUP_EVAL_OFFSET}) AS BIGINT) AS n_caught,
+       CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs_total
+FROM planted p
+"""
+
+
+QUERIES["dedup_minhash_recall_eval"] = QuerySpec(
+    dedup_minhash_recall_eval, _dedup_eval_sql(),
+    "planted near-dup ground truth through the full minhash pipeline",
+)

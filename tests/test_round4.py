@@ -141,3 +141,15 @@ class TestCurriculumShards:
         # round-robin deal: shard sizes differ by at most 1
         sizes = [r["n_docs"] for r in rows]
         assert max(sizes) - min(sizes) <= 1
+
+
+class TestDedupRecallEval:
+    def test_full_recall_on_planted_neardups(self, spark):
+        from hepop_spark.queries.llm9 import dedup_minhash_recall_eval
+
+        row = dedup_minhash_recall_eval(spark, SF).collect()[0]
+        assert row["n_planted"] > 0
+        # one deleted token out of >=10 leaves shingle Jaccard ~0.96 —
+        # the banded pipeline must recover every planted pair
+        assert row["n_caught"] == row["n_planted"]
+        assert row["n_pairs_total"] >= row["n_caught"]

@@ -267,6 +267,8 @@ AUDITS: dict[str, set[str]] = {
     "rtp_jitter_rfc3550": {"pushdown", "partial"},
     # window over the bounded distinct-n_chars grid; 8-row shard broadcast
     "curriculum_shard_roundrobin": {"partial", "bcast", "bnlj_ok", "global_ok"},
+    # full minhash chain + 1-row planted-count broadcast
+    "dedup_minhash_recall_eval": {"partial", "bcast", "bnlj_ok"},
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
     "streaming_cdc_latest_replay": set(),
@@ -336,6 +338,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm8.py:leftover": "1-row leftover count",
     "hepop_spark/queries/llm9.py:s1": "fixed 1024-word Bloom sketch (8 KB)",
     "hepop_spark/queries/llm9.py:shards": "fixed CURR_SHARDS=8 rows",
+    "hepop_spark/queries/llm9.py:n_planted": "1-row planted-count aggregate",
     "hepop_spark/queries/llm9.py:s2": "fixed 1024-word Bloom sketch (8 KB)",
     "hepop_spark/queries/mining_q.py:cent": "k centroids (k=4)",
     "hepop_spark/queries/mining_q.py:q": "bounded query-point set",
