@@ -507,13 +507,24 @@ def pq_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.zip_with(F.col("cs"), F.col("cw"), lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    wenc = Window.partitionBy("c_id", "m").orderBy(F.col("d"), F.col("k"))
+    # argmin codeword per (c_id, m) with (d, k) tie-break: min_by over
+    # struct(d, k) — same selection as a row_number window but a
+    # partial-combinable hash agg (no per-group sort of 256 rows each)
     enc = (
         csub.join(F.broadcast(books), "m")
         .withColumn("d", norm2("cw") - 2 * dotc)
-        .withColumn("rn", F.row_number().over(wenc))
-        .filter(F.col("rn") == 1)
-        .select("c_id", "m", "k", "cw", dotc.alias("dot_m"), norm2("cw").alias("cw2"))
+        .select(
+            "c_id", "m", "d", "k",
+            F.struct(
+                F.col("k"), F.col("cw"), dotc.alias("dot_m"), norm2("cw").alias("cw2")
+            ).alias("payload"),
+        )
+        .groupBy("c_id", "m")
+        .agg(F.min_by("payload", F.struct(F.col("d"), F.col("k"))).alias("p"))
+        .select(
+            "c_id", "m", F.col("p.k").alias("k"), F.col("p.cw").alias("cw"),
+            F.col("p.dot_m").alias("dot_m"), F.col("p.cw2").alias("cw2"),
+        )
     )
     per_vec = enc.groupBy("c_id").agg(
         # packed BIGINT: code_m in [0,16) -> 4 bits each (shiftleft's

@@ -271,18 +271,21 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("k").alias("cell"),
         F.expr("transform(sv, x -> cast(x as double) / sqrt(aggregate(transform(sv, y -> cast(y as double) * cast(y as double)), 0D, (a, y) -> a + y)))").alias("cw_cell"),
     )
-    # corpus cell assignment: argmax dot with (desc, cell) tie-break
-    wassign = Window.partitionBy("c_id").orderBy(
-        F.col("cd").desc(), F.col("cell")
-    )
+    # corpus cell assignment: argmax dot with (desc, cell) tie-break.
+    # max_by over struct(cd, -cell) is the same selection as the former
+    # row_number window but PARTIAL-COMBINABLE — a hash aggregation with
+    # map-side combine instead of a corpus-wide per-key sort.
     cassign = (
         corpus.crossJoin(F.broadcast(cents))
         .withColumn("cd", F.aggregate(
             F.zip_with(F.col("cv"), F.col("cw_cell"), lambda x, y: x.cast("double") * y),
             F.lit(0.0), lambda acc, x: acc + x))
-        .withColumn("rn", F.row_number().over(wassign))
-        .filter(F.col("rn") == 1)
-        .select("c_id", "cell")
+        .groupBy("c_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("cd"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
+        )
     )
     # query probes: top-nprobe cells
     wprobe = Window.partitionBy("q_id").orderBy(F.col("cd").desc(), F.col("cell"))
@@ -310,7 +313,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "c_id", "m", F.expr(f"slice(cv, m * {sub} + 1, {sub})").alias("cs")
     )
-    wenc = Window.partitionBy("c_id", "m").orderBy(F.col("d"), F.col("k"))
+    # PQ encode: argmin |cw|^2 - 2 c_sub.cw with (d, k) tie-break — min_by
+    # over struct(d, k): same selection as a row_number window, but a
+    # partial-combinable hash agg (no per-(c_id, m) sort of 256 rows each)
     enc = (
         csub.join(F.broadcast(books), "m")
         .withColumn(
@@ -320,9 +325,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
                 F.zip_with(F.col("cs"), F.col("cw"), lambda x, y: x.cast("double") * y),
                 F.lit(0.0), lambda acc, x: acc + x),
         )
-        .withColumn("rn", F.row_number().over(wenc))
-        .filter(F.col("rn") == 1)
-        .select("c_id", "m", "cw")
+        .groupBy("c_id", "m")
+        .agg(F.min_by("cw", F.struct(F.col("d"), F.col("k"))).alias("cw"))
     )
     # candidates from the IVF router
     cand = qprobe.join(cassign, "cell").select("q_id", "c_id").distinct()
