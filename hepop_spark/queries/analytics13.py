@@ -284,23 +284,29 @@ def cdc_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
     consumer applies before a merge. Emits the surviving row plus how
     many versions it superseded.
 
-    Scale: ONE window rank per key (the same shuffle a MERGE would need
-    anyway); no driver state. With a bucketed target table the shuffle
-    disappears (storage/bucketing.py)."""
+    Scale: ONE max_by hash aggregation per key (the same shuffle a MERGE
+    would need anyway, now with map-side combine and no per-key sort); no
+    driver state. With a bucketed target table the shuffle disappears
+    (storage/bucketing.py)."""
     ev = load_table(spark, sf, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    wcnt = Window.partitionBy("user_id", "event_type")
+    # latest version per key: max_by over (ts, event_id) + count in ONE
+    # partial-combinable aggregation — replaces a rank window + count
+    # window (two per-key sorts of every version) with a hash agg, the
+    # shape that survives a 100x version-history blowup
     return (
-        ev.withColumn("rk", F.row_number().over(w))
-        .withColumn("n_versions", F.count("*").over(wcnt))
-        .filter(F.col("rk") == 1)
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "value"),
+                F.struct(F.col("ts"), F.col("event_id")),
+            ).alias("b"),
+            F.count("*").alias("n_versions"),
+        )
         .select(
             "user_id",
             "event_type",
-            F.col("event_id").alias("latest_event_id"),
-            F.round(F.col("value") * 100).cast("long").alias("latest_cents"),
+            F.col("b.event_id").alias("latest_event_id"),
+            F.round(F.col("b.value") * 100).cast("long").alias("latest_cents"),
             F.col("n_versions").cast("long").alias("n_versions"),
         )
     )

@@ -59,18 +59,23 @@ def asof_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.partitionBy("p_id").orderBy(
-        F.col("gap_us"), F.col("c_us"), F.col("c_id")
-    )
+    # nearest click per purchase: min_by over the (gap, c_us, c_id) order —
+    # the same selection as the former row_number window but a
+    # partial-combinable hash agg (no per-purchase candidate sort)
     return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        cand.groupBy("p_id")
+        .agg(
+            F.min_by(
+                F.struct("user_id", "c_id", "gap_us", "p_us", "c_us"),
+                F.struct(F.col("gap_us"), F.col("c_us"), F.col("c_id")),
+            ).alias("b")
+        )
         .select(
             "p_id",
-            "user_id",
-            "c_id",
-            F.col("gap_us").cast("long").alias("gap_us"),
-            (F.col("c_us") < F.col("p_us")).alias("click_before"),
+            F.col("b.user_id").alias("user_id"),
+            F.col("b.c_id").alias("c_id"),
+            F.col("b.gap_us").cast("long").alias("gap_us"),
+            (F.col("b.c_us") < F.col("b.p_us")).alias("click_before"),
         )
     )
 

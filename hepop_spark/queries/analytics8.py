@@ -191,18 +191,25 @@ def mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Modal event_type per user with a DETERMINISTIC tie rule (highest
     count, then lexicographically smallest value). Both engines' built-in
     mode() leave ties implementation-defined, so the portable form is the
-    count + rank decomposition — two aggregations sharing one user_id
-    shuffle, the same shape either engine's mode uses internally."""
+    count + min_by decomposition — two hash aggregations sharing one
+    user_id shuffle, both map-side combinable."""
     ev = load_table(spark, sf, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
-    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    # (highest count, then smallest value) = min_by over struct(-c, type):
+    # same deterministic tie rule as the former rank window, but a
+    # partial-combinable hash agg sharing the user_id shuffle
     return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        counts.groupBy("user_id")
+        .agg(
+            F.min_by(
+                F.struct("event_type", "c"),
+                F.struct((-F.col("c")).alias("nc"), F.col("event_type")),
+            ).alias("b")
+        )
         .select(
             "user_id",
-            F.col("event_type").alias("modal_type"),
-            F.col("c").alias("n_occurrences"),
+            F.col("b.event_type").alias("modal_type"),
+            F.col("b.c").alias("n_occurrences"),
         )
     )
 

@@ -229,7 +229,7 @@ AUDITS: dict[str, set[str]] = {
     "stratified_kfold_assign": {"bcast", "partial"},
     "negative_mining_hard": {"pushdown", "bcast", "bnlj_ok"},
     "sip_dialog_progress": {"pushdown", "partial", "bcast", "bnlj_ok"},
-    "cdc_keep_latest": set(),  # pure window rank, no aggregate stage
+    "cdc_keep_latest": {"partial"},  # max_by keep-latest hash agg (r04)
     # eager iterative/storage entries (LocalRelation results)
     "graph_bfs_distance": set(),
     "snapshot_diff": set(),
@@ -239,7 +239,7 @@ AUDITS: dict[str, set[str]] = {
     "interval_arith": {"pushdown"},
     # round-3 analytics trio (analytics15.py)
     # keys-only pair distinct + window rank; no partial_* agg functions
-    "asof_join_nearest": {"pushdown"},
+    "asof_join_nearest": {"pushdown", "partial"},  # min_by nearest-click agg (r04)
     "rolling_corr": {"pushdown", "partial", "global_ok"},  # rolling window over hourly joined series
     "percentile_cont_family": {"partial"},
     # type-surface batch (functions_ext5.py)
