@@ -249,22 +249,44 @@ def _minhash_pairs(sh_raw: DataFrame) -> DataFrame:
     # At 100 TB the slice is bounded by the near-dup rate, but recompute
     # keeps zero executor-memory footprint and no lineage-truncation
     # fault-tolerance hole (localCheckpoint blocks are unreplicated).
-    sh = sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi").distinct()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
-    sb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
-    inter = (
-        sa.join(F.broadcast(candidates), "da")
-        .join(sb, "db")
-        .filter(F.col("sha") == F.col("shb"))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("inter"))
+    # r04 single-pass verification: the candidate slice previously fed
+    # THREE consumers (counts + both intersection sides), each recomputing
+    # the shingle scan. Collapsing to per-doc shingle SETS consumed once —
+    # candidate pairs explode into (doc, pair) sides, one broadcast join
+    # attaches each doc's set, and array_intersect on the two collected
+    # sides yields |A∩B| with |A|,|B| for free. Set size is bounded by
+    # document length (same order as the text column itself), so the
+    # per-row arrays are safe at any corpus scale; intersection is
+    # hash-based (linear), never |A|x|B|.
+    sh_sets = (
+        sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("s"))
     )
-    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    sides = candidates.select(
+        F.col("da").alias("doc_id"), F.struct("da", "db").alias("p")
+    ).unionByName(
+        candidates.select(F.col("db").alias("doc_id"), F.struct("da", "db").alias("p"))
+    )
+    two = (
+        sh_sets.join(F.broadcast(sides), "doc_id")
+        .groupBy("p")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id").alias("d"), F.col("s")))
+            ).alias("t")
+        )
+    )
     return (
-        inter.join(ca, "da")
-        .join(cb, "db")
+        two.select(
+            F.col("p.da").alias("da"),
+            F.col("p.db").alias("db"),
+            F.size(F.array_intersect(F.col("t")[0]["s"], F.col("t")[1]["s"])).alias(
+                "inter"
+            ),
+            F.size(F.col("t")[0]["s"]).alias("na"),
+            F.size(F.col("t")[1]["s"]).alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
