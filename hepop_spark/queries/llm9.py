@@ -680,3 +680,73 @@ QUERIES["dedup_minhash_recall_eval"] = QuerySpec(
     dedup_minhash_recall_eval, _dedup_eval_sql(),
     "planted near-dup ground truth through the full minhash pipeline",
 )
+
+
+# ---------------------------------------------------------------------------
+# length_bucket_padding — length-grouped batching efficiency accounting
+# ---------------------------------------------------------------------------
+
+PAD_BATCH = 32
+
+
+def length_bucket_padding(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-grouped batching plan: documents are bucketed by token count
+    on a power-of-two grid (the standard trick that keeps sequences of
+    similar length together so attention batches waste little padding);
+    per bucket: docs, full batches of 32, and the EXACT padding waste if
+    each batch pads to the bucket ceiling — plus the waste a single
+    global max-length pad would have cost, the delta a training-infra
+    review wants to see. All exact integer arithmetic (token counts,
+    ceilings, sums), so both engines agree bit-for-bit.
+
+    Scale: one narrow token-count pass + a groupBy on the ~log-many
+    bucket key with a broadcast 1-row global max — no sort, no window."""
+    docs = load_table(spark, sf, "documents")
+    n_toks = F.size(F.split("text", " "))
+    bucket_hi = F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(n_toks, F.lit(1))))).cast(
+        "long"
+    )
+    base = docs.select(
+        n_toks.alias("n_toks"), bucket_hi.alias("bucket_hi")
+    )
+    gmax = base.agg(F.max("n_toks").alias("global_max"))
+    return (
+        base.crossJoin(F.broadcast(gmax))
+        .groupBy("bucket_hi")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("bucket_hi") - F.col("n_toks")).alias("pad_bucketed"),
+            F.sum(F.col("global_max") - F.col("n_toks")).alias("pad_global"),
+        )
+        .select(
+            F.col("bucket_hi").cast("long").alias("bucket_hi"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr(f"cast(ceil(n_docs / {PAD_BATCH}.0) as bigint)").alias("n_batches"),
+            F.col("pad_bucketed").cast("long").alias("pad_bucketed"),
+            F.col("pad_global").cast("long").alias("pad_global"),
+        )
+        .orderBy("bucket_hi")
+    )
+
+
+LENGTH_BUCKET_SQL = f"""
+WITH base AS (
+  SELECT len(string_split(text, ' ')) AS n_toks,
+         CAST(power(2, ceil(log2(greatest(len(string_split(text, ' ')), 1)))) AS BIGINT) AS bucket_hi
+  FROM documents
+),
+gmax AS (SELECT max(n_toks) AS global_max FROM base)
+SELECT CAST(bucket_hi AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(ceil(count(*) / {PAD_BATCH}.0) AS BIGINT) AS n_batches,
+       CAST(sum(bucket_hi - n_toks) AS BIGINT) AS pad_bucketed,
+       CAST(sum(global_max - n_toks) AS BIGINT) AS pad_global
+FROM base, gmax
+GROUP BY bucket_hi
+ORDER BY bucket_hi
+"""
+
+QUERIES["length_bucket_padding"] = QuerySpec(
+    length_bucket_padding, LENGTH_BUCKET_SQL,
+    "power-of-two length-bucketed batching with exact padding-waste accounting",
+)

@@ -269,6 +269,7 @@ AUDITS: dict[str, set[str]] = {
     "curriculum_shard_roundrobin": {"partial", "bcast", "bnlj_ok", "global_ok"},
     # full minhash chain + 1-row planted-count broadcast
     "dedup_minhash_recall_eval": {"partial", "bcast", "bnlj_ok"},
+    "length_bucket_padding": {"partial", "bcast", "bnlj_ok"},  # 1-row global-max broadcast
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
     "streaming_cdc_latest_replay": set(),
@@ -315,7 +316,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/analytics5.py:q": "bounded query-point set (10 rows)",
     "hepop_spark/queries/analytics7.py:nat": "fixed 25-row nation dim",
     "hepop_spark/queries/llm.py:cand_docs": "LSH candidate doc ids (near-dup volume, << corpus by construction)",
-    "hepop_spark/queries/llm.py:candidates": "LSH candidate pairs (near-dup volume)",
+    "hepop_spark/queries/llm.py:sides": "candidate pairs exploded to (doc, pair) sides (near-dup volume)",
     "hepop_spark/queries/llm.py:queries": "bounded 10-vector query set",
     "hepop_spark/queries/llm5.py:sa": "signatures of candidate docs only (near-dup volume)",
     "hepop_spark/queries/llm5.py:sb": "signatures of candidate docs only (near-dup volume)",
@@ -339,6 +340,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm9.py:s1": "fixed 1024-word Bloom sketch (8 KB)",
     "hepop_spark/queries/llm9.py:shards": "fixed CURR_SHARDS=8 rows",
     "hepop_spark/queries/llm9.py:n_planted": "1-row planted-count aggregate",
+    "hepop_spark/queries/llm9.py:gmax": "1-row global-max aggregate",
     "hepop_spark/queries/llm9.py:s2": "fixed 1024-word Bloom sketch (8 KB)",
     "hepop_spark/queries/mining_q.py:cent": "k centroids (k=4)",
     "hepop_spark/queries/mining_q.py:q": "bounded query-point set",
