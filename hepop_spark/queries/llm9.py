@@ -693,11 +693,12 @@ def length_bucket_padding(spark: SparkSession, sf: str) -> DataFrame:
     """Length-grouped batching plan: documents are bucketed by token count
     on a power-of-two grid (the standard trick that keeps sequences of
     similar length together so attention batches waste little padding);
-    per bucket: docs, full batches of 32, and the EXACT padding waste if
-    each batch pads to the bucket ceiling — plus the waste a single
+    per bucket: docs, batches of 32, and the EXACT padding waste when
+    each bucket pads to ITS OWN longest member — plus the waste a single
     global max-length pad would have cost, the delta a training-infra
-    review wants to see. All exact integer arithmetic (token counts,
-    ceilings, sums), so both engines agree bit-for-bit.
+    review wants to see (bucket padding can never exceed global padding,
+    pinned by test). All exact integer arithmetic (token counts, counts,
+    sums), so both engines agree bit-for-bit.
 
     Scale: one narrow token-count pass + a groupBy on the ~log-many
     bucket key with a broadcast 1-row global max — no sort, no window."""
@@ -715,15 +716,18 @@ def length_bucket_padding(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("bucket_hi")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.col("bucket_hi") - F.col("n_toks")).alias("pad_bucketed"),
-            F.sum(F.col("global_max") - F.col("n_toks")).alias("pad_global"),
+            F.max("n_toks").alias("bucket_max"),
+            F.sum("n_toks").alias("sum_toks"),
+            F.max("global_max").alias("global_max"),
         )
         .select(
             F.col("bucket_hi").cast("long").alias("bucket_hi"),
             F.col("n_docs").cast("long").alias("n_docs"),
             F.expr(f"cast(ceil(n_docs / {PAD_BATCH}.0) as bigint)").alias("n_batches"),
-            F.col("pad_bucketed").cast("long").alias("pad_bucketed"),
-            F.col("pad_global").cast("long").alias("pad_global"),
+            (F.col("n_docs") * F.col("bucket_max") - F.col("sum_toks"))
+            .cast("long").alias("pad_bucketed"),
+            (F.col("n_docs") * F.col("global_max") - F.col("sum_toks"))
+            .cast("long").alias("pad_global"),
         )
         .orderBy("bucket_hi")
     )
@@ -739,8 +743,8 @@ gmax AS (SELECT max(n_toks) AS global_max FROM base)
 SELECT CAST(bucket_hi AS BIGINT) AS bucket_hi,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(ceil(count(*) / {PAD_BATCH}.0) AS BIGINT) AS n_batches,
-       CAST(sum(bucket_hi - n_toks) AS BIGINT) AS pad_bucketed,
-       CAST(sum(global_max - n_toks) AS BIGINT) AS pad_global
+       CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS pad_bucketed,
+       CAST(count(*) * max(global_max) - sum(n_toks) AS BIGINT) AS pad_global
 FROM base, gmax
 GROUP BY bucket_hi
 ORDER BY bucket_hi

@@ -153,3 +153,25 @@ class TestDedupRecallEval:
         # the banded pipeline must recover every planted pair
         assert row["n_caught"] == row["n_planted"]
         assert row["n_pairs_total"] >= row["n_caught"]
+
+
+class TestLengthBuckets:
+    def test_padding_accounting(self, spark):
+        from hepop_spark.queries.llm9 import length_bucket_padding
+
+        rows = length_bucket_padding(spark, SF).collect()
+        assert rows
+        import duckdb
+
+        n_docs, max_t = duckdb.sql(
+            f"""SELECT count(*), max(len(string_split(text, ' ')))
+                FROM read_parquet('{SF}/documents.parquet')"""
+        ).fetchone()
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        for r in rows:
+            # bucketed padding never exceeds global-max padding, buckets
+            # are powers of two, and waste is non-negative
+            assert r["pad_bucketed"] <= r["pad_global"]
+            assert r["pad_bucketed"] >= 0
+            assert r["bucket_hi"] & (r["bucket_hi"] - 1) == 0
+            assert r["bucket_hi"] <= 2 * max_t
