@@ -48,6 +48,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics13,
         analytics14,
         analytics15,
+        analytics16,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -95,6 +96,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics13,
         analytics14,
         analytics15,
+        analytics16,
         mining_q,
         timeseries,
         timeseries2,

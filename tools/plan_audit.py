@@ -270,6 +270,10 @@ AUDITS: dict[str, set[str]] = {
     # full minhash chain + 1-row planted-count broadcast
     "dedup_minhash_recall_eval": {"partial", "bcast", "bnlj_ok"},
     "length_bucket_padding": {"partial", "bcast", "bnlj_ok"},  # 1-row global-max broadcast
+    # round-4 closing analytics trio (analytics16.py)
+    "funnel_time_to_convert": {"pushdown", "partial"},
+    "order_fulfillment_sla": {"partial"},
+    "sessionized_bounce_rate": {"partial"},
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
     "streaming_cdc_latest_replay": set(),
