@@ -49,6 +49,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics14,
         analytics15,
         analytics16,
+        analytics17,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -97,6 +98,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics14,
         analytics15,
         analytics16,
+        analytics17,
         mining_q,
         timeseries,
         timeseries2,

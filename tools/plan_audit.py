@@ -274,6 +274,10 @@ AUDITS: dict[str, set[str]] = {
     "funnel_time_to_convert": {"pushdown", "partial"},
     "order_fulfillment_sla": {"partial"},
     "sessionized_bounce_rate": {"partial"},
+    # round-4 final trio (analytics17.py)
+    "window_funnel_steps": {"pushdown", "partial"},
+    "attribution_position_based": {"pushdown", "partial"},
+    "market_concentration_hhi": {"partial", "bcast"},
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
     "streaming_cdc_latest_replay": set(),
@@ -309,6 +313,8 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/analytics11.py:vsize": "1-row vocab size",
     "hepop_spark/queries/analytics13.py:tot": "1-row / per-source totals (bounded source domain)",
     "hepop_spark/queries/analytics13.py:anchors": "fixed 8-row anchor-point sample",
+    "hepop_spark/queries/analytics17.py:sup": "TPC-H supplier dim (SF/100 of lineitem)",
+    "hepop_spark/queries/analytics17.py:nat": "fixed 25-row nation dim",
     "hepop_spark/queries/analytics2.py:dim": "keys-only projection of the declared dim table (API contract)",
     "hepop_spark/queries/analytics3.py:stats": "1-row corpus stats (N, avgdl)",
     "hepop_spark/queries/analytics3.py:idf": "token vocab (Heaps-law sublinear; df>=2 floor)",
