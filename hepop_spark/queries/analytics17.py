@@ -286,3 +286,147 @@ QUERIES: dict[str, QuerySpec] = {
         "Herfindahl concentration per market on the integer bp grid",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize_feature — empirical-CDF feature transform table
+# ---------------------------------------------------------------------------
+
+
+def quantile_normalize_feature(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization (the rank/CDF feature transform): per
+    event_type, each value maps to its empirical CDF in basis points —
+    cdf_bp(v) = count(<= v) * 10000 div n — and the published transform
+    table rolls the cents grid into CDF deciles (decile = cdf_bp div
+    1000): rows, value range, exact boundaries. The preprocessing step
+    that makes a heavy-tailed feature uniform before quantile-bucketed
+    models; emitted as a TABLE (grid -> decile) so it can be broadcast-
+    joined onto any scoring pass.
+
+    Scale: groupBy on the (type, cents) grid with map-side combine, a
+    cumulative window over the per-type DISTINCT-value grid (bounded, the
+    r04 grid pattern), then a bounded rollup. All integer."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per = (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("n_c"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("cents")
+    wtot = Window.partitionBy("event_type")
+    cum = per.withColumn("cum_n", F.sum("n_c").over(wcum)).withColumn(
+        "n", F.sum("n_c").over(wtot)
+    )
+    decile = F.expr("least(cum_n * 10000 div n, 9999) div 1000")
+    return (
+        cum.withColumn("decile", decile)
+        .groupBy("event_type", "decile")
+        .agg(
+            F.sum("n_c").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("lo_cents").cast("long").alias("lo_cents"),
+            F.col("hi_cents").cast("long").alias("hi_cents"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+QUANTILE_NORM_SQL = """
+WITH per AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         count(*) AS n_c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents, n_c,
+         sum(n_c) OVER (PARTITION BY event_type ORDER BY cents) AS cum_n,
+         sum(n_c) OVER (PARTITION BY event_type) AS n
+  FROM per
+)
+SELECT event_type,
+       CAST(least(cum_n * 10000 // n, 9999) // 1000 AS BIGINT) AS decile,
+       CAST(sum(n_c) AS BIGINT) AS n_rows,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents
+FROM cum
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# golden_record_merge — survivorship merge (latest non-null per column)
+# ---------------------------------------------------------------------------
+
+GOLDEN_NULL_MOD = 7  # planted sparsity: every 7th event's value is missing
+
+
+def golden_record_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Golden-record survivorship: per user, merge the LATEST NON-NULL
+    observation of each attribute independently (the MDM merge rule,
+    stricter than cdc_keep_latest's whole-row latest). Sparsity is
+    planted deterministically — every 7th event's value is treated as
+    missing — so the per-attribute and whole-row winners genuinely
+    diverge. Implementation: max over struct(ts, event_id, attr)
+    restricted to non-null rows — a PLAIN max, partial-combinable, no
+    window, no sort; null structs fall out of max in both engines.
+
+    Scale: one hash aggregation on user_id with map-side combine — the
+    cheapest possible survivorship plan."""
+    ev = load_table(spark, sf, "events")
+    cents = F.when(
+        F.col("event_id") % GOLDEN_NULL_MOD != 0,
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    base = ev.select(
+        "user_id", "ts", "event_id", "event_type", cents.alias("cents")
+    )
+    latest_val = F.max(
+        F.when(F.col("cents").isNotNull(), F.struct("ts", "event_id", "cents"))
+    )["cents"]
+    latest_type = F.max(F.struct("ts", "event_id", "event_type"))["event_type"]
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum(F.col("cents").isNull().cast("long")).cast("long").alias("n_missing"),
+            latest_val.cast("long").alias("golden_cents"),
+            latest_type.alias("latest_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+GOLDEN_SQL = f"""
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_id % {GOLDEN_NULL_MOD} != 0
+              THEN CAST(round(value * 100) AS BIGINT) END AS cents
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST((max(CASE WHEN cents IS NOT NULL
+                      THEN {{'ts': ts, 'event_id': event_id, 'cents': cents}} END)).cents AS BIGINT) AS golden_cents,
+       (max({{'ts': ts, 'event_id': event_id, 'event_type': event_type}})).event_type AS latest_type
+FROM base
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["quantile_normalize_feature"] = QuerySpec(
+    quantile_normalize_feature, QUANTILE_NORM_SQL,
+    "empirical-CDF quantile-normalization table on the integer grid",
+)
+QUERIES["golden_record_merge"] = QuerySpec(
+    golden_record_merge, GOLDEN_SQL,
+    "survivorship merge: latest non-null per attribute via plain struct max",
+)

@@ -278,6 +278,8 @@ AUDITS: dict[str, set[str]] = {
     "window_funnel_steps": {"pushdown", "partial"},
     "attribution_position_based": {"pushdown", "partial"},
     "market_concentration_hhi": {"partial", "bcast"},
+    "quantile_normalize_feature": {"partial"},
+    "golden_record_merge": {"partial"},
     # streaming_m4_replay executes eagerly (replay harness, LocalRelation)
     "streaming_m4_replay": set(),
     "streaming_cdc_latest_replay": set(),
