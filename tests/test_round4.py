@@ -175,3 +175,113 @@ class TestLengthBuckets:
             assert r["pad_bucketed"] >= 0
             assert r["bucket_hi"] & (r["bucket_hi"] - 1) == 0
             assert r["bucket_hi"] <= 2 * max_t
+
+
+class TestClosingAnalytics:
+    def test_attribution_credit_conservation(self, spark):
+        """Total distributed credit must be exactly 10000 bp per
+        converting user with >= 1 preceding touch — the largest-remainder
+        construction guarantees it; this is the invariant naive
+        percentage splits violate."""
+        from pyspark.sql import functions as F
+
+        from hepop_spark.catalog import load_table
+        from hepop_spark.queries.analytics17 import (
+            CREDIT_BP,
+            attribution_position_based,
+        )
+
+        rows = attribution_position_based(spark, SF).collect()
+        total_credit = sum(r["credit_bp"] for r in rows)
+        ev = load_table(spark, SF, "events")
+        fp = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min(F.unix_micros("ts")).alias("p_t"))
+        )
+        n_converters = (
+            ev.filter(F.col("event_type").isin("view", "click"))
+            .select("user_id", F.unix_micros("ts").alias("t"))
+            .join(fp, "user_id")
+            .filter(F.col("t") < F.col("p_t"))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert total_credit == CREDIT_BP * n_converters
+
+    def test_window_funnel_totals(self, spark):
+        from pyspark.sql import functions as F
+
+        from hepop_spark.catalog import load_table
+        from hepop_spark.queries.analytics17 import window_funnel_steps
+
+        rows = window_funnel_steps(spark, SF).collect()
+        n_funnel_users = sum(r["n_users"] for r in rows)
+        ev = load_table(spark, SF, "events")
+        expected = (
+            ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert n_funnel_users == expected
+        assert all(0 <= r["depth"] <= 3 for r in rows)
+
+    def test_hhi_bounds(self, spark):
+        from hepop_spark.queries.analytics17 import market_concentration_hhi
+
+        for r in market_concentration_hhi(spark, SF).collect():
+            # HHI on the bp grid is bounded by the monopoly value, and a
+            # floored-share HHI can never exceed 10000
+            assert 0 <= r["hhi"] <= 10_000
+            assert 0 <= r["top_share_bp"] <= 10_000
+            assert r["n_suppliers"] >= 1
+
+    def test_quantile_normalize_partition(self, spark):
+        import duckdb
+
+        from hepop_spark.queries.analytics17 import quantile_normalize_feature
+
+        rows = quantile_normalize_feature(spark, SF).collect()
+        total = sum(r["n_rows"] for r in rows)
+        expected = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()[0]
+        assert total == expected
+        # decile ranges must be disjoint and ordered within each type
+        from collections import defaultdict
+
+        by_type = defaultdict(list)
+        for r in rows:
+            by_type[r["event_type"]].append(r)
+        for rs in by_type.values():
+            rs.sort(key=lambda r: r["decile"])
+            for a, b in zip(rs, rs[1:]):
+                assert a["hi_cents"] < b["lo_cents"]
+
+    def test_golden_record_vs_whole_row_latest(self, spark):
+        """The per-attribute winner may differ from the whole-row latest
+        (that's WHY survivorship exists): golden_cents must equal the
+        latest NON-NULL observation, never a planted-null row's value."""
+        from pyspark.sql import functions as F
+
+        from hepop_spark.catalog import load_table
+        from hepop_spark.queries.analytics17 import (
+            GOLDEN_NULL_MOD,
+            golden_record_merge,
+        )
+
+        got = {r["user_id"]: r for r in golden_record_merge(spark, SF).collect()}
+        ev = load_table(spark, SF, "events").orderBy("ts", "event_id").collect()
+        from collections import defaultdict
+
+        latest_nonnull: dict = {}
+        counts: dict = defaultdict(int)
+        for row in ev:
+            counts[row["user_id"]] += 1
+            if row["event_id"] % GOLDEN_NULL_MOD != 0:
+                latest_nonnull[row["user_id"]] = round(row["value"] * 100)
+        for uid, r in got.items():
+            assert r["n_obs"] == counts[uid]
+            assert r["golden_cents"] == latest_nonnull.get(uid)
