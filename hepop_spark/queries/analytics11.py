@@ -472,10 +472,11 @@ def ngram_lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
     uni = _tokens(spark, sf).groupBy("tok").agg(F.count("*").alias("c_w1"))
     vsize = uni.agg(F.count("*").alias("v"))
     w1 = F.split(F.col("bg"), " ")[0]
+    uni_w1 = uni.withColumnRenamed("tok", "w1")
     return (
         big.join(F.broadcast(bc), "bg")
         .withColumn("w1", w1)
-        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+        .join(F.broadcast(uni_w1), "w1")
         .crossJoin(F.broadcast(vsize))
         .groupBy("doc_id")
         .agg(

@@ -151,10 +151,14 @@ def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
             .join(b.select("event_id", F.col("cents").alias("c2")), "event_id")
             .filter(F.col("c1") != F.col("c2"))
         )
-        # anchor on the v2 type domain so types with NO changes still emit
-        # an all-zero row (matches the oracle's types CTE — a full-outer
-        # join of the three non-empty groupings would silently drop them)
-        types = b.select("event_type").distinct()
+        # anchor on the UNION of the v1 and v2 type domains so types with NO
+        # changes still emit an all-zero row, and a type whose rows were ALL
+        # removed in v2 keeps its n_removed count (v1-only types would vanish
+        # if we anchored on v2 alone; here v2 ⊇ v1 so the union equals the
+        # oracle's types CTE, but the helper stays correct for any pair)
+        types = (
+            a.select("event_type").unionByName(b.select("event_type")).distinct()
+        )
         rows = (
             types
             .join(

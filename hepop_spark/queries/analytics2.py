@@ -423,8 +423,9 @@ def fk_orphan_audit(spark: SparkSession, sf: str) -> DataFrame:
     supp = load_table(spark, sf, "supplier")
 
     def audit(name: str, fact: DataFrame, key: str, dim: DataFrame, dim_key: str):
+        dim_keys = dim.select(dim_key)
         orphans = fact.join(
-            F.broadcast(dim.select(dim_key)),
+            F.broadcast(dim_keys),
             fact[key] == F.col(dim_key),
             "left_anti",
         )

@@ -392,10 +392,11 @@ def bm25_rank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("token", "idf")
     )
+    avgdl = stats.select("avgdl")
     scored = (
         tf.join(F.broadcast(idf), "token")
         .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .crossJoin(F.broadcast(avgdl))
         .withColumn(
             "contrib",
             F.col("idf")

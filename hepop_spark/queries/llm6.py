@@ -51,12 +51,14 @@ def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     n_pos = pairs.agg(F.count("*").alias("n_pos"))
     w1 = F.split(F.col("pair"), " ")[0]
     w2 = F.split(F.col("pair"), " ")[1]
+    uni_w1 = uni.withColumnRenamed("tok", "w1").withColumnRenamed("n_tok", "n_w1")
+    uni_w2 = uni.withColumnRenamed("tok", "w2").withColumnRenamed("n_tok", "n_w2")
     scored = (
         pc.filter(F.col("n_pair") >= PMI_MIN_COUNT)
         .withColumn("w1", w1)
         .withColumn("w2", w2)
-        .join(F.broadcast(uni.withColumnRenamed("tok", "w1").withColumnRenamed("n_tok", "n_w1")), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("tok", "w2").withColumnRenamed("n_tok", "n_w2")), "w2")
+        .join(F.broadcast(uni_w1), "w1")
+        .join(F.broadcast(uni_w2), "w2")
         .crossJoin(F.broadcast(n_pos))
         .select(
             "pair",

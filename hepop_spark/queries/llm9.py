@@ -129,9 +129,14 @@ BLOOM_GRAM = 5
 
 def _shingles(df: DataFrame) -> DataFrame:
     """Distinct 5-token shingles per doc (1-based positions, both engines)."""
+    # Short-doc guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark and
+    # slice(arr, 0, k) then raises INVALID_PARAMETER_VALUE.START; the oracle's
+    # range() yields zero grams instead, so gate on token count explicitly.
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {BLOOM_GRAM - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i, {BLOOM_GRAM})))"
+        f"case when size(split(text, ' ')) >= {BLOOM_GRAM} then "
+        f"transform(sequence(1, size(split(text, ' ')) - {BLOOM_GRAM - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {BLOOM_GRAM}))) "
+        f"else array() end"
     )
     return df.select("doc_id", "source", F.explode(grams).alias("gram")).distinct()
 
@@ -283,9 +288,12 @@ def ngram_repetition_loop(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(LOOP_PLANT_TAIL)),
         ).otherwise(F.col("text")),
     )
+    # Short-doc guard (see _shingles): avoid sequence(1, 0) → [1, 0].
     grams = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        "case when size(split(text, ' ')) >= 3 then "
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) "
+        "else array() end"
     )
     counts = (
         docs.select("doc_id", F.explode(grams).alias("gram"))
@@ -357,9 +365,12 @@ def minhash_merge_shards(spark: SparkSession, sf: str) -> DataFrame:
     Scale: shingle explosion is narrow; signatures are one groupBy(doc,
     hash-index) min; the verification join is per-doc."""
     docs = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    # Short-doc guard (see _shingles): avoid sequence(1, 0) → [1, 0].
     grams = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+        "case when size(split(text, ' ')) >= 5 then "
+        "transform(sequence(1, size(split(text, ' ')) - 4), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 5))) "
+        "else array() end"
     )
     sh = docs.select(
         "doc_id", "source", F.posexplode(grams).alias("pos", "gram")

@@ -464,19 +464,29 @@ def rtp_jitter_rfc3550(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("gap").isNotNull())
         .withColumn("absd", F.abs(F.col("gap") - JITTER_NOMINAL_US))
     )
+    term = (
+        F.col("absd") * F.pow(F.lit(15.0 / 16.0), F.col("n") - F.col("i")) / 16.0
+    )
     return (
-        d.groupBy("trunk")
+        d.withColumn("term", term)
+        .groupBy("trunk")
         .agg(
             F.count("*").alias("n_gaps"),
+            # fold the terms in fixed i-ascending order (same pattern as
+            # llm7 pq_encode_stats / scale_paths ADC): a shuffled double SUM
+            # accumulates in partition order and can flip the rounded 3rd
+            # decimal at a representable boundary between engines
+            F.array_sort(F.collect_list(F.struct("i", "term"))).alias("terms"),
+        )
+        .withColumn(
+            "jitter_ms",
             F.round(
-                F.sum(
-                    F.col("absd")
-                    * F.pow(F.lit(15.0 / 16.0), F.col("n") - F.col("i"))
-                    / 16.0
+                F.aggregate(
+                    F.col("terms"), F.lit(0.0), lambda a, s: a + s["term"]
                 )
                 / 1000.0,
                 3,
-            ).alias("jitter_ms"),
+            ),
         )
         .select(
             F.col("trunk").cast("long").alias("trunk"),

@@ -1,0 +1,105 @@
+"""Round-5 regression tests.
+
+Short-document guards: Spark's sequence(1, 0) is the DESCENDING array
+[1, 0], and slice(arr, 0, k) raises INVALID_PARAMETER_VALUE.START — so
+every shingle/n-gram generator must yield ZERO grams for a document with
+fewer tokens than the gram width (matching the DuckDB oracles' empty
+range), not crash. ADVICE r04 medium item.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, "t", s) for i, s in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+
+
+class TestShortDocShingleGuards:
+    def test_bloom_shingles_short_doc_yields_zero_grams(self, spark):
+        from hepop_spark.queries.llm9 import _shingles
+
+        # 4 tokens < BLOOM_GRAM=5: crashed with INVALID_PARAMETER_VALUE.START
+        # before the guard; must now return no rows for that doc
+        df = _docs(spark, ["only four tokens here", "a b c d e f g"])
+        rows = _shingles(df).collect()
+        assert all(r.doc_id == 1 for r in rows)
+        assert len(rows) == 3  # 7 tokens -> 3 distinct 5-grams
+
+    def test_exactly_gram_minus_one_tokens(self, spark):
+        from hepop_spark.queries.llm9 import _shingles
+
+        # size == GRAM-1 makes greatest(size-(GRAM-1), 0) == 0 -> the exact
+        # sequence(1, 0) repro from the advice
+        df = _docs(spark, ["one two three four"])
+        assert _shingles(df).count() == 0
+
+    def test_trigram_loop_detector_short_doc(self, spark):
+        # the inline 3-gram expr in ngram_repetition_loop, exercised directly
+        df = _docs(spark, ["two tokens", "", "a b c d"])
+        grams = F.expr(
+            "case when size(split(text, ' ')) >= 3 then "
+            "transform(sequence(1, size(split(text, ' ')) - 2), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) "
+            "else array() end"
+        )
+        out = df.select("doc_id", F.explode(grams).alias("g")).collect()
+        assert {r.doc_id for r in out} == {2}
+        assert len(out) == 2
+
+    def test_no_unguarded_one_based_sequence_left(self):
+        """Source lint: any 1-based sequence(1, greatest(...)) gram
+        generator without a size() CASE guard is the crash pattern."""
+        import pathlib
+
+        bad = []
+        for p in pathlib.Path("/root/repo/hepop_spark").rglob("*.py"):
+            text = p.read_text()
+            for i, ln in enumerate(text.splitlines(), 1):
+                if "sequence(1, greatest(" in ln:
+                    bad.append(f"{p}:{i}")
+        assert not bad, f"unguarded 1-based gram sequences: {bad}"
+
+
+class TestSnapshotDiffDomain:
+    def test_v1_only_type_keeps_removed_count(self, spark, tmp_path):
+        """A type whose rows were ALL removed in v2 must still report
+        n_removed (ADVICE r04: anchoring on v2's domain alone drops it)."""
+        import pyspark.sql.functions as F  # noqa: F811
+
+        from hepop_spark.storage.snapshots import commit_snapshot, read_snapshot
+
+        base = str(tmp_path / "snap")
+        v1df = spark.createDataFrame(
+            [(1, "gone", 1.0), (2, "stay", 2.0)],
+            "event_id long, event_type string, value double",
+        )
+        v1 = commit_snapshot(v1df, base)
+        v2df = spark.createDataFrame(
+            [(2, "stay", 2.0), (3, "stay", 3.0)],
+            "event_id long, event_type string, value double",
+        )
+        v2 = commit_snapshot(v2df, base, mode="overwrite")
+        a = read_snapshot(spark, base, v1)
+        b = read_snapshot(spark, base, v2)
+        types = (
+            a.select("event_type").unionByName(b.select("event_type")).distinct()
+        )
+        removed = a.join(b.select("event_id"), "event_id", "left_anti")
+        out = {
+            r.event_type: r.n_removed
+            for r in types.join(
+                removed.groupBy("event_type").agg(
+                    F.count("*").alias("n_removed")
+                ),
+                "event_type",
+                "left",
+            )
+            .fillna(0, ["n_removed"])
+            .collect()
+        }
+        assert out == {"gone": 1, "stay": 0}

@@ -311,15 +311,16 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/analytics11.py:tot": "1-row totals aggregate",
     "hepop_spark/queries/analytics11.py:xk": "1-row k-th order statistic",
     "hepop_spark/queries/analytics11.py:bc": "bigram-context counts over the capped vocab",
-    "hepop_spark/queries/analytics11.py:uni": "unigram vocab (Heaps-law sublinear, min-count capped)",
+    "hepop_spark/queries/analytics11.py:uni_w1": "unigram vocab (Heaps-law sublinear, min-count capped)",
     "hepop_spark/queries/analytics11.py:vsize": "1-row vocab size",
     "hepop_spark/queries/analytics13.py:tot": "1-row / per-source totals (bounded source domain)",
     "hepop_spark/queries/analytics13.py:anchors": "fixed 8-row anchor-point sample",
     "hepop_spark/queries/analytics17.py:sup": "TPC-H supplier dim (SF/100 of lineitem)",
     "hepop_spark/queries/analytics17.py:nat": "fixed 25-row nation dim",
-    "hepop_spark/queries/analytics2.py:dim": "keys-only projection of the declared dim table (API contract)",
+    "hepop_spark/queries/analytics2.py:dim_keys": "keys-only projection of the declared dim table (API contract)",
     "hepop_spark/queries/analytics3.py:stats": "1-row corpus stats (N, avgdl)",
     "hepop_spark/queries/analytics3.py:idf": "token vocab (Heaps-law sublinear; df>=2 floor)",
+    "hepop_spark/queries/analytics3.py:avgdl": "1-row avg doc length",
     "hepop_spark/queries/analytics4.py:row_m": "contingency row marginals (bounded event_type domain)",
     "hepop_spark/queries/analytics4.py:col_m": "contingency col marginals (bounded variant domain)",
     "hepop_spark/queries/analytics4.py:n": "1-row grand total",
@@ -336,7 +337,8 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm5.py:candidates": "candidate pairs (near-dup volume)",
     "hepop_spark/queries/llm5.py:tot": "1-row total token count",
     "hepop_spark/queries/llm5.py:freq_n": "token frequency vocab (Heaps-law sublinear)",
-    "hepop_spark/queries/llm6.py:uni": "unigram vocab above min-count floor",
+    "hepop_spark/queries/llm6.py:uni_w1": "unigram vocab above min-count floor (w1 side)",
+    "hepop_spark/queries/llm6.py:uni_w2": "unigram vocab above min-count floor (w2 side)",
     "hepop_spark/queries/llm6.py:n_pos": "1-row position count",
     "hepop_spark/queries/llm6.py:vocab": "min-count-capped vocab",
     "hepop_spark/queries/llm6.py:per_src": "per-source aggregates (bounded source domain)",
@@ -368,12 +370,19 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/streaming/joins.py:dim": "enrich-with-dimension API: caller passes a dim table by contract",
 }
 
-_BCAST_RE = __import__("re").compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+# Matched against the WHOLE file text (not per line) so a call whose argument
+# sits on the next line, or is an inline expression, cannot slip past the lint.
+_BCAST_CALL_RE = __import__("re").compile(r"F\.broadcast\(")
+_BCAST_IDENT_RE = __import__("re").compile(
+    r"\A\s*([A-Za-z_][A-Za-z0-9_]*)\s*[),]", __import__("re").DOTALL
+)
 
 
 def lint_broadcast_sites(repo_root: str) -> list[str]:
     """Every F.broadcast( call site must be justified in BOUNDED_BROADCASTS;
-    stale catalog entries (site gone) also fail so the catalog stays true."""
+    the argument must be a bare catalogued identifier (inline expressions are
+    rejected outright — name the DataFrame so the catalog key exists); stale
+    catalog entries (site gone) also fail so the catalog stays true."""
     import pathlib
 
     problems: list[str] = []
@@ -381,15 +390,24 @@ def lint_broadcast_sites(repo_root: str) -> list[str]:
     pkg = pathlib.Path(repo_root) / "hepop_spark"
     for p in sorted(pkg.rglob("*.py")):
         rel = p.relative_to(repo_root).as_posix()
-        for i, ln in enumerate(p.read_text().splitlines(), 1):
-            for m in _BCAST_RE.finditer(ln):
-                key = f"{rel}:{m.group(1)}"
-                found.add(key)
-                if key not in BOUNDED_BROADCASTS:
-                    problems.append(
-                        f"{rel}:{i} unjustified F.broadcast({m.group(1)}) — "
-                        "add a boundedness entry to BOUNDED_BROADCASTS or drop the hint"
-                    )
+        text = p.read_text()
+        for m in _BCAST_CALL_RE.finditer(text):
+            lineno = text.count("\n", 0, m.start()) + 1
+            ident = _BCAST_IDENT_RE.match(text[m.end() : m.end() + 200])
+            if not ident:
+                problems.append(
+                    f"{rel}:{lineno} F.broadcast(<expression>) — the argument "
+                    "must be a bare named DataFrame so it can be catalogued in "
+                    "BOUNDED_BROADCASTS; assign it to a variable first"
+                )
+                continue
+            key = f"{rel}:{ident.group(1)}"
+            found.add(key)
+            if key not in BOUNDED_BROADCASTS:
+                problems.append(
+                    f"{rel}:{lineno} unjustified F.broadcast({ident.group(1)}) — "
+                    "add a boundedness entry to BOUNDED_BROADCASTS or drop the hint"
+                )
     for key in sorted(set(BOUNDED_BROADCASTS) - found):
         problems.append(f"stale BOUNDED_BROADCASTS entry (site gone): {key}")
     return problems
