@@ -114,8 +114,11 @@ def main() -> None:
 
     # Round-over-round continuity: diff against the latest BENCH_r{N}.json
     # the driver recorded, so per-query regressions are visible in ONE place
-    # instead of requiring a manual two-file comparison next round.
-    prev_total, deltas, extra_deltas = _previous_round_delta(timings, extras)
+    # instead of requiring a manual two-file comparison next round. Prior
+    # records are sf0.1; an sf0.01 iteration run must not diff against them.
+    prev_total, deltas, extra_deltas = (
+        _previous_round_delta(timings, extras) if sf == 0.1 else (None, {}, {})
+    )
 
     # Ingest throughput: the reference's core claim is ingest ("HEP Capture
     # Server ... Parquet WAL"). Measure the Line Protocol hot path at the
@@ -132,41 +135,172 @@ def main() -> None:
         "best_total": round(sum(best.values()), 3),
         "extra_queries": extras,
         "ingest": ingest,
+        "freshness": _freshness_bench(spark),
         "registry_size": len(reg),
         "sf": sf,
     }
-    if prev_total is not None:
-        out["prev_total"] = prev_total
+    if deltas or extra_deltas:
+        if prev_total is not None:
+            out["prev_total"] = prev_total
         out["delta_vs_prev"] = deltas
         # r03 verdict item 4: the slowest registry entries live in extras —
         # a regression there must be as visible as a headline one
         out["delta_extras_vs_prev"] = extra_deltas
+        # r04 verdict item 2: any >=15% slowdown vs the true previous round
+        # must be impossible to miss — named explicitly, not buried in deltas
+        regressions = {}
+        for name, d in {**deltas, **extra_deltas}.items():
+            prev_sec = (timings.get(name) or extras.get(name)) - d
+            if prev_sec > 0 and d >= 0.15 * prev_sec and d >= 0.1:
+                regressions[name] = {
+                    "prev": round(prev_sec, 3),
+                    "now": round(prev_sec + d, 3),
+                    "pct": round(100.0 * d / prev_sec, 1),
+                }
+        out["regressions_ge_15pct"] = regressions
+    # r04 verdict item 2: the driver's BENCH_r{N}.json capture can clip the
+    # record tail, which silently broke round-over-round deltas (r04 diffed
+    # against r02). Persist the builder's OWN complete record; the delta
+    # reader prefers these over driver tail salvage.
+    # (sf0.1 only: an sf0.01 iteration run must not poison next round's
+    # apples-to-apples deltas)
+    if os.environ.get("SPARK_GRAFT_NO_LOCAL_RECORD") != "1" and sf == 0.1:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, f"BENCH_LOCAL_r{_current_round():02d}.json"), "w") as f:
+            json.dump(out, f)
     print(json.dumps(out))
     spark.stop()
 
 
-def _previous_round_delta(timings: dict[str, float], extras: dict[str, float]):
-    """(prev_total, {query: sec_delta}, {extra: sec_delta}) vs the newest
-    BENCH_r*.json, or (None, {}, {}) when no prior round exists. Positive
-    delta = slower now."""
+def _salvage_fragments(tail: str) -> dict | None:
+    """Best-effort reconstruction of a clipped bench record: pull each
+    complete `"key": {...}` sub-object out of the text, and if "queries"
+    itself lost its opening brace, regex the leading fragment's surviving
+    `"name": sec` pairs (they are genuine prior-round values)."""
+    dec = json.JSONDecoder()
+    out: dict = {}
+    for key in ("queries", "queries_best", "extra_queries", "ingest"):
+        marker = f'"{key}": '
+        i = tail.find(marker)
+        if i >= 0:
+            try:
+                obj, _ = dec.raw_decode(tail[i + len(marker):])
+                if isinstance(obj, dict):
+                    out[key] = obj
+                    continue
+            except ValueError:
+                pass
+    if "queries" not in out:
+        # clipped mid-"queries": everything before the first '}' is pairs
+        head = tail.split("}", 1)[0]
+        pairs = dict(
+            (m.group(1), float(m.group(2)))
+            for m in re.finditer(r'"([A-Za-z0-9_]+)": ([0-9.]+)', head)
+        )
+        if pairs:
+            out["queries"] = pairs
+    m = re.search(r'"value": ([0-9.]+)', tail)
+    if m:
+        out["value"] = float(m.group(1))
+    return out if ("queries" in out or "extra_queries" in out) else None
+
+
+def _driver_rounds() -> list[tuple[int, str]]:
+    """(round, path) for the driver-recorded BENCH_r{N}.json files, sorted
+    by round (the driver zero-pads: BENCH_r04.json — keep its exact path)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # only digit-suffixed rounds participate (a stray BENCH_rX.json must not
-    # crash the whole bench run)
-    matched = [
+    return sorted(
         (int(m.group(1)), p)
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
         if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    benches = [p for _, p in sorted(matched)]
-    # newest round whose record is actually parseable: the driver wraps the
-    # bench line under "parsed", but a truncated capture leaves parsed=null
-    # and a clipped "tail" (r03) — walk backwards and salvage what exists
+    )
+
+
+def _current_round() -> int:
+    """The in-flight round: one past the newest driver-recorded bench."""
+    rounds = _driver_rounds()
+    return (rounds[-1][0] + 1) if rounds else 1
+
+
+def _freshness_bench(spark) -> dict:
+    """Event -> queryable latency: the reference's pitch is real-time
+    capture-to-query, so measure it — write a Line Protocol batch through
+    the streaming ingest sink (10 s micro-batch trigger ceiling) and poll
+    the storage-backed view until the rows answer a query. Reported as
+    seconds from write-accepted to first query containing the batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hepop_spark.sources.lineproto import parse_lines_df
+
+    d = tempfile.mkdtemp(prefix="bench_fresh_")
+    try:
+        out_dir = os.path.join(d, "dbs")
+        n = 5_000
+        lines = spark.range(n).select(
+            F.format_string(
+                "fresh,host=h%d val=%d %d",
+                F.col("id") % 50,
+                F.col("id"),
+                (F.lit(1_700_000_000_000_000_000) + F.col("id") * 1_000_000),
+            ).alias("value")
+        )
+        t0 = time.perf_counter()
+        # micro-batch flush: parse + append, the same work the streaming
+        # sink's foreachBatch does per trigger (measured synchronously so
+        # the number is the floor the 10 s trigger adds its period to)
+        parse_lines_df(lines).withColumn(
+            "date", F.to_date("timestamp")
+        ).write.mode("append").partitionBy("date").parquet(out_dir)
+        visible = 0
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            visible = spark.read.parquet(out_dir).count()
+            if visible >= n:
+                break
+        dt = time.perf_counter() - t0
+        return {
+            "rows": n,
+            "write_to_queryable_sec": round(dt, 3),
+            "visible_rows": int(visible),
+            "trigger_ceiling_sec": round(dt + 10.0, 3),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _previous_round_delta(timings: dict[str, float], extras: dict[str, float]):
+    """(prev_total, {query: sec_delta}, {extra: sec_delta}) vs the TRUE
+    previous round, or (None, {}, {}) when no prior round exists. Positive
+    delta = slower now.
+
+    For each prior round K (newest first) the builder-owned
+    BENCH_LOCAL_rK.json is preferred — it is written complete by bench.py
+    itself — over the driver's BENCH_rK.json, whose captured tail can be
+    clipped mid-record (r03's was, which made r04 silently diff against
+    r02 and hid a +29% regression: r04 verdict item 2)."""
+    here = os.path.dirname(os.path.abspath(__file__))
     prev = None
-    for path in reversed(benches):
+    for k, driver_path in reversed(_driver_rounds()):
+        local = os.path.join(here, f"BENCH_LOCAL_r{k:02d}.json")
+        if os.path.exists(local):
+            try:
+                with open(local) as f:
+                    cand = json.load(f)
+                if "queries" in cand and cand.get("sf") == 0.1:
+                    prev = cand
+                    break
+            except (OSError, ValueError):
+                pass
+        # fall back to salvaging the driver's record: the driver wraps the
+        # bench line under "parsed", but a truncated capture leaves
+        # parsed=null and a clipped "tail"
         try:
-            with open(path) as f:
+            with open(driver_path) as f:
                 cand = json.load(f)
         except (OSError, ValueError):
             continue
@@ -186,7 +320,16 @@ def _previous_round_delta(timings: dict[str, float], extras: dict[str, float]):
                     prev = obj
                     break
             except ValueError:
-                continue
+                pass
+        if isinstance(tail, str):
+            # the capture can clip the FRONT of the record too (r04's did):
+            # salvage every complete sub-object, and regex the clipped
+            # leading fragment for its surviving "name": sec pairs, so
+            # deltas survive any one-sided truncation
+            obj = _salvage_fragments(tail)
+            if obj:
+                prev = obj
+                break
     if prev is None:
         return None, {}, {}
     prev_q = prev.get("queries", {})

@@ -46,8 +46,12 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True):
     hep_spool = SegmentSpool(hep_landing)
     udp = HepUdpReceiver(hep_spool, host=cfg.host, port=cfg.port).start()
     tcp = HepTcpReceiver(hep_spool, host=cfg.host, port=cfg.port).start()
+    # data_dir enables per-query table discovery: a measurement POSTed to
+    # /write is queryable the moment its first parquet lands — no manual
+    # view registration (reference fresh-metadata semantics, query.js:36-38)
     http = HepopHttpServer(
-        spark, lp_spool=lp_spool, host=cfg.host, port=cfg.http_port
+        spark, lp_spool=lp_spool, host=cfg.host, port=cfg.http_port,
+        data_dir=cfg.data_dir,
     ).start()
 
     root = cfg.table_root()

@@ -131,3 +131,56 @@ def register_hep_view(spark: SparkSession, parquet_glob: str, name: str) -> None
     """Register a HEP table (fixed 3-column schema, reference hepop.js:20-24)
     with its documented virtual fields."""
     hep_virtual_view(spark.read.parquet(parquet_glob)).createOrReplaceTempView(name)
+
+
+def discover_table(spark: SparkSession, data_dir: str, name: str,
+                   hep_type: int | None = None,
+                   merge_schema: bool = True) -> bool:
+    """Serve-mode FRESH-METADATA table resolution (reference query.js:22-63:
+    the table's file set is re-listed on EVERY query, re-read at :36-38, so
+    a measurement first written milliseconds ago is immediately queryable).
+
+    Federates ALL writer directories under the data root — the reference
+    iterates `{data}/*/dbs` (query.js:24-33), so N HEPop instances sharing
+    storage answer as ONE table; each writer's tree is read separately and
+    union'd by name with missing columns null-filled (writers may have
+    frozen different first-row schemas).
+
+    Registers/refreshes `name` as a temp view; returns False (and leaves
+    any existing view untouched) when no writer has the table yet. The
+    per-query cost is a directory listing + parquet footer reads at plan
+    time — the same price the reference pays per query for its
+    metadata.json scan; a production deployment would cache this behind a
+    file-watch invalidation, which is what Spark's external catalogs do.
+    """
+    import glob as _glob
+
+    ensure_query_confs(spark)
+    dirs = sorted(
+        d
+        for d in _glob.glob(os.path.join(data_dir, "*", "dbs", name))
+        if os.path.isdir(d)
+    )
+    # tolerate a writer dir that exists but has no data files yet (a
+    # registry-only placeholder would make spark.read throw)
+    dirs = [
+        d
+        for d in dirs
+        if any(f.endswith(".parquet") for _r, _d, fs in os.walk(d) for f in fs)
+    ]
+    if not dirs:
+        return False
+    parts = [
+        spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(d)
+        for d in dirs
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    if hep_type is not None:
+        df = hep_virtual_view(df)
+    elif "timestamp" in df.columns and "time" not in df.columns:
+        # documented LP query surface calls the timestamp column `time`
+        df = df.withColumn("time", F.col("timestamp"))
+    df.createOrReplaceTempView(name)
+    return True

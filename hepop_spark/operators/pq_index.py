@@ -1,0 +1,276 @@
+"""Persisted IVF-PQ index: encode-at-ingest, query-scans-codes.
+
+The r04-judged `ann_ivfpq_topk` rebuilt its index inline on every call —
+at 20x scale the probe showed 28.4 s dominated by re-encoding the corpus
+per query, pure recompute of something the engine already knows how to
+persist (`pq_encode_stats`). This module is the composition the verdict
+asked for: the corpus PQ codes + coarse-cell assignments are written ONCE
+to a parquet index (the ingest-side artifact), and the query path scans
+the 8-byte-per-vector code table — never the float corpus — until the
+final exact rerank of the shortlist.
+
+Index layout under `<path>/`:
+  codes/  c_id BIGINT, packed BIGINT   (partitioned by cell — probed
+          cells prune at the scan; 6 bits per subspace code, m*6 shifts)
+  books/  m INT, k INT, cw ARRAY<DOUBLE>   (PQ codebook, m_sub*k_codes rows)
+  cents/  cell INT, cw_cell ARRAY<DOUBLE>  (normalized coarse centroids)
+
+Freshness is keyed on the SOURCE FILES (size + mtime of the embeddings
+parquet), the same ground truth the reference uses for its metadata
+(hepop.js re-lists files per query); a changed corpus gets a new cache
+directory, a concurrent builder loses the atomic rename race harmlessly.
+
+All math (md5-ordered codebook sample, argmin encode with (d, k)
+tie-break, fixed-m-order ADC fold, integer shortlist keys) is identical
+to the inline form, so the same DuckDB oracle replays the result.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _norm2(c: str):
+    return F.aggregate(
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def source_fingerprint(*paths: str) -> str:
+    """Deterministic digest of the source files' (relpath, size, mtime):
+    the index-freshness key. File state IS the ground truth — same policy
+    as the storage layer's listing-based metadata (SURVEY A13)."""
+    h = hashlib.md5()
+    for root in sorted(paths):
+        if os.path.isfile(root):
+            st = os.stat(root)
+            h.update(f"{root}:{st.st_size}:{st.st_mtime_ns}".encode())
+            continue
+        for dirp, _dirs, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                p = os.path.join(dirp, fn)
+                st = os.stat(p)
+                rel = os.path.relpath(p, root)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def ivfpq_index_path(sf_dir: str, params: str) -> str:
+    """Cache location for the persisted index of `sf_dir`'s embeddings
+    table under the given parameter signature."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = source_fingerprint(src) if os.path.exists(src) else "nosrc"
+    base = os.path.join(tempfile.gettempdir(), "hepop_spark_index")
+    return os.path.join(base, f"ivfpq_{params}_{key}")
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_cells: int,
+    m_sub: int,
+    sub: int,
+    k_codes: int,
+) -> bool:
+    """Write the IVF-PQ index artifacts for `corpus` (c_id, cv) to `path`.
+
+    No-op (returns False) when the index already exists: build cost is
+    paid at INGEST, not per query. The build is itself one distributed
+    pass: bounded sample -> broadcast codebook/centroid tables -> two
+    partial-combinable hash aggregations (max_by cell, min_by code) ->
+    one 8-byte row per corpus vector, hash-partitioned by cell so probed
+    cells prune at the query-side scan. Atomic rename publishes the
+    directory; a concurrent loser just deletes its temp copy."""
+    if os.path.isdir(path):
+        return False
+    # deterministic codebook: md5-ordered sample (TakeOrderedAndProject;
+    # the rank window then only sees k_codes rows)
+    wsamp = Window.orderBy(F.md5(F.col("c_id").cast("string")))
+    samp = (
+        corpus.orderBy(F.md5(F.col("c_id").cast("string")))
+        .limit(k_codes)
+        .withColumn("k", F.row_number().over(wsamp) - 1)
+        .select("k", F.col("cv").alias("sv"))
+    )
+    cents = samp.filter(F.col("k") < n_cells).select(
+        F.col("k").alias("cell"),
+        F.expr(
+            "transform(sv, x -> cast(x as double) / "
+            "sqrt(aggregate(transform(sv, y -> cast(y as double) * cast(y as double)), "
+            "0D, (a, y) -> a + y)))"
+        ).alias("cw_cell"),
+    )
+    books = samp.select(
+        "k", "sv",
+        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+    ).select(
+        "m", "k",
+        F.expr(f"transform(slice(sv, m * {sub} + 1, {sub}), x -> cast(x as double))").alias("cw"),
+    )
+    # coarse assignment: argmax dot(cv, cell centroid), (desc, cell)
+    # tie-break via max_by over struct — partial-combinable
+    cassign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("cd", _dot("cv", "cw_cell"))
+        .groupBy("c_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("cd"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
+        )
+    )
+    # PQ encode: per (c_id, m) argmin |cw|^2 - 2 cs.cw, tie-break k
+    csub = corpus.select(
+        "c_id",
+        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+        F.col("cv"),
+    ).select("c_id", "m", F.expr(f"slice(cv, m * {sub} + 1, {sub})").alias("cs"))
+    enc_k = (
+        csub.join(F.broadcast(books), "m")
+        .withColumn("d", _norm2("cw") - 2 * _dot("cs", "cw"))
+        .groupBy("c_id", "m")
+        .agg(F.min_by("k", F.struct(F.col("d"), F.col("k"))).alias("k"))
+    )
+    codes = (
+        enc_k.groupBy("c_id")
+        # 6 bits per subspace code (k < 64): exact integer packing
+        .agg(F.sum(F.expr("shiftleft(cast(k as bigint), m * 6)")).alias("packed"))
+        .join(cassign, "c_id")
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        codes.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(tmp, "codes")
+        )
+        books.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "books"))
+        cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "cents"))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(tmp, path)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.isdir(path)  # lost a benign race to another builder
+
+
+def ivfpq_topk_from_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    *,
+    m_sub: int,
+    sub: int,
+    nprobe: int,
+    shortlist: int,
+    top_k: int,
+) -> DataFrame:
+    """ANN top-k answered FROM THE PERSISTED INDEX: the only touches of
+    float vectors are the bounded query side and the final exact rerank
+    of `shortlist` rows per query. The corpus-sized input is the 8-byte
+    code scan, pruned to probed cells.
+
+    ADC via a broadcast lookup table — |queries| x m_sub x k_codes rows
+    of precomputed q_sub.cw partial dots (the FAISS LUT trick): scoring a
+    candidate is then 8 integer unpacks + 8 broadcast-hash lookups + one
+    fixed-order fold, no per-pair vector arithmetic at all."""
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    books = spark.read.parquet(os.path.join(path, "books"))
+    cents = spark.read.parquet(os.path.join(path, "cents"))
+
+    wprobe = Window.partitionBy("q_id").orderBy(F.col("cd").desc(), F.col("cell"))
+    qprobe = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cd", _dot("qv", "cw_cell"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cell")
+    )
+    qsub = queries.select(
+        "q_id",
+        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+        F.col("qv"),
+    ).select("q_id", "m", F.expr(f"slice(qv, m * {sub} + 1, {sub})").alias("qs"))
+    lut = qsub.join(F.broadcast(books), "m").select(
+        "q_id", "m", "k",
+        _dot("qs", "cw").alias("t_dot"),
+        _norm2("cw").alias("t_n2"),
+    )
+    # candidates: probed cells select code rows; each c_id lives in
+    # exactly one cell, so (q_id, c_id) is already distinct
+    cand = codes.join(F.broadcast(qprobe), "cell").select("q_id", "c_id", "packed")
+    terms = (
+        cand.select(
+            "q_id", "c_id",
+            F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+            F.col("packed"),
+        )
+        .select(
+            "q_id", "c_id", "m",
+            F.expr("cast(shiftright(packed, m * 6) & 63 as int)").alias("k"),
+        )
+        .join(F.broadcast(lut), ["q_id", "m", "k"])
+    )
+    # fixed-order ADC accumulation (fold by m) — one evaluation order
+    # regardless of shuffle, so the floor(x*1e4+0.5) key can't flip
+    adc = (
+        terms.groupBy("q_id", "c_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "t_dot", "t_n2"))).alias("ts"))
+        .select(
+            "q_id", "c_id",
+            F.aggregate(F.col("ts"), F.lit(0.0), lambda a, s: a + s["t_dot"]).alias("dot"),
+            F.sqrt(
+                F.aggregate(F.col("ts"), F.lit(0.0), lambda a, s: a + s["t_n2"])
+            ).alias("cnorm"),
+        )
+    )
+    qn = queries.select(
+        "q_id",
+        F.when(F.sqrt(_norm2("qv")) > 0, F.sqrt(_norm2("qv")))
+        .otherwise(F.lit(1.0))
+        .alias("qnorm"),
+    )
+    keys = adc.join(F.broadcast(qn), "q_id").select(
+        "q_id", "c_id",
+        F.floor(
+            F.col("dot")
+            / (F.when(F.col("cnorm") > 0, F.col("cnorm")).otherwise(F.lit(1.0)) * F.col("qnorm"))
+            * 10000.0 + 0.5
+        ).cast("long").alias("qkey"),
+    )
+    wshort = Window.partitionBy("q_id").orderBy(F.col("qkey").desc(), F.col("c_id"))
+    short = (
+        keys.withColumn("rk", F.row_number().over(wshort))
+        .filter(F.col("rk") <= shortlist)
+        .select("q_id", "c_id")
+    )
+    rer = (
+        short.join(queries, "q_id")
+        .join(corpus, "c_id")
+        .withColumn(
+            "sim",
+            F.round(_dot("qv", "cv") / (F.sqrt(_norm2("qv")) * F.sqrt(_norm2("cv"))), 4),
+        )
+        .select("q_id", "c_id", "sim")
+    )
+    wfin = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(wfin).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("q_id", "c_id", "sim", "rk")
+    )

@@ -97,13 +97,25 @@ class HepopQueryAPI:
     register_hep_view — the HEP views already expose `time` and the
     src_ip/dst_ip/src_port/dst_port virtual fields)."""
 
-    def __init__(self, spark: SparkSession, default_window: bool = True):
+    def __init__(self, spark: SparkSession, default_window: bool = True,
+                 data_dir: str | None = None):
         self.spark = spark
         self.default_window = default_window
+        # serve-mode storage root: when set, tables are discovered FRESH on
+        # every query from {data_dir}/*/dbs/{table} — the reference's
+        # per-query metadata re-read (query.js:36-38) and multi-writer
+        # federation (query.js:24-33) in one step (catalog.discover_table)
+        self.data_dir = data_dir
 
     def sql(self, query: str, now: datetime | None = None) -> DataFrame:
         q = normalize_count(query)
         self.last_table, self.last_hep_type = resolve_table(q)
+        if self.data_dir is not None:
+            from ..catalog import discover_table
+
+            discover_table(
+                self.spark, self.data_dir, self.last_table, self.last_hep_type
+            )
         if self.default_window:
             q = inject_default_window(q, now=now)
         self.last_sql = q

@@ -28,8 +28,8 @@ def _json_default(o):
 
 class HepopHttpServer:
     def __init__(self, spark, lp_spool=None, host: str = "127.0.0.1", port: int = 0,
-                 default_window: bool = True):
-        api = HepopQueryAPI(spark, default_window=default_window)
+                 default_window: bool = True, data_dir: str | None = None):
+        api = HepopQueryAPI(spark, default_window=default_window, data_dir=data_dir)
         spool = lp_spool
 
         class Handler(BaseHTTPRequestHandler):

@@ -65,6 +65,65 @@ class TestShortDocShingleGuards:
         assert not bad, f"unguarded 1-based gram sequences: {bad}"
 
 
+class TestMultiWriterFederation:
+    def test_two_writers_answer_as_one_table(self, spark, tmp_path):
+        """r04 verdict item 4: the reference's query layer iterates ALL
+        writer directories under the data root (query.js:24-33) — two
+        instances sharing storage are one logical table."""
+        import pyspark.sql.functions as F
+
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.writer import write_partitioned
+
+        data = tmp_path / "data"
+        for writer, n0 in (("w1", 0), ("w2", 100)):
+            df = spark.createDataFrame(
+                [(n0 + i, float(i)) for i in range(3)], "event_id long, v double"
+            ).withColumn(
+                "timestamp", F.timestamp_micros(F.lit(1_709_290_800_000_000))
+            )
+            write_partitioned(df, str(data / writer / "dbs" / "gauge"))
+        api = HepopQueryAPI(spark, default_window=False, data_dir=str(data))
+        rows = api.query_json("SELECT count() AS n FROM gauge")
+        assert rows == [{"n": 6}]
+        # per-writer rows are all present, not shadowed
+        ids = {
+            r["event_id"]
+            for r in api.query_json("SELECT event_id FROM gauge")
+        }
+        assert ids == {0, 1, 2, 100, 101, 102}
+
+    def test_schema_drift_across_writers_nullfills(self, spark, tmp_path):
+        """Writers may have frozen different first-row schemas; the
+        federated view is the by-name union with null-fill."""
+        import pyspark.sql.functions as F
+
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.writer import write_partitioned
+
+        data = tmp_path / "data"
+        ts = F.timestamp_micros(F.lit(1_709_290_800_000_000))
+        a = spark.createDataFrame([(1, 1.0)], "event_id long, v double")
+        b = spark.createDataFrame([(2, "x")], "event_id long, tagged string")
+        write_partitioned(a.withColumn("timestamp", ts), str(data / "w1" / "dbs" / "m"))
+        write_partitioned(b.withColumn("timestamp", ts), str(data / "w2" / "dbs" / "m"))
+        api = HepopQueryAPI(spark, default_window=False, data_dir=str(data))
+        rows = api.query_json("SELECT event_id, v, tagged FROM m ORDER BY event_id")
+        assert rows == [
+            {"event_id": 1, "v": 1.0, "tagged": None},
+            {"event_id": 2, "v": None, "tagged": "x"},
+        ]
+
+    def test_missing_table_leaves_existing_view(self, spark, tmp_path):
+        from hepop_spark.catalog import discover_table
+
+        spark.createDataFrame([(1,)], "a long").createOrReplaceTempView(
+            "manual_view_r5"
+        )
+        assert not discover_table(spark, str(tmp_path), "manual_view_r5")
+        assert spark.table("manual_view_r5").count() == 1
+
+
 class TestSnapshotDiffDomain:
     def test_v1_only_type_keeps_removed_count(self, spark, tmp_path):
         """A type whose rows were ALL removed in v2 must still report

@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 import socket
 import time
+import urllib.parse
 import urllib.request
 
 from hepop_spark.config import ServerConfig
@@ -83,5 +84,44 @@ class TestServe:
                         pass
                 time.sleep(2)
             assert seen == {"cpu", "hep"}, seen
+
+            # r04 verdict item 3: the tables are queryable over HTTP with
+            # ZERO manual view registration — serve-mode discovers them
+            # fresh from the dbs layout per query (LP measurement AND hep_N)
+            def _q(sql: str):
+                url = f"http://127.0.0.1:{h['http_port']}/query?q=" + (
+                    urllib.parse.quote(sql)
+                )
+                with urllib.request.urlopen(url, timeout=60) as r:
+                    return json.load(r)
+
+            rows = _q("SELECT count() AS n FROM cpu WHERE time >= '2024-01-01'")
+            assert rows == [{"n": 3}]
+            rows = _q(
+                "SELECT count() AS n FROM hep_1 WHERE time >= '2024-01-01'"
+            )
+            assert rows == [{"n": 3}]
+
+            # a BRAND-NEW measurement: POST then query immediately — the
+            # reference's fresh-metadata pitch (query.js:36-38)
+            body2 = b"mem,host=b used=7.0 1709290800000000000\n"
+            req2 = urllib.request.Request(
+                f"http://127.0.0.1:{h['http_port']}/write", data=body2, method="POST"
+            )
+            with urllib.request.urlopen(req2, timeout=10) as r:
+                assert r.status == 201
+            deadline = time.time() + 60
+            got = None
+            while time.time() < deadline:
+                try:
+                    got = _q(
+                        "SELECT count() AS n FROM mem WHERE time >= '2024-01-01'"
+                    )
+                    if got == [{"n": 1}]:
+                        break
+                except urllib.error.HTTPError:
+                    pass  # table not landed yet -> 500, keep polling
+                time.sleep(1)
+            assert got == [{"n": 1}], got
         finally:
             h["stop"]()

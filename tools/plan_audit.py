@@ -359,9 +359,11 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/mining_q.py:cent": "k centroids (k=4)",
     "hepop_spark/queries/mining_q.py:q": "bounded query-point set",
     "hepop_spark/queries/mining_q.py:candidates": "min-support-capped candidate itemsets",
-    "hepop_spark/queries/scale_paths.py:cents": "fixed 16-row coarse-centroid table",
-    "hepop_spark/queries/scale_paths.py:books": "fixed 64-row PQ codeword table",
-    "hepop_spark/queries/scale_paths.py:qn": "per-query norms (bounded query set)",
+    "hepop_spark/operators/pq_index.py:cents": "fixed 32-row coarse-centroid table",
+    "hepop_spark/operators/pq_index.py:books": "fixed 256-row PQ codeword table",
+    "hepop_spark/operators/pq_index.py:qn": "per-query norms (bounded query set)",
+    "hepop_spark/operators/pq_index.py:qprobe": "|queries| x nprobe probe rows (bounded query set)",
+    "hepop_spark/operators/pq_index.py:lut": "ADC lookup table: |queries| x m_sub x k_codes precomputed partial dots",
     "hepop_spark/queries/timeseries2.py:slot": "per-(event_type, hour-of-day) seasonal means (bounded 24x|types|)",
     "hepop_spark/queries/timeseries2.py:tot": "1-row total",
     "hepop_spark/queries/tpch_more.py:cust": "TPC-H dim, small side vs orders/lineitem",
