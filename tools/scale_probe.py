@@ -139,6 +139,16 @@ def main() -> int:
                 "sec": round(time.perf_counter() - t0, 2),
                 "rows": n,
             }
+        # r05: the IVF-PQ entry persists its index on first call (the
+        # ingest-side encode); a second call answers FROM the stored codes.
+        # The warm number is the judged claim: query wall ~independent of
+        # encode cost (cold - warm ≈ the one-time build).
+        t0 = time.perf_counter()
+        n = reg["ann_ivfpq_topk"].fn(spark, big).count()
+        timings["ann_ivfpq_topk_warm_index"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rows": n,
+        }
         print(json.dumps({
             "replication": k,
             "events_rows": n_ev * k,
