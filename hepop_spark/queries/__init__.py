@@ -64,6 +64,7 @@ def registry() -> dict[str, QuerySpec]:
         llm7,
         llm8,
         llm9,
+        llm10,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -111,6 +112,7 @@ def registry() -> dict[str, QuerySpec]:
         llm7,
         llm8,
         llm9,
+        llm10,
         functions_ext,
         functions_ext2,
         functions_ext3,

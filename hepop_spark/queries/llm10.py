@@ -1,0 +1,452 @@
+"""Round-5 LLM-pipeline batch: persisted-index artifact parity,
+temperature-based source mixing, embedding-space decontamination, and
+model-based quality filtering.
+
+Each entry pairs a Spark-first plan with a DuckDB oracle that replays the
+same deterministic math (md5-derived constants, fixed-order folds,
+integer-quantized doubles), following the registry contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+from .scale_paths import IVF_CELLS, PQ_K, PQ_M, PQ_SUB
+
+# ---------------------------------------------------------------------------
+# ann_ivfpq_code_stats — parity ON THE PERSISTED INDEX ARTIFACT
+# ---------------------------------------------------------------------------
+
+_CODE_MOD = 1_000_000_007
+
+
+def ann_ivfpq_code_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Audit of the PERSISTED IVF-PQ code table (operators/pq_index.py) —
+    the artifact `ann_ivfpq_topk` now queries instead of re-encoding the
+    corpus (r04 verdict item 1). Per coarse cell: vector population,
+    distinct 8-byte codes, and a modular checksum of the packed codes.
+    The oracle RE-DERIVES the cell assignments and PQ codes from the raw
+    embeddings, so a green row proves the stored artifact bit-equals a
+    from-scratch encode — index corruption or staleness cannot hide.
+
+    Scale: the audited side is one aggregation over the 8-byte code scan
+    (cells are the partition key, so this is partition-local); only the
+    oracle touches float vectors."""
+    from ..operators.pq_index import build_ivfpq_index, ivfpq_index_path
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    path = ivfpq_index_path(sf, f"m{PQ_M}k{PQ_K}c{IVF_CELLS}")
+    build_ivfpq_index(
+        spark, corpus, path, n_cells=IVF_CELLS, m_sub=PQ_M, sub=PQ_SUB,
+        k_codes=PQ_K,
+    )
+    import os
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return (
+        codes.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vec"),
+            F.countDistinct("packed").cast("long").alias("n_codes"),
+            # DECIMAL accumulator (r03 lesson: BIGINT sums of wide hashes
+            # overflow under ANSI), folded back to a BIGINT residue
+            (
+                F.sum(F.expr(f"cast(pmod(packed, {_CODE_MOD}) as decimal(38,0))"))
+                % _CODE_MOD
+            ).cast("long").alias("code_checksum"),
+        )
+        .select(F.col("cell").cast("int").alias("cell"), "n_vec", "n_codes", "code_checksum")
+        .orderBy("cell")
+    )
+
+
+CODE_STATS_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id >= 10),
+samp AS (
+  SELECT cv AS sv, row_number() OVER (ORDER BY md5(CAST(c_id AS VARCHAR))) - 1 AS k
+  FROM corpus ORDER BY md5(CAST(c_id AS VARCHAR)) LIMIT {PQ_K}
+),
+cents AS (
+  SELECT k AS cell,
+         list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv))) AS cw_cell
+  FROM samp WHERE k < {IVF_CELLS}
+),
+cassign AS (
+  SELECT c_id, cell FROM (
+    SELECT c.c_id, ct.cell,
+           row_number() OVER (PARTITION BY c.c_id
+                              ORDER BY list_dot_product(c.cv, ct.cw_cell) DESC, ct.cell) AS rn
+    FROM corpus c CROSS JOIN cents ct) WHERE rn = 1
+),
+books AS (
+  SELECT CAST(ms.m AS INTEGER) AS m, k,
+         sv[CAST(ms.m * {PQ_SUB} + 1 AS INTEGER):CAST((ms.m + 1) * {PQ_SUB} AS INTEGER)] AS cw
+  FROM samp, (SELECT unnest(range({PQ_M})) AS m) ms
+),
+enc AS (
+  SELECT c_id, m, k FROM (
+    SELECT c.c_id, b.m, b.k,
+           row_number() OVER (
+             PARTITION BY c.c_id, b.m
+             ORDER BY list_dot_product(b.cw, b.cw)
+                      - 2 * list_dot_product(
+                          c.cv[CAST(b.m * {PQ_SUB} + 1 AS INTEGER):CAST((b.m + 1) * {PQ_SUB} AS INTEGER)],
+                          b.cw),
+                      b.k) AS rn
+    FROM corpus c CROSS JOIN books b) WHERE rn = 1
+),
+packed AS (
+  SELECT c_id, sum(CAST(k AS BIGINT) << (m * 6)) AS packed
+  FROM enc GROUP BY c_id
+)
+SELECT CAST(a.cell AS INTEGER) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vec,
+       CAST(count(DISTINCT p.packed) AS BIGINT) AS n_codes,
+       CAST(sum(p.packed % {_CODE_MOD}) % {_CODE_MOD} AS BIGINT) AS code_checksum
+FROM packed p JOIN cassign a USING (c_id)
+GROUP BY a.cell
+ORDER BY cell
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_temperature_mix — temperature-scaled multinomial source weights
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7
+MIX_BUDGET = 1_000_000
+
+
+def source_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-LM sampling rule:
+    p_s ∝ n_s^alpha with alpha < 1 upweights small sources): per source,
+    raw token mass, the alpha=0.7 mixture weight, and the token budget a
+    1M-token epoch allocates to it (floor(w*B + 0.5) — the shared integer
+    quantizer, boundary-free across engines). Complements the judged
+    DoReMi (llm8) and largest-remainder (token_budget_allocation) entries:
+    this is the CLOSED-FORM mixture a 100 TB pretraining config starts
+    from.
+
+    Scale: one map-side-combinable count per source, then arithmetic on a
+    |sources|-row table. The weight denominator folds a sorted bounded
+    array so the double sum has one evaluation order."""
+    docs = load_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    pw = per_src.withColumn(
+        "p", F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+    )
+    tot = pw.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "p"))),
+            F.lit(0.0),
+            lambda a, s: a + s["p"],
+        ).alias("z"),
+        F.sum("n_tokens").cast("long").alias("t_all"),
+    )
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("p") / F.col("z"), 4).alias("mix_weight"),
+            F.floor(F.col("p") / F.col("z") * MIX_BUDGET + 0.5)
+            .cast("long")
+            .alias("budget_tokens"),
+            # flattening ratio vs proportional sampling: >1 = upweighted
+            F.round(
+                (F.col("p") / F.col("z"))
+                / (F.col("n_tokens").cast("double") / F.col("t_all")),
+                4,
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+pw AS (
+  SELECT *, pow(CAST(n_tokens AS DOUBLE), CAST({MIX_ALPHA} AS DOUBLE)) AS p
+  FROM per_src
+),
+tot AS (SELECT sum(p) AS z, CAST(sum(n_tokens) AS BIGINT) AS t_all FROM pw)
+SELECT source, n_docs, n_tokens,
+       round(p / z, 4) AS mix_weight,
+       CAST(floor(p / z * {MIX_BUDGET} + 0.5) AS BIGINT) AS budget_tokens,
+       round((p / z) / (CAST(n_tokens AS DOUBLE) / t_all), 4) AS boost
+FROM pw, tot
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_decontaminate — LSH-bucketed benchmark containment scan
+# ---------------------------------------------------------------------------
+
+DECON_TABLES = 10
+DECON_BITS = 8
+DECON_THRESHOLD = 0.80
+
+
+def embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: the n-gram/substring
+    decontamination entries (llm8, bloom_decontaminate) miss PARAPHRASED
+    leakage; this pass flags corpus vectors semantically close to a
+    benchmark vector (cos >= 0.80) using the same 10-table sign-LSH
+    candidate generation as the judged ANN path — bucket equi-joins, no
+    cross join. Per benchmark item: candidates probed, contaminated
+    count, and the worst offender (max cosine, id tie-break).
+
+    Scale: candidates are |bench| x bucket-occupancy; the exact cosine
+    touches candidates only. At 100 TB the benchmark side is tiny and
+    broadcast; the corpus side is the bucketed scan."""
+    from ..operators.similarity import with_lsh_bucket
+
+    emb = load_table(spark, sf, "embeddings")
+    tabs = []
+    for t in range(DECON_TABLES):
+        tabs.append(
+            with_lsh_bucket(
+                emb.select("vec_id", "embedding"),
+                k=DECON_BITS,
+                seed=42 + 977 * t,
+            ).select("vec_id", F.lit(t).alias("tbl"), F.col("lsh_bucket").alias("bucket"))
+        )
+    buckets = tabs[0]
+    for df in tabs[1:]:
+        buckets = buckets.unionByName(df)
+    qb = buckets.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "tbl", "bucket"
+    )
+    cb = buckets.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), "tbl", "bucket"
+    )
+    cand = qb.join(cb, ["tbl", "bucket"]).select("q_id", "c_id").distinct()
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qe = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    ce = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    scored = (
+        cand.join(qe, "q_id")
+        .join(ce, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(dot / (F.sqrt(n2("qv")) * F.sqrt(n2("cv"))), 4).alias("sim"),
+        )
+    )
+    return (
+        scored.groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum((F.col("sim") >= DECON_THRESHOLD).cast("long"))
+            .cast("long")
+            .alias("n_contaminated"),
+            # worst offender under a total order (sim desc, c_id asc)
+            F.max_by(
+                "c_id", F.struct(F.col("sim"), (-F.col("c_id")).alias("nc"))
+            ).cast("long").alias("top_contaminant"),
+            F.max("sim").alias("max_sim"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _decon_oracle_sql() -> str:
+    from ..operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(DECON_TABLES):
+        for b, plane in enumerate(_hyperplanes(64, DECON_BITS, seed=42 + 977 * t)):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {b}, CAST({arr} AS DOUBLE[]))")
+    planes_values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, bit, plane) AS (VALUES {planes_values}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+  SELECT e.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                  THEN 1 << p.bit ELSE 0 END) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+),
+qb AS (SELECT vec_id AS q_id, tbl, bucket FROM buckets WHERE vec_id < 10),
+cb AS (SELECT vec_id AS c_id, tbl, bucket FROM buckets WHERE vec_id >= 10),
+cand AS (
+  SELECT DISTINCT q.q_id, c.c_id
+  FROM qb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+         round(list_cosine_similarity(qe.v, ce.v), 4) AS sim
+  FROM cand
+  JOIN emb qe ON qe.vec_id = cand.q_id
+  JOIN emb ce ON ce.vec_id = cand.c_id
+)
+SELECT q_id,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN sim >= {DECON_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST((array_agg(c_id ORDER BY sim DESC, c_id))[1] AS BIGINT) AS top_contaminant,
+       max(sim) AS max_sim
+FROM scored
+GROUP BY q_id
+ORDER BY q_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_logreg_filter — fixed-weight linear quality classifier apply
+# ---------------------------------------------------------------------------
+
+# frozen classifier (fasttext-style quality filter, weights fixed at
+# "training" time): logit = b + w . [n_tok/100, ttr, stop_ratio, avg_len/10]
+QLR_B = -1.2
+QLR_W_NTOK = 0.8
+QLR_W_TTR = 2.0
+QLR_W_STOP = -3.0
+QLR_W_AVGLEN = 0.5
+QLR_STOPWORDS = ("a", "the")
+
+
+def quality_logreg_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering — the classifier-apply stage every
+    production curation pipeline runs (CCNet/fasttext-style): a FROZEN
+    linear model over cheap doc features (length, type-token ratio,
+    stopword ratio, mean token length) scores each doc; keep = logit > 0
+    (the sigmoid's 0.5 threshold, decided on the exact linear form so no
+    transcendental sits on the cut). Per source: docs kept/dropped and a
+    1e6-quantized mean KEPT-score — integer-summed, so shuffle order
+    cannot flip it.
+
+    Scale: pure narrow column math + one hash agg; the model rides the
+    plan as literals (a real model's weights ride the task closure)."""
+    docs = load_table(spark, sf, "documents")
+    t = F.split("text", " ")
+    n_tok = F.size(t).cast("double")
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tok
+    stop_hits = F.size(
+        F.filter(t, lambda w: w.isin(*QLR_STOPWORDS))
+    ).cast("double")
+    avg_len = (F.length("text") - (F.size(t) - 1)).cast("double") / n_tok
+    logit = (
+        F.lit(QLR_B)
+        + F.lit(QLR_W_NTOK) * (n_tok / 100.0)
+        + F.lit(QLR_W_TTR) * ttr
+        + F.lit(QLR_W_STOP) * (stop_hits / n_tok)
+        + F.lit(QLR_W_AVGLEN) * (avg_len / 10.0)
+    )
+    scored = docs.select(
+        "source",
+        logit.alias("logit"),
+        (logit > 0).cast("long").alias("keep"),
+        # sigmoid quantized to an exact integer grid before any aggregation
+        F.floor(F.lit(1e6) / (F.lit(1.0) + F.exp(-logit)) + 0.5)
+        .cast("long")
+        .alias("score_e6"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            (F.count("*") - F.sum("keep")).cast("long").alias("n_drop"),
+            # integer mean of kept scores (exact div on exact ints)
+            F.when(
+                F.sum("keep") > 0,
+                (
+                    F.sum(F.when(F.col("keep") == 1, F.col("score_e6")).otherwise(0))
+                    / F.sum("keep")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(-1))
+            .alias("mean_keep_score_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_LOGREG_SQL = f"""
+WITH feats AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ('a', 'the'))) AS DOUBLE) AS stop_hits,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS chars
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         CAST({QLR_B} AS DOUBLE)
+         + CAST({QLR_W_NTOK} AS DOUBLE) * (n_tok / 100.0)
+         + CAST({QLR_W_TTR} AS DOUBLE) * (n_uniq / n_tok)
+         + CAST({QLR_W_STOP} AS DOUBLE) * (stop_hits / n_tok)
+         + CAST({QLR_W_AVGLEN} AS DOUBLE) * ((chars / n_tok) / 10.0) AS logit
+  FROM feats
+),
+q AS (
+  SELECT source,
+         CASE WHEN logit > 0 THEN 1 ELSE 0 END AS keep,
+         CAST(floor(1000000.0 / (1.0 + exp(-logit)) + 0.5) AS BIGINT) AS score_e6
+  FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       CAST(count(*) - sum(keep) AS BIGINT) AS n_drop,
+       CASE WHEN sum(keep) > 0
+            THEN CAST(sum(CASE WHEN keep = 1 THEN score_e6 ELSE 0 END)
+                      // sum(keep) AS BIGINT)
+            ELSE -1 END AS mean_keep_score_e6
+FROM q
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ann_ivfpq_code_stats": QuerySpec(
+        ann_ivfpq_code_stats, CODE_STATS_SQL,
+        "per-cell audit of the persisted IVF-PQ code table vs a from-scratch encode",
+    ),
+    "source_temperature_mix": QuerySpec(
+        source_temperature_mix, TEMPERATURE_MIX_SQL,
+        "temperature-scaled (n^0.7) source mixture weights and token budgets",
+    ),
+    "embedding_decontaminate": QuerySpec(
+        embedding_decontaminate, _decon_oracle_sql(),
+        "LSH-bucketed embedding-space benchmark contamination scan",
+    ),
+    "quality_logreg_filter": QuerySpec(
+        quality_logreg_filter, QUALITY_LOGREG_SQL,
+        "frozen linear quality classifier apply + per-source keep stats",
+    ),
+}

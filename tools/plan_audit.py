@@ -352,6 +352,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm8.py:probes": "fixed BENCH_N=20 probe set (TakeOrdered-selected)",
     "hepop_spark/queries/llm8.py:leftover": "1-row leftover count",
     "hepop_spark/queries/llm9.py:s1": "fixed 1024-word Bloom sketch (8 KB)",
+    "hepop_spark/queries/llm10.py:tot": "1-row mixture normalizer",
     "hepop_spark/queries/llm9.py:shards": "fixed CURR_SHARDS=8 rows",
     "hepop_spark/queries/llm9.py:n_planted": "1-row planted-count aggregate",
     "hepop_spark/queries/llm9.py:gmax": "1-row global-max aggregate",
