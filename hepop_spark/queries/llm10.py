@@ -9,7 +9,7 @@ integer-quantized doubles), following the registry contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -450,3 +450,178 @@ QUERIES: dict[str, QuerySpec] = {
         "frozen linear quality classifier apply + per-source keep stats",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints — MOSS-style rolling window-min fingerprint selection
+# ---------------------------------------------------------------------------
+
+WIN_GRAM = 4   # k-gram width (tokens)
+WIN_WINDOW = 5  # winnowing window (grams)
+
+
+def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS selection rule): hash every
+    4-token gram, then keep the MINIMUM hash of each 5-gram sliding window
+    — guarantees any shared run of >= w+k-1 tokens yields a shared
+    fingerprint while storing only ~2/(w+1) of the grams. Per doc: grams,
+    selected fingerprints, and the selection ratio (1e4-quantized). The
+    fingerprint store is what plagiarism-style containment search joins
+    against at 100 TB — this entry pins the selection itself.
+
+    Scale: narrow gram explosion, one per-doc window pass (bounded by doc
+    length), one hash agg. No corpus-wide sort or join."""
+    docs = load_table(spark, sf, "documents")
+    grams = F.expr(
+        f"case when size(split(text, ' ')) >= {WIN_GRAM} then "
+        f"transform(sequence(1, size(split(text, ' ')) - {WIN_GRAM - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {WIN_GRAM}))) "
+        f"else array() end"
+    )
+    g = docs.select("doc_id", F.posexplode(grams).alias("pos", "g")).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long").alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WIN_WINDOW - 1)
+    )
+    n_grams = Window.partitionBy("doc_id")
+    sel = (
+        g.withColumn("wmin", F.min("h").over(w))
+        .withColumn("n", F.count("*").over(n_grams))
+        # windows that extend past the end select duplicates of earlier
+        # minima; winnowing takes each FULL window's min, dedup'd
+        .filter(F.col("pos") <= F.col("n") - WIN_WINDOW)
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    counts = g.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    return (
+        counts.join(
+            sel.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            F.floor(
+                F.coalesce("n_fp", F.lit(0)) * 10000.0 / F.col("n_grams") + 0.5
+            ).cast("long").alias("keep_ratio_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOW_SQL = f"""
+WITH g AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+         CAST(('0x' || substr(md5(
+           array_to_string(string_split(text, ' ')[i:i+{WIN_GRAM - 1}], ' ')
+         ), 1, 12)) AS BIGINT) AS h
+  FROM documents,
+       unnest(range(1, greatest(len(string_split(text, ' ')) - {WIN_GRAM - 2}, 1))) t(i)
+),
+win AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WIN_WINDOW - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+),
+sel AS (
+  SELECT DISTINCT doc_id, wmin FROM win WHERE pos <= n - {WIN_WINDOW}
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id)
+SELECT c.doc_id, c.n_grams,
+       CAST(coalesce(s.n_fp, 0) AS BIGINT) AS n_fp,
+       CAST(floor(coalesce(s.n_fp, 0) * 10000.0 / c.n_grams + 0.5) AS BIGINT)
+         AS keep_ratio_e4
+FROM counts c
+LEFT JOIN (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id) s
+  USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_ngram_novelty — per-source distinct-gram novelty vs the rest
+# ---------------------------------------------------------------------------
+
+
+def source_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source 3-gram novelty: for each source, how much of its
+    distinct trigram inventory appears NOWHERE else — the redundancy
+    signal a mixture designer reads before paying to train on a source
+    (a source whose grams are 95% covered elsewhere adds little). Per
+    source: distinct grams, novel grams, novelty ratio (1e4-quantized).
+
+    Scale: distinct (gram, source) pairs -> per-gram source count (hash
+    agg on the gram key) -> per-source rollup; vocabulary-bounded keys,
+    no pair joins."""
+    docs = load_table(spark, sf, "documents").withColumn("t", F.split("text", " "))
+    gs = (
+        docs.filter(F.size("t") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    per_gram = gs.groupBy("g").agg(F.count("*").alias("n_sources"))
+    return (
+        gs.join(per_gram, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("n_sources") == 1).cast("long")).cast("long").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_novel",
+            F.floor(F.col("n_novel") * 10000.0 / F.col("n_grams") + 0.5)
+            .cast("long")
+            .alias("novelty_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+NOVELTY_SQL = """
+WITH gs AS (
+  SELECT DISTINCT source,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents) d,
+       unnest(range(1, greatest(len(t) - 1, 1))) x(i)
+  WHERE len(t) >= 3
+),
+per_gram AS (SELECT g, count(*) AS n_sources FROM gs GROUP BY g)
+SELECT gs.source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN p.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(floor(sum(CASE WHEN p.n_sources = 1 THEN 1 ELSE 0 END)
+                  * 10000.0 / count(*) + 0.5) AS BIGINT) AS novelty_e4
+FROM gs JOIN per_gram p USING (g)
+GROUP BY gs.source
+ORDER BY gs.source
+"""
+
+
+QUERIES["winnowing_fingerprints"] = QuerySpec(
+    winnowing_fingerprints, WINNOW_SQL,
+    "MOSS winnowing fingerprint selection (window-min of rolling k-gram hashes)",
+)
+QUERIES["source_ngram_novelty"] = QuerySpec(
+    source_ngram_novelty, NOVELTY_SQL,
+    "per-source distinct trigram novelty vs all other sources",
+)

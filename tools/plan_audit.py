@@ -270,6 +270,11 @@ AUDITS: dict[str, set[str]] = {
     # full minhash chain + 1-row planted-count broadcast
     "dedup_minhash_recall_eval": {"partial", "bcast", "bnlj_ok"},
     "length_bucket_padding": {"partial", "bcast", "bnlj_ok"},  # 1-row global-max broadcast
+    # round-5 batch (llm10.py): persisted-index audit + curation ops
+    "ann_ivfpq_code_stats": {"partial"},  # hash agg over the stored code scan
+    "source_temperature_mix": {"partial", "bcast", "bnlj_ok"},  # 1-row normalizer broadcast
+    "embedding_decontaminate": {"partial"},
+    "quality_logreg_filter": {"partial"},
     # round-4 closing analytics trio (analytics16.py)
     "funnel_time_to_convert": {"pushdown", "partial"},
     "order_fulfillment_sla": {"partial"},
