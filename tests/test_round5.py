@@ -244,3 +244,73 @@ class TestSnapshotDiffDomain:
             .collect()
         }
         assert out == {"gone": 1, "stay": 0}
+
+
+class TestRound5Operators:
+    def test_winnowing_guarantee(self, spark):
+        """MOSS guarantee: two docs sharing a run of >= w+k-1 tokens share
+        at least one selected fingerprint."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from hepop_spark.queries.llm10 import WIN_GRAM, WIN_WINDOW
+
+        shared = " ".join(f"s{i}" for i in range(WIN_GRAM + WIN_WINDOW - 1))
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta " + shared + " gamma delta epsilon zeta"),
+                (2, "one two three four " + shared + " five six"),
+            ],
+            "doc_id long, text string",
+        )
+        grams = F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {WIN_GRAM - 1}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i, {WIN_GRAM})))"
+        )
+        g = docs.select("doc_id", F.posexplode(grams).alias("pos", "g")).select(
+            "doc_id", "pos",
+            F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long").alias("h"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_WINDOW - 1)
+        n = Window.partitionBy("doc_id")
+        sel = (
+            g.withColumn("wmin", F.min("h").over(w))
+            .withColumn("n", F.count("*").over(n))
+            .filter(F.col("pos") <= F.col("n") - WIN_WINDOW)
+            .select("doc_id", "wmin").distinct()
+        )
+        a = {r.wmin for r in sel.filter("doc_id = 1").collect()}
+        b = {r.wmin for r in sel.filter("doc_id = 2").collect()}
+        assert a & b, "shared token run must produce a shared fingerprint"
+
+    def test_temperature_mix_weights_sum_to_one(self, spark, sf_dir):
+        from hepop_spark.queries.llm10 import source_temperature_mix
+
+        rows = source_temperature_mix(spark, sf_dir).collect()
+        s = sum(r.mix_weight for r in rows)
+        assert abs(s - 1.0) < 1e-2  # rounded weights, |sources| * 5e-5 slack
+        assert all(r.boost > 0 for r in rows)
+        # alpha < 1 flattens: smallest source is boosted above proportional
+        smallest = min(rows, key=lambda r: r.n_tokens)
+        largest = max(rows, key=lambda r: r.n_tokens)
+        assert smallest.boost >= largest.boost
+
+    def test_quality_filter_totals(self, spark, sf_dir):
+        from hepop_spark.queries.llm10 import quality_logreg_filter
+
+        rows = quality_logreg_filter(spark, sf_dir).collect()
+        assert all(r.n_keep + r.n_drop == r.n_docs for r in rows)
+        assert all(
+            0 <= r.mean_keep_score_e6 <= 1_000_000
+            for r in rows if r.n_keep > 0
+        )
+
+    def test_embedding_decontaminate_self_similarity_floor(self, spark, sf_dir):
+        """Every benchmark vector's candidates bound max_sim to [-1, 1] and
+        flagged counts never exceed candidates."""
+        from hepop_spark.queries.llm10 import embedding_decontaminate
+
+        rows = embedding_decontaminate(spark, sf_dir).collect()
+        assert len(rows) == 10
+        assert all(r.n_contaminated <= r.n_candidates for r in rows)
+        assert all(-1.0 <= r.max_sim <= 1.0 for r in rows)

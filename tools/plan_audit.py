@@ -275,6 +275,8 @@ AUDITS: dict[str, set[str]] = {
     "source_temperature_mix": {"partial", "bcast", "bnlj_ok"},  # 1-row normalizer broadcast
     "embedding_decontaminate": {"partial"},
     "quality_logreg_filter": {"partial"},
+    "winnowing_fingerprints": {"partial"},  # per-doc window, doc-partitioned
+    "source_ngram_novelty": {"partial"},
     # round-4 closing analytics trio (analytics16.py)
     "funnel_time_to_convert": {"pushdown", "partial"},
     "order_fulfillment_sla": {"partial"},
