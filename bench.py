@@ -66,6 +66,11 @@ EXTRA_R2 = [
     "gini_split_eval",
     "ann_ivfpq_topk",
     "weighted_percentile_disc",
+    # round-5 flagships: the persisted-index audit closes the encode/query
+    # split; the two curation heavies join the delta-tracked set
+    "ann_ivfpq_code_stats",
+    "embedding_decontaminate",
+    "winnowing_fingerprints",
 ]
 
 
