@@ -216,21 +216,29 @@ def embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     Scale: candidates are |bench| x bucket-occupancy; the exact cosine
     touches candidates only. At 100 TB the benchmark side is tiny and
     broadcast; the corpus side is the bucketed scan."""
-    from ..operators.similarity import with_lsh_bucket
+    from ..operators.similarity import _hyperplanes
 
     emb = load_table(spark, sf, "embeddings")
-    tabs = []
+    # all 10 tables' bucket ids in ONE scan (a 10-way union would re-read
+    # and re-project the corpus per table): one array of 10 bucket
+    # expressions, posexploded to (tbl, bucket) rows
+    bucket_cols = []
     for t in range(DECON_TABLES):
-        tabs.append(
-            with_lsh_bucket(
-                emb.select("vec_id", "embedding"),
-                k=DECON_BITS,
-                seed=42 + 977 * t,
-            ).select("vec_id", F.lit(t).alias("tbl"), F.col("lsh_bucket").alias("bucket"))
-        )
-    buckets = tabs[0]
-    for df in tabs[1:]:
-        buckets = buckets.unionByName(df)
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(_hyperplanes(64, DECON_BITS, seed=42 + 977 * t)):
+            arr = F.array(*[F.lit(x) for x in plane])
+            dot_p = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), arr, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot_p > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket_cols.append(bucket)
+    buckets = emb.select(
+        "vec_id", F.posexplode(F.array(*bucket_cols)).alias("tbl", "bucket")
+    )
     qb = buckets.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "tbl", "bucket"
     )
