@@ -135,7 +135,8 @@ def register_hep_view(spark: SparkSession, parquet_glob: str, name: str) -> None
 
 def discover_table(spark: SparkSession, data_dir: str, name: str,
                    hep_type: int | None = None,
-                   merge_schema: bool = True) -> bool:
+                   merge_schema: bool = True,
+                   cache: dict[str, str] | None = None) -> bool:
     """Serve-mode FRESH-METADATA table resolution (reference query.js:22-63:
     the table's file set is re-listed on EVERY query, re-read at :36-38, so
     a measurement first written milliseconds ago is immediately queryable).
@@ -147,11 +148,15 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
     frozen different first-row schemas).
 
     Registers/refreshes `name` as a temp view; returns False (and leaves
-    any existing view untouched) when no writer has the table yet. The
-    per-query cost is a directory listing + parquet footer reads at plan
-    time — the same price the reference pays per query for its
-    metadata.json scan; a production deployment would cache this behind a
-    file-watch invalidation, which is what Spark's external catalogs do.
+    any existing view untouched) when no writer has the table yet.
+
+    ``cache`` (a caller-owned dict) turns the per-query cost into a
+    directory WALK only: the table's file state (relpaths + sizes +
+    mtimes) is fingerprinted, and re-registration — the expensive part,
+    parquet footer reads at plan time — is skipped while the fingerprint
+    is unchanged. Freshness semantics are identical (file state IS the
+    ground truth, exactly the reference's metadata re-read), but a hot
+    serve loop pays the footer reads only when data actually landed.
     """
     import glob as _glob
 
@@ -170,6 +175,13 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
     ]
     if not dirs:
         return False
+    if cache is not None:
+        from .operators.pq_index import source_fingerprint
+
+        fp = source_fingerprint(*dirs)
+        if cache.get(name) == fp:
+            return True  # view already reflects this exact file state
+        cache[name] = fp
     parts = [
         spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(d)
         for d in dirs

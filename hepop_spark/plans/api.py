@@ -104,8 +104,11 @@ class HepopQueryAPI:
         # serve-mode storage root: when set, tables are discovered FRESH on
         # every query from {data_dir}/*/dbs/{table} — the reference's
         # per-query metadata re-read (query.js:36-38) and multi-writer
-        # federation (query.js:24-33) in one step (catalog.discover_table)
+        # federation (query.js:24-33) in one step (catalog.discover_table);
+        # the fingerprint cache skips footer re-reads while file state is
+        # unchanged (same freshness, cheaper hot loop)
         self.data_dir = data_dir
+        self._view_fingerprints: dict[str, str] = {}
 
     def sql(self, query: str, now: datetime | None = None) -> DataFrame:
         q = normalize_count(query)
@@ -114,7 +117,8 @@ class HepopQueryAPI:
             from ..catalog import discover_table
 
             discover_table(
-                self.spark, self.data_dir, self.last_table, self.last_hep_type
+                self.spark, self.data_dir, self.last_table, self.last_hep_type,
+                cache=self._view_fingerprints,
             )
         if self.default_window:
             q = inject_default_window(q, now=now)

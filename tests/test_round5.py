@@ -314,3 +314,29 @@ class TestRound5Operators:
         assert len(rows) == 10
         assert all(r.n_contaminated <= r.n_candidates for r in rows)
         assert all(-1.0 <= r.max_sim <= 1.0 for r in rows)
+
+
+class TestDiscoveryFingerprintCache:
+    def test_cache_skips_reregistration_until_files_change(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from hepop_spark.catalog import discover_table
+        from hepop_spark.storage.writer import write_partitioned
+
+        data = tmp_path / "data"
+        ts = F.timestamp_micros(F.lit(1_709_290_800_000_000))
+        df = spark.createDataFrame([(1, 1.0)], "event_id long, v double")
+        write_partitioned(df.withColumn("timestamp", ts), str(data / "w1" / "dbs" / "cnt"))
+        cache: dict = {}
+        assert discover_table(spark, str(data), "cnt", cache=cache)
+        fp1 = cache["cnt"]
+        assert spark.table("cnt").count() == 1
+        # unchanged files -> same fingerprint, registration skipped (still True)
+        assert discover_table(spark, str(data), "cnt", cache=cache)
+        assert cache["cnt"] == fp1
+        # new data lands -> fingerprint changes and the view refreshes
+        df2 = spark.createDataFrame([(2, 2.0)], "event_id long, v double")
+        write_partitioned(df2.withColumn("timestamp", ts), str(data / "w1" / "dbs" / "cnt"))
+        assert discover_table(spark, str(data), "cnt", cache=cache)
+        assert cache["cnt"] != fp1
+        assert spark.table("cnt").count() == 2
