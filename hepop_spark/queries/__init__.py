@@ -50,6 +50,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics15,
         analytics16,
         analytics17,
+        analytics18,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -100,6 +101,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics15,
         analytics16,
         analytics17,
+        analytics18,
         mining_q,
         timeseries,
         timeseries2,

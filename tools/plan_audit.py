@@ -276,6 +276,7 @@ AUDITS: dict[str, set[str]] = {
     "embedding_decontaminate": {"partial"},
     "quality_logreg_filter": {"partial"},
     "winnowing_fingerprints": {"partial"},  # per-doc window, doc-partitioned
+    "association_rules_brand": {"partial", "bcast"},
     "source_ngram_novelty": {"partial"},
     # round-4 closing analytics trio (analytics16.py)
     "funnel_time_to_convert": {"pushdown", "partial"},
@@ -360,6 +361,10 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm8.py:leftover": "1-row leftover count",
     "hepop_spark/queries/llm9.py:s1": "fixed 1024-word Bloom sketch (8 KB)",
     "hepop_spark/queries/llm10.py:tot": "1-row mixture normalizer",
+    "hepop_spark/queries/analytics18.py:v_df": "64-row PCA iterate",
+    "hepop_spark/queries/analytics18.py:nrm": "1-row norm aggregate",
+    "hepop_spark/queries/analytics18.py:na": "per-brand counts (25-value domain)",
+    "hepop_spark/queries/analytics18.py:nb": "per-brand counts (25-value domain)",
     "hepop_spark/queries/llm9.py:shards": "fixed CURR_SHARDS=8 rows",
     "hepop_spark/queries/llm9.py:n_planted": "1-row planted-count aggregate",
     "hepop_spark/queries/llm9.py:gmax": "1-row global-max aggregate",
