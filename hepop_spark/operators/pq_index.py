@@ -69,13 +69,19 @@ def source_fingerprint(*paths: str) -> str:
     return h.hexdigest()[:16]
 
 
+# bump when the ENCODE SEMANTICS change (codebook rule, packing layout,
+# assignment tie-break): a cache built by an older encoder must never be
+# read by a newer query path, even for identical source data
+PQ_INDEX_VERSION = 1
+
+
 def ivfpq_index_path(sf_dir: str, params: str) -> str:
     """Cache location for the persisted index of `sf_dir`'s embeddings
     table under the given parameter signature."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = source_fingerprint(src) if os.path.exists(src) else "nosrc"
     base = os.path.join(tempfile.gettempdir(), "hepop_spark_index")
-    return os.path.join(base, f"ivfpq_{params}_{key}")
+    return os.path.join(base, f"ivfpq_v{PQ_INDEX_VERSION}_{params}_{key}")
 
 
 def build_ivfpq_index(

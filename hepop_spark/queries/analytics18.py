@@ -87,15 +87,17 @@ def pca_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
 
-    dims = x.select("d").distinct()
-    v0 = dims.select("d", F.lit(PCA_Q).cast("long").alias("vq"))
-    v1 = step(v0)
-    v2 = step(v1)
-    out = v2.select(
-        F.col("d").cast("int").alias("d"), F.col("vq").alias("v_e4")
-    ).orderBy("d")
-    rows = out.collect()
-    x.unpersist()
+    try:
+        dims = x.select("d").distinct()
+        v0 = dims.select("d", F.lit(PCA_Q).cast("long").alias("vq"))
+        v1 = step(v0)
+        v2 = step(v1)
+        out = v2.select(
+            F.col("d").cast("int").alias("d"), F.col("vq").alias("v_e4")
+        ).orderBy("d")
+        rows = out.collect()
+    finally:
+        x.unpersist()
     return spark.createDataFrame(rows, "d int, v_e4 bigint")
 
 
