@@ -8,7 +8,7 @@ quantized to an exact integer grid before any shuffled aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -258,3 +258,195 @@ QUERIES: dict[str, QuerySpec] = {
         "market-basket support/confidence/lift over brand baskets, top-50 by lift",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# maxsim_late_interaction — ColBERT-style MaxSim scoring over subvectors
+# ---------------------------------------------------------------------------
+
+MAXSIM_SUB = 8   # 8 subvectors x 8 dims per 64-dim embedding
+MAXSIM_TOP = 5
+
+
+def maxsim_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim rule): treat each
+    64-dim embedding as 8 token-level subvectors; score(q, d) =
+    sum_m max_m' cos(q_m, d_m') — finer-grained than single-vector cosine
+    because each query part matches its own best document part. Top-5 per
+    query with the 1e4-quantized score as the ordering key (exact integer
+    tie-handling, id tie-break).
+
+    Scale: in production this is the RERANK stage over an ANN shortlist
+    (the judged ann_* paths produce one); scored here over the full
+    corpus exactly like ann_cosine_topk, the accepted exact-baseline
+    shape — candidates are |q| x corpus, the per-pair work is the
+    bounded 8x8 sub-sim matrix, max/sum are hash aggs."""
+    emb = load_table(spark, sf, "embeddings")
+    sub = F.expr(
+        f"transform(sequence(0, {MAXSIM_SUB - 1}), "
+        f"m -> transform(slice(embedding, m * 8 + 1, 8), x -> cast(x as double)))"
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.posexplode(sub).alias("qm", "qv")
+    )
+    ds = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("d_id"), F.posexplode(sub).alias("dm", "dv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("dv"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = qs.join(ds).select(
+        "q_id", "d_id", "qm",
+        (
+            dot
+            / (
+                F.when(F.sqrt(n2("qv")) > 0, F.sqrt(n2("qv"))).otherwise(1.0)
+                * F.when(F.sqrt(n2("dv")) > 0, F.sqrt(n2("dv"))).otherwise(1.0)
+            )
+        ).alias("s"),
+    )
+    # per (q, d, qm): best doc part; then 1e4-quantize each max BEFORE the
+    # cross-part sum so the 8-term total is exact integer arithmetic
+    per_part = sims.groupBy("q_id", "d_id", "qm").agg(
+        F.floor(F.max("s") * 10000.0 + 0.5).cast("long").alias("best_e4")
+    )
+    scored = per_part.groupBy("q_id", "d_id").agg(
+        F.sum("best_e4").cast("long").alias("maxsim_e4")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("maxsim_e4").desc(), F.col("d_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= MAXSIM_TOP)
+        .select("q_id", "d_id", "maxsim_e4", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+MAXSIM_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+parts AS (
+  SELECT vec_id, CAST(m AS INTEGER) AS m,
+         v[CAST(m * 8 + 1 AS INTEGER):CAST(m * 8 + 8 AS INTEGER)] AS sv
+  FROM emb, (SELECT unnest(range({MAXSIM_SUB})) AS m) ms
+),
+qs AS (SELECT vec_id AS q_id, m AS qm, sv AS qv FROM parts WHERE vec_id < 10),
+ds AS (SELECT vec_id AS d_id, m AS dm, sv AS dv FROM parts WHERE vec_id >= 10),
+sims AS (
+  SELECT q.q_id, d.d_id, q.qm,
+         list_dot_product(q.qv, d.dv)
+         / ((CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) > 0
+                  THEN sqrt(list_dot_product(q.qv, q.qv)) ELSE 1.0 END)
+            * (CASE WHEN sqrt(list_dot_product(d.dv, d.dv)) > 0
+                    THEN sqrt(list_dot_product(d.dv, d.dv)) ELSE 1.0 END)) AS s
+  FROM qs q CROSS JOIN ds d
+),
+per_part AS (
+  SELECT q_id, d_id, qm,
+         CAST(floor(max(s) * 10000.0 + 0.5) AS BIGINT) AS best_e4
+  FROM sims GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT q_id, d_id, CAST(sum(best_e4) AS BIGINT) AS maxsim_e4
+  FROM per_part GROUP BY 1, 2
+)
+SELECT q_id, d_id, maxsim_e4, rk FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY q_id ORDER BY maxsim_e4 DESC, d_id) AS BIGINT) AS rk
+  FROM scored)
+WHERE rk <= {MAXSIM_TOP}
+ORDER BY q_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# time_split_leakage_audit — temporal train/test split with embargo check
+# ---------------------------------------------------------------------------
+
+SPLIT_TS = "2024-01-22 00:00:00"  # train < t <= test boundary
+EMBARGO_HOURS = 24
+
+
+def time_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal train/test split audit: events before the boundary train,
+    after it test — and a user active in BOTH within the 24 h embargo
+    around the boundary leaks near-duplicate behavior across the split
+    (the time-series ML-ops failure a random hash split can't even
+    express). Per event_type: train/test row counts, users on each side,
+    and the count of EMBARGO-LEAKING users (last train activity and
+    first test activity both inside the window).
+
+    Scale: two filtered aggregations + one user-level min/max rollup —
+    partial-combinable throughout; the boundary constants ride the plan."""
+    ev = load_table(spark, sf, "events")
+    t = F.lit(SPLIT_TS).cast("timestamp")
+    lo = F.expr(f"TIMESTAMP '{SPLIT_TS}' - INTERVAL {EMBARGO_HOURS} HOURS")
+    hi = F.expr(f"TIMESTAMP '{SPLIT_TS}' + INTERVAL {EMBARGO_HOURS} HOURS")
+    sides = ev.select(
+        "event_type",
+        "user_id",
+        "ts",
+        (F.col("ts") < t).cast("int").alias("is_train"),
+    )
+    per_user = sides.groupBy("event_type", "user_id").agg(
+        F.sum("is_train").alias("n_train"),
+        F.sum(1 - F.col("is_train")).alias("n_test"),
+        F.max(F.when(F.col("is_train") == 1, F.col("ts"))).alias("last_train"),
+        F.min(F.when(F.col("is_train") == 0, F.col("ts"))).alias("first_test"),
+    )
+    leak = (
+        (F.col("n_train") > 0)
+        & (F.col("n_test") > 0)
+        & (F.col("last_train") >= lo)
+        & (F.col("first_test") <= hi)
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum("n_train").cast("long").alias("n_train_rows"),
+            F.sum("n_test").cast("long").alias("n_test_rows"),
+            F.sum((F.col("n_train") > 0).cast("long")).cast("long").alias("train_users"),
+            F.sum((F.col("n_test") > 0).cast("long")).cast("long").alias("test_users"),
+            F.sum(leak.cast("long")).cast("long").alias("embargo_leak_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+LEAKAGE_SQL = f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         sum(CASE WHEN ts < TIMESTAMP '{SPLIT_TS}' THEN 1 ELSE 0 END) AS n_train,
+         sum(CASE WHEN ts >= TIMESTAMP '{SPLIT_TS}' THEN 1 ELSE 0 END) AS n_test,
+         max(CASE WHEN ts < TIMESTAMP '{SPLIT_TS}' THEN ts END) AS last_train,
+         min(CASE WHEN ts >= TIMESTAMP '{SPLIT_TS}' THEN ts END) AS first_test
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(n_train) AS BIGINT) AS n_train_rows,
+       CAST(sum(n_test) AS BIGINT) AS n_test_rows,
+       CAST(sum(CASE WHEN n_train > 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_users,
+       CAST(sum(CASE WHEN n_test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS test_users,
+       CAST(sum(CASE WHEN n_train > 0 AND n_test > 0
+                 AND last_train >= TIMESTAMP '{SPLIT_TS}' - INTERVAL {EMBARGO_HOURS} HOURS
+                 AND first_test <= TIMESTAMP '{SPLIT_TS}' + INTERVAL {EMBARGO_HOURS} HOURS
+                 THEN 1 ELSE 0 END) AS BIGINT) AS embargo_leak_users
+FROM per_user
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["maxsim_late_interaction"] = QuerySpec(
+    maxsim_late_interaction, MAXSIM_SQL,
+    "ColBERT-style MaxSim late-interaction top-5 over 8 subvectors",
+)
+QUERIES["time_split_leakage_audit"] = QuerySpec(
+    time_split_leakage_audit, LEAKAGE_SQL,
+    "temporal train/test split with 24h-embargo leakage audit per event type",
+)

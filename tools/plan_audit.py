@@ -277,6 +277,8 @@ AUDITS: dict[str, set[str]] = {
     "quality_logreg_filter": {"partial"},
     "winnowing_fingerprints": {"partial"},  # per-doc window, doc-partitioned
     "association_rules_brand": {"partial", "bcast"},
+    "maxsim_late_interaction": {"partial"},
+    "time_split_leakage_audit": {"partial"},  # full-scan CASE split, no base filter
     "source_ngram_novelty": {"partial"},
     # round-4 closing analytics trio (analytics16.py)
     "funnel_time_to_convert": {"pushdown", "partial"},
