@@ -277,7 +277,7 @@ AUDITS: dict[str, set[str]] = {
     "quality_logreg_filter": {"partial"},
     "winnowing_fingerprints": {"partial"},  # per-doc window, doc-partitioned
     "association_rules_brand": {"partial", "bcast"},
-    "maxsim_late_interaction": {"partial"},
+    "maxsim_late_interaction": {"partial", "bnlj_ok"},  # exact-baseline shape (ann_cosine_topk twin); production = rerank over an ANN shortlist
     "time_split_leakage_audit": {"partial"},  # full-scan CASE split, no base filter
     "source_ngram_novelty": {"partial"},
     # round-4 closing analytics trio (analytics16.py)
