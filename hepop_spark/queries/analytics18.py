@@ -450,3 +450,224 @@ QUERIES["time_split_leakage_audit"] = QuerySpec(
     time_split_leakage_audit, LEAKAGE_SQL,
     "temporal train/test split with 24h-embargo leakage audit per event type",
 )
+
+
+# ---------------------------------------------------------------------------
+# ngram_cond_entropy — bigram conditional entropy per source
+# ---------------------------------------------------------------------------
+
+
+def ngram_cond_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram CONDITIONAL entropy H(w2 | w1) per source — the sequential
+    predictability a unigram entropy (token_entropy) can't see: repeated
+    phrasing collapses H(w2|w1) long before it moves H(w). Computed as
+    H(w1, w2) - H(w1) from exact pair/unigram counts; doubles appear only
+    in the final p·log p sums, rounded at 4 (the token_entropy precedent:
+    a cross-engine flip needs a last-ulp tie at the 4th decimal).
+
+    Scale: (source, bigram) and (source, token) hash aggs — vocabulary-
+    bounded keys, map-side combined; no joins beyond the bounded
+    per-source totals."""
+    docs = load_table(spark, sf, "documents").withColumn("t", F.split("text", " "))
+    big = docs.filter(F.size("t") >= 2).select(
+        "source",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("bg"),
+    )
+    bc = big.groupBy("source", "bg").agg(F.count("*").alias("c2"))
+    n2 = bc.groupBy("source").agg(F.sum("c2").alias("n"))
+    h12 = (
+        bc.join(n2, "source")
+        .withColumn("p", F.col("c2") / F.col("n"))
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("p") * F.log("p"))).alias("h12"),
+        )
+    )
+    w1 = big.select("source", F.split(F.col("bg"), " ")[0].alias("w"))
+    uc = w1.groupBy("source", "w").agg(F.count("*").alias("c1"))
+    h1 = (
+        uc.join(n2, "source")
+        .withColumn("p", F.col("c1") / F.col("n"))
+        .groupBy("source")
+        .agg((-F.sum(F.col("p") * F.log("p"))).alias("h1"))
+    )
+    return (
+        h12.join(h1, "source")
+        .select(
+            "source",
+            "n_bigrams",
+            F.round(F.col("h12"), 4).alias("h_joint"),
+            F.round(F.col("h1"), 4).alias("h_w1"),
+            F.round(F.col("h12") - F.col("h1"), 4).alias("h_cond"),
+        )
+        .orderBy("source")
+    )
+
+
+COND_ENTROPY_SQL = """
+WITH big AS (
+  SELECT source, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents) d,
+       unnest(range(1, greatest(len(t), 1))) x(i)
+  WHERE len(t) >= 2 AND i <= len(t) - 1
+),
+bc AS (SELECT source, bg, count(*) AS c2 FROM big GROUP BY 1, 2),
+n2 AS (SELECT source, sum(c2) AS n FROM bc GROUP BY 1),
+h12 AS (
+  SELECT bc.source, CAST(max(n) AS BIGINT) AS n_bigrams,
+         -sum((c2 * 1.0 / n) * ln(c2 * 1.0 / n)) AS h12
+  FROM bc JOIN n2 USING (source) GROUP BY 1
+),
+uc AS (SELECT source, w1, count(*) AS c1 FROM big GROUP BY 1, 2),
+h1 AS (
+  SELECT uc.source, -sum((c1 * 1.0 / n) * ln(c1 * 1.0 / n)) AS h1
+  FROM uc JOIN n2 USING (source) GROUP BY 1
+)
+SELECT h12.source, n_bigrams,
+       round(h12, 4) AS h_joint,
+       round(h1, 4) AS h_w1,
+       round(h12 - h1, 4) AS h_cond
+FROM h12 JOIN h1 USING (source)
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# maxsim_vs_cosine_agreement — late-interaction vs single-vector ranking
+# ---------------------------------------------------------------------------
+
+
+def maxsim_vs_cosine_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-agreement eval between MaxSim late interaction and plain
+    single-vector cosine: per query, the top-5 overlap count, the 1e4-
+    quantized Jaccard of the two top-5 sets, and whether the top-1 doc
+    agrees — the measurement that decides whether the 64x-costlier late
+    interaction buys anything on this corpus (the eval twin of
+    ann_recall_eval, pointed at scoring functions instead of indexes).
+
+    Scale: both rankings are the exact |q| x corpus baseline shape over
+    the bounded query set; the comparison itself is a 50-row join."""
+    ms = maxsim_late_interaction(spark, sf).select(
+        "q_id", F.col("d_id").alias("c_id"), "rk"
+    )
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    ds = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("key").desc(), F.col("c_id"))
+    cos = (
+        qs.join(ds)
+        .select(
+            "q_id", "c_id",
+            F.floor(
+                dot / (
+                    F.when(F.sqrt(n2("qv")) > 0, F.sqrt(n2("qv"))).otherwise(1.0)
+                    * F.when(F.sqrt(n2("cv")) > 0, F.sqrt(n2("cv"))).otherwise(1.0)
+                ) * 10000.0 + 0.5
+            ).cast("long").alias("key"),
+        )
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= MAXSIM_TOP)
+        .select("q_id", "c_id", "crk")
+    )
+    both = ms.join(cos, ["q_id", "c_id"], "full").select(
+        "q_id", "c_id",
+        F.col("rk").isNotNull().cast("int").alias("in_ms"),
+        F.col("crk").isNotNull().cast("int").alias("in_cos"),
+        ((F.col("rk") == 1) & (F.col("crk") == 1)).cast("int").alias("top1"),
+    )
+    return (
+        both.groupBy("q_id")
+        .agg(
+            F.sum(F.col("in_ms") * F.col("in_cos")).cast("long").alias("overlap5"),
+            F.floor(
+                F.sum(F.col("in_ms") * F.col("in_cos")) * 10000.0
+                / (F.sum("in_ms") + F.sum("in_cos") - F.sum(F.col("in_ms") * F.col("in_cos")))
+                + 0.5
+            ).cast("long").alias("jaccard_e4"),
+            F.max("top1").cast("long").alias("top1_agree"),
+        )
+        .orderBy("q_id")
+    )
+
+
+AGREEMENT_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+parts AS (
+  SELECT vec_id, CAST(m AS INTEGER) AS m,
+         v[CAST(m * 8 + 1 AS INTEGER):CAST(m * 8 + 8 AS INTEGER)] AS sv
+  FROM emb, (SELECT unnest(range({MAXSIM_SUB})) AS m) ms
+),
+qs AS (SELECT vec_id AS q_id, m AS qm, sv AS qv FROM parts WHERE vec_id < 10),
+dsp AS (SELECT vec_id AS d_id, m AS dm, sv AS dv FROM parts WHERE vec_id >= 10),
+sims AS (
+  SELECT q.q_id, d.d_id, q.qm,
+         list_dot_product(q.qv, d.dv)
+         / ((CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) > 0
+                  THEN sqrt(list_dot_product(q.qv, q.qv)) ELSE 1.0 END)
+            * (CASE WHEN sqrt(list_dot_product(d.dv, d.dv)) > 0
+                    THEN sqrt(list_dot_product(d.dv, d.dv)) ELSE 1.0 END)) AS s
+  FROM qs q CROSS JOIN dsp d
+),
+per_part AS (
+  SELECT q_id, d_id, qm, CAST(floor(max(s) * 10000.0 + 0.5) AS BIGINT) AS best_e4
+  FROM sims GROUP BY 1, 2, 3
+),
+msr AS (
+  SELECT q_id, d_id AS c_id, rk FROM (
+    SELECT q_id, d_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sum(best_e4) DESC, d_id) AS rk
+    FROM per_part GROUP BY q_id, d_id)
+  WHERE rk <= {MAXSIM_TOP}
+),
+cosr AS (
+  SELECT q_id, c_id, crk FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(floor(list_cosine_similarity(q.v, c.v) * 10000.0 + 0.5) AS BIGINT) DESC,
+             c.vec_id) AS crk
+    FROM emb q CROSS JOIN emb c
+    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+  WHERE crk <= {MAXSIM_TOP}
+),
+joined AS (
+  SELECT coalesce(m.q_id, c.q_id) AS q_id,
+         CASE WHEN m.rk IS NOT NULL THEN 1 ELSE 0 END AS in_ms,
+         CASE WHEN c.crk IS NOT NULL THEN 1 ELSE 0 END AS in_cos,
+         CASE WHEN m.rk = 1 AND c.crk = 1 THEN 1 ELSE 0 END AS top1
+  FROM msr m FULL JOIN cosr c ON m.q_id = c.q_id AND m.c_id = c.c_id
+)
+SELECT q_id,
+       CAST(sum(in_ms * in_cos) AS BIGINT) AS overlap5,
+       CAST(floor(sum(in_ms * in_cos) * 10000.0
+                  / (sum(in_ms) + sum(in_cos) - sum(in_ms * in_cos)) + 0.5) AS BIGINT)
+         AS jaccard_e4,
+       CAST(max(top1) AS BIGINT) AS top1_agree
+FROM joined
+GROUP BY q_id
+ORDER BY q_id
+"""
+
+
+QUERIES["ngram_cond_entropy"] = QuerySpec(
+    ngram_cond_entropy, COND_ENTROPY_SQL,
+    "bigram conditional entropy H(w2|w1) per source",
+)
+QUERIES["maxsim_vs_cosine_agreement"] = QuerySpec(
+    maxsim_vs_cosine_agreement, AGREEMENT_SQL,
+    "top-5 agreement between MaxSim and single-vector cosine rankings",
+)

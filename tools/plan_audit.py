@@ -279,6 +279,8 @@ AUDITS: dict[str, set[str]] = {
     "association_rules_brand": {"partial", "bcast"},
     "maxsim_late_interaction": {"partial", "bnlj_ok"},  # exact-baseline shape (ann_cosine_topk twin); production = rerank over an ANN shortlist
     "time_split_leakage_audit": {"partial"},  # full-scan CASE split, no base filter
+    "ngram_cond_entropy": {"partial"},
+    "maxsim_vs_cosine_agreement": {"partial", "bnlj_ok"},  # exact-baseline pair, like its inputs
     "source_ngram_novelty": {"partial"},
     # round-4 closing analytics trio (analytics16.py)
     "funnel_time_to_convert": {"pushdown", "partial"},
