@@ -340,3 +340,63 @@ class TestDiscoveryFingerprintCache:
         assert discover_table(spark, str(data), "cnt", cache=cache)
         assert cache["cnt"] != fp1
         assert spark.table("cnt").count() == 2
+
+
+class TestClosingBatchInvariants:
+    def test_association_rules_bounds(self, spark, sf_dir):
+        from hepop_spark.queries.analytics18 import association_rules_brand
+
+        rows = association_rules_brand(spark, sf_dir).collect()
+        assert rows, "expected at least one rule at min support"
+        for r in rows:
+            # support <= confidence (n_a <= n_orders) and sane ranges
+            assert r.support_e6 <= r.conf_e6
+            assert 0 < r.support_e6 <= 1_000_000
+            assert 0 < r.conf_e6 <= 1_000_000
+            assert r.brand_a < r.brand_b
+
+    def test_pca_unit_norm_and_bounds(self, spark, sf_dir):
+        from hepop_spark.queries.analytics18 import PCA_Q, pca_power_iteration
+
+        rows = pca_power_iteration(spark, sf_dir).collect()
+        assert len(rows) == 64
+        n2 = sum(r.v_e4 * r.v_e4 for r in rows)
+        # unit vector on the 1e4 grid: norm^2 within quantization slack
+        assert abs(n2 - PCA_Q * PCA_Q) < 64 * PCA_Q  # |2*v*eps| <= 64 dims * 1e4
+        assert all(abs(r.v_e4) <= PCA_Q for r in rows)
+
+    def test_time_split_leak_bounds(self, spark, sf_dir):
+        from hepop_spark.queries.analytics18 import time_split_leakage_audit
+
+        for r in time_split_leakage_audit(spark, sf_dir).collect():
+            assert r.embargo_leak_users <= min(r.train_users, r.test_users)
+            assert r.n_train_rows + r.n_test_rows > 0
+
+    def test_maxsim_bounds_and_agreement_consistency(self, spark, sf_dir):
+        from hepop_spark.queries.analytics18 import (
+            MAXSIM_SUB,
+            maxsim_late_interaction,
+            maxsim_vs_cosine_agreement,
+        )
+
+        ms = maxsim_late_interaction(spark, sf_dir).collect()
+        assert {r.q_id for r in ms} == set(range(10))
+        for r in ms:
+            # sum of 8 per-part cosines, each in [-1, 1], 1e4-quantized
+            assert abs(r.maxsim_e4) <= MAXSIM_SUB * 10_000 + MAXSIM_SUB
+        ag = maxsim_vs_cosine_agreement(spark, sf_dir).collect()
+        assert len(ag) == 10
+        for r in ag:
+            assert 0 <= r.overlap5 <= 5
+            assert r.top1_agree in (0, 1)
+            # jaccard consistent with overlap: j = o / (10 - o) on top-5 sets
+            expected = int(r.overlap5 * 10000.0 / (10 - r.overlap5) + 0.5) if r.overlap5 else 0
+            assert r.jaccard_e4 == expected
+
+    def test_cond_entropy_nonnegative(self, spark, sf_dir):
+        from hepop_spark.queries.analytics18 import ngram_cond_entropy
+
+        for r in ngram_cond_entropy(spark, sf_dir).collect():
+            # 0 <= H(w2|w1) <= H(w1,w2); tiny negative slack for rounding
+            assert r.h_cond >= -0.0002
+            assert r.h_cond <= r.h_joint + 0.0002
