@@ -400,3 +400,118 @@ class TestClosingBatchInvariants:
             # 0 <= H(w2|w1) <= H(w1,w2); tiny negative slack for rounding
             assert r.h_cond >= -0.0002
             assert r.h_cond <= r.h_joint + 0.0002
+
+
+class TestThirdEngineReplays:
+    """Independent numpy/pandas reimplementations — a third engine beside
+    Spark and DuckDB, so a shared misreading of the spec in the SQL pair
+    can't self-confirm."""
+
+    def test_pca_matches_numpy_grid_replay(self, spark, sf_dir):
+        import numpy as np
+
+        from hepop_spark.queries.analytics18 import PCA_Q, pca_power_iteration
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+        Xq = np.floor(X * PCA_Q + 0.5).astype(np.int64)
+
+        def step(vq):
+            s = (Xq * vq[None, :]).sum(axis=1)             # exact ints
+            w = (Xq * s[:, None]).sum(axis=0)              # exact ints
+            nrm = float(np.sqrt(np.sum(np.square(w.astype(np.float64)))))
+            return np.floor(w.astype(np.float64) / (nrm or 1.0) * PCA_Q + 0.5).astype(
+                np.int64
+            )
+
+        v = np.full(Xq.shape[1], PCA_Q, dtype=np.int64)
+        v = step(step(v))
+        got = {r.d: r.v_e4 for r in pca_power_iteration(spark, sf_dir).collect()}
+        want = {d: int(v[d]) for d in range(Xq.shape[1])}
+        assert got == want
+
+    def test_association_rules_match_pandas_bruteforce(self, spark, sf_dir):
+        import math
+
+        from hepop_spark.queries.analytics18 import (
+            RULE_MIN_SUPPORT,
+            RULE_TOP,
+            association_rules_brand,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        ).collect()
+        part = {
+            r.p_partkey: r.p_brand
+            for r in spark.read.parquet(f"{sf_dir}/part.parquet").collect()
+        }
+        baskets: dict[int, set[str]] = {}
+        for r in li:
+            baskets.setdefault(r.l_orderkey, set()).add(part[r.l_partkey])
+        n_orders = len(baskets)
+        from collections import Counter
+
+        brand_n: Counter = Counter()
+        pair_n: Counter = Counter()
+        for bs in baskets.values():
+            for x in bs:
+                brand_n[x] += 1
+            sb = sorted(bs)
+            for i in range(len(sb)):
+                for j in range(i + 1, len(sb)):
+                    pair_n[(sb[i], sb[j])] += 1
+        rules = []
+        for (a, b), nab in pair_n.items():
+            if nab < RULE_MIN_SUPPORT:
+                continue
+            rules.append(
+                (
+                    a, b, nab,
+                    math.floor(nab * 1_000_000.0 / n_orders + 0.5),
+                    math.floor(nab * 1_000_000.0 / brand_n[a] + 0.5),
+                    math.floor(nab * n_orders * 1_000_000.0 / (brand_n[a] * brand_n[b]) + 0.5),
+                )
+            )
+        rules.sort(key=lambda t: (-t[5], t[0], t[1]))
+        want = rules[:RULE_TOP]
+        got = [tuple(r) for r in association_rules_brand(spark, sf_dir).collect()]
+        assert got == want
+
+    def test_winnowing_matches_numpy_replay(self, spark, sf_dir):
+        import hashlib
+
+        from hepop_spark.queries.llm10 import (
+            WIN_GRAM,
+            WIN_WINDOW,
+            winnowing_fingerprints,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        ).collect()
+        want = {}
+        for r in docs:
+            toks = r.text.split(" ")
+            grams = [
+                " ".join(toks[i : i + WIN_GRAM])
+                for i in range(len(toks) - WIN_GRAM + 1)
+            ] if len(toks) >= WIN_GRAM else []
+            hs = [
+                int(hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams
+            ]
+            sel = {
+                min(hs[i : i + WIN_WINDOW])
+                for i in range(0, len(hs) - WIN_WINDOW + 1)
+            }
+            n_fp = len(sel)
+            want[r.doc_id] = (
+                len(hs),
+                n_fp,
+                int(n_fp * 10000.0 / len(hs) + 0.5) if hs else 0,
+            )
+        got = {
+            r.doc_id: (r.n_grams, r.n_fp, r.keep_ratio_e4)
+            for r in winnowing_fingerprints(spark, sf_dir).collect()
+        }
+        assert got == want
