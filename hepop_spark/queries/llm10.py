@@ -633,3 +633,205 @@ QUERIES["source_ngram_novelty"] = QuerySpec(
     source_ngram_novelty, NOVELTY_SQL,
     "per-source distinct trigram novelty vs all other sources",
 )
+
+
+# ---------------------------------------------------------------------------
+# countmin_token_freq — count-min sketch with the no-underestimate invariant
+# ---------------------------------------------------------------------------
+
+CMS_D = 4     # hash rows
+CMS_W = 256   # counters per row
+CMS_PROBES = 20
+
+
+def countmin_token_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch over the token stream: a 4x256 counter matrix
+    (md5-derived row hashes, identical in both engines) built with ONE
+    map-side-combinable aggregation; per probe token the estimate is the
+    min over rows of its counter. The sketch is the 100 TB frequency
+    primitive — fixed 8 KB of state for an unbounded stream, mergeable by
+    cell-wise addition — and its defining guarantee is pinned as a judged
+    column: estimate >= exact count for EVERY probe (CMS never
+    underestimates). Probes are the exact top-20 tokens
+    (TakeOrderedAndProject, count desc / token tie-break).
+
+    Scale: counter build = hash agg on <= D*W bounded keys; probe scoring
+    joins a 1024-row broadcast; exact counts come from the same token agg
+    the probes are drawn from."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    cnt = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    probes = (
+        cnt.orderBy(F.col("n").desc(), F.col("tok")).limit(CMS_PROBES)
+    )
+    rows = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+    hashed = cnt.select("tok", "n", rows).select(
+        "tok",
+        "n",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        ).alias("idx"),
+    )
+    sketch = hashed.groupBy("j", "idx").agg(F.sum("n").alias("c"))
+    est = (
+        probes.select("tok", F.col("n").alias("exact"), rows)
+        .select(
+            "tok",
+            "exact",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok"))
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CMS_W
+            ).alias("idx"),
+        )
+        .join(F.broadcast(sketch), ["j", "idx"])
+        .groupBy("tok", "exact")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        F.col("exact").cast("long").alias("exact"),
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact")).cast("long").alias("no_underestimate"),
+    ).orderBy(F.col("exact").desc(), "tok")
+
+
+CMS_SQL = f"""
+WITH toks AS (
+  SELECT t.tok FROM documents, unnest(string_split(text, ' ')) t(tok)
+  WHERE t.tok <> ''
+),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+probes AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT {CMS_PROBES}),
+hashed AS (
+  SELECT tok, n, j.j,
+         CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), 1, 12)) AS BIGINT)
+           % {CMS_W} AS idx
+  FROM cnt, (SELECT unnest(range({CMS_D})) AS j) j
+),
+sketch AS (SELECT j, idx, sum(n) AS c FROM hashed GROUP BY 1, 2),
+est AS (
+  SELECT p.tok, p.n AS exact, min(s.c) AS cms_estimate
+  FROM probes p, (SELECT unnest(range({CMS_D})) AS j) j
+  JOIN sketch s
+    ON s.j = j.j
+   AND s.idx = CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || p.tok), 1, 12)) AS BIGINT)
+               % {CMS_W}
+  GROUP BY 1, 2
+)
+SELECT tok, CAST(exact AS BIGINT) AS exact,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(CASE WHEN cms_estimate >= exact THEN 1 ELSE 0 END AS BIGINT)
+         AS no_underestimate
+FROM est
+ORDER BY exact DESC, tok
+"""
+
+
+# ---------------------------------------------------------------------------
+# bottomk_sample_merge — mergeable bottom-k sampling algebra
+# ---------------------------------------------------------------------------
+
+BK_K = 5
+
+
+def bottomk_sample_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Bottom-k sampling is a MERGE MONOID (the minhash_merge_shards
+    argument, applied to uniform sampling): the k smallest md5(doc_id)
+    hashes of a union equal the k smallest of the CONCATENATED per-shard
+    bottom-k lists — so a cluster samples shard-locally and merges
+    driver-side without rescanning. Proven by computation: per rank 1..k,
+    the hash from the direct global bottom-k vs the hash from merging the
+    per-source bottom-k lists, plus a match flag the oracle re-derives.
+
+    Scale: per-shard state is k rows regardless of shard size; the merge
+    handles any shard count at k * |shards| rows."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    wsrc = Window.partitionBy("source").orderBy("h")
+    per_src = (
+        docs.withColumn("rk", F.row_number().over(wsrc))
+        .filter(F.col("rk") <= BK_K)
+        .select("h")
+    )
+    wall = Window.orderBy("h")
+    merged = (
+        per_src.orderBy("h")
+        .limit(BK_K)
+        .withColumn("rank", F.row_number().over(wall))
+        .select("rank", F.col("h").alias("merged_hash"))
+    )
+    direct = (
+        docs.orderBy("h")
+        .limit(BK_K)
+        .withColumn("rank", F.row_number().over(wall))
+        .select("rank", F.col("h").alias("global_hash"))
+    )
+    return (
+        direct.join(merged, "rank")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "global_hash",
+            "merged_hash",
+            (F.col("global_hash") == F.col("merged_hash")).cast("long").alias("match"),
+        )
+        .orderBy("rank")
+    )
+
+
+BOTTOMK_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+per_src AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+    FROM docs) WHERE rk <= {BK_K}
+),
+merged AS (
+  SELECT row_number() OVER (ORDER BY h) AS rank, h AS merged_hash
+  FROM (SELECT h FROM per_src ORDER BY h LIMIT {BK_K})
+),
+direct AS (
+  SELECT row_number() OVER (ORDER BY h) AS rank, h AS global_hash
+  FROM (SELECT h FROM docs ORDER BY h LIMIT {BK_K})
+)
+SELECT CAST(d.rank AS BIGINT) AS rank, d.global_hash, m.merged_hash,
+       CAST(CASE WHEN d.global_hash = m.merged_hash THEN 1 ELSE 0 END AS BIGINT)
+         AS match
+FROM direct d JOIN merged m USING (rank)
+ORDER BY rank
+"""
+
+
+QUERIES["countmin_token_freq"] = QuerySpec(
+    countmin_token_freq, CMS_SQL,
+    "count-min sketch token-frequency estimates with the no-underestimate invariant",
+)
+QUERIES["bottomk_sample_merge"] = QuerySpec(
+    bottomk_sample_merge, BOTTOMK_SQL,
+    "bottom-k sampling merge-monoid proof: shard-local samples merge exactly",
+)

@@ -281,6 +281,8 @@ AUDITS: dict[str, set[str]] = {
     "time_split_leakage_audit": {"partial"},  # full-scan CASE split, no base filter
     "ngram_cond_entropy": {"partial"},
     "maxsim_vs_cosine_agreement": {"partial", "bnlj_ok"},  # exact-baseline pair, like its inputs
+    "countmin_token_freq": {"partial", "bcast"},
+    "bottomk_sample_merge": {"global_ok"},  # rank over the k-row post-LIMIT sets
     "source_ngram_novelty": {"partial"},
     # round-4 closing analytics trio (analytics16.py)
     "funnel_time_to_convert": {"pushdown", "partial"},
@@ -365,6 +367,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm8.py:leftover": "1-row leftover count",
     "hepop_spark/queries/llm9.py:s1": "fixed 1024-word Bloom sketch (8 KB)",
     "hepop_spark/queries/llm10.py:tot": "1-row mixture normalizer",
+    "hepop_spark/queries/llm10.py:sketch": "fixed 4x256 count-min counter matrix (8 KB)",
     "hepop_spark/queries/analytics18.py:v_df": "64-row PCA iterate",
     "hepop_spark/queries/analytics18.py:nrm": "1-row norm aggregate",
     "hepop_spark/queries/analytics18.py:na": "per-brand counts (25-value domain)",
