@@ -155,7 +155,9 @@ def main() -> None:
         # must be impossible to miss — named explicitly, not buried in deltas
         regressions = {}
         for name, d in {**deltas, **extra_deltas}.items():
-            prev_sec = (timings.get(name) or extras.get(name)) - d
+            # membership test, not `or`: a legitimate 0.0 timing is falsy
+            # and would fall through to extras.get(name) -> None -> TypeError
+            prev_sec = (timings[name] if name in timings else extras[name]) - d
             if prev_sec > 0 and d >= 0.15 * prev_sec and d >= 0.1:
                 regressions[name] = {
                     "prev": round(prev_sec, 3),

@@ -175,13 +175,18 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
     ]
     if not dirs:
         return False
+    fp = None
     if cache is not None:
         from .operators.pq_index import source_fingerprint
 
         fp = source_fingerprint(*dirs)
         if cache.get(name) == fp:
             return True  # view already reflects this exact file state
-        cache[name] = fp
+        # do NOT store fp yet: if registration below throws (e.g. a writer
+        # mid-append leaves a partial parquet file), a pre-stored fingerprint
+        # would mark the STALE previous view as fresh until file state
+        # changes again (r05 ADVICE). The cache is updated only after the
+        # view registration succeeds.
     parts = [
         spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(d)
         for d in dirs
@@ -195,4 +200,6 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
         # documented LP query surface calls the timestamp column `time`
         df = df.withColumn("time", F.col("timestamp"))
     df.createOrReplaceTempView(name)
+    if cache is not None:
+        cache[name] = fp
     return True

@@ -75,13 +75,52 @@ def source_fingerprint(*paths: str) -> str:
 PQ_INDEX_VERSION = 1
 
 
+def index_base_dir() -> str:
+    """Root for persisted index artifacts. $HEPOP_SPARK_INDEX_DIR wins;
+    the default is a USER-OWNED 0700 directory (r05 ADVICE: a shared
+    world-writable /tmp path is pre-plantable by another local user, and
+    build_*_index trusts any existing directory)."""
+    base = os.environ.get("HEPOP_SPARK_INDEX_DIR")
+    if not base:
+        try:
+            import getpass
+
+            user = getpass.getuser()
+        except Exception:
+            user = str(os.getuid()) if hasattr(os, "getuid") else "u"
+        base = os.path.join(tempfile.gettempdir(), f"hepop_spark_index_{user}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    try:
+        os.chmod(base, 0o700)
+    except OSError:
+        pass
+    return base
+
+
+def prune_stale_siblings(path: str) -> None:
+    """Drop cached indexes for the SAME params but a DIFFERENT source
+    fingerprint — they can never be read again (the fingerprint is part of
+    the lookup key), so without pruning the cache grows without bound as
+    the corpus evolves (r05 ADVICE). In-flight `.tmp.` build dirs are left
+    alone."""
+    base, name = os.path.split(path)
+    prefix = name.rsplit("_", 1)[0] + "_"
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for entry in entries:
+        if entry.startswith(prefix) and entry != name and ".tmp." not in entry:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+
+
 def ivfpq_index_path(sf_dir: str, params: str) -> str:
     """Cache location for the persisted index of `sf_dir`'s embeddings
     table under the given parameter signature."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = source_fingerprint(src) if os.path.exists(src) else "nosrc"
-    base = os.path.join(tempfile.gettempdir(), "hepop_spark_index")
-    return os.path.join(base, f"ivfpq_v{PQ_INDEX_VERSION}_{params}_{key}")
+    return os.path.join(index_base_dir(),
+                        f"ivfpq_v{PQ_INDEX_VERSION}_{params}_{key}")
 
 
 def build_ivfpq_index(
@@ -168,6 +207,7 @@ def build_ivfpq_index(
         cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "cents"))
         os.makedirs(os.path.dirname(path), exist_ok=True)
         os.rename(tmp, path)
+        prune_stale_siblings(path)
         return True
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -265,9 +305,12 @@ def ivfpq_topk_from_index(
         .filter(F.col("rk") <= shortlist)
         .select("q_id", "c_id")
     )
+    # shortlist + query vectors: <= |queries| x shortlist rows — pin the
+    # broadcast into the corpus-sized join instead of relying on AQE to
+    # notice the small side at runtime (r05 verdict item 6)
+    shortq = short.join(queries, "q_id")
     rer = (
-        short.join(queries, "q_id")
-        .join(corpus, "c_id")
+        corpus.join(F.broadcast(shortq), "c_id")
         .withColumn(
             "sim",
             F.round(_dot("qv", "cv") / (F.sqrt(_norm2("qv")) * F.sqrt(_norm2("cv"))), 4),

@@ -465,6 +465,19 @@ def ngram_cond_entropy(spark: SparkSession, sf: str) -> DataFrame:
     in the final p·log p sums, rounded at 4 (the token_entropy precedent:
     a cross-engine flip needs a last-ulp tie at the 4th decimal).
 
+    Why the shuffled double SUM is accepted here when rtp_jitter_rfc3550
+    required a fixed-order fold (r05 ADVICE asked for one or the other):
+    the jitter fold is a SIGNED few-term recurrence where terms nearly
+    cancel — reordering moves the result by a relative amount comparable
+    to the answer itself, so order had to be pinned. The entropy terms are
+    vocabulary-many, ALL the same sign (p·ln p < 0), and of comparable
+    magnitude, so no cancellation exists: summation-order error grows like
+    sqrt(n)·ulp ≈ 1e-13 relative at a 1e6-term vocabulary — nine orders
+    below the 1e-4 rounding grid. Pinning the order would need a
+    collect_list of the full per-source VOCABULARY into one task (the
+    fixed-order fold is only safe over bounded term sets), which is the
+    actual scale hazard; the shuffled sum is the plan that survives 100 TB.
+
     Scale: (source, bigram) and (source, token) hash aggs — vocabulary-
     bounded keys, map-side combined; no joins beyond the bounded
     per-source totals."""

@@ -384,6 +384,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/operators/pq_index.py:qn": "per-query norms (bounded query set)",
     "hepop_spark/operators/pq_index.py:qprobe": "|queries| x nprobe probe rows (bounded query set)",
     "hepop_spark/operators/pq_index.py:lut": "ADC lookup table: |queries| x m_sub x k_codes precomputed partial dots",
+    "hepop_spark/operators/pq_index.py:shortq": "rerank shortlist: <= |queries| x shortlist (150) rows joined to bounded query vectors",
     "hepop_spark/queries/timeseries2.py:slot": "per-(event_type, hour-of-day) seasonal means (bounded 24x|types|)",
     "hepop_spark/queries/timeseries2.py:tot": "1-row total",
     "hepop_spark/queries/tpch_more.py:cust": "TPC-H dim, small side vs orders/lineitem",
