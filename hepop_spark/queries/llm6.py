@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.similarity import _hyperplanes, with_lsh_bucket
+from ..operators.similarity import _hyperplanes
 from . import QuerySpec
 from .llm import _tokens
 
@@ -192,16 +192,19 @@ def lsh_range_search(spark: SparkSession, sf: str) -> DataFrame:
     sign-LSH tables — never O(n^2). Exactly the plan a 100 TB semantic
     dedup runs; recall is governed by the table count like ann_lsh_topk.
 
-    Scale: bucket computation is a narrow map (array-native dot products);
-    the self-join shuffles on the bounded bucket key; verification touches
-    candidate pairs only."""
+    The 4 tables are a subset of the PERSISTED 10-table sign-LSH index
+    (operators/lsh_index.py, same planes/seeds, r05 verdict item 1):
+    bucketing is paid once at ingest, and the tbl < 4 filter prunes the
+    unused tables' partition directories at the scan. Oracle unchanged.
+
+    Scale: the candidate self-join shuffles on the bounded bucket key;
+    verification touches candidate pairs only."""
+    from ..operators.lsh_index import embeddings_lsh_buckets
+
     emb = load_table(spark, sf, "embeddings")
-    b = emb
-    for t in range(RANGE_TABLES):
-        b = with_lsh_bucket(b, "embedding", 64, RANGE_BITS, seed=42 + 977 * t,
-                            out_col=f"_b{t}")
-    tables = F.array(*[F.col(f"_b{t}") for t in range(RANGE_TABLES)])
-    buck = b.select("vec_id", "embedding", F.posexplode(tables).alias("tbl", "bucket"))
+    buck = embeddings_lsh_buckets(spark, sf, emb).filter(
+        F.col("tbl") < RANGE_TABLES
+    )
     left = buck.select(F.col("vec_id").alias("a_id"), "tbl", "bucket")
     right = buck.select(F.col("vec_id").alias("b_id"), "tbl", "bucket")
     cand = (

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from . import QuerySpec
 from .llm6 import RANGE_BITS, RANGE_TABLES
-from ..operators.similarity import _hyperplanes, with_lsh_bucket
+from ..operators.similarity import _hyperplanes
 
 # ---------------------------------------------------------------------------
 # keyword_rake_topk — RAKE keyword extraction
@@ -128,16 +128,18 @@ def knn_graph_build(spark: SparkSession, sf: str) -> DataFrame:
     clustering: candidate neighbors from the 4-table sign-LSH self-join
     (never all pairs), exact cosine on candidates, top-k per node with
     deterministic tie-break. Directed edges (node, nbr, sim, rk).
+    Candidate buckets come from the persisted sign-LSH index
+    (operators/lsh_index.py, tables 0-3 of the shared 10-table artifact;
+    r05 verdict item 1) — bucketing is ingest work, not query work.
 
     Scale: identical candidate complexity to lsh_range_search; the per-
     node top-k is a bounded window over candidate edges only."""
+    from ..operators.lsh_index import embeddings_lsh_buckets
+
     emb = load_table(spark, sf, "embeddings")
-    b = emb
-    for t in range(RANGE_TABLES):
-        b = with_lsh_bucket(b, "embedding", 64, RANGE_BITS, seed=42 + 977 * t,
-                            out_col=f"_b{t}")
-    tables = F.array(*[F.col(f"_b{t}") for t in range(RANGE_TABLES)])
-    buck = b.select("vec_id", F.posexplode(tables).alias("tbl", "bucket"))
+    buck = embeddings_lsh_buckets(spark, sf, emb).filter(
+        F.col("tbl") < RANGE_TABLES
+    )
     cand = (
         buck.alias("x")
         .join(buck.alias("y"), ["tbl", "bucket"])
@@ -221,15 +223,15 @@ def embedding_sim_histogram(spark: SparkSession, sf: str) -> DataFrame:
     separate from the background?). One pass over candidates; counts per
     bin plus each bin's cumulative share from the top.
 
-    Scale: candidate generation is the bucket self-join; the histogram is
+    Scale: candidate generation is the bucket self-join (buckets scanned
+    from the persisted sign-LSH index, tables 0-3); the histogram is
     a bounded-key (≤40 bins) aggregate with a window over bins only."""
+    from ..operators.lsh_index import embeddings_lsh_buckets
+
     emb = load_table(spark, sf, "embeddings")
-    b = emb
-    for t in range(RANGE_TABLES):
-        b = with_lsh_bucket(b, "embedding", 64, RANGE_BITS, seed=42 + 977 * t,
-                            out_col=f"_b{t}")
-    tables = F.array(*[F.col(f"_b{t}") for t in range(RANGE_TABLES)])
-    buck = b.select("vec_id", F.posexplode(tables).alias("tbl", "bucket"))
+    buck = embeddings_lsh_buckets(spark, sf, emb).filter(
+        F.col("tbl") < RANGE_TABLES
+    )
     cand = (
         buck.alias("x")
         .join(buck.alias("y"), ["tbl", "bucket"])
@@ -358,12 +360,18 @@ def lsh_range_search_collapsed(spark: SparkSession, sf: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("rep_id"), "embedding"), "rep_id"
     ).select("rep_id", "n_members", "embedding")
 
-    b = reps
-    for t in range(RANGE_TABLES):
-        b = with_lsh_bucket(b, "embedding", 64, RANGE_BITS, seed=42 + 977 * t,
-                            out_col=f"_b{t}")
-    tables = F.array(*[F.col(f"_b{t}") for t in range(RANGE_TABLES)])
-    buck = b.select("rep_id", F.posexplode(tables).alias("tbl", "bucket"))
+    # a representative's bucket ids equal its own vec_id's rows in the
+    # persisted sign-LSH index (same embedding, same planes) — semi-join
+    # the stored bucket table to the representative set instead of
+    # recomputing 32 hyperplane dots per rep (r05 verdict item 1)
+    from ..operators.lsh_index import embeddings_lsh_buckets
+
+    buck = (
+        embeddings_lsh_buckets(spark, sf, emb)
+        .filter(F.col("tbl") < RANGE_TABLES)
+        .join(groups.select(F.col("rep_id").alias("vec_id")), "vec_id", "left_semi")
+        .select(F.col("vec_id").alias("rep_id"), "tbl", "bucket")
+    )
     cand = (
         buck.alias("x")
         .join(buck.alias("y"), ["tbl", "bucket"])

@@ -1,0 +1,128 @@
+"""Round-6 regression tests: persisted sign-LSH bucket index lifecycle
+(freshness keying, atomic publish, stale-sibling pruning, math parity with
+the inline bucketing), and the index-cache hardening from r05 ADVICE
+(user-owned base dir, discovery-cache update ordering).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+
+def _vecs(spark, n=40, dim=64):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), "
+            "j -> cast(sin(id * 7 + j) as double))"
+        ).alias("embedding"),
+    )
+
+
+class TestLshIndexLifecycle:
+    def test_build_scan_matches_inline_bucketing(self, spark, tmp_path):
+        from hepop_spark.operators.lsh_index import (
+            build_lsh_index,
+            lsh_buckets_from_index,
+        )
+        from hepop_spark.operators.similarity import with_lsh_bucket
+
+        corpus = _vecs(spark)
+        path = str(tmp_path / "idx")
+        assert build_lsh_index(spark, corpus, path, n_tables=3) is True
+        stored = {
+            (r.vec_id, r.tbl): r.bucket
+            for r in lsh_buckets_from_index(spark, path).collect()
+        }
+        assert len(stored) == 40 * 3
+        for t in range(3):
+            inline = with_lsh_bucket(
+                corpus, "embedding", 64, 8, seed=42 + 977 * t, out_col="b"
+            )
+            for r in inline.select("vec_id", "b").collect():
+                assert stored[(r.vec_id, t)] == r.b, (r.vec_id, t)
+
+    def test_rebuild_is_noop_while_fresh(self, spark, tmp_path):
+        from hepop_spark.operators.lsh_index import build_lsh_index
+
+        corpus = _vecs(spark, n=8)
+        path = str(tmp_path / "idx")
+        assert build_lsh_index(spark, corpus, path, n_tables=1) is True
+        # second call must not rewrite (returns False, mtime unchanged)
+        before = os.stat(path).st_mtime_ns
+        assert build_lsh_index(spark, corpus, path, n_tables=1) is False
+        assert os.stat(path).st_mtime_ns == before
+
+    def test_fingerprint_key_changes_with_source(self, tmp_path):
+        from hepop_spark.operators.lsh_index import lsh_index_path
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        src = sf / "embeddings.parquet"
+        src.write_bytes(b"aaaa")
+        p1 = lsh_index_path(str(sf), "d64b8t10")
+        src.write_bytes(b"bbbbbb")  # size change -> new fingerprint
+        p2 = lsh_index_path(str(sf), "d64b8t10")
+        assert p1 != p2
+        base1, name1 = os.path.split(p1)
+        base2, name2 = os.path.split(p2)
+        assert base1 == base2
+        assert name1.rsplit("_", 1)[0] == name2.rsplit("_", 1)[0]
+
+    def test_prune_drops_only_stale_same_param_siblings(self, tmp_path):
+        from hepop_spark.operators.pq_index import prune_stale_siblings
+
+        base = tmp_path / "cache"
+        base.mkdir()
+        fresh = base / "lsh_v1_d64b8t10_aaaa1111"
+        stale = base / "lsh_v1_d64b8t10_bbbb2222"
+        other_params = base / "lsh_v1_d64b4t2_cccc3333"
+        inflight = base / "lsh_v1_d64b8t10_dddd4444.tmp.123"
+        for d in (fresh, stale, other_params, inflight):
+            d.mkdir()
+        prune_stale_siblings(str(fresh))
+        assert fresh.exists()
+        assert not stale.exists()  # same params, old fingerprint -> pruned
+        assert other_params.exists()  # different params -> untouched
+        assert inflight.exists()  # concurrent build in flight -> untouched
+
+    def test_index_base_dir_is_user_owned(self, monkeypatch, tmp_path):
+        from hepop_spark.operators.pq_index import index_base_dir
+
+        target = tmp_path / "custom_idx_root"
+        monkeypatch.setenv("HEPOP_SPARK_INDEX_DIR", str(target))
+        base = index_base_dir()
+        assert base == str(target)
+        assert os.stat(base).st_mode & 0o777 == 0o700
+
+
+class TestDiscoveryCacheOrdering:
+    def test_failed_registration_does_not_pin_fingerprint(self, spark, tmp_path):
+        """r05 ADVICE medium: if view registration throws after the
+        fingerprint was computed, the cache must NOT retain it — the next
+        call has to retry registration, not report stale-fresh."""
+        from hepop_spark.catalog import discover_table
+
+        data = tmp_path / "data"
+        tbl = data / "w1" / "dbs" / "m1"
+        tbl.mkdir(parents=True)
+        # a corrupt parquet file: listed (so dirs is non-empty), unreadable
+        (tbl / "part-0.parquet").write_bytes(b"not a parquet file")
+        cache: dict[str, str] = {}
+        try:
+            discover_table(spark, str(data), "m1", cache=cache)
+        except Exception:
+            pass
+        assert "m1" not in cache  # failure must not mark the state fresh
+        # heal the file: now a real table; discovery must register it
+        spark.range(3).select(
+            F.col("id").alias("v"),
+            F.current_timestamp().alias("timestamp"),
+        ).coalesce(1).write.mode("overwrite").parquet(str(tbl))
+        assert discover_table(spark, str(data), "m1", cache=cache) is True
+        assert cache.get("m1")
+        assert spark.table("m1").count() == 3
+        spark.catalog.dropTempView("m1")

@@ -272,6 +272,7 @@ AUDITS: dict[str, set[str]] = {
     "length_bucket_padding": {"partial", "bcast", "bnlj_ok"},  # 1-row global-max broadcast
     # round-5 batch (llm10.py): persisted-index audit + curation ops
     "ann_ivfpq_code_stats": {"partial"},  # hash agg over the stored code scan
+    "lsh_bucket_stats": {"partial"},  # hash agg over the stored bucket scan
     "source_temperature_mix": {"partial", "bcast", "bnlj_ok"},  # 1-row normalizer broadcast
     "embedding_decontaminate": {"partial"},
     "quality_logreg_filter": {"partial"},
