@@ -1,0 +1,130 @@
+"""Persisted MinHash band index: sign-at-ingest, query-joins-bands.
+
+Third application of the ingest/query split (after pq_index's PQ codes
+and lsh_index's sign-LSH buckets, r05 verdict next-round item 3): the
+nightly incremental-dedup shape re-MinHashed the ENTIRE existing index
+side on every call — 8 md5 minhashes over every doc's trigram shingles —
+although the signatures are exactly what a production pipeline persists
+between runs (the merge-monoid property is proven by
+queries/llm9.minhash_merge_shards). This module writes the index side's
+band table ONCE per corpus version; the incremental query then MinHashes
+only the NEW batch and equi-joins its bands against the stored table, so
+query work scales with |batch| x collision rate, not |corpus|.
+
+Index layout under `<path>/`:
+  bands/  doc_id BIGINT, bkey VARCHAR(32), partitioned by band INT.
+
+Freshness/versioning/atomicity are pq_index's exactly: path keyed on the
+SOURCE FILE state (size+mtime) + an encoder version, atomic rename
+publishes, stale same-params fingerprints are pruned after a successful
+publish. The band math is bit-identical to queries/llm.py's inline form
+(trigram shingles -> min(md5(seed:shingle)) x 8 -> md5 of 2-row band
+concat), so `dedup_incremental_indexed` replays the SAME DuckDB oracle as
+the from-scratch twin, and `minhash_band_stats` (queries/llm11.py) audits
+the stored artifact against a from-scratch re-derivation every round.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pq_index import index_base_dir, prune_stale_siblings, source_fingerprint
+
+# bump when the SIGNATURE SEMANTICS change (shingle width, seed keying,
+# band packing): a store built by an older encoder must never answer a
+# newer query path, even for identical source data
+MINHASH_INDEX_VERSION = 1
+
+
+def minhash_index_path(sf_dir: str, params: str) -> str:
+    """Cache location for the persisted band table of `sf_dir`'s documents
+    table under the given parameter signature."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = source_fingerprint(src) if os.path.exists(src) else "nosrc"
+    return os.path.join(index_base_dir(),
+                        f"minhash_v{MINHASH_INDEX_VERSION}_{params}_{key}")
+
+
+def minhash_bands(docs: DataFrame, *, n_seeds: int, band_rows: int,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys for (id, text) rows — the math of
+    queries/llm.py:_minhash_pairs stage for stage: RAW trigram shingles
+    (min over duplicates is identical, so no distinct shuffle), all
+    n_seeds minhashes in ONE aggregation, band keys stacked with a single
+    explode. Documents shorter than 3 tokens yield no shingles and hence
+    no bands (the r04 short-doc rule: empty, never a crash)."""
+    with_t = docs.withColumn("t", F.split(text_col, " "))
+    sh_raw = with_t.filter(F.size("t") >= 3).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+            )
+        ).alias("sh"),
+    )
+    sig = sh_raw.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(n_seeds)
+        ]
+    )
+    n_bands = n_seeds // band_rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    *,
+    n_seeds: int = 8,
+    band_rows: int = 2,
+) -> bool:
+    """Write the (doc_id, band, bkey) table for `docs` to `path`.
+
+    No-op (returns False) when the index already exists: signature cost is
+    paid at INGEST. One corpus scan -> one hash agg on doc_id -> a hash
+    shuffle on (band, bkey) that co-locates each bucket's rows before the
+    partitioned write. Atomic rename publishes; a concurrent losing
+    builder deletes its temp copy."""
+    if os.path.isdir(path):
+        return False
+    bands = minhash_bands(docs, n_seeds=n_seeds, band_rows=band_rows)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        bands.repartition("band", "bkey").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(os.path.join(tmp, "bands"))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(tmp, path)
+        prune_stale_siblings(path)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.isdir(path)  # lost a benign race to another builder
+
+
+def minhash_bands_from_index(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, band, bkey) rows of a published band store."""
+    return spark.read.parquet(os.path.join(path, "bands"))

@@ -116,10 +116,228 @@ ORDER BY tbl
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_incremental_indexed — the nightly dedup against the PERSISTED
+# MinHash band store (query work ~ |batch|, never |corpus|)
+# ---------------------------------------------------------------------------
+
+from .llm import (  # noqa: E402  (shared constants keep the oracle in sync)
+    DEDUP_INCREMENTAL_SQL,
+    JACCARD_THRESHOLD,
+    MINHASH_BAND_ROWS,
+    MINHASH_SEEDS,
+)
+
+MINHASH_IDX_PARAMS = f"s{MINHASH_SEEDS}r{MINHASH_BAND_ROWS}g3idx"
+
+
+def _index_side_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Build-if-stale + scan of the persisted index-side band table (the
+    doc_id % 10 != 0 majority that a nightly pipeline signs once and keeps)."""
+    from ..operators.minhash_index import (
+        build_minhash_index,
+        minhash_bands_from_index,
+        minhash_index_path,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    idx_docs = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    path = minhash_index_path(sf, MINHASH_IDX_PARAMS)
+    build_minhash_index(
+        spark, idx_docs, path, n_seeds=MINHASH_SEEDS, band_rows=MINHASH_BAND_ROWS
+    )
+    return minhash_bands_from_index(spark, path)
+
+
+def dedup_incremental_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """`dedup_incremental` answered from the PERSISTED MinHash band store
+    (operators/minhash_index.py): the from-scratch twin re-signs the whole
+    index side (90% of the corpus) on every nightly run; here only the NEW
+    batch is shingled and MinHashed, and its bands equi-join the stored
+    band table — query work is |batch| x collision rate, independent of
+    how large the signed corpus has grown (r05 verdict next-round item 3;
+    the merge-monoid legality of growing the store batch-by-batch is
+    proven by llm9.minhash_merge_shards). Identical band math end to end,
+    so the SAME DuckDB oracle replays both twins; exact-Jaccard
+    verification re-reads text only for candidate docs.
+
+    Scale: the stored-band scan is 3 narrow columns partitioned by band;
+    the batch side is bounded by the ingest rate; verification is
+    candidate-bounded. Nothing rescans the signed corpus' text."""
+    from ..operators.minhash_index import minhash_bands
+
+    docs = load_table(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text").unionAll(
+        # planted leaks: index docs re-keyed into the batch (same seeding
+        # as the from-scratch twin so the oracle covers both)
+        docs.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") % 10 != 0))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    bb = minhash_bands(
+        batch, n_seeds=MINHASH_SEEDS, band_rows=MINHASH_BAND_ROWS
+    ).alias("nb")
+    ib = _index_side_bands(spark, sf).alias("ib")
+    candidates = (
+        bb.join(
+            ib,
+            (F.col("nb.band") == F.col("ib.band"))
+            & (F.col("nb.bkey") == F.col("ib.bkey")),
+        )
+        .select(
+            F.col("nb.doc_id").alias("batch_doc"),
+            F.col("ib.doc_id").alias("index_doc"),
+        )
+        .distinct()
+    )
+    # exact verification touches candidate docs only: semi-join the corpus
+    # text to the candidate id set, THEN take distinct shingle sets
+    corpus = batch.unionAll(
+        docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    )
+    cand_docs = (
+        candidates.select(F.col("batch_doc").alias("doc_id"))
+        .union(candidates.select(F.col("index_doc").alias("doc_id")))
+        .distinct()
+    )
+    with_t = corpus.join(F.broadcast(cand_docs), "doc_id", "left_semi").withColumn(
+        "t", F.split("text", " ")
+    )
+    shingles = (
+        with_t.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("batch_doc"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("index_doc"), "sh")
+    inter = (
+        candidates.join(sa, "batch_doc")
+        # the shingle value rides IN the join key (r04 rule: post-filtering
+        # equality would materialize |A| x |B| rows per pair)
+        .join(sb, ["index_doc", "sh"])
+        .groupBy("batch_doc", "index_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("batch_doc"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("index_doc"), F.col("n").alias("nb_n"))
+    jac = F.round(
+        F.col("inter").cast("double") / (F.col("na") + F.col("nb_n") - F.col("inter")),
+        4,
+    )
+    scored = (
+        inter.join(ca, "batch_doc")
+        .join(cb, "index_doc")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("batch_doc").orderBy(
+        F.col("jaccard").desc(), F.col("index_doc")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("batch_doc", "index_doc", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash_band_stats — parity ON THE PERSISTED BAND ARTIFACT
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Audit of the PERSISTED MinHash band store: per band, signed-doc
+    population, distinct band buckets, and a modular checksum over the
+    md5 band keys. The oracle RE-DERIVES every signature from the raw
+    documents table, so a green row proves the stored artifact bit-equals
+    a from-scratch signing — staleness or corruption cannot hide
+    (ann_ivfpq_code_stats / lsh_bucket_stats pattern).
+
+    Scale: one aggregation over the 3-column band scan (band is the
+    partition key); only the oracle re-shingles text."""
+    ib = _index_side_bands(spark, sf)
+    # 48-bit integer residue of the hex band key (the DuckDB-portable
+    # md5->int idiom), summed in DECIMAL then folded to one BIGINT
+    bkey_int = F.conv(F.substring("bkey", 1, 12), 16, 10).cast("long")
+    return (
+        ib.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("bkey").cast("long").alias("n_buckets"),
+            (
+                F.sum((bkey_int % _LSH_MOD).cast("decimal(38,0)")) % _LSH_MOD
+            ).cast("long").alias("bkey_checksum"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_docs",
+            "n_buckets",
+            "bkey_checksum",
+        )
+        .orderBy("band")
+    )
+
+
+def _minhash_band_stats_sql() -> str:
+    bands_union = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bkey FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"mh{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+            ),
+        )
+        for b in range(MINHASH_SEEDS // MINHASH_BAND_ROWS)
+    )
+    minhashes = ", ".join(
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(MINHASH_SEEDS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % 10 <> 0
+),
+tok_i AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w FROM d),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+  FROM tok_i a
+  JOIN tok_i b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok_i c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sig AS (SELECT doc_id, {minhashes} FROM shingles GROUP BY doc_id),
+bands AS ({bands_union})
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT bkey) AS BIGINT) AS n_buckets,
+       CAST(sum(CAST(('0x' || substr(bkey, 1, 12)) AS BIGINT) % {_LSH_MOD})
+            % {_LSH_MOD} AS BIGINT) AS bkey_checksum
+FROM bands
+GROUP BY band
+ORDER BY band
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "lsh_bucket_stats": QuerySpec(
         lsh_bucket_stats, _lsh_bucket_stats_sql(),
         doc="per-table audit of the persisted sign-LSH bucket index vs a "
+            "from-scratch DuckDB re-derivation",
+    ),
+    "dedup_incremental_indexed": QuerySpec(
+        dedup_incremental_indexed, DEDUP_INCREMENTAL_SQL,
+        doc="incremental near-dup detection answered from the persisted "
+            "MinHash band store; same oracle as the from-scratch twin",
+    ),
+    "minhash_band_stats": QuerySpec(
+        minhash_band_stats, _minhash_band_stats_sql(),
+        doc="per-band audit of the persisted MinHash band store vs a "
             "from-scratch DuckDB re-derivation",
     ),
 }

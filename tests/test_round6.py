@@ -99,6 +99,57 @@ class TestLshIndexLifecycle:
         assert os.stat(base).st_mode & 0o777 == 0o700
 
 
+class TestMinhashIndex:
+    def test_indexed_twin_equals_from_scratch(self, spark, sf_dir):
+        """The judged contract: dedup_incremental answered from the
+        persisted band store must equal the full-recompute twin row for
+        row (same oracle serves both)."""
+        from hepop_spark.queries.llm import dedup_incremental
+        from hepop_spark.queries.llm11 import dedup_incremental_indexed
+
+        full = {
+            (r.batch_doc, r.index_doc): r.jaccard
+            for r in dedup_incremental(spark, sf_dir).collect()
+        }
+        idx = {
+            (r.batch_doc, r.index_doc): r.jaccard
+            for r in dedup_incremental_indexed(spark, sf_dir).collect()
+        }
+        assert full == idx and len(full) > 0
+
+    def test_bands_are_per_doc_independent(self, spark):
+        """Store-growth legality: signing docs in two batches then taking
+        the union equals signing them together — band rows are a pure
+        per-doc function (the merge-monoid property the incremental store
+        relies on when new batches are appended)."""
+        from hepop_spark.operators.minhash_index import minhash_bands
+
+        texts = [
+            "alpha beta gamma delta epsilon",
+            "alpha beta gamma delta epsilon",
+            "one two three four five six seven",
+            "completely different tokens here now",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        whole = {
+            (r.doc_id, r.band): r.bkey
+            for r in minhash_bands(docs, n_seeds=8, band_rows=2).collect()
+        }
+        parts = {}
+        for lo, hi in ((0, 2), (2, 4)):
+            part = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            for r in minhash_bands(part, n_seeds=8, band_rows=2).collect():
+                parts[(r.doc_id, r.band)] = r.bkey
+        assert whole == parts
+        # identical docs collide in every band; the unrelated doc in none
+        assert all(whole[(0, b)] == whole[(1, b)] for b in range(4))
+        assert all(whole[(0, b)] != whole[(3, b)] for b in range(4))
+
+
 class TestDiscoveryCacheOrdering:
     def test_failed_registration_does_not_pin_fingerprint(self, spark, tmp_path):
         """r05 ADVICE medium: if view registration throws after the

@@ -94,6 +94,9 @@ AUDITS: dict[str, set[str]] = {
     # LocalRelation — its physical plan is covered by dedup_minhash_lsh's
     # audit (same machinery); only the no-Python check applies here
     "dedup_incremental": set(),
+    # batch bands x stored-band equi-join; candidate-bounded verify
+    "dedup_incremental_indexed": {"bcast"},
+    "minhash_band_stats": {"partial"},  # hash agg over the stored band scan
     "embedding_quantize_int8": {"partial"},
     # UDF surface: grouped pandas agg IS the (allowed) Arrow stage
     "grouped_mad_pandas": {"arrow_ok"},
@@ -386,6 +389,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/operators/pq_index.py:qprobe": "|queries| x nprobe probe rows (bounded query set)",
     "hepop_spark/operators/pq_index.py:lut": "ADC lookup table: |queries| x m_sub x k_codes precomputed partial dots",
     "hepop_spark/operators/pq_index.py:shortq": "rerank shortlist: <= |queries| x shortlist (150) rows joined to bounded query vectors",
+    "hepop_spark/queries/llm11.py:cand_docs": "LSH candidate doc ids (near-dup volume, << corpus by construction)",
     "hepop_spark/queries/timeseries2.py:slot": "per-(event_type, hour-of-day) seasonal means (bounded 24x|types|)",
     "hepop_spark/queries/timeseries2.py:tot": "1-row total",
     "hepop_spark/queries/tpch_more.py:cust": "TPC-H dim, small side vs orders/lineitem",
