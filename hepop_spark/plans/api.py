@@ -33,6 +33,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_TIME_RANGE = timedelta(minutes=10)  # query.js:9 (600s in ns)
 
+# Driver-side materialization ceiling for the JSON query path. The
+# reference streams DuckDB result vectors straight into the HTTP response
+# (hepop.js:1042-1049); `collect()` instead pins the WHOLE result in the
+# serve process, so an unbounded `SELECT * FROM hep_1` over a large store
+# OOMs it (r05 verdict item 5). 100k rows ~ tens of MB of JSON — far past
+# any interactive use; callers that truly want more opt out with
+# max_rows=None.
+DEFAULT_MAX_ROWS = 100_000
+
 _COUNT_RE = re.compile(r"\bcount\(\s*\)", re.IGNORECASE)
 _TIME_PRED_RE = re.compile(r"\btime\s*(>=|<=|>|<|=)", re.IGNORECASE)
 _FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE)
@@ -98,9 +107,14 @@ class HepopQueryAPI:
     src_ip/dst_ip/src_port/dst_port virtual fields)."""
 
     def __init__(self, spark: SparkSession, default_window: bool = True,
-                 data_dir: str | None = None):
+                 data_dir: str | None = None,
+                 max_rows: int | None = DEFAULT_MAX_ROWS):
         self.spark = spark
         self.default_window = default_window
+        # JSON-path row ceiling (None = opt out, reference-faithful
+        # unbounded materialization); query_json sets last_truncated
+        self.max_rows = max_rows
+        self.last_truncated = False
         # serve-mode storage root: when set, tables are discovered FRESH on
         # every query from {data_dir}/*/dbs/{table} — the reference's
         # per-query metadata re-read (query.js:36-38) and multi-writer
@@ -128,5 +142,19 @@ class HepopQueryAPI:
     def query_json(self, query: str, now: datetime | None = None) -> list[dict]:
         """Row dicts, the HTTP layer's JSON payload (hepop.js:1042-1049;
         BigInt->string there, exact ints here since Python JSON handles
-        64-bit)."""
-        return [r.asDict(recursive=True) for r in self.sql(query, now=now).collect()]
+        64-bit).
+
+        At most `max_rows` rows are materialized on the driver: the limit
+        is pushed INTO the plan (CollectLimit — executors stop producing
+        once the quota is met), and `last_truncated` reports whether the
+        result was cut so the HTTP layer can answer 413 with truncation
+        metadata instead of OOMing the serve process."""
+        df = self.sql(query, now=now)
+        self.last_truncated = False
+        if self.max_rows is None:
+            return [r.asDict(recursive=True) for r in df.collect()]
+        rows = df.limit(self.max_rows + 1).collect()
+        if len(rows) > self.max_rows:
+            self.last_truncated = True
+            rows = rows[: self.max_rows]
+        return [r.asDict(recursive=True) for r in rows]

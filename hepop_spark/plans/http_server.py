@@ -3,6 +3,11 @@ as a stdlib ThreadingHTTPServer over the Spark session.
 
 Endpoints (status-code mapping mirrors the reference):
   GET  /query?q=<sql>      -> 200 JSON rows | 400 missing q | 500 exec error
+                              | 413 result exceeded max_rows (body carries
+                              {"error", "truncated": true, "max_rows",
+                              "rows": first max_rows rows} — the driver
+                              materialization guard the reference doesn't
+                              need because it streams DuckDB vectors)
   POST /query {"query":..} -> same
   POST /write  <LP body>   -> 201 | 400 parse error
   GET  /health             -> 200 {"status":"ok"}   (hepop.js:1102-1105)
@@ -19,7 +24,7 @@ import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .api import HepopQueryAPI
+from .api import DEFAULT_MAX_ROWS, HepopQueryAPI
 
 
 def _json_default(o):
@@ -28,8 +33,10 @@ def _json_default(o):
 
 class HepopHttpServer:
     def __init__(self, spark, lp_spool=None, host: str = "127.0.0.1", port: int = 0,
-                 default_window: bool = True, data_dir: str | None = None):
-        api = HepopQueryAPI(spark, default_window=default_window, data_dir=data_dir)
+                 default_window: bool = True, data_dir: str | None = None,
+                 max_rows: int | None = DEFAULT_MAX_ROWS):
+        api = HepopQueryAPI(spark, default_window=default_window,
+                            data_dir=data_dir, max_rows=max_rows)
         spool = lp_spool
 
         class Handler(BaseHTTPRequestHandler):
@@ -48,6 +55,17 @@ class HepopHttpServer:
                     rows = api.query_json(sql)
                 except Exception as e:  # reference: 500 + message (hepop.js:1050-1058)
                     self._send(500, json.dumps({"error": str(e).split("\n")[0]}).encode())
+                    return
+                if api.last_truncated:
+                    # 413 Payload Too Large + the truncated prefix and the
+                    # limit, so a client can page down or raise max_rows
+                    self._send(413, json.dumps({
+                        "error": f"result exceeds max_rows={api.max_rows}; "
+                                 "returning the first max_rows rows",
+                        "truncated": True,
+                        "max_rows": api.max_rows,
+                        "rows": rows,
+                    }, default=_json_default).encode())
                     return
                 self._send(200, json.dumps(rows, default=_json_default).encode())
 

@@ -56,31 +56,44 @@ def compact_partition(spark: SparkSession, base_path: str, rel: str,
                       target_files: int = 1) -> int:
     """Rewrite one partition directory into ``target_files`` sorted files.
     Returns number of files removed. Atomic at the directory level:
-    write to `<partition>.__compact_tmp`, then swap."""
-    full = os.path.join(base_path, rel)
-    files = partition_files(base_path, rel)
-    if len(files) <= target_files:
-        return 0
+    write to `<partition>.__compact_tmp`, then swap.
 
-    tmp = full + f".__compact_tmp_{uuid.uuid4().hex[:8]}"
-    (
-        spark.read.parquet(full)
-        .sortWithinPartitions("timestamp")
-        .coalesce(target_files)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    # atomic-ish swap (same filesystem): old -> trash, tmp -> live, rm trash
-    trash = full + ".__old"
-    os.rename(full, trash)
-    os.rename(tmp, full)
-    shutil.rmtree(trash)
-    # drop _SUCCESS markers so partition listing stays clean
-    for marker in ("_SUCCESS",):
-        p = os.path.join(full, marker)
-        if os.path.exists(p):
-            os.remove(p)
-    return len(files) - target_files
+    Holds the table's append/compact mutex (storage.writer.table_lock) for
+    the snapshot -> rewrite -> swap span: without it, a batch appended
+    between the file snapshot and the directory swap rides into the trash
+    dir and is DELETED — actual data loss, reproduced by the round-6
+    concurrency soak (tests/test_round6.py). The lock scope is one
+    process, which is exactly the layout contract: only the owning writer
+    process appends to its tree (reference hepop.js:114-132), and its
+    compactor is the same process (hepop.js:440-450)."""
+    from .writer import table_lock
+
+    full = os.path.join(base_path, rel)
+    with table_lock(base_path):
+        files = partition_files(base_path, rel)
+        if len(files) <= target_files:
+            return 0
+
+        tmp = full + f".__compact_tmp_{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(full)
+            .sortWithinPartitions("timestamp")
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # atomic-ish swap (same filesystem): old -> trash, tmp -> live,
+        # rm trash
+        trash = full + ".__old"
+        os.rename(full, trash)
+        os.rename(tmp, full)
+        shutil.rmtree(trash)
+        # drop _SUCCESS markers so partition listing stays clean
+        for marker in ("_SUCCESS",):
+            p = os.path.join(full, marker)
+            if os.path.exists(p):
+                os.remove(p)
+        return len(files) - target_files
 
 
 def compact(spark: SparkSession, base_path: str, min_files: int = 2,

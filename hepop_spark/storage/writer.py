@@ -14,8 +14,37 @@ min/max on `timestamp` handles pruning inside a bucket.
 
 from __future__ import annotations
 
+import os
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# --- per-table append/compact serialization -------------------------------
+# The round-6 concurrency soak exposed a loss window: the compactor
+# snapshots a partition's files, rewrites them, then swaps the DIRECTORY —
+# a batch appended between snapshot and swap rides into the trash dir and
+# is deleted. Appends and compaction of one table are therefore mutually
+# exclusive WITHIN the owning process. That scope is correct by the storage
+# layout contract: every writer process appends only to its own
+# {data}/{writer_id}/dbs tree (reference hepop.js:114-132, federation
+# query.js:24-33), and its compactor runs in the same process
+# (hepop.js:440-450 — the reference's is the same event loop, so it cannot
+# race itself; a multi-threaded engine must add the lock the JS model got
+# for free). Cross-process READERS are lock-free and may transiently see a
+# mid-swap partition (retry); they can never see loss or duplication.
+# At cluster scale the same mutual exclusion is what a manifest-based table
+# format (snapshot isolation) provides; the lock is its single-writer
+# degenerate case.
+_TABLE_LOCKS: dict[str, threading.RLock] = {}
+_TABLE_LOCKS_META = threading.Lock()
+
+
+def table_lock(base_path: str) -> threading.RLock:
+    """The append/compact mutex for one table directory."""
+    key = os.path.abspath(base_path)
+    with _TABLE_LOCKS_META:
+        return _TABLE_LOCKS.setdefault(key, threading.RLock())
 
 
 def with_time_partitions(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
@@ -45,7 +74,8 @@ def write_partitioned(df: DataFrame, base_path: str, ts_col: str = "timestamp",
     w = with_time_partitions(df, ts_col).write.mode(mode)
     for c in bloom_cols:
         w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
-    w.partitionBy("date", "bucket").parquet(base_path)
+    with table_lock(base_path):
+        w.partitionBy("date", "bucket").parquet(base_path)
 
 
 def read_table(spark: SparkSession, base_path: str) -> DataFrame:

@@ -150,6 +150,152 @@ class TestMinhashIndex:
         assert all(whole[(0, b)] != whole[(3, b)] for b in range(4))
 
 
+class TestServeConcurrencySoak:
+    def test_ingest_compact_query_in_parallel(self, spark, tmp_path):
+        """The reference's real operating mode (60 s compactor + live
+        queries, hepop.js:440-450) run CONCURRENTLY: a writer appends
+        batches, a compactor sweeps the same partitions (atomic dir swap),
+        and a reader re-discovers + counts throughout. Invariants (SURVEY
+        §5.4's implicit one): observed row counts never regress, never
+        exceed what was written, and the final state has exactly every row
+        once (count + value checksum) — compaction may move rows between
+        files but can never lose or duplicate them. Individual reads may
+        transiently fail while a swap is mid-flight (two renames); the
+        reader retries, and the test bounds those failures by requiring
+        plenty of successful observations."""
+        import threading
+        import time
+
+        from hepop_spark.catalog import discover_table
+        from hepop_spark.storage.compaction import compact
+        from hepop_spark.storage.writer import write_partitioned
+
+        data = tmp_path / "data"
+        base = data / "w1" / "dbs" / "soak"
+        n_batches, batch = 10, 200
+        total = n_batches * batch
+        written = []          # cumulative rows committed (append-only)
+        counts = []           # successful reader observations
+        read_errors = []
+        compactions = []
+        stop = threading.Event()
+
+        def writer():
+            try:
+                for i in range(n_batches):
+                    df = spark.range(i * batch, (i + 1) * batch).select(
+                        F.col("id").alias("val"),
+                        F.concat(
+                            F.lit("2024-03-01 10:0"),
+                            (F.col("id") % 10).cast("string"),
+                        ).cast("timestamp").alias("timestamp"),
+                    )
+                    write_partitioned(df, str(base))
+                    written.append((i + 1) * batch)
+            finally:
+                stop.set()  # a writer crash must not hang the other threads
+
+        def compactor():
+            while not stop.is_set():
+                try:
+                    res = compact(spark, str(base), min_files=2)
+                    if res:
+                        compactions.append(res)
+                except Exception:
+                    pass  # a concurrent append can race the file listing
+                time.sleep(0.05)
+            compactions.append(compact(spark, str(base), min_files=2))
+
+        def reader():
+            cache: dict[str, str] = {}
+            while not stop.is_set():
+                try:
+                    if discover_table(spark, str(data), "soak", cache=cache):
+                        counts.append(spark.table("soak").count())
+                except Exception as e:
+                    read_errors.append(str(e).split("\n")[0])
+                time.sleep(0.02)
+
+        threads = [threading.Thread(target=f) for f in (writer, compactor, reader)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert written[-1] == total
+
+        # counts never regress and never exceed the committed total
+        assert all(a <= b for a, b in zip(counts, counts[1:])), counts
+        assert all(0 <= c <= total for c in counts), counts
+        # the soak actually exercised all three roles concurrently
+        assert len(counts) >= 5, (counts, read_errors)
+        assert any(compactions), "compactor never compacted"
+
+        # final state: exactly every row once (no loss, no duplication)
+        assert discover_table(spark, str(data), "soak", cache={}) is True
+        final = spark.table("soak")
+        assert final.count() == total
+        got = final.agg(F.sum("val")).collect()[0][0]
+        assert got == total * (total - 1) // 2
+        spark.catalog.dropTempView("soak")
+
+
+class TestHttpRowLimit:
+    def test_query_json_truncates_and_flags(self, spark):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        spark.range(50).select(F.col("id").alias("v")).createOrReplaceTempView(
+            "limited_t"
+        )
+        api = HepopQueryAPI(spark, default_window=False, max_rows=10)
+        rows = api.query_json("SELECT v FROM limited_t ORDER BY v")
+        assert len(rows) == 10 and api.last_truncated is True
+        # under the limit: untouched, flag cleared
+        rows = api.query_json("SELECT v FROM limited_t WHERE v < 5")
+        assert len(rows) == 5 and api.last_truncated is False
+        # opt-out materializes everything (reference-faithful)
+        api_all = HepopQueryAPI(spark, default_window=False, max_rows=None)
+        assert len(api_all.query_json("SELECT v FROM limited_t")) == 50
+        assert api_all.last_truncated is False
+        spark.catalog.dropTempView("limited_t")
+
+    def test_http_413_with_truncation_metadata(self, spark):
+        import json
+        import urllib.request
+
+        from hepop_spark.plans.http_server import HepopHttpServer
+
+        spark.range(30).select(F.col("id").alias("v")).createOrReplaceTempView(
+            "limited_http_t"
+        )
+        srv = HepopHttpServer(
+            spark, default_window=False, max_rows=7
+        ).start()
+        try:
+            url = (
+                f"http://127.0.0.1:{srv.port}/query?q="
+                + urllib.parse.quote("SELECT v FROM limited_http_t ORDER BY v")
+            )
+            try:
+                urllib.request.urlopen(url, timeout=60)
+                raise AssertionError("expected HTTP 413")
+            except urllib.error.HTTPError as e:
+                assert e.code == 413
+                body = json.load(e)
+                assert body["truncated"] is True and body["max_rows"] == 7
+                assert len(body["rows"]) == 7
+                assert [r["v"] for r in body["rows"]] == list(range(7))
+            # under the limit: plain 200 rows
+            url_ok = (
+                f"http://127.0.0.1:{srv.port}/query?q="
+                + urllib.parse.quote("SELECT v FROM limited_http_t WHERE v < 3")
+            )
+            with urllib.request.urlopen(url_ok, timeout=60) as r:
+                assert r.status == 200 and len(json.load(r)) == 3
+        finally:
+            srv.stop()
+            spark.catalog.dropTempView("limited_http_t")
+
+
 class TestDiscoveryCacheOrdering:
     def test_failed_registration_does_not_pin_fingerprint(self, spark, tmp_path):
         """r05 ADVICE medium: if view registration throws after the
