@@ -113,12 +113,44 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True):
     drain_thread = threading.Thread(target=_drain_loop, daemon=True)
     drain_thread.start()
 
+    # background compactor — the reference's 60 s checkAndCompact loop
+    # (hepop.js:440-450) over every table this writer owns. Safe against
+    # the live ingest sinks by the per-table append/compact mutex
+    # (storage/writer.table_lock, round-6 soak); readers are lock-free.
+    from .storage.compaction import compact
+
+    def _compact_once() -> dict:
+        out: dict = {}
+        if os.path.isdir(root):
+            for t in sorted(os.listdir(root)):
+                tdir = os.path.join(root, t)
+                if not os.path.isdir(tdir):
+                    continue
+                try:
+                    res = compact(spark, tdir, min_files=2)
+                except Exception:
+                    continue  # a mid-append listing race; next sweep retries
+                if res:
+                    out[t] = res
+        return out
+
+    def _compact_loop():
+        while not stop_evt.wait(cfg.compact_interval):
+            _compact_once()
+
+    compact_thread = None
+    if cfg.compact_interval > 0:
+        compact_thread = threading.Thread(target=_compact_loop, daemon=True)
+        compact_thread.start()
+
     def stop(*_a):
         udp.stop()
         tcp.stop()
         lp_spool.flush()
         stop_evt.set()
         drain_thread.join(timeout=5)
+        if compact_thread is not None:
+            compact_thread.join(timeout=5)
         _drain_once()
         _time.sleep(0)
         for q in queries:
@@ -132,6 +164,7 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True):
             "tcp_port": tcp.port,
             "http_port": http.port,
             "drain_once": _drain_once,
+            "compact_once": _compact_once,
         }
     signal.signal(signal.SIGTERM, stop)
     try:

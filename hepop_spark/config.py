@@ -19,6 +19,10 @@ class ServerConfig:
     host: str = "0.0.0.0"
     data_dir: str = "./data"
     writer_id: str = ""
+    # background small-file compaction sweep period, seconds; 0 disables.
+    # The reference runs its checkAndCompact loop every 60 s
+    # (hepop.js:440-450); COMPACT_INTERVAL overrides.
+    compact_interval: float = 60.0
 
     @classmethod
     def from_env(cls, env: dict | None = None, **overrides) -> "ServerConfig":
@@ -34,6 +38,9 @@ class ServerConfig:
             data_dir=str(overrides.get("data_dir", e.get("PARQUET_DIR", "./data"))),
             writer_id=str(
                 overrides.get("writer_id", e.get("WRITER_ID", socket.gethostname()))
+            ),
+            compact_interval=float(
+                overrides.get("compact_interval", e.get("COMPACT_INTERVAL", 60.0))
             ),
         )
 

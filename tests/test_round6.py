@@ -239,6 +239,60 @@ class TestServeConcurrencySoak:
         spark.catalog.dropTempView("soak")
 
 
+class TestServeBackgroundCompactor:
+    def test_serve_compacts_written_tables(self, spark, tmp_path):
+        """serve() now runs the reference's 60 s checkAndCompact loop
+        (hepop.js:440-450) as a background thread over the writer's own
+        tables; queries over HTTP see the same rows before and after a
+        sweep."""
+        import json
+        import urllib.parse
+        import urllib.request
+
+        from hepop_spark.__main__ import serve
+        from hepop_spark.config import ServerConfig
+        from hepop_spark.storage.compaction import partition_files
+        from hepop_spark.storage.writer import write_partitioned
+
+        cfg = ServerConfig.from_env(
+            env={"COMPACT_INTERVAL": "3600"},  # sweep manually via handle
+            host="127.0.0.1", port=0, http_port=0,
+            data_dir=str(tmp_path / "data"), writer_id="w1",
+        )
+        assert cfg.compact_interval == 3600.0
+        h = serve(cfg, spark=spark, block=False)
+        try:
+            base = tmp_path / "data" / "w1" / "dbs" / "m9"
+            for i in range(3):
+                df = spark.range(i * 10, (i + 1) * 10).select(
+                    F.col("id").alias("v"),
+                    F.lit("2024-03-01 10:00:00").cast("timestamp")
+                    .alias("timestamp"),
+                )
+                write_partitioned(df, str(base))
+            rel = "date=2024-03-01/bucket=10-00"
+            assert len(partition_files(str(base), rel)) >= 3
+
+            def query_rows():
+                url = (
+                    f"http://127.0.0.1:{h['http_port']}/query?q="
+                    + urllib.parse.quote(
+                        "SELECT count(*) AS n FROM m9 WHERE time >= "
+                        "TIMESTAMP '2024-01-01 00:00:00'"
+                    )
+                )
+                with urllib.request.urlopen(url, timeout=60) as r:
+                    return json.load(r)[0]["n"]
+
+            assert query_rows() == 30
+            swept = h["compact_once"]()
+            assert "m9" in swept and swept["m9"]  # files actually merged
+            assert len(partition_files(str(base), rel)) == 1
+            assert query_rows() == 30  # row-count invariant across the sweep
+        finally:
+            h["stop"]()
+
+
 class TestHttpRowLimit:
     def test_query_json_truncates_and_flags(self, spark):
         from hepop_spark.plans.api import HepopQueryAPI
