@@ -128,3 +128,53 @@ def build_minhash_index(
 def minhash_bands_from_index(spark: SparkSession, path: str) -> DataFrame:
     """(doc_id, band, bkey) rows of a published band store."""
     return spark.read.parquet(os.path.join(path, "bands"))
+
+
+# ---------------------------------------------------------------------------
+# Appendable store — the streaming-native variant
+# ---------------------------------------------------------------------------
+#
+# build_minhash_index is a corpus-VERSION artifact (rebuilt when the source
+# fingerprint rotates). A live ingest pipeline instead GROWS the store one
+# micro-batch at a time: band rows are a pure per-doc function (the merge
+# monoid pinned by tests/test_round6.py), so appending batch B's bands to a
+# store holding A equals building A ∪ B from scratch — no rescan, no
+# rebuild. Idempotence comes from the batch directory: a redelivered batch
+# id no-ops, which is the same exactly-once-through-at-least-once contract
+# the streaming sinks rely on (streaming/ingest.py). Caller contract:
+# batch doc_id sets are disjoint (a doc belongs to exactly one batch).
+
+
+def minhash_store_append(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_path: str,
+    batch_id: str,
+    *,
+    n_seeds: int = 8,
+    band_rows: int = 2,
+) -> bool:
+    """Sign one ingest batch and publish its band rows under
+    `<store>/bands/batch=<batch_id>/`. Returns False (no-op) when the
+    batch id was already published — safe under redelivery."""
+    dest = os.path.join(store_path, "bands", f"batch={batch_id}")
+    if os.path.isdir(dest):
+        return False
+    bands = minhash_bands(docs, n_seeds=n_seeds, band_rows=band_rows)
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    try:
+        bands.write.mode("overwrite").parquet(tmp)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(tmp, dest)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.isdir(dest)
+
+
+def minhash_store_bands(spark: SparkSession, store_path: str) -> DataFrame:
+    """(doc_id, band, bkey) across ALL published batches of an appendable
+    store (the `batch` partition column identifies provenance)."""
+    return spark.read.parquet(os.path.join(store_path, "bands")).select(
+        "doc_id", "band", "bkey"
+    )

@@ -150,6 +150,48 @@ class TestMinhashIndex:
         assert all(whole[(0, b)] != whole[(3, b)] for b in range(4))
 
 
+class TestAppendableMinhashStore:
+    def test_appended_store_equals_full_build(self, spark, tmp_path):
+        """The streaming-native growth path: appending each batch's bands
+        to the store equals signing the whole corpus at once (band rows
+        are a per-doc pure function), and a redelivered batch id no-ops."""
+        from hepop_spark.operators.minhash_index import (
+            minhash_bands,
+            minhash_store_append,
+            minhash_store_bands,
+        )
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta",
+            "one two three four five six",
+            "seven eight nine ten eleven twelve",
+            "alpha beta gamma delta epsilon zeta",  # dup of doc 0
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        store = str(tmp_path / "store")
+        b0 = docs.filter(F.col("doc_id") < 2)
+        b1 = docs.filter(F.col("doc_id") >= 2)
+        assert minhash_store_append(spark, b0, store, "b0") is True
+        assert minhash_store_append(spark, b1, store, "b1") is True
+        # redelivery of an already-published batch no-ops
+        assert minhash_store_append(spark, b0, store, "b0") is False
+
+        grown = {
+            (r.doc_id, r.band): r.bkey
+            for r in minhash_store_bands(spark, store).collect()
+        }
+        full = {
+            (r.doc_id, r.band): r.bkey
+            for r in minhash_bands(docs, n_seeds=8, band_rows=2).collect()
+        }
+        assert grown == full
+        # the duplicate doc pair collides in every band across BATCHES
+        assert all(grown[(0, b)] == grown[(4, b)] for b in range(4))
+
+
 class TestServeConcurrencySoak:
     def test_ingest_compact_query_in_parallel(self, spark, tmp_path):
         """The reference's real operating mode (60 s compactor + live
