@@ -39,6 +39,13 @@ def sequence_packing_stats(spark: SparkSession, sf: str) -> DataFrame:
     doc's [start, end) token interval, and floor-division against W
     locates the cuts, so both engines agree bit-for-bit.
 
+    Deliberately distinct from llm3.pack_sequences: that entry PERFORMS a
+    packing (doc -> pack assignment inside hash buckets, docs truncated
+    to the cap) and reports pack fill; this one AUDITS the untruncated
+    chunking policy itself — how much model-visible damage (split
+    contexts) and padding waste the W choice costs per source, the
+    numbers that pick W before anyone packs anything.
+
     Scale: one narrow map for token counts, ONE partitioned running-sum
     window per source (never a global window), and a per-source hash
     agg. At 100 TB the window partitions by source; a production packer
@@ -139,6 +146,12 @@ def cross_source_duplication(spark: SparkSession, sf: str) -> DataFrame:
     mirrors that shuffle or lightly reflow text still collide, and
     byte-exact hashing finds zero cross-source pairs below sf0.1 — the
     judged result would be trivially empty.
+
+    Deliberately distinct from llm3.cross_source_dup_matrix: that entry
+    proves the BYTE-EXACT matrix fires by planting a synthetic mirror
+    feed; this one measures the ORGANIC near-mirror overlap the exact key
+    cannot see, and adds the per-side copy mass (how many physical docs
+    each source spends on the shared contents).
 
     Scale: one fingerprint per doc, a (fp, source)-distinct agg, then a
     self-join keyed on the fingerprint whose output is bounded by
