@@ -229,7 +229,21 @@ def weighted_percentile_disc(spark: SparkSession, sf: str) -> DataFrame:
     rarely repeat), so the bench wall there barely moves; the gain is the
     ASYMPTOTE: the grid saturates while rows grow — the 20x probe (12M
     rows, same 594k-row window) measures 0.8s vs 3.4s at 1/20 the data
-    (tools/scale_probe.py, SCALE.md r04)."""
+    (tools/scale_probe.py, SCALE.md r04).
+
+    Round-6 note (measured, then rejected): a two-level prefix sum
+    (range-bucket the cents, offset window over the ~600-row bucket
+    grid, fine windows per (flag, bucket)) parallelizes the sort but
+    needs the aggregated grid as input to THREE differently-keyed
+    consumers (fine window, bucket subtotals, totals) — and Spark has no
+    cross-branch common-subexpression reuse, so each branch re-scanned
+    and re-aggregated the base table: 7.5 s at the 20x probe vs 0.9 s
+    for this single-chain plan (one scan, windows reuse one exchange).
+    The two-level shape only wins when the aggregated grid is a
+    MATERIALIZED table (a real pipeline would persist the per-cents
+    rollup at ingest and two-level THAT); over a single declarative
+    query, the one-task-per-flag window on the collapsed grid is the
+    plan that minimizes total work."""
     li = load_table(spark, sf, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     qty = F.round(F.col("l_quantity")).cast("long")
