@@ -76,6 +76,7 @@ EXTRA_R2 = [
     "lsh_bucket_stats",
     "dedup_incremental_indexed",
     "minhash_band_stats",
+    "weighted_percentile_rollup",
 ]
 
 

@@ -150,6 +150,18 @@ class TestMinhashIndex:
         assert all(whole[(0, b)] != whole[(3, b)] for b in range(4))
 
 
+class TestRollupPercentileTwin:
+    def test_rollup_twin_equals_from_scratch(self, spark, sf_dir):
+        """The materialized-rollup percentile must equal the from-scratch
+        twin row for row (same oracle serves both)."""
+        from hepop_spark.queries.analytics12 import weighted_percentile_disc
+        from hepop_spark.queries.analytics19 import weighted_percentile_rollup
+
+        a = [tuple(r) for r in weighted_percentile_disc(spark, sf_dir).collect()]
+        b = [tuple(r) for r in weighted_percentile_rollup(spark, sf_dir).collect()]
+        assert a == b and len(a) == 3
+
+
 class TestAppendableMinhashStore:
     def test_appended_store_equals_full_build(self, spark, tmp_path):
         """The streaming-native growth path: appending each batch's bands

@@ -279,6 +279,10 @@ AUDITS: dict[str, set[str]] = {
     # per-source running-sum window (partitioned) + per-source hash agg
     "sequence_packing_stats": {"partial"},
     "cross_source_duplication": {"partial"},  # (fp, source) agg + fp self-join
+    # two-level prefix sum over the MATERIALIZED grid: fine windows per
+    # (flag, bucket), offset window over the ~600-row bucket grid, 3-row
+    # total broadcast — all consumers scan the tiny stored rollup
+    "weighted_percentile_rollup": {"partial", "bcast"},
     # bounded top-K simplex: vocab broadcast join, 1-row/≤K+1-row cross joins
     "source_token_jsd": {"partial", "bcast", "bnlj_ok"},
     "source_temperature_mix": {"partial", "bcast", "bnlj_ok"},  # 1-row normalizer broadcast
@@ -395,6 +399,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/operators/pq_index.py:lut": "ADC lookup table: |queries| x m_sub x k_codes precomputed partial dots",
     "hepop_spark/operators/pq_index.py:shortq": "rerank shortlist: <= |queries| x shortlist (150) rows joined to bounded query vectors",
     "hepop_spark/queries/llm11.py:cand_docs": "LSH candidate doc ids (near-dup volume, << corpus by construction)",
+    "hepop_spark/queries/analytics19.py:tot": "per-returnflag totals (3 rows)",
     "hepop_spark/queries/analytics19.py:vocab": "fixed top-K (100) corpus tokens",
     "hepop_spark/queries/analytics19.py:qdist": "K+1 bucket rows (bounded simplex)",
     "hepop_spark/queries/analytics19.py:ns": "per-source totals (bounded source domain)",
