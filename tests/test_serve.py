@@ -72,7 +72,7 @@ class TestServe:
             from hepop_spark.storage.writer import read_table
 
             root = cfg.table_root()
-            deadline = time.time() + 120
+            deadline = time.time() + 240
             seen = set()
             while time.time() < deadline and len(seen) < 2:
                 h["drain_once"]()
@@ -110,7 +110,7 @@ class TestServe:
             )
             with urllib.request.urlopen(req2, timeout=10) as r:
                 assert r.status == 201
-            deadline = time.time() + 60
+            deadline = time.time() + 120
             got = None
             while time.time() < deadline:
                 try:
