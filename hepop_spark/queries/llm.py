@@ -899,11 +899,15 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     # RAW shingles, persisted once: signatures don't need the distinct
     # (min over duplicates is identical), and the full-corpus distinct
     # shuffle is the most expensive stage — defer it to the candidate
-    # slice below, exactly as dedup_minhash_lsh does
+    # slice below, exactly as dedup_minhash_lsh does. `side` rides along
+    # from the corpus CONSTRUCTION (r06: an id-range heuristic here was
+    # only valid for the real testdata's id space — re-keyed corpora,
+    # e.g. the 20x probe replicas, silently flipped index docs to batch)
     sh_raw = (
         with_t.filter(F.size("t") >= 3)
         .select(
             "doc_id",
+            "side",
             F.explode(
                 F.expr(
                     "transform(sequence(0, size(t) - 3), "
@@ -914,7 +918,9 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .persist()
     )
     try:
-        sig = sh_raw.groupBy("doc_id").agg(
+        # side is functionally dependent on doc_id, so grouping by both
+        # costs the same shuffle and keeps it available without a join
+        sig = sh_raw.groupBy("doc_id", "side").agg(
             *[
                 F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
                 for i in range(MINHASH_SEEDS)
@@ -938,15 +944,13 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
                 for b in range(n_bands)
             ]
         )
-        # side is a pure function of doc_id (batch = %10==0 or a planted
-        # re-key ≥ 1e6) — deriving it avoids a join against the corpus
-        bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        bands = sig.select(
+            "doc_id", "side", F.explode(band_structs).alias("bb")
+        ).select(
             "doc_id",
             F.col("bb.band").alias("band"),
             F.col("bb.bkey").alias("bkey"),
-            F.when(
-                (F.col("doc_id") % 10 == 0) | (F.col("doc_id") >= 1000000), "batch"
-            ).otherwise("index").alias("side"),
+            "side",
         )
         nb = bands.filter(F.col("side") == "batch").alias("nb")
         ib = bands.filter(F.col("side") == "index").alias("ib")

@@ -149,18 +149,17 @@ def main() -> int:
         # encode cost (cold - warm ≈ the one-time build).
         # r06: same split for the sign-LSH bucket store (lsh_range_search
         # and embedding_decontaminate scan it) and the MinHash band store.
-        # For the incremental-≪-full claim (r05 verdict item 3) the honest
-        # comparator is the indexed twin's own COLD call above (store build
-        # + query — what a from-scratch nightly pays every run) vs the warm
-        # call here (query only). The dedup_incremental from-scratch twin
-        # is NOT probed: its `doc_id >= 1e6 -> batch` side heuristic (valid
-        # on real testdata where only planted ids exceed 1e6) reclassifies
-        # every re-keyed replica as batch, so at probe corpora it computes
-        # a different, larger workload.
+        # For the incremental-≪-full claim (r05 verdict item 3):
+        # dedup_incremental (from-scratch, re-signs the whole index side
+        # every run — since r06 its batch/index split comes from corpus
+        # construction, so replicated probe corpora compute the same
+        # workload) vs dedup_incremental_indexed warm (batch-only signing
+        # against the stored band table).
         for name, key in (
             ("ann_ivfpq_topk", "ann_ivfpq_topk_warm_index"),
             ("lsh_range_search", "lsh_range_search_warm_index"),
             ("embedding_decontaminate", "embedding_decontaminate_warm_index"),
+            ("dedup_incremental", "dedup_incremental_full_recompute"),
             ("dedup_incremental_indexed", "dedup_incremental_indexed_warm"),
         ):
             t0 = time.perf_counter()
