@@ -324,6 +324,201 @@ ORDER BY band
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_streaming_accumulate — micro-batched dedup growing the band store
+# ---------------------------------------------------------------------------
+
+STREAM_BATCHES = 5
+
+
+def dedup_streaming_accumulate(spark: SparkSession, sf: str) -> DataFrame:
+    """The live-pipeline dedup loop end to end: documents arrive in
+    STREAM_BATCHES ordered micro-batches (batch = doc_id % 5); each batch
+    is checked against the bands of every EARLIER batch from the
+    APPENDABLE store (operators/minhash_index.minhash_store_append — the
+    idempotent per-batch artifact the streaming sinks would feed), then
+    its own bands are appended. Per new doc: the best earlier match
+    (jaccard >= 0.5, deterministic tie-break) and which batch the match
+    arrived in. The oracle replays the same thing set-wise: candidate
+    pairs restricted to batch(new) > batch(old).
+
+    Scale: each iteration signs ONE batch and equi-joins the stored
+    bands; the store grows monotonically with no rescan of earlier
+    batches' text (the r05-item-3 merge property, now exercised through
+    the exact accumulation loop a Structured Streaming foreachBatch
+    would run — the loop is over a FIXED small batch count, not data)."""
+    import tempfile
+
+    from ..operators.minhash_index import minhash_bands, minhash_store_append
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % STREAM_BATCHES).alias("bt")
+    )
+    store = tempfile.mkdtemp(prefix="stream_bands_")
+    pairs = None
+    try:
+        for b in range(STREAM_BATCHES):
+            batch = docs.filter(F.col("bt") == b).select("doc_id", "text")
+            if b > 0:
+                import os
+
+                nb = minhash_bands(
+                    batch, n_seeds=MINHASH_SEEDS, band_rows=MINHASH_BAND_ROWS
+                ).alias("nb")
+                # pin THIS iteration's store view to the batches that had
+                # arrived when the check ran: the union of all iterations
+                # is evaluated lazily at the end, after later batches have
+                # been appended, and an unpinned read would see them (a
+                # batch must never match batches that arrived after it).
+                # The partition filter also prunes the later batch dirs.
+                ib = (
+                    spark.read.parquet(os.path.join(store, "bands"))
+                    .filter(F.col("batch").isin([f"b{i}" for i in range(b)]))
+                    .select("doc_id", "band", "bkey")
+                    .alias("ib")
+                )
+                cand = (
+                    nb.join(
+                        ib,
+                        (F.col("nb.band") == F.col("ib.band"))
+                        & (F.col("nb.bkey") == F.col("ib.bkey")),
+                    )
+                    .select(
+                        F.col("nb.doc_id").alias("new_doc"),
+                        F.col("ib.doc_id").alias("old_doc"),
+                    )
+                    .distinct()
+                )
+                pairs = cand if pairs is None else pairs.unionAll(cand)
+            minhash_store_append(
+                spark, batch, store, f"b{b}",
+                n_seeds=MINHASH_SEEDS, band_rows=MINHASH_BAND_ROWS,
+            )
+        # exact verification once, over the accumulated candidate set —
+        # text is re-read only for candidate docs
+        cand_docs = (
+            pairs.select(F.col("new_doc").alias("doc_id"))
+            .union(pairs.select(F.col("old_doc").alias("doc_id")))
+            .distinct()
+        )
+        with_t = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi").withColumn(
+            "t", F.split("text", " ")
+        )
+        shingles = (
+            with_t.filter(F.size("t") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(t) - 3), "
+                        "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                    )
+                ).alias("sh"),
+            )
+            .distinct()
+        )
+        counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+        sa = shingles.select(F.col("doc_id").alias("new_doc"), "sh")
+        sb = shingles.select(F.col("doc_id").alias("old_doc"), "sh")
+        inter = (
+            pairs.join(sa, "new_doc")
+            .join(sb, ["old_doc", "sh"])
+            .groupBy("new_doc", "old_doc")
+            .agg(F.count("*").alias("inter"))
+        )
+        ca = counts.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na"))
+        cb = counts.select(F.col("doc_id").alias("old_doc"), F.col("n").alias("nb_n"))
+        jac = F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb_n") - F.col("inter")),
+            4,
+        )
+        scored = (
+            inter.join(ca, "new_doc")
+            .join(cb, "old_doc")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        w = Window.partitionBy("new_doc").orderBy(
+            F.col("jaccard").desc(), F.col("old_doc")
+        )
+        rows = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "new_doc",
+                "old_doc",
+                (F.col("old_doc") % STREAM_BATCHES).cast("long").alias("match_batch"),
+                "jaccard",
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "new_doc bigint, old_doc bigint, match_batch bigint, jaccard double"
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _stream_accum_sql() -> str:
+    minhashes = ", ".join(
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(MINHASH_SEEDS)
+    )
+    bands_union = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bkey FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"mh{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+            ),
+        )
+        for b in range(MINHASH_SEEDS // MINHASH_BAND_ROWS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok_i AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w FROM d),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+  FROM tok_i a
+  JOIN tok_i b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok_i c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sig AS (SELECT doc_id, {minhashes} FROM shingles GROUP BY doc_id),
+bands AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS new_doc, ib.doc_id AS old_doc
+  FROM bands nb JOIN bands ib
+    ON nb.band = ib.band AND nb.bkey = ib.bkey
+   AND nb.doc_id % {STREAM_BATCHES} > ib.doc_id % {STREAM_BATCHES}
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.new_doc, c.old_doc, count(*) AS inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.new_doc
+  JOIN shingles b ON b.doc_id = c.old_doc AND a.sh = b.sh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.new_doc, i.old_doc,
+         round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) AS jaccard
+  FROM inter i
+  JOIN counts ca ON i.new_doc = ca.doc_id
+  JOIN counts cb ON i.old_doc = cb.doc_id
+  WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) >= {JACCARD_THRESHOLD}
+)
+SELECT new_doc, old_doc,
+       CAST(old_doc % {STREAM_BATCHES} AS BIGINT) AS match_batch, jaccard
+FROM (
+  SELECT new_doc, old_doc, jaccard,
+         row_number() OVER (PARTITION BY new_doc
+                            ORDER BY jaccard DESC, old_doc) AS rk
+  FROM scored
+) r WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "lsh_bucket_stats": QuerySpec(
         lsh_bucket_stats, _lsh_bucket_stats_sql(),
@@ -339,5 +534,10 @@ QUERIES: dict[str, QuerySpec] = {
         minhash_band_stats, _minhash_band_stats_sql(),
         doc="per-band audit of the persisted MinHash band store vs a "
             "from-scratch DuckDB re-derivation",
+    ),
+    "dedup_streaming_accumulate": QuerySpec(
+        dedup_streaming_accumulate, _stream_accum_sql(),
+        doc="micro-batched dedup loop growing the appendable band store; "
+            "each batch checked against all earlier batches' stored bands",
     ),
 }

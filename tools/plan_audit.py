@@ -97,6 +97,9 @@ AUDITS: dict[str, set[str]] = {
     # batch bands x stored-band equi-join; candidate-bounded verify
     "dedup_incremental_indexed": {"bcast"},
     "minhash_band_stats": {"partial"},  # hash agg over the stored band scan
+    # micro-batched loop materializes its bounded result (like
+    # dedup_incremental): the audited plan is the pinned local result
+    "dedup_streaming_accumulate": set(),
     "embedding_quantize_int8": {"partial"},
     # UDF surface: grouped pandas agg IS the (allowed) Arrow stage
     "grouped_mad_pandas": {"arrow_ok"},
