@@ -68,6 +68,7 @@ def registry() -> dict[str, QuerySpec]:
         llm9,
         llm10,
         llm11,
+        llm12,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -119,6 +120,7 @@ def registry() -> dict[str, QuerySpec]:
         llm9,
         llm10,
         llm11,
+        llm12,
         functions_ext,
         functions_ext2,
         functions_ext3,

@@ -68,6 +68,10 @@ AUDITS: dict[str, set[str]] = {
     "q19_disjunctive": {"bcast", "partial"},
     "q21_waiting_supplier": {"partial"},
     # corpus-statistics batch
+    # round-6 closing curation batch
+    "repeated_span_dedup": {"partial"},
+    "ccnet_perplexity_buckets": {"bcast", "partial", "bnlj_ok"},
+    "dsir_importance_weights": {"bcast", "partial", "bnlj_ok"},
     "tfidf_top_terms": {"partial", "bnlj_ok"},
     "text_bigram_counts": {"partial"},
     "sample_stratified_hash": {"partial"},
@@ -361,6 +365,10 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm.py:cand_docs": "LSH candidate doc ids (near-dup volume, << corpus by construction)",
     "hepop_spark/queries/llm.py:sides": "candidate pairs exploded to (doc, pair) sides (near-dup volume)",
     "hepop_spark/queries/llm.py:queries": "bounded 10-vector query set",
+    "hepop_spark/queries/llm12.py:tot": "1-row token grand total",
+    "hepop_spark/queries/llm12.py:freq_n": "token vocab (Heaps-law sublinear)",
+    "hepop_spark/queries/llm12.py:tots": "1-row feature-model normalizers",
+    "hepop_spark/queries/llm12.py:model": "fixed <=256-row hashed-feature model",
     "hepop_spark/queries/llm5.py:sa": "signatures of candidate docs only (near-dup volume)",
     "hepop_spark/queries/llm5.py:sb": "signatures of candidate docs only (near-dup volume)",
     "hepop_spark/queries/llm5.py:cand_docs": "candidate doc ids (near-dup volume)",
