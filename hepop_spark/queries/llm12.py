@@ -220,11 +220,13 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
             # mean over EXACT integer ten-thousandths: avg_nll sits on the
             # 1e-4 grid, but a float SUM of grid values is order-sensitive in
             # the last ulp and round(,4) flips at a representable boundary
-            # (observed at sf0.001) — integer sum then one division is not
-            F.round(
+            # (observed at sf0.001). Integer sum + ONE UNROUNDED division
+            # (the ohlc_bars rule): sum_q/(n*1e4) can land exactly on a
+            # reachable ...5 boundary where Spark (HALF_UP on shortest
+            # repr) and DuckDB (raw-bits) disagree, so no outer round.
+            (
                 F.sum(F.round(F.col("avg_nll") * 10000).cast("long"))
-                / (F.count("*") * 10000.0),
-                4,
+                / (F.count("*") * 10000.0)
             ).alias("mean_nll"),
         )
         .select(
@@ -260,7 +262,7 @@ SELECT source, CAST(bucket AS INTEGER) AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(min(avg_nll), 4) AS min_nll,
        round(max(avg_nll), 4) AS max_nll,
-       round(sum(CAST(round(avg_nll * 10000) AS BIGINT)) / (count(*) * 10000.0), 4)
+       sum(CAST(round(avg_nll * 10000) AS BIGINT)) / (count(*) * 10000.0)
          AS mean_nll
 FROM bucketed
 GROUP BY source, bucket

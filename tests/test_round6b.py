@@ -102,3 +102,139 @@ class TestDsirWeights:
         for r in rows:
             assert math.isfinite(r.weight)
             assert r.n_feats >= 1
+
+
+class TestThirdEngineReplays:
+    """Pure-Python reimplementations (third engine after Spark + DuckDB):
+    a shared bug in the paired Spark/SQL formulations cannot hide from an
+    independent in-memory replay."""
+
+    @staticmethod
+    def _docs(sf_dir):
+        import pandas as pd
+
+        return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def test_repeated_span_matches_python_replay(self, spark, sf_dir):
+        from hepop_spark.queries.llm12 import SPAN_GRAM, repeated_span_dedup
+
+        docs = self._docs(sf_dir)
+        gram_docs: dict[str, set] = {}
+        per_doc_pos: dict[int, list] = {}
+        for r in docs.itertuples():
+            toks = r.text.split(" ")
+            pos = []
+            for i in range(1, len(toks) - SPAN_GRAM + 2):
+                g = " ".join(toks[i - 1 : i - 1 + SPAN_GRAM])
+                gram_docs.setdefault(g, set()).add(r.doc_id)
+                pos.append((i, g))
+            per_doc_pos[r.doc_id] = pos
+        want = {}
+        for r in docs.itertuples():
+            dup = [i for i, g in per_doc_pos[r.doc_id] if len(gram_docs[g]) >= 2]
+            if not dup:
+                continue
+            spans, start, prev = [], dup[0], dup[0]
+            for p in dup[1:]:
+                if p - prev > SPAN_GRAM:
+                    spans.append(prev - start + SPAN_GRAM)
+                    start = p
+                prev = p
+            spans.append(prev - start + SPAN_GRAM)
+            n_toks = len(r.text.split(" "))
+            want[r.doc_id] = (
+                len(spans),
+                max(spans),
+                sum(spans),
+                n_toks,
+                int(1_000_000.0 * sum(spans) / n_toks),
+            )
+        got = {
+            r.doc_id: (r.n_spans, r.longest_span, r.dup_tokens, r.n_toks, r.dup_token_ppm)
+            for r in repeated_span_dedup(spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_ccnet_buckets_match_python_replay(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        from hepop_spark.queries.llm12 import ccnet_perplexity_buckets
+
+        docs = self._docs(sf_dir)
+        freq = Counter()
+        for r in docs.itertuples():
+            freq.update(r.text.split(" "))
+        nn = sum(freq.values())
+        per_doc = []
+        for r in docs.itertuples():
+            toks = r.text.split(" ")
+            nll = sum(math.log(nn / freq[t]) for t in toks) / len(toks)
+            per_doc.append((r.source, round(nll, 4), r.doc_id))
+        want = {}
+        by_src: dict = {}
+        for src, nll, did in sorted(per_doc):
+            by_src.setdefault(src, []).append(nll)
+        for src, nlls in by_src.items():
+            n = len(nlls)
+            base, extra = divmod(n, 3)
+            sizes = [base + (1 if b < extra else 0) for b in range(min(3, n))]
+            if n < 3:
+                sizes = [1] * n
+            idx = 0
+            for b, sz in enumerate(sizes, start=1):
+                chunk = nlls[idx : idx + sz]
+                idx += sz
+                mean = sum(round(v * 10000) for v in chunk) / (sz * 10000.0)
+                want[(src, b)] = (sz, round(min(chunk), 4), round(max(chunk), 4), mean)
+        got = {
+            (r.source, r.bucket): (r.n_docs, r.min_nll, r.max_nll, r.mean_nll)
+            for r in ccnet_perplexity_buckets(spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_dsir_matches_python_replay(self, spark, sf_dir):
+        import hashlib
+        import math
+
+        from hepop_spark.queries.llm12 import (
+            DSIR_BUCKETS,
+            DSIR_TARGET,
+            DSIR_TOPK,
+            dsir_importance_weights,
+        )
+
+        docs = self._docs(sf_dir)
+        feats = []  # (doc_id, source, f)
+        for r in docs.itertuples():
+            toks = r.text.split(" ")
+            for i in range(len(toks) - 1):
+                g = " ".join(toks[i : i + 2])
+                f = int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % DSIR_BUCKETS
+                feats.append((r.doc_id, r.source, f))
+        raw_n: dict = {}
+        tgt_n: dict = {}
+        for _, src, f in feats:
+            raw_n[f] = raw_n.get(f, 0) + 1
+            if src == DSIR_TARGET:
+                tgt_n[f] = tgt_n.get(f, 0) + 1
+        rn, tn = len(feats), sum(1 for _, s, _ in feats if s == DSIR_TARGET)
+        llr = {
+            f: math.log((tgt_n.get(f, 0) + 1) / (tn + DSIR_BUCKETS))
+            - math.log((raw_n[f] + 1) / (rn + DSIR_BUCKETS))
+            for f in raw_n
+        }
+        per_doc: dict = {}
+        for did, src, f in feats:
+            w, n = per_doc.get(did, (0.0, 0))
+            per_doc[did] = (w + llr[f], n + 1)
+        scored = sorted(
+            ((round(w, 4), did, n) for did, (w, n) in per_doc.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:DSIR_TOPK]
+        want = [(did, n, w) for w, did, n in scored]
+        got = [
+            (r.doc_id, r.n_feats, r.weight)
+            for r in dsir_importance_weights(spark, sf_dir).collect()
+        ]
+        assert got == want

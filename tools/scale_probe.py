@@ -134,6 +134,11 @@ def main() -> int:
             # (the ingest-side cost); the warm loop below re-calls them
             "embedding_decontaminate",      # cold: build bucket store + query
             "dedup_incremental_indexed",    # cold: build band store + query
+            # round-6 closing batch: positioned-gram span dedup is the most
+            # shuffle-heavy new op (positions ~ token count; 20-way doc
+            # replication makes EVERY gram cross-doc-duplicated — the
+            # worst-case duplicated-position volume)
+            "repeated_span_dedup",
         ]
         timings: dict[str, dict] = {}
         for name in probes:
