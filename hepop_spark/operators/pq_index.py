@@ -214,6 +214,93 @@ def build_ivfpq_index(
         return os.path.isdir(path)  # lost a benign race to another builder
 
 
+def ivfpq_append_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    *,
+    m_sub: int,
+    sub: int,
+    batch_id: str,
+) -> bool:
+    """Encode one late-arriving ingest batch (c_id, cv) with the FROZEN
+    codebook/centroids published at `path` and publish its codes as an
+    append-only sibling of the base code table (`codes_<batch_id>/`,
+    atomic rename). No-op (returns False) when the batch is already
+    published — safe under redelivery, same contract as the MinHash band
+    store's `minhash_store_append`.
+
+    This is the FAISS `add` shape: growing the corpus costs one encode
+    pass over the new rows only; the base code table is never rewritten,
+    and `ivfpq_topk_from_index` scans base + appended siblings as one
+    store. Codebook drift is impossible by construction — the batch is
+    encoded from the exact artifacts queries route with."""
+    bdir = os.path.join(path, f"codes_{batch_id}")
+    if os.path.isdir(bdir):
+        return False
+    books = spark.read.parquet(os.path.join(path, "books"))
+    cents = spark.read.parquet(os.path.join(path, "cents"))
+    # same assignment/encode expressions as build_ivfpq_index, over the
+    # batch only, against the published (frozen) artifacts
+    cassign = (
+        batch.crossJoin(F.broadcast(cents))
+        .withColumn("cd", _dot("cv", "cw_cell"))
+        .groupBy("c_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("cd"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
+        )
+    )
+    m_sub_lits = F.array(*[F.lit(m) for m in range(m_sub)])
+    csub = batch.select(
+        "c_id", F.explode(m_sub_lits).alias("m"), F.col("cv")
+    ).select("c_id", "m", F.expr(f"slice(cv, m * {sub} + 1, {sub})").alias("cs"))
+    enc_k = (
+        csub.join(F.broadcast(books), "m")
+        .withColumn("d", _norm2("cw") - 2 * _dot("cs", "cw"))
+        .groupBy("c_id", "m")
+        .agg(F.min_by("k", F.struct(F.col("d"), F.col("k"))).alias("k"))
+    )
+    codes = (
+        enc_k.groupBy("c_id")
+        .agg(F.sum(F.expr("shiftleft(cast(k as bigint), m * 6)")).alias("packed"))
+        .join(cassign, "c_id")
+    )
+    tmp = f"{bdir}.tmp.{os.getpid()}"
+    try:
+        codes.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        os.rename(tmp, bdir)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.isdir(bdir)  # lost a benign race to another appender
+
+
+def _read_code_store(spark: SparkSession, path: str) -> DataFrame:
+    """The code table of a published index: the base `codes/` plus every
+    appended `codes_<batch>/` sibling, unioned by name. Each directory is
+    read with its own partition discovery, so per-cell pruning holds for
+    every segment; in-flight `.tmp.` dirs are invisible by construction
+    (atomic rename publishes them)."""
+    segs = [os.path.join(path, "codes")]
+    try:
+        segs += sorted(
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if e.startswith("codes_") and ".tmp." not in e
+        )
+    except OSError:
+        pass
+    out = None
+    for seg in segs:
+        if not os.path.isdir(seg):
+            continue
+        df = spark.read.parquet(seg)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def ivfpq_topk_from_index(
     spark: SparkSession,
     queries: DataFrame,
@@ -235,7 +322,7 @@ def ivfpq_topk_from_index(
     of precomputed q_sub.cw partial dots (the FAISS LUT trick): scoring a
     candidate is then 8 integer unpacks + 8 broadcast-hash lookups + one
     fixed-order fold, no per-pair vector arithmetic at all."""
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    codes = _read_code_store(spark, path)
     books = spark.read.parquet(os.path.join(path, "books"))
     cents = spark.read.parquet(os.path.join(path, "cents"))
 

@@ -69,6 +69,7 @@ def registry() -> dict[str, QuerySpec]:
         llm10,
         llm11,
         llm12,
+        llm13,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -121,6 +122,7 @@ def registry() -> dict[str, QuerySpec]:
         llm10,
         llm11,
         llm12,
+        llm13,
         functions_ext,
         functions_ext2,
         functions_ext3,

@@ -238,3 +238,117 @@ class TestThirdEngineReplays:
             for r in dsir_importance_weights(spark, sf_dir).collect()
         ]
         assert got == want
+
+
+class TestLlm13Batch:
+    """Round-6 extension batch (llm13): blocked edit-distance dedup,
+    full Lloyd iteration, incremental IVF-PQ index append."""
+
+    def test_edit_distance_matches_python_replay(self, spark, sf_dir):
+        import pandas as pd
+
+        from hepop_spark.queries.llm13 import (
+            EDIT_CAP,
+            EDIT_LEN_BUCKET,
+            EDIT_PFX,
+            EDIT_TAU,
+            dedup_edit_distance,
+        )
+
+        def lev(s, t):
+            prev = list(range(len(t) + 1))
+            for i, cs in enumerate(s, 1):
+                cur = [i]
+                for j, ct in enumerate(t, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (cs != ct)))
+                prev = cur
+            return prev[-1]
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        blocks: dict = {}
+        for r in docs.itertuples():
+            key = (r.text[:EDIT_PFX], r.n_chars // EDIT_LEN_BUCKET)
+            blocks.setdefault(key, []).append((r.doc_id, r.text[:EDIT_CAP], r.n_chars))
+        want = set()
+        for members in blocks.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a, b = members[i], members[j]
+                    d = lev(a[1], b[1])
+                    if d <= EDIT_TAU:
+                        want.add((a[0], b[0], d, a[2], b[2]))
+        got = {
+            (r.doc_a, r.doc_b, r.edit_dist, r.len_a, r.len_b)
+            for r in dedup_edit_distance(spark, sf_dir).collect()
+        }
+        assert got == want and want, "blocked near-dup pairs must exist"
+
+    def test_kmeans_lloyd_matches_numpy_replay(self, spark, sf_dir):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from hepop_spark.queries.llm13 import kmeans_lloyd_iter
+        from hepop_spark.queries.mining_q import KMEANS_K
+
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in emb.itertuples()}
+        cents = {k: vecs[k] for k in range(KMEANS_K)}
+        grid = lambda v: [math.floor(x * 10000 + 0.5) for x in v]  # noqa: E731
+        sums = {k: [0] * 64 for k in cents}
+        ns = {k: 0 for k in cents}
+        for vid, v in vecs.items():
+            best = min(
+                ((round(math.sqrt(float(np.dot(v - c, v - c))), 4), k)
+                 for k, c in cents.items())
+            )[1]
+            ns[best] += 1
+            for d, q in enumerate(grid(v)):
+                sums[best][d] += q
+        want = {}
+        for k in cents:
+            oq = grid(cents[k])
+            mv = sum((sums[k][d] - ns[k] * oq[d]) ** 2 for d in range(64))
+            want[k] = (ns[k], mv)
+        got = {
+            r.cluster_id: (r.n_members, r.movement_sq)
+            for r in kmeans_lloyd_iter(spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_ivfpq_append_store_and_idempotency(self, spark, sf_dir):
+        import os
+
+        from hepop_spark.operators.pq_index import ivfpq_index_path
+        from hepop_spark.queries.llm13 import APP_MOD, ann_ivfpq_append_topk
+        from hepop_spark.queries.scale_paths import IVF_CELLS, PQ_K, PQ_M
+
+        first = ann_ivfpq_append_topk(spark, sf_dir).collect()
+        path = ivfpq_index_path(sf_dir, f"app{APP_MOD}m{PQ_M}k{PQ_K}c{IVF_CELLS}")
+        # the appended batch is a published sibling of the base code table
+        assert os.path.isdir(os.path.join(path, "codes"))
+        assert os.path.isdir(os.path.join(path, "codes_b1"))
+        # per-query contract: exactly top-5, ranks 1..5, sims non-increasing
+        by_q: dict = {}
+        for r in first:
+            by_q.setdefault(r.q_id, []).append(r)
+        for rows in by_q.values():
+            rows.sort(key=lambda r: r.rk)
+            assert [r.rk for r in rows] == [1, 2, 3, 4, 5]
+            sims = [r.sim for r in rows]
+            assert sims == sorted(sims, reverse=True)
+        # appended candidates are actually reachable: some results come
+        # from the late batch slice at at least one scale; weaker invariant
+        # everywhere — result ids live in the full corpus domain
+        for r in first:
+            assert r.c_id >= 10 and r.q_id < 10
+        # warm re-run is a no-op on the store (idempotent append) and
+        # returns the identical result
+        second = ann_ivfpq_append_topk(spark, sf_dir).collect()
+        key = lambda r: (r.q_id, r.rk)  # noqa: E731
+        assert sorted(map(tuple, first), key=lambda t: (t[0], t[3])) == \
+            sorted(map(tuple, second), key=lambda t: (t[0], t[3]))

@@ -72,6 +72,14 @@ AUDITS: dict[str, set[str]] = {
     "repeated_span_dedup": {"partial"},
     "ccnet_perplexity_buckets": {"bcast", "partial", "bnlj_ok"},
     "dsir_importance_weights": {"bcast", "partial", "bnlj_ok"},
+    # round-6 extension batch (llm13): edit-distance dedup is a pure
+    # blocked equi-join (no agg); Lloyd broadcasts the 8-row centroid
+    # table into the corpus scan (BNLJ on a bounded side); the append-ANN
+    # entry shares the flagship's bounded crossJoins and q_id-partitioned
+    # rank windows (warm index: plan is the pure query path)
+    "dedup_edit_distance": set(),
+    "kmeans_lloyd_iter": {"bcast", "partial", "bnlj_ok"},
+    "ann_ivfpq_append_topk": {"bcast", "bnlj_ok", "global_ok"},
     "tfidf_top_terms": {"partial", "bnlj_ok"},
     "text_bigram_counts": {"partial"},
     "sample_stratified_hash": {"partial"},
@@ -401,6 +409,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm9.py:gmax": "1-row global-max aggregate",
     "hepop_spark/queries/llm9.py:s2": "fixed 1024-word Bloom sketch (8 KB)",
     "hepop_spark/queries/mining_q.py:cent": "k centroids (k=4)",
+    "hepop_spark/queries/llm13.py:cent": "k centroids (KMEANS_K=8)",
     "hepop_spark/queries/mining_q.py:q": "bounded query-point set",
     "hepop_spark/queries/mining_q.py:candidates": "min-support-capped candidate itemsets",
     "hepop_spark/operators/pq_index.py:cents": "fixed 32-row coarse-centroid table",
