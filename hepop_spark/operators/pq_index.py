@@ -277,6 +277,87 @@ def ivfpq_append_batch(
         return os.path.isdir(bdir)  # lost a benign race to another appender
 
 
+def ivfpq_delete_ids(
+    spark: SparkSession,
+    ids: DataFrame,
+    path: str,
+    *,
+    batch_id: str,
+) -> bool:
+    """Publish a tombstone set (c_id rows) against the index at `path` as
+    `tombstones_<batch_id>/` (atomic rename; no-op on redelivery). The
+    code table is NOT rewritten — deletes are metadata until
+    `ivfpq_compact_store` folds them in, the same defer-then-merge ladder
+    the parquet store runs (storage/compaction.py). Queries exclude
+    tombstoned candidates at the code scan, so a delete is visible on the
+    very next query."""
+    tdir = os.path.join(path, f"tombstones_{batch_id}")
+    if os.path.isdir(tdir):
+        return False
+    tmp = f"{tdir}.tmp.{os.getpid()}"
+    try:
+        ids.select("c_id").write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, tdir)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.isdir(tdir)
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """Union of all published tombstone sets, or None when there are none."""
+    try:
+        dirs = sorted(
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if e.startswith("tombstones_") and ".tmp." not in e
+        )
+    except OSError:
+        return None
+    out = None
+    for tdir in dirs:
+        if not os.path.isdir(tdir):
+            continue
+        df = spark.read.parquet(tdir)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def ivfpq_compact_store(spark: SparkSession, path: str) -> bool:
+    """Fold published tombstones into the code table: rewrite base +
+    appended segments minus tombstoned ids as ONE new `codes/` (atomic
+    swap, same trash-then-delete discipline as storage/compaction.py),
+    then retire the consumed segment and tombstone dirs. Query results
+    are invariant across the swap — the scan-minus-anti-join and the
+    compacted scan are the same set — so compaction is pure maintenance:
+    it exists to stop the segment list and tombstone volume growing
+    without bound under a long append/delete stream."""
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return False
+    codes = _read_code_store(spark, path)
+    live = codes.join(tomb, "c_id", "left_anti")
+    new_dir = f"{path}/codes.tmp.{os.getpid()}"
+    trash = f"{path}/codes.trash.{os.getpid()}"
+    try:
+        live.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(new_dir)
+        retired = [
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if (e == "codes" or e.startswith("codes_") or e.startswith("tombstones_"))
+            and ".tmp." not in e and ".trash." not in e
+        ]
+        os.makedirs(trash)
+        for seg in retired:
+            os.rename(seg, os.path.join(trash, os.path.basename(seg)))
+        os.rename(new_dir, os.path.join(path, "codes"))
+        shutil.rmtree(trash, ignore_errors=True)
+        return True
+    except OSError:
+        shutil.rmtree(new_dir, ignore_errors=True)
+        return False
+
+
 def _read_code_store(spark: SparkSession, path: str) -> DataFrame:
     """The code table of a published index: the base `codes/` plus every
     appended `codes_<batch>/` sibling, unioned by name. Each directory is
@@ -345,7 +426,14 @@ def ivfpq_topk_from_index(
         _norm2("cw").alias("t_n2"),
     )
     # candidates: probed cells select code rows; each c_id lives in
-    # exactly one cell, so (q_id, c_id) is already distinct
+    # exactly one cell, so (q_id, c_id) is already distinct. Published
+    # tombstones (deferred deletes, folded in by ivfpq_compact_store)
+    # are excluded here — unhinted anti-join, AQE picks the strategy
+    # (the tombstone side is bounded by the compaction cadence, not the
+    # corpus, but that is an operational bound, not a structural one)
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        codes = codes.join(tomb, "c_id", "left_anti")
     cand = codes.join(F.broadcast(qprobe), "cell").select("q_id", "c_id", "packed")
     terms = (
         cand.select(

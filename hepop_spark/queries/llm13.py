@@ -305,6 +305,67 @@ assert _SAMP_FROM in IVFPQ_ORACLE_SQL, "flagship oracle changed; re-derive"
 IVFPQ_APPEND_SQL = IVFPQ_ORACLE_SQL.replace(_SAMP_FROM, _SAMP_TO, 1)
 
 
+DEL_MOD = 11  # corpus vectors with c_id % 11 == 5 are deleted post-build
+
+
+def ann_ivfpq_delete_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k over a persisted IVF-PQ index WITH DEFERRED DELETES: the
+    full corpus is indexed, then a slice (c_id % 11 == 5) is deleted by
+    publishing a tombstone set (operators/pq_index.py:ivfpq_delete_ids —
+    metadata only, the code table is not rewritten). Queries exclude
+    tombstoned candidates at the code scan, so the delete is visible on
+    the very next query; `ivfpq_compact_store` later folds tombstones
+    into a rewritten code table (atomic swap) with query results
+    invariant across the swap — the defer-then-merge ladder the parquet
+    store runs (storage/compaction.py), applied to the ANN index. With
+    `ann_ivfpq_append_topk` this closes the index lifecycle: add, delete,
+    compact, all without re-encoding what is already indexed.
+
+    Oracle: the flagship replay with deleted ids excluded from the ADC
+    candidate set (one derived substitution below) — codebook and coarse
+    assignment still see the full corpus, exactly as an index built
+    before the delete does."""
+    from ..operators.pq_index import (
+        build_ivfpq_index,
+        ivfpq_delete_ids,
+        ivfpq_index_path,
+        ivfpq_topk_from_index,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    deleted = corpus.filter(F.col("c_id") % DEL_MOD == 5).select("c_id")
+    live = corpus.filter(F.col("c_id") % DEL_MOD != 5)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    path = ivfpq_index_path(sf, f"del{DEL_MOD}m{PQ_M}k{PQ_K}c{IVF_CELLS}")
+    build_ivfpq_index(
+        spark, corpus, path,
+        n_cells=IVF_CELLS, m_sub=PQ_M, sub=PQ_SUB, k_codes=PQ_K,
+    )
+    ivfpq_delete_ids(spark, deleted, path, batch_id="d1")
+    return ivfpq_topk_from_index(
+        spark, queries, live, path,
+        m_sub=PQ_M, sub=PQ_SUB, nprobe=IVF_NPROBE,
+        shortlist=IVFPQ_SHORT, top_k=5,
+    )
+
+
+# Derived like the append oracle: deleted ids drop out of the candidate
+# set (the code-scan exclusion); codebook/assignment replay the
+# full-corpus build exactly as an index built before the delete does.
+_CAND_FROM = "FROM qprobe p JOIN cassign a USING (cell)"
+_CAND_TO = (
+    f"FROM qprobe p JOIN cassign a USING (cell)\n"
+    f"  WHERE a.c_id % {DEL_MOD} != 5"
+)
+assert _CAND_FROM in IVFPQ_ORACLE_SQL, "flagship oracle changed; re-derive"
+IVFPQ_DELETE_SQL = IVFPQ_ORACLE_SQL.replace(_CAND_FROM, _CAND_TO, 1)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_edit_distance": QuerySpec(
         dedup_edit_distance, EDIT_DIST_SQL,
@@ -320,5 +381,10 @@ QUERIES: dict[str, QuerySpec] = {
         ann_ivfpq_append_topk, IVFPQ_APPEND_SQL,
         doc="ANN over an incrementally-appended persisted IVF-PQ index "
             "(frozen-codebook batch encode)",
+    ),
+    "ann_ivfpq_delete_topk": QuerySpec(
+        ann_ivfpq_delete_topk, IVFPQ_DELETE_SQL,
+        doc="ANN over a persisted IVF-PQ index with deferred deletes "
+            "(tombstone scan-exclusion; compaction folds them in)",
     ),
 }

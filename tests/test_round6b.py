@@ -352,3 +352,31 @@ class TestLlm13Batch:
         key = lambda r: (r.q_id, r.rk)  # noqa: E731
         assert sorted(map(tuple, first), key=lambda t: (t[0], t[3])) == \
             sorted(map(tuple, second), key=lambda t: (t[0], t[3]))
+
+    def test_ivfpq_delete_and_compaction_invariance(self, spark, sf_dir):
+        import os
+
+        from hepop_spark.operators.pq_index import (
+            ivfpq_compact_store,
+            ivfpq_index_path,
+        )
+        from hepop_spark.queries.llm13 import DEL_MOD, ann_ivfpq_delete_topk
+        from hepop_spark.queries.scale_paths import IVF_CELLS, PQ_K, PQ_M
+
+        key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+        before = key(ann_ivfpq_delete_topk(spark, sf_dir).collect())
+        # no deleted id may surface
+        assert all(r[1] % DEL_MOD != 5 for r in before)
+        path = ivfpq_index_path(sf_dir, f"del{DEL_MOD}m{PQ_M}k{PQ_K}c{IVF_CELLS}")
+        assert any(e.startswith("tombstones_") for e in os.listdir(path))
+        # compaction folds tombstones into a rewritten code table ...
+        assert ivfpq_compact_store(spark, path) is True
+        assert not any(e.startswith("tombstones_") for e in os.listdir(path))
+        # ... with query results invariant across the swap
+        after = key(ann_ivfpq_delete_topk(spark, sf_dir).collect())
+        assert after == before
+        # nothing left to fold on the second sweep (the entry republished
+        # its tombstone set against the compacted store, which the next
+        # compaction consumes as a no-op rewrite)
+        ivfpq_compact_store(spark, path)
+        assert key(ann_ivfpq_delete_topk(spark, sf_dir).collect()) == before

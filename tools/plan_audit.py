@@ -80,6 +80,7 @@ AUDITS: dict[str, set[str]] = {
     "dedup_edit_distance": set(),
     "kmeans_lloyd_iter": {"bcast", "partial", "bnlj_ok"},
     "ann_ivfpq_append_topk": {"bcast", "bnlj_ok", "global_ok"},
+    "ann_ivfpq_delete_topk": {"bcast", "bnlj_ok", "global_ok"},
     "tfidf_top_terms": {"partial", "bnlj_ok"},
     "text_bigram_counts": {"partial"},
     "sample_stratified_hash": {"partial"},
