@@ -77,6 +77,10 @@ EXTRA_R2 = [
     "dedup_incremental_indexed",
     "minhash_band_stats",
     "weighted_percentile_rollup",
+    # round-6 extension: the IVF-PQ index lifecycle (frozen-codebook
+    # append, tombstoned delete) answered from the persisted store
+    "ann_ivfpq_append_topk",
+    "ann_ivfpq_delete_topk",
 ]
 
 

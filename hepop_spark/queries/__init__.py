@@ -80,6 +80,7 @@ def registry() -> dict[str, QuerySpec]:
         timeseries2,
         udf_surface,
         voip_q,
+        voip_q2,
         tpch_more,
         tpch_more2,
         tpch_more3,
@@ -137,6 +138,7 @@ def registry() -> dict[str, QuerySpec]:
         streaming_q,
         udf_surface,
         voip_q,
+        voip_q2,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

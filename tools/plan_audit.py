@@ -238,6 +238,12 @@ AUDITS: dict[str, set[str]] = {
     "call_duration_log_hist": {"pushdown", "partial", "bcast", "bnlj_ok"},
     "sip_retransmission_rate": {"pushdown", "partial"},
     "capture_seq_gaps": {"pushdown", "partial"},
+    # round-6 VoIP trunk-health batch (voip_q2.py): all windows partitioned
+    # by the bounded trunk key, rollups partial-combine on trunk
+    "rtp_loss_gilbert": {"pushdown", "partial"},
+    "rtcp_xr_burst_gap": {"pushdown", "partial"},
+    "trunk_busy_hour": {"pushdown", "partial"},
+    "trunk_peak_concurrency": {"pushdown", "partial"},
     # round-3 SQL-surface batch (analytics12.py)
     "agg_modern_funcs": {"partial"},
     "hierarchy_rollup_tree": {"partial"},

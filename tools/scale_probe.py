@@ -139,6 +139,11 @@ def main() -> int:
             # replication makes EVERY gram cross-doc-duplicated — the
             # worst-case duplicated-position volume)
             "repeated_span_dedup",
+            # index lifecycle at 20x: cold = base build + batch encode
+            # (append) / full build + tombstone publish (delete); the
+            # warm loop below shows query wall independent of both
+            "ann_ivfpq_append_topk",
+            "ann_ivfpq_delete_topk",
         ]
         timings: dict[str, dict] = {}
         for name in probes:
@@ -166,6 +171,8 @@ def main() -> int:
             ("embedding_decontaminate", "embedding_decontaminate_warm_index"),
             ("dedup_incremental", "dedup_incremental_full_recompute"),
             ("dedup_incremental_indexed", "dedup_incremental_indexed_warm"),
+            ("ann_ivfpq_append_topk", "ann_ivfpq_append_warm_store"),
+            ("ann_ivfpq_delete_topk", "ann_ivfpq_delete_warm_store"),
         ):
             t0 = time.perf_counter()
             n = reg[name].fn(spark, big).count()
