@@ -52,6 +52,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics17,
         analytics18,
         analytics19,
+        analytics20,
         functions_ext,
         functions_ext2,
         functions_ext3,
@@ -108,6 +109,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics17,
         analytics18,
         analytics19,
+        analytics20,
         mining_q,
         timeseries,
         timeseries2,

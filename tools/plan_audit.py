@@ -241,6 +241,11 @@ AUDITS: dict[str, set[str]] = {
     # round-6 VoIP trunk-health batch (voip_q2.py): all windows partitioned
     # by the bounded trunk key, rollups partial-combine on trunk
     "rtp_loss_gilbert": {"pushdown", "partial"},
+    # round-6 preference-eval batch (analytics20.py): bounded 25-model
+    # roster, all rollups partial-combine
+    "pairwise_winrate_matrix": {"partial"},
+    "elo_batch_update": {"partial"},
+    "bradley_terry_mm_iter": {"partial"},
     "rtcp_xr_burst_gap": {"pushdown", "partial"},
     "trunk_busy_hour": {"pushdown", "partial"},
     "trunk_peak_concurrency": {"pushdown", "partial"},
