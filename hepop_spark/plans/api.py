@@ -112,7 +112,11 @@ class HepopQueryAPI:
         self.spark = spark
         self.default_window = default_window
         # JSON-path row ceiling (None = opt out, reference-faithful
-        # unbounded materialization); query_json sets last_truncated
+        # unbounded materialization); query_json RETURNS the truncation
+        # flag per call — the last_* attributes below are debug-only
+        # breadcrumbs and must never be read for correctness: the HTTP
+        # layer is a ThreadingHTTPServer, so concurrent queries would race
+        # on instance state (r06 verdict item 1).
         self.max_rows = max_rows
         self.last_truncated = False
         # serve-mode storage root: when set, tables are discovered FRESH on
@@ -139,22 +143,26 @@ class HepopQueryAPI:
         self.last_sql = q
         return self.spark.sql(q)
 
-    def query_json(self, query: str, now: datetime | None = None) -> list[dict]:
-        """Row dicts, the HTTP layer's JSON payload (hepop.js:1042-1049;
-        BigInt->string there, exact ints here since Python JSON handles
-        64-bit).
+    def query_json(self, query: str,
+                   now: datetime | None = None) -> tuple[list[dict], bool]:
+        """(row dicts, truncated) — the HTTP layer's JSON payload
+        (hepop.js:1042-1049; BigInt->string there, exact ints here since
+        Python JSON handles 64-bit).
 
         At most `max_rows` rows are materialized on the driver: the limit
         is pushed INTO the plan (CollectLimit — executors stop producing
-        once the quota is met), and `last_truncated` reports whether the
-        result was cut so the HTTP layer can answer 413 with truncation
-        metadata instead of OOMing the serve process."""
+        once the quota is met). The truncation flag is part of the RETURN
+        VALUE, not instance state: HepopHttpServer handlers run on
+        concurrent threads, and a shared flag let one thread's complete
+        result mask another's truncated one (200 with silently missing
+        rows — r06 verdict item 1)."""
         df = self.sql(query, now=now)
-        self.last_truncated = False
         if self.max_rows is None:
-            return [r.asDict(recursive=True) for r in df.collect()]
+            self.last_truncated = False
+            return [r.asDict(recursive=True) for r in df.collect()], False
         rows = df.limit(self.max_rows + 1).collect()
-        if len(rows) > self.max_rows:
-            self.last_truncated = True
+        truncated = len(rows) > self.max_rows
+        if truncated:
             rows = rows[: self.max_rows]
-        return [r.asDict(recursive=True) for r in rows]
+        self.last_truncated = truncated  # debug breadcrumb only
+        return [r.asDict(recursive=True) for r in rows], truncated

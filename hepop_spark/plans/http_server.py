@@ -52,11 +52,14 @@ class HepopHttpServer:
 
             def _run_query(self, sql: str):
                 try:
-                    rows = api.query_json(sql)
+                    # truncation arrives WITH the rows — never read
+                    # api.last_truncated here: handlers run concurrently
+                    # (ThreadingHTTPServer) and shared instance state races
+                    rows, truncated = api.query_json(sql)
                 except Exception as e:  # reference: 500 + message (hepop.js:1050-1058)
                     self._send(500, json.dumps({"error": str(e).split("\n")[0]}).encode())
                     return
-                if api.last_truncated:
+                if truncated:
                     # 413 Payload Too Large + the truncated prefix and the
                     # limit, so a client can page down or raise max_rows
                     self._send(413, json.dumps({

@@ -100,7 +100,7 @@ class TestEndToEnd:
 
     def test_loopback_count_avg_shape(self, spark, hep_table):
         api = HepopQueryAPI(spark)
-        out = api.query_json(
+        out, _ = api.query_json(
             "SELECT count() AS count, min(src_port) AS p FROM hep_1 "
             "WHERE time >= '2024-03-01 00:00:00'",
             now=NOW,
@@ -123,7 +123,7 @@ class TestEndToEnd:
 
     def test_groupby_over_virtual_field(self, spark, hep_table):
         api = HepopQueryAPI(spark)
-        out = api.query_json(
+        out, _ = api.query_json(
             "SELECT src_ip, count() AS n FROM hep_1 "
             "WHERE time >= '2024-03-01 00:00:00' GROUP BY src_ip ORDER BY n DESC",
             now=NOW,

@@ -166,12 +166,12 @@ class TestMultiWriterFederation:
             )
             write_partitioned(df, str(data / writer / "dbs" / "gauge"))
         api = HepopQueryAPI(spark, default_window=False, data_dir=str(data))
-        rows = api.query_json("SELECT count() AS n FROM gauge")
+        rows, _ = api.query_json("SELECT count() AS n FROM gauge")
         assert rows == [{"n": 6}]
         # per-writer rows are all present, not shadowed
         ids = {
             r["event_id"]
-            for r in api.query_json("SELECT event_id FROM gauge")
+            for r in api.query_json("SELECT event_id FROM gauge")[0]
         }
         assert ids == {0, 1, 2, 100, 101, 102}
 
@@ -190,7 +190,7 @@ class TestMultiWriterFederation:
         write_partitioned(a.withColumn("timestamp", ts), str(data / "w1" / "dbs" / "m"))
         write_partitioned(b.withColumn("timestamp", ts), str(data / "w2" / "dbs" / "m"))
         api = HepopQueryAPI(spark, default_window=False, data_dir=str(data))
-        rows = api.query_json("SELECT event_id, v, tagged FROM m ORDER BY event_id")
+        rows, _ = api.query_json("SELECT event_id, v, tagged FROM m ORDER BY event_id")
         assert rows == [
             {"event_id": 1, "v": 1.0, "tagged": None},
             {"event_id": 2, "v": None, "tagged": "x"},

@@ -355,15 +355,15 @@ class TestHttpRowLimit:
             "limited_t"
         )
         api = HepopQueryAPI(spark, default_window=False, max_rows=10)
-        rows = api.query_json("SELECT v FROM limited_t ORDER BY v")
-        assert len(rows) == 10 and api.last_truncated is True
-        # under the limit: untouched, flag cleared
-        rows = api.query_json("SELECT v FROM limited_t WHERE v < 5")
-        assert len(rows) == 5 and api.last_truncated is False
+        rows, truncated = api.query_json("SELECT v FROM limited_t ORDER BY v")
+        assert len(rows) == 10 and truncated is True
+        # under the limit: untouched, flag clear
+        rows, truncated = api.query_json("SELECT v FROM limited_t WHERE v < 5")
+        assert len(rows) == 5 and truncated is False
         # opt-out materializes everything (reference-faithful)
         api_all = HepopQueryAPI(spark, default_window=False, max_rows=None)
-        assert len(api_all.query_json("SELECT v FROM limited_t")) == 50
-        assert api_all.last_truncated is False
+        rows, truncated = api_all.query_json("SELECT v FROM limited_t")
+        assert len(rows) == 50 and truncated is False
         spark.catalog.dropTempView("limited_t")
 
     def test_http_413_with_truncation_metadata(self, spark):
