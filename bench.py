@@ -4,8 +4,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Headline set = the scan/join/window/dedup/ANN shapes that dominate a real
-100 TB workload; each is timed to completion (collect) after a warm-up query
-primes the JVM/codegen.
+100 TB workload; each is timed to completion (collect; count for `_stats`
+entries) after a warm-up pass primes the JVM/codegen. The suite runs
+N_RUNS full passes in one invocation and reports medians plus the raw
+pass totals and machine load, so one noisy load window cannot become the
+round's committed record (r06 verdict item 2).
 """
 
 from __future__ import annotations
@@ -84,6 +87,22 @@ EXTRA_R2 = [
 ]
 
 
+N_RUNS = 3  # full timed passes per invocation (r06 verdict item 2)
+
+
+def _measure(reg, spark, sf_dir: str, name: str) -> float:
+    """ONE timing of a registry entry, with a single measurement rule for
+    every pass (warm, timed, regression): `_stats` entries are driven with
+    count() — their headline timings have always been count()-based, and
+    mixing in collect() re-probes biased the regression medians and shipped
+    large results to the driver (r06 ADVICE, bench.py:187)."""
+    t0 = time.perf_counter()
+    df = reg[name].fn(spark, sf_dir)
+    n = df.count() if name.endswith("_stats") else len(df.collect())
+    assert n >= 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -91,41 +110,43 @@ def main() -> None:
 
     spark = get_spark("hepop-bench")
     reg = registry()
+    load_start = round(os.getloadavg()[0], 2)
 
     # Warm pass (untimed): primes JVM/JIT, whole-stage-codegen compilation,
-    # and parquet footer caches so the timed pass measures steady-state
-    # execution — the regime that matters at scale — not first-query
-    # compilation overhead.
-    for name in HEADLINE:
-        reg[name].fn(spark, sf_dir).collect()
+    # parquet footer caches, and the persisted index stores so the timed
+    # passes measure steady-state execution — the regime that matters at
+    # scale — not first-query compilation or index-build overhead.
+    for name in HEADLINE + EXTRA_R2:
+        _measure(reg, spark, sf_dir, name)
 
-    timings: dict[str, float] = {}
-    best: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = reg[name].fn(spark, sf_dir)
-        n = df.count() if name.endswith("_stats") else len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
-        # second timed run: the steadier per-query number (run-to-run
-        # noise on this box is ~±10%); the headline total stays the
-        # single-shot pass so round-over-round totals are comparable
-        t0 = time.perf_counter()
-        df = reg[name].fn(spark, sf_dir)
-        n = df.count() if name.endswith("_stats") else len(df.collect())
-        best[name] = round(min(timings[name], time.perf_counter() - t0), 3)
+    # r06 verdict item 2: this box drifts 20-40% between load windows, and
+    # twice a noisy end-of-round re-probe became the recorded truth (r05
+    # 13.17->15.46, r06 14.98->17.49 on identical code). Run the FULL suite
+    # N_RUNS times in ONE invocation; `value` is the MEDIAN of the pass
+    # totals, per-query numbers are per-query medians, and the regression
+    # block diffs median-vs-median — so a single loaded window can no
+    # longer become the committed record.
+    h_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    x_samples: dict[str, list[float]] = {n: [] for n in EXTRA_R2}
+    run_totals: list[float] = []
+    for _ in range(N_RUNS):
+        for name in HEADLINE:
+            h_samples[name].append(_measure(reg, spark, sf_dir, name))
+        run_totals.append(round(sum(v[-1] for v in h_samples.values()), 3))
+        for name in EXTRA_R2:
+            x_samples[name].append(_measure(reg, spark, sf_dir, name))
 
-    # Round-2 flagships, timed SEPARATELY so the 21-query headline total
-    # stays comparable round-over-round (VERDICT r01 item 10).
-    extras: dict[str, float] = {}
-    for name in EXTRA_R2:
-        reg[name].fn(spark, sf_dir).collect()  # warm
-        t0 = time.perf_counter()
-        n = len(reg[name].fn(spark, sf_dir).collect())
-        extras[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+    def _median(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
 
-    total = round(sum(timings.values()), 3)
+    # `queries` carries the per-query MEDIAN from r07 on (r06 and earlier
+    # records hold single-shot values — the one-round delta discontinuity
+    # is in the faster-is-fairer direction and documented here)
+    timings = {n: _median(v) for n, v in h_samples.items()}
+    best = {n: min(v) for n, v in h_samples.items()}
+    extras = {n: _median(v) for n, v in x_samples.items()}
+
+    total = _median(run_totals)
 
     # Round-over-round continuity: diff against the latest BENCH_r{N}.json
     # the driver recorded, so per-query regressions are visible in ONE place
@@ -142,9 +163,15 @@ def main() -> None:
     ingest = _ingest_bench(spark, n_rows=500_000)
 
     out = {
-        "metric": f"headline-query wall time ({len(HEADLINE)} queries)",
+        "metric": f"headline-query wall time ({len(HEADLINE)} queries, "
+                  f"median of {N_RUNS} passes)",
         "value": total,
         "unit": "sec",
+        # all pass totals — the run-to-run band is part of the record, so
+        # the judge can see load drift instead of inferring it
+        "runs": run_totals,
+        "load_avg_1m": {"start": load_start,
+                        "end": round(os.getloadavg()[0], 2)},
         "queries": timings,
         "queries_best": best,
         "best_total": round(sum(best.values()), 3),
@@ -166,37 +193,26 @@ def main() -> None:
         # a regression there must be as visible as a headline one
         out["delta_extras_vs_prev"] = extra_deltas
         # r04 verdict item 2: any >=15% slowdown vs the true previous round
-        # must be impossible to miss — named explicitly, not buried in deltas.
-        # r05 verdict item 2: all four r05 "regressions" were box noise
-        # (code untouched since r03/r04) — before NAMING one, re-run the
-        # offender twice more and compare the MEDIAN of the 3 measurements;
-        # a noise spike on a loaded box doesn't survive the median, a real
-        # regression does.
+        # must be impossible to miss — named explicitly, not buried in
+        # deltas. The per-query numbers are already medians of N_RUNS
+        # same-measurement samples (r06 ADVICE: the old re-probe timed
+        # `_stats` entries with collect() after count()-based originals),
+        # so a named regression here survived the median — no extra
+        # re-probe pass needed or wanted.
         regressions = {}
         for name, d in {**deltas, **extra_deltas}.items():
             # membership test, not `or`: a legitimate 0.0 timing is falsy
             # and would fall through to extras.get(name) -> None -> TypeError
-            single = timings[name] if name in timings else extras[name]
-            prev_sec = single - d
+            med = timings[name] if name in timings else extras[name]
+            prev_sec = med - d
             if not (prev_sec > 0 and d >= 0.15 * prev_sec and d >= 0.1):
                 continue
-            samples = [single]
-            for _ in range(2):
-                t0 = time.perf_counter()
-                reg[name].fn(spark, sf_dir).collect()
-                samples.append(round(time.perf_counter() - t0, 3))
-            med = sorted(samples)[1]
-            entry = {
+            regressions[name] = {
                 "prev": round(prev_sec, 3),
-                "now_single": round(single, 3),
-                "now_median3": med,
-                "samples": samples,
+                "now_median": med,
+                "samples": h_samples.get(name) or x_samples[name],
+                "pct": round(100.0 * d / prev_sec, 1),
             }
-            if med - prev_sec >= 0.15 * prev_sec and med - prev_sec >= 0.1:
-                entry["pct"] = round(100.0 * (med - prev_sec) / prev_sec, 1)
-                regressions[name] = entry
-            else:
-                out.setdefault("noise_suspects_cleared", {})[name] = entry
         out["regressions_ge_15pct"] = regressions
     # r04 verdict item 2: the driver's BENCH_r{N}.json capture can clip the
     # record tail, which silently broke round-over-round deltas (r04 diffed
