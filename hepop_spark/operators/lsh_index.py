@@ -43,7 +43,12 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pq_index import index_base_dir, prune_stale_siblings, source_fingerprint
+from .pq_index import (
+    corpus_tag,
+    index_base_dir,
+    prune_stale_siblings,
+    source_fingerprint,
+)
 from .similarity import _hyperplanes
 
 # bump when the BUCKET SEMANTICS change (plane derivation, sign rule, bit
@@ -61,8 +66,10 @@ def lsh_index_path(sf_dir: str, params: str) -> str:
     embeddings table under the given parameter signature."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = source_fingerprint(src) if os.path.exists(src) else "nosrc"
-    return os.path.join(index_base_dir(),
-                        f"lsh_v{LSH_INDEX_VERSION}_{params}_{key}")
+    return os.path.join(
+        index_base_dir(),
+        f"lsh_v{LSH_INDEX_VERSION}_{params}_c{corpus_tag(sf_dir)}_{key}",
+    )
 
 
 def bucket_exprs(vec_col: str, dim: int, k_bits: int,

@@ -32,7 +32,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pq_index import index_base_dir, prune_stale_siblings, source_fingerprint
+from .pq_index import (
+    corpus_tag,
+    index_base_dir,
+    prune_stale_siblings,
+    source_fingerprint,
+)
 
 # bump when the SIGNATURE SEMANTICS change (shingle width, seed keying,
 # band packing): a store built by an older encoder must never answer a
@@ -45,8 +50,10 @@ def minhash_index_path(sf_dir: str, params: str) -> str:
     table under the given parameter signature."""
     src = os.path.join(sf_dir, "documents.parquet")
     key = source_fingerprint(src) if os.path.exists(src) else "nosrc"
-    return os.path.join(index_base_dir(),
-                        f"minhash_v{MINHASH_INDEX_VERSION}_{params}_{key}")
+    return os.path.join(
+        index_base_dir(),
+        f"minhash_v{MINHASH_INDEX_VERSION}_{params}_c{corpus_tag(sf_dir)}_{key}",
+    )
 
 
 def minhash_bands(docs: DataFrame, *, n_seeds: int, band_rows: int,
@@ -161,7 +168,12 @@ def minhash_store_append(
     if os.path.isdir(dest):
         return False
     bands = minhash_bands(docs, n_seeds=n_seeds, band_rows=band_rows)
-    tmp = f"{dest}.tmp.{os.getpid()}"
+    # stage OUTSIDE bands/: a temp dir inside the partition-discovery root
+    # would surface to concurrent minhash_store_bands readers as a phantom
+    # 'batch=<id>.tmp.<pid>' partition, or vanish mid-scan at the rename
+    # (r06 ADVICE, minhash_index:164). `.tmp` is also dot-prefixed, so
+    # Spark's file listing skips it even if a reader roots at the store.
+    tmp = os.path.join(store_path, ".tmp", f"batch={batch_id}.{os.getpid()}")
     try:
         bands.write.mode("overwrite").parquet(tmp)
         os.makedirs(os.path.dirname(dest), exist_ok=True)

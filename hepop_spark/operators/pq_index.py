@@ -97,12 +97,24 @@ def index_base_dir() -> str:
     return base
 
 
+def corpus_tag(sf_dir: str) -> str:
+    """Short stable id of the corpus LOCATION, folded into the index
+    params by every *_index_path. Without it, prune_stale_siblings treats
+    two corpora sharing params (tri-scale sweeps, the 20x scale-probe
+    replicas) as one lineage and each build deletes the other's
+    still-valid index (r06 ADVICE, pq_index:100). Keyed on the absolute
+    path, not the basename — two probe dirs named alike must not
+    collide."""
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:6]
+
+
 def prune_stale_siblings(path: str) -> None:
-    """Drop cached indexes for the SAME params but a DIFFERENT source
-    fingerprint — they can never be read again (the fingerprint is part of
-    the lookup key), so without pruning the cache grows without bound as
-    the corpus evolves (r05 ADVICE). In-flight `.tmp.` build dirs are left
-    alone."""
+    """Drop cached indexes for the SAME (params, corpus location) but a
+    DIFFERENT source fingerprint — they can never be read again (the
+    fingerprint is part of the lookup key), so without pruning the cache
+    grows without bound as the corpus evolves (r05 ADVICE). In-flight
+    `.tmp.` build dirs are left alone; other corpora's indexes are a
+    different prefix (corpus_tag) and never touched."""
     base, name = os.path.split(path)
     prefix = name.rsplit("_", 1)[0] + "_"
     try:
@@ -119,8 +131,10 @@ def ivfpq_index_path(sf_dir: str, params: str) -> str:
     table under the given parameter signature."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = source_fingerprint(src) if os.path.exists(src) else "nosrc"
-    return os.path.join(index_base_dir(),
-                        f"ivfpq_v{PQ_INDEX_VERSION}_{params}_{key}")
+    return os.path.join(
+        index_base_dir(),
+        f"ivfpq_v{PQ_INDEX_VERSION}_{params}_c{corpus_tag(sf_dir)}_{key}",
+    )
 
 
 def build_ivfpq_index(
@@ -354,8 +368,38 @@ def ivfpq_compact_store(spark: SparkSession, path: str) -> bool:
         shutil.rmtree(trash, ignore_errors=True)
         return True
     except OSError:
-        shutil.rmtree(new_dir, ignore_errors=True)
-        return False
+        # Crash-safe unwind (r06 ADVICE, pq_index:356): a failure after
+        # segments were retired into trash must not delete new_dir — at
+        # that point it may be the only complete copy. Restore retired
+        # segments first; only then is dropping the temp copy safe.
+        try:
+            if os.path.isdir(trash):
+                for e in os.listdir(trash):
+                    dst = os.path.join(path, e)
+                    if not os.path.exists(dst):
+                        os.rename(os.path.join(trash, e), dst)
+                os.rmdir(trash)
+        except OSError:
+            pass
+        if os.path.isdir(os.path.join(path, "codes")):
+            shutil.rmtree(new_dir, ignore_errors=True)
+            return False
+        # restore failed AND no live codes/: promote the complete new copy
+        # rather than leave the store unreadable (_read_code_store -> None).
+        # Its content already folds in every appended segment and tombstone,
+        # so any stragglers that escaped retirement must go — a surviving
+        # codes_<batch>/ would double-count its rows in the union scan.
+        try:
+            os.rename(new_dir, os.path.join(path, "codes"))
+        except OSError:
+            # last resort: leave new_dir on disk for manual recovery —
+            # never delete the only complete copy
+            return False
+        for e in os.listdir(path):
+            if (e.startswith("codes_") or e.startswith("tombstones_")) \
+                    and ".tmp." not in e and ".trash." not in e:
+                shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+        return True
 
 
 def _read_code_store(spark: SparkSession, path: str) -> DataFrame:

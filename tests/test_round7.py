@@ -75,3 +75,150 @@ class TestTruncationRace:
             srv.stop()
             spark.catalog.dropTempView("race_big_t")
             spark.catalog.dropTempView("race_small_t")
+
+
+def _vecs(spark, n=40, dim=64, id_col="c_id", vec_col="cv"):
+    return spark.range(n).select(
+        F.col("id").alias(id_col),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            "j -> cast(sin(id * 7 + j) as double))"
+        ).alias(vec_col),
+    )
+
+
+class TestIndexStoreHygiene:
+    def test_prune_keeps_other_corpus_index(self, spark, tmp_path, monkeypatch):
+        """r06 ADVICE: two corpora sharing params must be separate prune
+        lineages — rebuilding one (new fingerprint) must not delete the
+        other's still-valid index."""
+        import os
+
+        from hepop_spark.operators.pq_index import (
+            ivfpq_index_path,
+            prune_stale_siblings,
+        )
+
+        monkeypatch.setenv("HEPOP_SPARK_INDEX_DIR", str(tmp_path / "idx"))
+        corp_a, corp_b = tmp_path / "sfA", tmp_path / "sfB"
+        for c in (corp_a, corp_b):
+            c.mkdir()
+            (c / "embeddings.parquet").write_bytes(b"v1")
+        pa1 = ivfpq_index_path(str(corp_a), "m8k64c16")
+        pb = ivfpq_index_path(str(corp_b), "m8k64c16")
+        os.makedirs(pa1)
+        os.makedirs(pb)
+        # corpus A evolves: new fingerprint, new path; prune after publish
+        (corp_a / "embeddings.parquet").write_bytes(b"v2-longer")
+        pa2 = ivfpq_index_path(str(corp_a), "m8k64c16")
+        assert pa2 != pa1
+        os.makedirs(pa2)
+        prune_stale_siblings(pa2)
+        assert not os.path.isdir(pa1)  # stale sibling of the SAME corpus
+        assert os.path.isdir(pb)       # other corpus untouched
+        assert os.path.isdir(pa2)
+
+    def test_compact_failure_restores_store(self, spark, tmp_path, monkeypatch):
+        """r06 ADVICE: a failure at the final swap must leave the store
+        readable — retired segments restored from trash, the temp copy
+        never deleted while it is the only complete one."""
+        import os
+
+        from hepop_spark.operators import pq_index
+        from hepop_spark.operators.pq_index import (
+            _read_code_store,
+            build_ivfpq_index,
+            ivfpq_compact_store,
+            ivfpq_delete_ids,
+        )
+
+        path = str(tmp_path / "ivfpq")
+        corpus = _vecs(spark, n=40)
+        assert build_ivfpq_index(
+            spark, corpus, path, n_cells=4, m_sub=8, sub=8, k_codes=16
+        ) is True
+        ids = spark.range(5).select(F.col("id").alias("c_id"))
+        assert ivfpq_delete_ids(spark, ids, path, batch_id="d1") is True
+        before = {
+            r.c_id for r in _read_code_store(spark, path).collect()
+        }
+
+        real_rename = os.rename
+
+        def failing_rename(src, dst):
+            # fail exactly the final publish swap (tmp copy -> codes/)
+            if os.path.basename(dst) == "codes" and ".tmp." in src:
+                raise OSError("injected swap failure")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(pq_index.os, "rename", failing_rename)
+        assert ivfpq_compact_store(spark, path) is False
+        monkeypatch.setattr(pq_index.os, "rename", real_rename)
+
+        # store is fully readable: same code rows, tombstones restored
+        assert {
+            r.c_id for r in _read_code_store(spark, path).collect()
+        } == before
+        assert any(e.startswith("tombstones_") for e in os.listdir(path))
+        # and a later, healthy compaction still completes
+        assert ivfpq_compact_store(spark, path) is True
+        assert not any(e.startswith("tombstones_") for e in os.listdir(path))
+        assert {
+            r.c_id for r in _read_code_store(spark, path).collect()
+        } == before - set(range(5))
+
+    def test_minhash_append_stages_outside_bands(self, spark, tmp_path,
+                                                 monkeypatch):
+        """r06 ADVICE: the temp write must never live under bands/ where
+        partition discovery sees it as a phantom batch; and a failed
+        publish leaves the store clean."""
+        import os
+
+        from hepop_spark.operators import minhash_index
+        from hepop_spark.operators.minhash_index import (
+            minhash_store_append,
+            minhash_store_bands,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma doc {i} tail words") for i in range(4)],
+            "doc_id long, text string",
+        )
+        store = str(tmp_path / "store")
+        renames: list[tuple[str, str]] = []
+        real_rename = os.rename
+
+        def recording_rename(src, dst):
+            renames.append((src, dst))
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(minhash_index.os, "rename", recording_rename)
+        assert minhash_store_append(
+            spark, docs.filter(F.col("doc_id") < 2), store, "b0"
+        ) is True
+        publish = [(s, d) for s, d in renames if d.endswith("batch=b0")]
+        assert publish and all(
+            os.sep + ".tmp" + os.sep in s for s, _ in publish
+        ), publish
+
+        # inject a publish failure: bands/ must hold no phantom batch dir
+        def failing_rename(src, dst):
+            if "batch=b1" in dst:
+                raise OSError("injected publish failure")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(minhash_index.os, "rename", failing_rename)
+        assert minhash_store_append(
+            spark, docs.filter(F.col("doc_id") >= 2), store, "b1"
+        ) is False
+        monkeypatch.setattr(minhash_index.os, "rename", real_rename)
+        listed = os.listdir(os.path.join(store, "bands"))
+        assert listed == ["batch=b0"], listed
+        # the reader sees only published batches, and a retried publish lands
+        assert {r.doc_id for r in minhash_store_bands(spark, store).collect()} \
+            == {0, 1}
+        assert minhash_store_append(
+            spark, docs.filter(F.col("doc_id") >= 2), store, "b1"
+        ) is True
+        assert {r.doc_id for r in minhash_store_bands(spark, store).collect()} \
+            == {0, 1, 2, 3}
