@@ -71,6 +71,7 @@ def registry() -> dict[str, QuerySpec]:
         llm11,
         llm12,
         llm13,
+        llm14,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -126,6 +127,7 @@ def registry() -> dict[str, QuerySpec]:
         llm11,
         llm12,
         llm13,
+        llm14,
         functions_ext,
         functions_ext2,
         functions_ext3,

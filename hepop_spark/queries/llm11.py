@@ -131,6 +131,65 @@ from .llm import (  # noqa: E402  (shared constants keep the oracle in sync)
 MINHASH_IDX_PARAMS = f"s{MINHASH_SEEDS}r{MINHASH_BAND_ROWS}g3idx"
 
 
+def _exact_best_match(docs: DataFrame, pairs: DataFrame,
+                      a_col: str, b_col: str) -> DataFrame:
+    """Candidate verification shared by every band-store dedup entry:
+    exact trigram Jaccard over candidate docs ONLY (semi-join bounds the
+    text re-read to the candidate id set), thresholded, best match per
+    `a_col` with the deterministic (jaccard DESC, b) tie-break. Returns
+    (a_col, b_col, jaccard)."""
+    cand_docs = (
+        pairs.select(F.col(a_col).alias("doc_id"))
+        .union(pairs.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    with_t = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi").withColumn(
+        "t", F.split("text", " ")
+    )
+    shingles = (
+        with_t.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col("doc_id").alias(a_col), "sh")
+    sb = shingles.select(F.col("doc_id").alias(b_col), "sh")
+    inter = (
+        pairs.join(sa, a_col)
+        # the shingle value rides IN the join key (r04 rule: post-filtering
+        # equality would materialize |A| x |B| rows per pair)
+        .join(sb, [b_col, "sh"])
+        .groupBy(a_col, b_col)
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias(a_col), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias(b_col), F.col("n").alias("nb_n"))
+    jac = F.round(
+        F.col("inter").cast("double") / (F.col("na") + F.col("nb_n") - F.col("inter")),
+        4,
+    )
+    scored = (
+        inter.join(ca, a_col)
+        .join(cb, b_col)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy(a_col).orderBy(F.col("jaccard").desc(), F.col(b_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(a_col, b_col, "jaccard")
+    )
+
+
 def _index_side_bands(spark: SparkSession, sf: str) -> DataFrame:
     """Build-if-stale + scan of the persisted index-side band table (the
     doc_id % 10 != 0 majority that a nightly pipeline signs once and keeps)."""
@@ -189,63 +248,11 @@ def dedup_incremental_indexed(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification touches candidate docs only: semi-join the corpus
-    # text to the candidate id set, THEN take distinct shingle sets
+    # exact verification touches candidate docs only (shared helper)
     corpus = batch.unionAll(
         docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
     )
-    cand_docs = (
-        candidates.select(F.col("batch_doc").alias("doc_id"))
-        .union(candidates.select(F.col("index_doc").alias("doc_id")))
-        .distinct()
-    )
-    with_t = corpus.join(F.broadcast(cand_docs), "doc_id", "left_semi").withColumn(
-        "t", F.split("text", " ")
-    )
-    shingles = (
-        with_t.filter(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 3), "
-                    "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
-    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col("doc_id").alias("batch_doc"), "sh")
-    sb = shingles.select(F.col("doc_id").alias("index_doc"), "sh")
-    inter = (
-        candidates.join(sa, "batch_doc")
-        # the shingle value rides IN the join key (r04 rule: post-filtering
-        # equality would materialize |A| x |B| rows per pair)
-        .join(sb, ["index_doc", "sh"])
-        .groupBy("batch_doc", "index_doc")
-        .agg(F.count("*").alias("inter"))
-    )
-    ca = counts.select(F.col("doc_id").alias("batch_doc"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("index_doc"), F.col("n").alias("nb_n"))
-    jac = F.round(
-        F.col("inter").cast("double") / (F.col("na") + F.col("nb_n") - F.col("inter")),
-        4,
-    )
-    scored = (
-        inter.join(ca, "batch_doc")
-        .join(cb, "index_doc")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
-    w = Window.partitionBy("batch_doc").orderBy(
-        F.col("jaccard").desc(), F.col("index_doc")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("batch_doc", "index_doc", "jaccard")
-    )
+    return _exact_best_match(corpus, candidates, "batch_doc", "index_doc")
 
 
 # ---------------------------------------------------------------------------
@@ -395,56 +402,10 @@ def dedup_streaming_accumulate(spark: SparkSession, sf: str) -> DataFrame:
                 n_seeds=MINHASH_SEEDS, band_rows=MINHASH_BAND_ROWS,
             )
         # exact verification once, over the accumulated candidate set —
-        # text is re-read only for candidate docs
-        cand_docs = (
-            pairs.select(F.col("new_doc").alias("doc_id"))
-            .union(pairs.select(F.col("old_doc").alias("doc_id")))
-            .distinct()
-        )
-        with_t = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi").withColumn(
-            "t", F.split("text", " ")
-        )
-        shingles = (
-            with_t.filter(F.size("t") >= 3)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(t) - 3), "
-                        "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
-                    )
-                ).alias("sh"),
-            )
-            .distinct()
-        )
-        counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-        sa = shingles.select(F.col("doc_id").alias("new_doc"), "sh")
-        sb = shingles.select(F.col("doc_id").alias("old_doc"), "sh")
-        inter = (
-            pairs.join(sa, "new_doc")
-            .join(sb, ["old_doc", "sh"])
-            .groupBy("new_doc", "old_doc")
-            .agg(F.count("*").alias("inter"))
-        )
-        ca = counts.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na"))
-        cb = counts.select(F.col("doc_id").alias("old_doc"), F.col("n").alias("nb_n"))
-        jac = F.round(
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb_n") - F.col("inter")),
-            4,
-        )
-        scored = (
-            inter.join(ca, "new_doc")
-            .join(cb, "old_doc")
-            .withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        )
-        w = Window.partitionBy("new_doc").orderBy(
-            F.col("jaccard").desc(), F.col("old_doc")
-        )
+        # text is re-read only for candidate docs (shared helper)
         rows = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
+            _exact_best_match(docs.select("doc_id", "text"), pairs,
+                              "new_doc", "old_doc")
             .select(
                 "new_doc",
                 "old_doc",
@@ -462,7 +423,12 @@ def dedup_streaming_accumulate(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
-def _stream_accum_sql() -> str:
+def _stream_accum_sql(n_batches: int = STREAM_BATCHES) -> str:
+    """Oracle for a batched dedup over batch = doc_id % n_batches with
+    candidates restricted to batch(new) > batch(old). Parameterized so the
+    streaming-maintenance replay entry (llm14) derives ITS oracle from the
+    same generator — incremental and from-scratch replay cannot
+    desynchronize (the llm13 derive-by-one-substitution discipline)."""
     minhashes = ", ".join(
         f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(MINHASH_SEEDS)
     )
@@ -490,7 +456,7 @@ cand AS (
   SELECT DISTINCT nb.doc_id AS new_doc, ib.doc_id AS old_doc
   FROM bands nb JOIN bands ib
     ON nb.band = ib.band AND nb.bkey = ib.bkey
-   AND nb.doc_id % {STREAM_BATCHES} > ib.doc_id % {STREAM_BATCHES}
+   AND nb.doc_id % {n_batches} > ib.doc_id % {n_batches}
 ),
 counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
@@ -509,7 +475,7 @@ scored AS (
   WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) >= {JACCARD_THRESHOLD}
 )
 SELECT new_doc, old_doc,
-       CAST(old_doc % {STREAM_BATCHES} AS BIGINT) AS match_batch, jaccard
+       CAST(old_doc % {n_batches} AS BIGINT) AS match_batch, jaccard
 FROM (
   SELECT new_doc, old_doc, jaccard,
          row_number() OVER (PARTITION BY new_doc

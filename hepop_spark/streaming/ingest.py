@@ -112,7 +112,8 @@ def read_lp_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
 
 def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
             processing_time: str | None = FLUSH_INTERVAL,
-            schema_evolution: bool = False):
+            schema_evolution: bool = False,
+            index_hooks: list | None = None):
     """Write each measurement's rows under `{base}/{measurement}/` with the
     date/bucket partition layout and TYPED field columns frozen from the
     first row ever seen for that measurement (reference addLineProtocolBulk,
@@ -123,7 +124,13 @@ def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
     measurement gaining a field mid-stream gets the new column appended to
     its registry schema (type from the field's first observed value) and
     subsequent files carry it; read back with mergeSchema (read_measurement)
-    for the union view. Default False = exact reference semantics."""
+    for the union view. Default False = exact reference semantics.
+
+    ``index_hooks`` (streaming/index_maint.py) run per measurement AFTER
+    its parquet append, on the same typed batch rows — how the persisted
+    dedup/ANN stores stay fresh under live ingest instead of going stale
+    until a manual rebuild. Hooks are idempotent per batch id, matching
+    foreachBatch's at-least-once redelivery."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         # blank lines parse to an empty measurement — the reference filters
@@ -159,6 +166,8 @@ def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
                 "timestamp", F.coalesce(F.col("timestamp"), F.current_timestamp())
             )
             write_partitioned(rows, f"{base_dir}/{m}")
+            for hook in index_hooks or []:
+                hook(m, rows, batch_id)
         batch.unpersist()
 
     writer = (
@@ -174,16 +183,20 @@ def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
 
 
 def hep_sink(decoded: DataFrame, base_dir: str, checkpoint_dir: str,
-             processing_time: str | None = FLUSH_INTERVAL):
+             processing_time: str | None = FLUSH_INTERVAL,
+             index_hooks: list | None = None):
     """HEP rows (timestamp, rcinfo, payload, type) -> one partitioned table
     per HEP type (`hep_{type}`), mirroring the per-type buffers
-    (hepop.js:134-149)."""
+    (hepop.js:134-149). ``index_hooks`` as in lp_sink, keyed by the
+    `hep_{type}` table name."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         types = [r[0] for r in batch.select("type").distinct().collect()]
         for t in types:
             rows = batch.filter(F.col("type") == t).select("timestamp", "rcinfo", "payload")
             write_partitioned(rows, f"{base_dir}/hep_{t}")
+            for hook in index_hooks or []:
+                hook(f"hep_{t}", rows, batch_id)
 
     writer = (
         decoded.writeStream.foreachBatch(write_batch)

@@ -222,3 +222,65 @@ class TestIndexStoreHygiene:
         ) is True
         assert {r.doc_id for r in minhash_store_bands(spark, store).collect()} \
             == {0, 1, 2, 3}
+
+
+class TestStreamingIndexMaintenance:
+    def test_lp_sink_runs_hooks_per_measurement(self, spark, tmp_path):
+        """Hooks fire once per (measurement, batch) with the TYPED rows,
+        after the parquet append — the generic wiring serve mode uses."""
+        from hepop_spark.streaming.ingest import lp_sink, read_lp_stream
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        (landing / "b.lp").write_text(
+            "cpu,host=a usage=1.5 1709290800000000000\n"
+            "cpu,host=b usage=2.5 1709290860000000000\n"
+            "mem,host=a free=7.0 1709290800000000000\n"
+        )
+        seen: list[tuple[str, int, int]] = []
+
+        def hook(table, rows, batch_id):
+            seen.append((table, int(batch_id), rows.count()))
+
+        q = lp_sink(
+            read_lp_stream(spark, str(landing)),
+            str(tmp_path / "tables"), str(tmp_path / "ckpt"),
+            processing_time=None, index_hooks=[hook],
+        ).start()
+        q.awaitTermination(120)
+        assert sorted(seen) == [("cpu", 0, 2), ("mem", 0, 1)]
+        # the hook ran after the append: the table is on disk
+        assert (tmp_path / "tables" / "cpu").is_dir()
+
+    def test_ivfpq_maintenance_builds_then_appends(self, spark, tmp_path):
+        """First batch trains + publishes the index; later batches land as
+        frozen-codebook append segments; redelivery no-ops."""
+        import os
+
+        from hepop_spark.operators.pq_index import _read_code_store
+        from hepop_spark.streaming.index_maint import ivfpq_maintenance
+
+        path = str(tmp_path / "idx")
+        hook = ivfpq_maintenance(
+            path, table="vecs", id_col="vec_id", vec_col="embedding",
+            n_cells=4, m_sub=8, sub=8, k_codes=16,
+        )
+        b0 = _vecs(spark, n=20, id_col="vec_id", vec_col="embedding")
+        b1 = spark.range(20, 30).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), "
+                "j -> cast(sin(id * 7 + j) as double))"
+            ).alias("embedding"),
+        )
+        hook("other_table", b0, 0)
+        assert not os.path.isdir(path)  # keyed to its table only
+        hook("vecs", b0, 0)
+        assert os.path.isdir(os.path.join(path, "codes"))
+        hook("vecs", b1, 1)
+        assert os.path.isdir(os.path.join(path, "codes_b1"))
+        ids = {r.c_id for r in _read_code_store(spark, path).collect()}
+        assert ids == set(range(30))
+        # redelivered batch id: no duplicate rows
+        hook("vecs", b1, 1)
+        assert _read_code_store(spark, path).count() == 30

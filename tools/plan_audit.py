@@ -113,6 +113,8 @@ AUDITS: dict[str, set[str]] = {
     # micro-batched loop materializes its bounded result (like
     # dedup_incremental): the audited plan is the pinned local result
     "dedup_streaming_accumulate": set(),
+    # real streaming sink + maintenance hook; same pinned-result shape
+    "streaming_index_maintain_replay": set(),
     "embedding_quantize_int8": {"partial"},
     # UDF surface: grouped pandas agg IS the (allowed) Arrow stage
     "grouped_mad_pandas": {"arrow_ok"},
