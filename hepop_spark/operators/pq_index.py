@@ -53,17 +53,30 @@ def _norm2(c: str):
 def source_fingerprint(*paths: str) -> str:
     """Deterministic digest of the source files' (relpath, size, mtime):
     the index-freshness key. File state IS the ground truth — same policy
-    as the storage layer's listing-based metadata (SURVEY A13)."""
+    as the storage layer's listing-based metadata (SURVEY A13).
+
+    Hidden entries ('.'/'_' prefixed) are skipped, mirroring Spark's file
+    index: a compactor's dot-prefixed staging dir is not data and must not
+    flip the fingerprint. Files that vanish mid-walk (another process's
+    compaction swap) are skipped rather than raised — the surviving
+    entries' mtimes already make the fingerprint differ from any stable
+    state, so staleness detection is unaffected."""
     h = hashlib.md5()
     for root in sorted(paths):
         if os.path.isfile(root):
             st = os.stat(root)
             h.update(f"{root}:{st.st_size}:{st.st_mtime_ns}".encode())
             continue
-        for dirp, _dirs, files in sorted(os.walk(root)):
+        for dirp, dirs, files in sorted(os.walk(root)):
+            dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
             for fn in sorted(files):
+                if fn.startswith((".", "_")):
+                    continue
                 p = os.path.join(dirp, fn)
-                st = os.stat(p)
+                try:
+                    st = os.stat(p)
+                except FileNotFoundError:
+                    continue
                 rel = os.path.relpath(p, root)
                 h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]

@@ -49,6 +49,24 @@ _WHERE_RE = re.compile(r"\bWHERE\b", re.IGNORECASE)
 _TAIL_RE = re.compile(r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|WINDOW)\b", re.IGNORECASE)
 
 
+def _is_stale_listing_error(e: Exception) -> bool:
+    """True when the failure smells like files/dirs vanishing between
+    plan-time listing and execution — the signature of reading across
+    another process's compaction swap."""
+    msg = str(e)
+    return any(
+        s in msg
+        for s in (
+            "FileNotFoundException",
+            "PATH_NOT_FOUND",
+            "FILE_NOT_FOUND",
+            "does not exist",
+            "No such file or directory",
+            "REFRESH TABLE",
+        )
+    )
+
+
 def resolve_table(sql: str) -> tuple[str, int | None]:
     """First FROM target (the reference extracts only the first —
     query.js:71-84, a documented mis-planning for multi-table SQL; we
@@ -156,6 +174,29 @@ class HepopQueryAPI:
         concurrent threads, and a shared flag let one thread's complete
         result mask another's truncated one (200 with silently missing
         rows — r06 verdict item 1)."""
+        # Cross-process compaction race (r06 verdict item 4): a plan that
+        # captured a partition's file list before another process's
+        # compaction swap reads after the retired copy was deleted ->
+        # FileNotFound at execution. The swap itself is atomic
+        # (storage/compaction.py RENAME_EXCHANGE + hidden staging dirs),
+        # so a fresh re-discovery sees a complete directory — drop the
+        # view fingerprint and retry. Bounded retries, not one: under a
+        # compaction storm the retry's own plan->execute span can straddle
+        # the NEXT swap. Anything that isn't a vanished-file signature
+        # re-raises immediately.
+        attempts = 4 if self.data_dir is not None else 1
+        for i in range(attempts):
+            try:
+                return self._run_json(query, now)
+            except Exception as e:
+                if i == attempts - 1 or not _is_stale_listing_error(e):
+                    raise
+                table, _ = resolve_table(normalize_count(query))
+                self._view_fingerprints.pop(table, None)
+        raise AssertionError("unreachable")
+
+    def _run_json(self, query: str,
+                  now: datetime | None) -> tuple[list[dict], bool]:
         df = self.sql(query, now=now)
         if self.max_rows is None:
             self.last_truncated = False

@@ -24,12 +24,52 @@ chooses partitions; each rewrite is an independent distributed job.
 
 from __future__ import annotations
 
+import ctypes
 import os
 import shutil
 import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+# --- cross-process reader safety (r06 verdict item 4) ----------------------
+# Serve-mode READERS live in other processes and list partition dirs with
+# Spark's partition discovery while this process compacts. Two rules keep
+# them safe without any reader-side coordination:
+#  1. staging and trash directories are DOT-PREFIXED: Spark's file index
+#     filters names starting with '.' or '_' at every listing level, so a
+#     mid-write temp or a not-yet-deleted old copy can never surface as a
+#     phantom `bucket=...` partition (double-read);
+#  2. the live/new swap is ONE atomic renameat2(RENAME_EXCHANGE) where the
+#     platform provides it, so there is no instant at which the partition
+#     directory is missing; the two-rename fallback leaves only a
+#     microsecond window, and the serve query path retries once on
+#     missing-file (plans that captured the old file list get one fresh
+#     re-discovery instead of an error).
+
+_AT_FDCWD = -100
+_RENAME_EXCHANGE = 2
+
+
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically swap two directories (Linux renameat2 RENAME_EXCHANGE).
+    Returns False when unsupported — callers fall back to rename+rename."""
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        r = libc.renameat2(
+            _AT_FDCWD, os.fsencode(a), _AT_FDCWD, os.fsencode(b),
+            _RENAME_EXCHANGE,
+        )
+        return r == 0
+    except (AttributeError, OSError):
+        return False
+
+
+def _hidden_sibling(path: str, tag: str) -> str:
+    """A dot-prefixed sibling name: invisible to Spark partition discovery
+    and to list_partitions, same filesystem (rename stays atomic)."""
+    parent, leaf = os.path.split(path)
+    return os.path.join(parent, f".{leaf}.{tag}_{uuid.uuid4().hex[:8]}")
 
 
 def list_partitions(base_path: str) -> list[str]:
@@ -74,7 +114,7 @@ def compact_partition(spark: SparkSession, base_path: str, rel: str,
         if len(files) <= target_files:
             return 0
 
-        tmp = full + f".__compact_tmp_{uuid.uuid4().hex[:8]}"
+        tmp = _hidden_sibling(full, "compact_tmp")
         (
             spark.read.parquet(full)
             .sortWithinPartitions("timestamp")
@@ -82,11 +122,16 @@ def compact_partition(spark: SparkSession, base_path: str, rel: str,
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        # atomic-ish swap (same filesystem): old -> trash, tmp -> live,
-        # rm trash
-        trash = full + ".__old"
-        os.rename(full, trash)
-        os.rename(tmp, full)
+        # swap: atomic exchange where the platform has it (no missing-dir
+        # instant for cross-process readers); else old -> hidden trash,
+        # tmp -> live. Either way the retired copy sits in a dot-prefixed
+        # dir Spark never lists, then is deleted.
+        if _exchange_dirs(full, tmp):
+            trash = tmp  # tmp now holds the OLD files
+        else:
+            trash = _hidden_sibling(full, "old")
+            os.rename(full, trash)
+            os.rename(tmp, full)
         shutil.rmtree(trash)
         # drop _SUCCESS markers so partition listing stays clean
         for marker in ("_SUCCESS",):
@@ -142,7 +187,8 @@ def compact_ladder(spark: SparkSession, base_path: str, level: str = "hour",
         if len(sources) < min_sources:
             continue  # not enough small partitions yet (reference ages raws)
         full_sources = [os.path.join(base_path, s) for s in sources]
-        tmp = os.path.join(base_path, target) + f".__ladder_tmp_{uuid.uuid4().hex[:8]}"
+        full_target = os.path.join(base_path, target)
+        tmp = _hidden_sibling(full_target, "ladder_tmp")
         (
             spark.read.parquet(*full_sources)
             .sortWithinPartitions("timestamp")
@@ -150,11 +196,19 @@ def compact_ladder(spark: SparkSession, base_path: str, level: str = "hour",
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        # swap: remove sources, then publish target
+        # swap, reader-safe: retire every source into a hidden sibling
+        # (fast renames — Spark never lists dot-dirs), publish the target,
+        # THEN delete the retired copies. The rows-missing window is the
+        # rename span, not a full rmtree of data.
+        trashes = []
         for s in full_sources:
-            shutil.rmtree(s)
-        os.makedirs(os.path.dirname(os.path.join(base_path, target)), exist_ok=True)
-        os.rename(tmp, os.path.join(base_path, target))
+            t = _hidden_sibling(s, "ladder_old")
+            os.rename(s, t)
+            trashes.append(t)
+        os.makedirs(os.path.dirname(full_target), exist_ok=True)
+        os.rename(tmp, full_target)
+        for t in trashes:
+            shutil.rmtree(t)
         marker = os.path.join(base_path, target, "_SUCCESS")
         if os.path.exists(marker):
             os.remove(marker)

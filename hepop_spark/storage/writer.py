@@ -31,8 +31,12 @@ from pyspark.sql import functions as F
 # query.js:24-33), and its compactor runs in the same process
 # (hepop.js:440-450 — the reference's is the same event loop, so it cannot
 # race itself; a multi-threaded engine must add the lock the JS model got
-# for free). Cross-process READERS are lock-free and may transiently see a
-# mid-swap partition (retry); they can never see loss or duplication.
+# for free). Cross-process READERS are lock-free and safe by construction:
+# compaction stages and retires in dot-prefixed dirs Spark never lists and
+# swaps with an atomic RENAME_EXCHANGE (storage/compaction.py), so a
+# listing can never see a missing or doubled partition; a plan that
+# captured the pre-swap file list gets one fresh retry in the serve path
+# (plans/api.py) — proven by the two-process soak in tests/test_round7.py.
 # At cluster scale the same mutual exclusion is what a manifest-based table
 # format (snapshot isolation) provides; the lock is its single-writer
 # degenerate case.

@@ -224,6 +224,111 @@ class TestIndexStoreHygiene:
             == {0, 1, 2, 3}
 
 
+_READER_SCRIPT = r"""
+import sys, os, time
+sys.path.insert(0, "/root/repo")
+data_dir, out_path, stop_path = sys.argv[1], sys.argv[2], sys.argv[3]
+from hepop_spark.session import get_spark
+from hepop_spark.plans.api import HepopQueryAPI
+
+spark = get_spark("race-reader", shuffle_partitions=4)
+api = HepopQueryAPI(spark, default_window=False, data_dir=data_dir)
+with open(out_path, "w") as out:
+    out.write("ready\n"); out.flush()
+    while not os.path.exists(stop_path):
+        try:
+            rows, _ = api.query_json("SELECT count() AS n FROM soak")
+            out.write(f"{rows[0]['n']}\n")
+        except Exception as e:
+            out.write("ERR " + str(e).replace(chr(10), " | ")[:600] + "\n")
+        out.flush()
+    # one final read after the writer finished
+    rows, _ = api.query_json("SELECT count() AS n FROM soak")
+    out.write(f"FINAL {rows[0]['n']}\n"); out.flush()
+spark.stop()
+"""
+
+
+class TestCrossProcessCompactionRace:
+    def test_reader_process_never_sees_loss_or_duplication(
+            self, spark, tmp_path):
+        """r06 verdict item 4: a reader in ANOTHER process (own
+        SparkSession, serve-path discovery + query) hammers a table while
+        this process appends and compacts it. With hidden staging/trash
+        dirs + the RENAME_EXCHANGE swap + the serve retry-once, the
+        reader must never error, and its observed counts must be
+        NONDECREASING (a double-read of a retired copy would overshoot
+        then fall back; a lost partition would dip) and end at the exact
+        final total."""
+        import subprocess
+        import sys
+        import time
+
+        from hepop_spark.storage.compaction import compact, partition_files
+        from hepop_spark.storage.writer import write_partitioned
+
+        data = tmp_path / "data"
+        base = data / "w1" / "dbs" / "soak"
+        # seed the table so discovery finds it before the reader boots
+        ts = F.lit("2024-03-01 10:00:00").cast("timestamp")
+        write_partitioned(
+            spark.range(10).select(F.col("id").alias("v"),
+                                   ts.alias("timestamp")),
+            str(base),
+        )
+        script = tmp_path / "reader.py"
+        out_path = tmp_path / "counts.txt"
+        stop_path = tmp_path / "stop"
+        script.write_text(_READER_SCRIPT)
+        proc = subprocess.Popen(
+            [sys.executable, str(script), str(data), str(out_path),
+             str(stop_path)],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if out_path.exists() and "ready" in out_path.read_text():
+                    break
+                time.sleep(0.5)
+            else:
+                raise AssertionError("reader process never became ready")
+
+            rounds = 12
+            for i in range(rounds):
+                write_partitioned(
+                    spark.range(i * 10 + 10, i * 10 + 20).select(
+                        F.col("id").alias("v"), ts.alias("timestamp")),
+                    str(base),
+                )
+                compact(spark, str(base))
+                # a sweep CADENCE, not a back-to-back storm: serve mode
+                # compacts every COMPACT_INTERVAL (60 s default) — zero
+                # gap would mean every reader retry races the next swap
+                time.sleep(0.25)
+            total = (rounds + 1) * 10
+            assert len(partition_files(str(base),
+                                       "date=2024-03-01/bucket=10-00")) == 1
+        finally:
+            stop_path.touch()
+            try:
+                proc.wait(timeout=120)
+            finally:
+                if proc.poll() is None:
+                    proc.kill()
+
+        lines = [ln for ln in out_path.read_text().splitlines() if ln]
+        errs = [ln for ln in lines if ln.startswith("ERR")]
+        assert not errs, errs[:3]
+        counts = [int(ln) for ln in lines if ln.isdigit()]
+        final = [int(ln.split()[1]) for ln in lines if ln.startswith("FINAL")]
+        assert len(counts) >= 5, f"reader too slow, only {len(counts)} reads"
+        assert counts == sorted(counts), "non-monotonic counts: " + str(
+            [c for a, c in zip(counts, counts[1:]) if c < a][:3])
+        assert max(counts) <= total
+        assert final == [total]
+
+
 class TestStreamingIndexMaintenance:
     def test_lp_sink_runs_hooks_per_measurement(self, spark, tmp_path):
         """Hooks fire once per (measurement, batch) with the TYPED rows,
