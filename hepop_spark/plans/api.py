@@ -156,10 +156,22 @@ class HepopQueryAPI:
                 self.spark, self.data_dir, self.last_table, self.last_hep_type,
                 cache=self._view_fingerprints,
             )
-        if self.default_window:
+        if self.default_window and self._view_has_time(self.last_table):
             q = inject_default_window(q, now=now)
         self.last_sql = q
         return self.spark.sql(q)
+
+    def _view_has_time(self, table: str) -> bool:
+        """The reference's default window applies to its event tables,
+        which ALL expose `time` (query.js:110-117). Views without a time
+        column — the maintained rollup projections (catalog._discover_
+        rollup) — take the query as written; injecting a time predicate
+        there would just error. Unresolvable tables fall through to
+        spark.sql for the reference-faithful error."""
+        try:
+            return "time" in self.spark.table(table).columns
+        except Exception:
+            return True
 
     def query_json(self, query: str,
                    now: datetime | None = None) -> tuple[list[dict], bool]:

@@ -400,31 +400,13 @@ def build_cents_rollup(spark: SparkSession, sf: str, path: str) -> bool:
         return os.path.isdir(path)
 
 
-def weighted_percentile_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    """`weighted_percentile_disc` answered from the MATERIALIZED cents
-    rollup — the analytics-side twin of the PQ/LSH/MinHash ingest
-    artifacts. analytics12's round-6 note shows why this split exists:
-    the two-level prefix-sum decomposition LOSES inside one declarative
-    query (three differently-keyed consumers of the same aggregation,
-    re-scanned per branch, 7.5 s vs 0.9 s at 20x) but WINS once the
-    grid is a stored table — each consumer is then a cheap scan of the
-    pre-aggregated artifact, the fine cumulative runs partition-local in
-    the `b` range buckets it was written under, and the only ordered
-    cross-bucket pass covers the ~600-row bucket grid. Same integer
-    arithmetic end to end, so the SAME oracle replays it from raw
-    lineitem — a stale or corrupt rollup cannot pass.
-
-    Scale: query wall is independent of fact-table size (the rollup
-    saturates at the distinct price-cents domain); the rollup rebuild is
-    one map-side-combinable aggregation per corpus version at ingest."""
-    path = _cents_rollup_path(sf)
-    build_cents_rollup(spark, sf, path)
-    import os
-
-    grid = spark.read.parquet(os.path.join(path, "grid")).withColumn(
-        "b", F.expr("cents div 16384")
-    )
-    # offsets across range buckets: tiny ordered window (|flags| x ~600)
+def _percentiles_from_cents_grid(grid: DataFrame) -> DataFrame:
+    """Weighted discrete percentiles from a (l_returnflag, cents, w) grid —
+    the shared query face of the materialized rollup (one-shot artifact)
+    and the streaming-maintained projection. Two-level prefix sum: the
+    fine cumulative runs partition-local in monotonic `b` range buckets;
+    the only ordered cross-bucket pass covers the ~600-row bucket grid."""
+    grid = grid.withColumn("b", F.expr("cents div 16384"))
     woff = (
         Window.partitionBy("l_returnflag")
         .orderBy("b")
@@ -461,6 +443,125 @@ def weighted_percentile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def weighted_percentile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """`weighted_percentile_disc` answered from the MATERIALIZED cents
+    rollup — the analytics-side twin of the PQ/LSH/MinHash ingest
+    artifacts. analytics12's round-6 note shows why this split exists:
+    the two-level prefix-sum decomposition LOSES inside one declarative
+    query (three differently-keyed consumers of the same aggregation,
+    re-scanned per branch, 7.5 s vs 0.9 s at 20x) but WINS once the
+    grid is a stored table — each consumer is then a cheap scan of the
+    pre-aggregated artifact, the fine cumulative runs partition-local in
+    the `b` range buckets it was written under, and the only ordered
+    cross-bucket pass covers the ~600-row bucket grid. Same integer
+    arithmetic end to end, so the SAME oracle replays it from raw
+    lineitem — a stale or corrupt rollup cannot pass.
+
+    Scale: query wall is independent of fact-table size (the rollup
+    saturates at the distinct price-cents domain); the rollup rebuild is
+    one map-side-combinable aggregation per corpus version at ingest."""
+    path = _cents_rollup_path(sf)
+    build_cents_rollup(spark, sf, path)
+    import os
+
+    grid = spark.read.parquet(os.path.join(path, "grid"))
+    return _percentiles_from_cents_grid(grid)
+
+
+# ---------------------------------------------------------------------------
+# weighted_percentile_maintained — the rollup kept fresh FROM THE STREAM
+# ---------------------------------------------------------------------------
+
+MAINT_ROLLUP_BATCHES = 4
+
+
+def _cents_partial(rows: DataFrame) -> DataFrame:
+    """One micro-batch's partial of the cents grid — the sum-monoid
+    partial the projection store merges (same integer arithmetic as
+    build_cents_rollup, so the SAME oracle replays the merged result)."""
+    return (
+        rows.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.round(F.col("l_quantity")).cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def weighted_percentile_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """`weighted_percentile_disc` answered from a rollup MAINTAINED BY THE
+    STREAMING PATH (r06 verdict item 5 generalized): lineitem arrives as
+    MAINT_ROLLUP_BATCHES micro-batches through the real foreachBatch sink
+    (streaming/index_maint.table_sink); the projection_maintenance hook
+    publishes each batch's partial cents grid as an immutable segment
+    (exactly-once under redelivery — idempotent batch dirs), a mid-stream
+    projection_compact folds segments without changing results, and the
+    percentile query reads the merged grid. The oracle replays the
+    identical math from raw lineitem, so a dropped batch, an unfired
+    hook, or a corrupt fold all fail the gate.
+
+    Scale: each hook invocation aggregates ONE batch; every stored
+    segment saturates at the distinct-cents domain, so the merged scan is
+    |grid| x live segments — bounded by compaction cadence, never by
+    ingested rows. Query wall is the rollup twin's: independent of fact
+    size."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..storage.rollup import projection_compact, projection_scan
+    from ..streaming.index_maint import projection_maintenance, table_sink
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="maint_rollup_")
+    landing = os.path.join(root, "landing")
+    store = os.path.join(root, "cents_store")
+    os.makedirs(landing)
+    try:
+        for b in range(MAINT_ROLLUP_BATCHES):
+            staged = os.path.join(root, f"stage{b}")
+            li.filter(F.col("l_orderkey") % MAINT_ROLLUP_BATCHES == b) \
+                .coalesce(1).write.mode("overwrite").parquet(staged)
+            part = next(
+                p for p in os.listdir(staged)
+                if p.endswith(".parquet") and not p.startswith(("_", "."))
+            )
+            os.rename(os.path.join(staged, part),
+                      os.path.join(landing, f"batch{b}.parquet"))
+            shutil.rmtree(staged, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(
+                "l_orderkey long, l_returnflag string, "
+                "l_extendedprice double, l_quantity double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        hook = projection_maintenance(
+            store, table="lineitem", derive=_cents_partial
+        )
+        q = table_sink(
+            stream, os.path.join(root, "tables"), os.path.join(root, "ckpt"),
+            "lineitem", index_hooks=[hook],
+        ).start()
+        q.awaitTermination()
+        # fold the segments mid-lifecycle: results must be invariant
+        projection_compact(spark, store, ["l_returnflag", "cents"], ["w"])
+        grid = projection_scan(spark, store, ["l_returnflag", "cents"], ["w"])
+        rows = _percentiles_from_cents_grid(grid).collect()
+        return spark.createDataFrame(
+            rows,
+            "l_returnflag string, total_weight bigint, p50_cents bigint, "
+            "p90_cents bigint, p99_cents bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sequence_packing_stats": QuerySpec(
         sequence_packing_stats, SEQ_PACKING_SQL,
@@ -483,5 +584,12 @@ QUERIES: dict[str, QuerySpec] = {
         WEIGHTED_PCT_SQL,
         doc="weighted discrete percentiles answered from the materialized "
             "cents rollup (ingest artifact); same oracle as the twin",
+    ),
+    "weighted_percentile_maintained": QuerySpec(
+        weighted_percentile_maintained,
+        WEIGHTED_PCT_SQL,
+        doc="the cents rollup maintained incrementally by the streaming "
+            "sink's projection hook (segment store + mid-stream compaction); "
+            "same oracle as both twins",
     ),
 }

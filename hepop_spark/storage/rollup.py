@@ -120,3 +120,146 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
         "max_v",
         (F.col("sum_v") / F.col("n")).alias("avg_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic maintained aggregate projection (r06 verdict item 5)
+# ---------------------------------------------------------------------------
+#
+# merge_rollup above rewrites the touched partitions in place — fine for the
+# hourly shape, but NOT idempotent under foreachBatch redelivery (a replayed
+# batch double-counts). The projection store below is the generalization
+# that serves any sum-monoid grid (the cents-percentile rollup, per-key
+# token counts, ...) with EXACTLY-ONCE effects through the same contract the
+# MinHash/IVF-PQ stores use: each micro-batch's partial aggregate is
+# published as an immutable `seg_<batch_id>/` directory (hidden-staged,
+# atomic rename, redelivered ids no-op), the read face re-merges segments on
+# scan, and a compaction folds segments into `base/` behind the same
+# reader-safe RENAME_EXCHANGE swap the partition compactor uses. An LSM
+# tree, with sum-monoid merge instead of key shadowing.
+#
+# Scale: every segment saturates at the grid's key domain (it is already
+# aggregated), so scan cost is |grid| x live segments — bounded by the
+# compaction cadence, never by ingested rows.
+
+
+def projection_append(spark: SparkSession, store: str, partial: DataFrame,
+                      batch_id: str,
+                      keys: list[str] | None = None,
+                      sums: list[str] | None = None) -> bool:
+    """Publish one micro-batch's partial aggregate as an immutable
+    segment. No-op (False) when the batch id is already published — safe
+    under foreachBatch redelivery.
+
+    When `keys`/`sums` are given, a `_meta.json` descriptor is written
+    once alongside the segments, making the store SELF-DESCRIBING: the
+    serve catalog (catalog.discover_table) can then register the merged
+    scan as a query table without out-of-band schema knowledge."""
+    import json
+    import shutil
+
+    dest = os.path.join(store, f"seg_{batch_id}")
+    if os.path.isdir(dest):
+        return False
+    tmp = os.path.join(store, ".tmp", f"seg_{batch_id}.{os.getpid()}")
+    try:
+        partial.write.mode("overwrite").parquet(tmp)
+        os.makedirs(store, exist_ok=True)
+        meta = os.path.join(store, "_meta.json")
+        if keys is not None and sums is not None and not os.path.exists(meta):
+            mtmp = meta + f".tmp.{os.getpid()}"
+            with open(mtmp, "w") as fh:
+                json.dump({"keys": list(keys), "sums": list(sums)}, fh)
+            os.rename(mtmp, meta)
+        os.rename(tmp, dest)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.isdir(dest)
+
+
+def _projection_segments(store: str) -> list[str]:
+    segs = []
+    base = os.path.join(store, "base")
+    if os.path.isdir(base):
+        segs.append(base)
+    try:
+        segs += sorted(
+            os.path.join(store, e)
+            for e in os.listdir(store)
+            if e.startswith("seg_")
+        )
+    except OSError:
+        pass
+    return segs
+
+
+def projection_scan(spark: SparkSession, store: str, keys: list[str],
+                    sums: list[str]) -> DataFrame:
+    """The merged projection: base + all published segments, re-summed per
+    key. Returns None-equivalent empty only if the store has no segments;
+    callers that built at least one batch always get the full monoid
+    merge."""
+    segs = _projection_segments(store)
+    df = None
+    for s in segs:
+        part = spark.read.parquet(s)
+        df = part if df is None else df.unionByName(part)
+    if df is None:
+        raise FileNotFoundError(f"empty projection store: {store}")
+    return df.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sums])
+
+
+def projection_meta(store: str) -> dict | None:
+    """The store's self-description ({keys, sums}), or None."""
+    import json
+
+    try:
+        with open(os.path.join(store, "_meta.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def projection_compact(spark: SparkSession, store: str, keys: list[str],
+                       sums: list[str]) -> bool:
+    """Fold all published segments into one `base/` (reader-safe: hidden
+    staging, atomic swap, retired segments restored on failure — the
+    ivfpq_compact_store discipline). Scan results are invariant across the
+    fold; compaction only bounds the live segment count."""
+    import shutil
+    import uuid
+
+    segs = _projection_segments(store)
+    if len(segs) <= 1:
+        return False
+    merged = projection_scan(spark, store, keys, sums)
+    new_dir = os.path.join(store, f".base.tmp.{uuid.uuid4().hex[:8]}")
+    trash = os.path.join(store, f".trash.{uuid.uuid4().hex[:8]}")
+    try:
+        merged.write.mode("overwrite").parquet(new_dir)
+        os.makedirs(trash)
+        for s in segs:
+            os.rename(s, os.path.join(trash, os.path.basename(s)))
+        os.rename(new_dir, os.path.join(store, "base"))
+        shutil.rmtree(trash, ignore_errors=True)
+        return True
+    except OSError:
+        try:
+            if os.path.isdir(trash):
+                for e in os.listdir(trash):
+                    dst = os.path.join(store, e)
+                    if not os.path.exists(dst):
+                        os.rename(os.path.join(trash, e), dst)
+                os.rmdir(trash)
+        except OSError:
+            pass
+        if _projection_segments(store):
+            shutil.rmtree(new_dir, ignore_errors=True)
+            return False
+        # restore failed and nothing live: promote the complete merge
+        try:
+            os.rename(new_dir, os.path.join(store, "base"))
+            return True
+        except OSError:
+            return False

@@ -107,6 +107,43 @@ def ivfpq_maintenance(
     return hook
 
 
+def projection_maintenance(
+    store_path: str,
+    *,
+    table: str,
+    derive: Callable[[DataFrame], DataFrame],
+    keys: list[str] | None = None,
+    sums: list[str] | None = None,
+) -> IndexHook:
+    """Hook that maintains a sum-monoid aggregate projection (a
+    materialized-view grid: the cents-percentile rollup, per-key token
+    counts, ...) from the ingest stream. `derive` maps one micro-batch's
+    typed rows to its partial aggregate (keys + sum columns); the partial
+    is published as an immutable segment
+    (storage/rollup.projection_append), so a redelivered batch id no-ops
+    and the merged read face (projection_scan) equals the from-scratch
+    aggregate of everything ingested — the monoid law the rollup
+    equivalence tests pin. The serve compaction sweep (or any caller) can
+    fold segments with projection_compact without changing results.
+
+    Pass `keys`/`sums` to make the store self-describing (_meta.json): a
+    store published under `{data}/{writer}/rollups/{name}` is then
+    discoverable by the serve catalog and queryable through /query as
+    table `{name}` — the API-layer routing face of the maintained
+    rollup."""
+    from ..storage.rollup import projection_append
+
+    def hook(table_name: str, rows: DataFrame, batch_id: int) -> None:
+        if table_name != table:
+            return
+        projection_append(
+            rows.sparkSession, store_path, derive(rows), f"b{batch_id}",
+            keys=keys, sums=sums,
+        )
+
+    return hook
+
+
 def table_sink(
     rows: DataFrame,
     base_dir: str,

@@ -329,6 +329,125 @@ class TestCrossProcessCompactionRace:
         assert final == [total]
 
 
+class TestProjectionStore:
+    def test_segments_merge_to_direct_aggregate(self, spark, tmp_path):
+        """Monoid law: appending per-batch partials and scanning equals
+        aggregating everything at once; redelivered ids no-op; compaction
+        leaves the scan invariant."""
+        from hepop_spark.storage.rollup import (
+            projection_append,
+            projection_compact,
+            projection_scan,
+        )
+
+        store = str(tmp_path / "store")
+        data = spark.range(100).select(
+            (F.col("id") % 3).alias("k"), (F.col("id") % 7).alias("v")
+        )
+        expected = {
+            (r.k, r.v_sum)
+            for r in data.groupBy("k").agg(F.sum("v").alias("v_sum")).collect()
+        }
+        for b in range(4):
+            part = (
+                data.filter(F.col("id") % 4 == b)
+                .groupBy("k").agg(F.sum("v").alias("v_sum"))
+            )
+            assert projection_append(spark, store, part, f"b{b}") is True
+        # redelivery no-ops (the exactly-once contract)
+        dup = data.groupBy("k").agg(F.sum("v").alias("v_sum"))
+        assert projection_append(spark, store, dup, "b0") is False
+
+        scan = lambda: {  # noqa: E731
+            (r.k, r.v_sum)
+            for r in projection_scan(spark, store, ["k"], ["v_sum"]).collect()
+        }
+        assert scan() == expected
+        assert projection_compact(spark, store, ["k"], ["v_sum"]) is True
+        assert scan() == expected
+        # compacted to one base segment; a further fold is a no-op
+        assert projection_compact(spark, store, ["k"], ["v_sum"]) is False
+        # post-compaction appends keep merging
+        extra = spark.createDataFrame([(0, 1000)], "k long, v_sum long")
+        assert projection_append(spark, store, extra, "b9") is True
+        merged = dict(
+            (r.k, r.v_sum)
+            for r in projection_scan(spark, store, ["k"], ["v_sum"]).collect()
+        )
+        assert merged[0] == dict(expected)[0] + 1000
+
+    def test_compact_failure_keeps_store_readable(self, spark, tmp_path,
+                                                  monkeypatch):
+        import os
+
+        from hepop_spark.storage import rollup
+        from hepop_spark.storage.rollup import (
+            projection_append,
+            projection_compact,
+            projection_scan,
+        )
+
+        store = str(tmp_path / "store")
+        for b in range(2):
+            part = spark.createDataFrame([(b, 10)], "k long, v long")
+            projection_append(spark, store, part, f"b{b}")
+        before = {(r.k, r.v)
+                  for r in projection_scan(spark, store, ["k"], ["v"]).collect()}
+
+        real_rename = os.rename
+
+        def failing_rename(src, dst):
+            if os.path.basename(dst) == "base":
+                raise OSError("injected swap failure")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(rollup.os, "rename", failing_rename)
+        assert projection_compact(spark, store, ["k"], ["v"]) is False
+        monkeypatch.setattr(rollup.os, "rename", real_rename)
+        assert {(r.k, r.v)
+                for r in projection_scan(spark, store, ["k"], ["v"]).collect()} \
+            == before
+        assert projection_compact(spark, store, ["k"], ["v"]) is True
+        assert {(r.k, r.v)
+                for r in projection_scan(spark, store, ["k"], ["v"]).collect()} \
+            == before
+
+
+class TestRollupServeFace:
+    def test_maintained_rollup_queryable_through_serve_api(
+            self, spark, tmp_path):
+        """A self-describing projection store under
+        {data}/{writer}/rollups/{name} registers as table {name}; writers
+        federate by monoid re-merge; the default 10-min window is NOT
+        injected (no time column)."""
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.rollup import projection_append
+
+        data = tmp_path / "data"
+        for w, vals in (("w1", [(0, 5), (1, 7)]), ("w2", [(0, 3), (2, 9)])):
+            store = str(data / w / "rollups" / "metric_rollup")
+            part = spark.createDataFrame(vals, "k long, v_sum long")
+            assert projection_append(
+                spark, store, part, "b0", keys=["k"], sums=["v_sum"]
+            ) is True
+        api = HepopQueryAPI(spark, default_window=True, data_dir=str(data))
+        rows, _ = api.query_json(
+            "SELECT k, v_sum FROM metric_rollup ORDER BY k")
+        assert rows == [
+            {"k": 0, "v_sum": 8},   # federated across writers
+            {"k": 1, "v_sum": 7},
+            {"k": 2, "v_sum": 9},
+        ]
+        # freshness: a new segment is visible on the next query
+        projection_append(
+            spark, str(data / "w1" / "rollups" / "metric_rollup"),
+            spark.createDataFrame([(1, 100)], "k long, v_sum long"), "b1",
+        )
+        rows, _ = api.query_json(
+            "SELECT v_sum FROM metric_rollup WHERE k = 1")
+        assert rows == [{"v_sum": 107}]
+
+
 class TestStreamingIndexMaintenance:
     def test_lp_sink_runs_hooks_per_measurement(self, spark, tmp_path):
         """Hooks fire once per (measurement, batch) with the TYPED rows,

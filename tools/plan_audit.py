@@ -115,6 +115,7 @@ AUDITS: dict[str, set[str]] = {
     "dedup_streaming_accumulate": set(),
     # real streaming sink + maintenance hook; same pinned-result shape
     "streaming_index_maintain_replay": set(),
+    "weighted_percentile_maintained": set(),
     "embedding_quantize_int8": {"partial"},
     # UDF surface: grouped pandas agg IS the (allowed) Arrow stage
     "grouped_mad_pandas": {"arrow_ok"},
