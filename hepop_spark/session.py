@@ -39,12 +39,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce to target-size partitions instead of maximizing
-        # parallelism — fewer, fuller tasks; the recommended production
-        # setting, and it cuts per-stage scheduling overhead locally
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # AQE partition COALESCING is off for the local design point, by
+        # measurement (r07, 3-pass A/B over the 42-query suite at sf0.1):
+        # shuffle.partitions is already pre-sized to the core count, so
+        # every coalesce below it strictly loses parallelism on the
+        # CPU-bound md5/shingle stages — suite median-sum 43.5 s with
+        # coalesce off vs 50.7 s parallelism-first vs 50.0 s size-first,
+        # and pass-total variance collapses from +/-10% to +/-1.5% (the
+        # r05/r06 'flapping' regressions were this knob). On a REAL
+        # cluster, where shuffle.partitions is sized to data volume and
+        # far exceeds cores, coalescing merges genuinely tiny partitions
+        # and should be on: export SPARK_GRAFT_AQE_COALESCE=1 at deploy.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_AQE_COALESCE") == "1" else "false",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # LP tag/field sections with a repeated key follow the reference's
