@@ -132,6 +132,25 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True):
                     continue  # a mid-append listing race; next sweep retries
                 if res:
                     out[t] = res
+        # maintained aggregate projections this writer owns: fold their
+        # per-batch segments into base/ on the same cadence (results are
+        # invariant across the fold; this only bounds the live segment
+        # count under a long ingest stream — storage/rollup.py)
+        from .storage.rollup import projection_compact, projection_meta
+
+        rroot = os.path.join(cfg.data_dir, cfg.writer_id, "rollups")
+        if os.path.isdir(rroot):
+            for r in sorted(os.listdir(rroot)):
+                store = os.path.join(rroot, r)
+                meta = projection_meta(store)
+                if meta is None:
+                    continue
+                try:
+                    if projection_compact(spark, store, meta["keys"],
+                                          meta["sums"]):
+                        out[f"rollups/{r}"] = {"folded": True}
+                except Exception:
+                    continue
         return out
 
     def _compact_loop():

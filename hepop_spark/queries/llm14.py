@@ -130,6 +130,106 @@ def streaming_index_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# streaming_ann_maintain_replay — the ANN twin: IVF-PQ maintained by the
+# streaming sink's hook (train on the first batch, frozen-codebook appends)
+# ---------------------------------------------------------------------------
+
+ANN_MAINT_BATCHES = 4
+
+
+def streaming_ann_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k over an IVF-PQ index MAINTAINED BY THE STREAMING PATH:
+    the corpus arrives as ANN_MAINT_BATCHES micro-batches (one file per
+    trigger); streaming/index_maint.ivfpq_maintenance trains and
+    publishes the index from the FIRST batch, then encodes every later
+    batch with the frozen codebook as append-only code segments (the
+    FAISS train-once/add-forever shape, now driven by foreachBatch
+    instead of a manual lifecycle call — the gap r06 verdict item 3
+    named). The query scans the maintained store and reranks against the
+    full corpus.
+
+    Oracle: the flagship IVF-PQ replay with its codebook sample drawn
+    from the first batch's slice only (one derived substitution, the
+    llm13 discipline) — encode math, ADC fold, shortlist and rerank are
+    expression-for-expression the flagship's, so drift between the
+    hook-maintained index and the from-scratch replay cannot pass.
+
+    Scale: per batch, the hook's work is one encode pass over the batch
+    against broadcast artifacts; the store grows by 8-byte codes. Query
+    cost is the flagship's: partition-pruned code scan + broadcast ADC
+    LUT + bounded exact rerank."""
+    from ..operators.pq_index import ivfpq_topk_from_index
+    from ..streaming.index_maint import ivfpq_maintenance, table_sink
+    from .scale_paths import IVF_CELLS, IVF_NPROBE, IVFPQ_SHORT, PQ_K, PQ_M, PQ_SUB
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    root = tempfile.mkdtemp(prefix="ann_maint_")
+    landing = os.path.join(root, "landing")
+    idx = os.path.join(root, "ivfpq_idx")
+    os.makedirs(landing)
+    try:
+        # batch 0 lands first (sequential writes: the file source orders
+        # by modification time, path as tie-break) — it trains the index
+        for b in range(ANN_MAINT_BATCHES):
+            staged = os.path.join(root, f"stage{b}")
+            corpus.filter(F.col("c_id") % ANN_MAINT_BATCHES == b) \
+                .coalesce(1).write.mode("overwrite").parquet(staged)
+            part = next(
+                p for p in os.listdir(staged)
+                if p.endswith(".parquet") and not p.startswith(("_", "."))
+            )
+            os.rename(os.path.join(staged, part),
+                      os.path.join(landing, f"batch{b}.parquet"))
+            shutil.rmtree(staged, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(f"c_id long, cv {vec_type}")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        hook = ivfpq_maintenance(
+            idx, table="vectors", id_col="c_id", vec_col="cv",
+            n_cells=IVF_CELLS, m_sub=PQ_M, sub=PQ_SUB, k_codes=PQ_K,
+        )
+        q = table_sink(
+            stream, os.path.join(root, "tables"), os.path.join(root, "ckpt"),
+            "vectors", index_hooks=[hook],
+        ).start()
+        q.awaitTermination()
+        rows = ivfpq_topk_from_index(
+            spark, queries, corpus, idx,
+            m_sub=PQ_M, sub=PQ_SUB, nprobe=IVF_NPROBE,
+            shortlist=IVFPQ_SHORT, top_k=5,
+        ).collect()
+        return spark.createDataFrame(
+            rows, "q_id bigint, c_id bigint, sim double, rk bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _stream_ann_sql() -> str:
+    """Derived, not copied (llm13 discipline): the flagship oracle with
+    the codebook sample restricted to the first batch's slice. The assert
+    makes a silent non-substitution a loud import error."""
+    from .scale_paths import IVFPQ_ORACLE_SQL, PQ_K
+
+    samp_from = f"FROM corpus ORDER BY md5(CAST(c_id AS VARCHAR)) LIMIT {PQ_K}"
+    samp_to = (
+        f"FROM corpus WHERE c_id % {ANN_MAINT_BATCHES} = 0 "
+        f"ORDER BY md5(CAST(c_id AS VARCHAR)) LIMIT {PQ_K}"
+    )
+    assert samp_from in IVFPQ_ORACLE_SQL, "flagship oracle changed; re-derive"
+    return IVFPQ_ORACLE_SQL.replace(samp_from, samp_to, 1)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_index_maintain_replay": QuerySpec(
         streaming_index_maintain_replay,
@@ -140,5 +240,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="micro-batched ingest through the real streaming sink with the "
             "MinHash maintenance hook; dedup answered warm from the "
             "maintained store",
+    ),
+    "streaming_ann_maintain_replay": QuerySpec(
+        streaming_ann_maintain_replay,
+        _stream_ann_sql(),
+        doc="IVF-PQ index trained on the first micro-batch and grown by "
+            "frozen-codebook appends from the streaming sink's hook; "
+            "flagship oracle with the codebook sample re-rooted",
     ),
 }

@@ -448,6 +448,54 @@ class TestRollupServeFace:
         assert rows == [{"v_sum": 107}]
 
 
+class TestServeRollupSweep:
+    def test_serve_compaction_folds_rollup_segments(self, spark, tmp_path):
+        """The serve background sweep folds maintained projection stores
+        on the table-compaction cadence; queries through HTTP are
+        invariant across the fold."""
+        import json
+        import urllib.parse
+        import urllib.request
+
+        from hepop_spark.__main__ import serve
+        from hepop_spark.config import ServerConfig
+        from hepop_spark.storage.rollup import (
+            _projection_segments,
+            projection_append,
+        )
+
+        cfg = ServerConfig.from_env(
+            env={"COMPACT_INTERVAL": "3600"},
+            host="127.0.0.1", port=0, http_port=0,
+            data_dir=str(tmp_path / "data"), writer_id="w1",
+        )
+        store = str(tmp_path / "data" / "w1" / "rollups" / "m_hourly")
+        for b in range(3):
+            part = spark.createDataFrame([(b % 2, 10 + b)], "k long, n long")
+            projection_append(spark, store, part, f"b{b}",
+                              keys=["k"], sums=["n"])
+        assert len(_projection_segments(store)) == 3
+        h = serve(cfg, spark=spark, block=False)
+        try:
+            def query():
+                url = (
+                    f"http://127.0.0.1:{h['http_port']}/query?q="
+                    + urllib.parse.quote(
+                        "SELECT k, n FROM m_hourly ORDER BY k")
+                )
+                with urllib.request.urlopen(url, timeout=60) as r:
+                    return json.load(r)
+
+            before = query()
+            assert before == [{"k": 0, "n": 22}, {"k": 1, "n": 11}]
+            swept = h["compact_once"]()
+            assert swept.get("rollups/m_hourly") == {"folded": True}
+            assert len(_projection_segments(store)) == 1
+            assert query() == before
+        finally:
+            h["stop"]()
+
+
 class TestStreamingIndexMaintenance:
     def test_lp_sink_runs_hooks_per_measurement(self, spark, tmp_path):
         """Hooks fire once per (measurement, batch) with the TYPED rows,

@@ -116,6 +116,7 @@ AUDITS: dict[str, set[str]] = {
     # real streaming sink + maintenance hook; same pinned-result shape
     "streaming_index_maintain_replay": set(),
     "weighted_percentile_maintained": set(),
+    "streaming_ann_maintain_replay": set(),
     "embedding_quantize_int8": {"partial"},
     # UDF surface: grouped pandas agg IS the (allowed) Arrow stage
     "grouped_mad_pandas": {"arrow_ok"},
