@@ -496,6 +496,60 @@ class TestServeRollupSweep:
             h["stop"]()
 
 
+class TestLpHourlyRollupEndToEnd:
+    def test_lp_ingest_maintains_hourly_rollup_queryable_via_api(
+            self, spark, tmp_path):
+        """The full serve-mode story: LP lines stream through lp_sink; a
+        projection hook maintains an hourly rollup under
+        {data}/{writer}/rollups/; the query API answers from the rollup
+        table by name — O(hours x keys) rows read, not O(events)."""
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.streaming.index_maint import projection_maintenance
+        from hepop_spark.streaming.ingest import lp_sink, read_lp_stream
+
+        data = tmp_path / "data"
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        # two hours of cpu samples (ns timestamps an hour apart)
+        h0, h1 = 1_709_280_000_000_000_000, 1_709_283_600_000_000_000
+        (landing / "b.lp").write_text("\n".join(
+            [f"cpu,host=h{i % 2} usage={i}.0 {h0 + i * 1_000_000_000}"
+             for i in range(4)]
+            + [f"cpu,host=h{i % 2} usage={i}.0 {h1 + i * 1_000_000_000}"
+               for i in range(2)]
+        ))
+
+        def derive(rows):
+            return (
+                rows.withColumn(
+                    "hour_bucket", F.date_format("timestamp", "yyyy-MM-dd-HH")
+                )
+                .groupBy("hour_bucket")
+                .agg(F.count("*").alias("n"), F.sum("usage").alias("sum_usage"))
+            )
+
+        hook = projection_maintenance(
+            str(data / "w1" / "rollups" / "cpu_hourly"),
+            table="cpu", derive=derive,
+            keys=["hour_bucket"], sums=["n", "sum_usage"],
+        )
+        q = lp_sink(
+            read_lp_stream(spark, str(landing)),
+            str(data / "w1" / "dbs"), str(tmp_path / "ckpt"),
+            processing_time=None, index_hooks=[hook],
+        ).start()
+        q.awaitTermination(120)
+
+        api = HepopQueryAPI(spark, default_window=True, data_dir=str(data))
+        rows, _ = api.query_json(
+            "SELECT hour_bucket, n, sum_usage FROM cpu_hourly "
+            "ORDER BY hour_bucket")
+        assert rows == [
+            {"hour_bucket": "2024-03-01-08", "n": 4, "sum_usage": 6.0},
+            {"hour_bucket": "2024-03-01-09", "n": 2, "sum_usage": 1.0},
+        ]
+
+
 class TestStreamingIndexMaintenance:
     def test_lp_sink_runs_hooks_per_measurement(self, spark, tmp_path):
         """Hooks fire once per (measurement, batch) with the TYPED rows,

@@ -144,6 +144,13 @@ def main() -> int:
             # warm loop below shows query wall independent of both
             "ann_ivfpq_append_topk",
             "ann_ivfpq_delete_topk",
+            # round-7: the streaming-maintenance replays (fresh store per
+            # call by design — each run is the full N-batch ingest + warm
+            # query; hook work must scale with |batch|, store scans with
+            # the saturated grid / code table, never with ingested rows)
+            "streaming_index_maintain_replay",
+            "weighted_percentile_maintained",
+            "streaming_ann_maintain_replay",
         ]
         timings: dict[str, dict] = {}
         for name in probes:
