@@ -512,7 +512,11 @@ def weighted_percentile_maintained(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from ..storage.rollup import projection_compact, projection_scan
-    from ..streaming.index_maint import projection_maintenance, table_sink
+    from ..streaming.index_maint import (
+        projection_maintenance,
+        stage_batch_files,
+        table_sink,
+    )
 
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity"
@@ -520,19 +524,11 @@ def weighted_percentile_maintained(spark: SparkSession, sf: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="maint_rollup_")
     landing = os.path.join(root, "landing")
     store = os.path.join(root, "cents_store")
-    os.makedirs(landing)
     try:
-        for b in range(MAINT_ROLLUP_BATCHES):
-            staged = os.path.join(root, f"stage{b}")
-            li.filter(F.col("l_orderkey") % MAINT_ROLLUP_BATCHES == b) \
-                .coalesce(1).write.mode("overwrite").parquet(staged)
-            part = next(
-                p for p in os.listdir(staged)
-                if p.endswith(".parquet") and not p.startswith(("_", "."))
-            )
-            os.rename(os.path.join(staged, part),
-                      os.path.join(landing, f"batch{b}.parquet"))
-            shutil.rmtree(staged, ignore_errors=True)
+        stage_batch_files(
+            li, landing, F.col("l_orderkey") % MAINT_ROLLUP_BATCHES,
+            MAINT_ROLLUP_BATCHES,
+        )
         stream = (
             spark.readStream.schema(
                 "l_orderkey long, l_returnflag string, "

@@ -57,30 +57,24 @@ def streaming_index_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
     candidate-bounded verification. The landing/replay loop is over a
     FIXED small file count, not data."""
     from ..operators.minhash_index import minhash_store_bands
-    from ..streaming.index_maint import minhash_maintenance, table_sink
+    from ..streaming.index_maint import (
+        minhash_maintenance,
+        stage_batch_files,
+        table_sink,
+    )
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="maint_replay_")
     landing = os.path.join(root, "landing")
     base = os.path.join(root, "tables")
     store = os.path.join(root, "bands_store")
-    os.makedirs(landing)
     try:
         # one parquet file per micro-batch (batch tag = doc_id % N; the
         # final answer keys on the DATA-borne tag, so file arrival order
         # cannot change the result — append order is a monoid)
-        for b in range(MAINT_BATCHES):
-            staged = os.path.join(root, f"stage{b}")
-            docs.filter(F.col("doc_id") % MAINT_BATCHES == b).coalesce(1) \
-                .write.mode("overwrite").parquet(staged)
-            part = next(
-                p for p in os.listdir(staged)
-                if p.endswith(".parquet") and not p.startswith(("_", "."))
-            )
-            os.rename(os.path.join(staged, part),
-                      os.path.join(landing, f"batch{b}.parquet"))
-            shutil.rmtree(staged, ignore_errors=True)
-
+        stage_batch_files(
+            docs, landing, F.col("doc_id") % MAINT_BATCHES, MAINT_BATCHES
+        )
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -170,25 +164,19 @@ def streaming_ann_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
+    from ..streaming.index_maint import stage_batch_files
+
     vec_type = emb.schema["embedding"].dataType.simpleString()
     root = tempfile.mkdtemp(prefix="ann_maint_")
     landing = os.path.join(root, "landing")
     idx = os.path.join(root, "ivfpq_idx")
-    os.makedirs(landing)
     try:
-        # batch 0 lands first (sequential writes: the file source orders
-        # by modification time, path as tie-break) — it trains the index
-        for b in range(ANN_MAINT_BATCHES):
-            staged = os.path.join(root, f"stage{b}")
-            corpus.filter(F.col("c_id") % ANN_MAINT_BATCHES == b) \
-                .coalesce(1).write.mode("overwrite").parquet(staged)
-            part = next(
-                p for p in os.listdir(staged)
-                if p.endswith(".parquet") and not p.startswith(("_", "."))
-            )
-            os.rename(os.path.join(staged, part),
-                      os.path.join(landing, f"batch{b}.parquet"))
-            shutil.rmtree(staged, ignore_errors=True)
+        # batch 0 lands first (stage_batch_files orders file mtimes) —
+        # it trains the index; later batches append with the frozen book
+        stage_batch_files(
+            corpus, landing, F.col("c_id") % ANN_MAINT_BATCHES,
+            ANN_MAINT_BATCHES,
+        )
         stream = (
             spark.readStream.schema(f"c_id long, cv {vec_type}")
             .option("maxFilesPerTrigger", 1)

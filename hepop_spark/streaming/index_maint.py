@@ -26,6 +26,7 @@ to derived artifacts.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -142,6 +143,39 @@ def projection_maintenance(
         )
 
     return hook
+
+
+def stage_batch_files(df: DataFrame, landing: str, batch_col,
+                      n_batches: int) -> None:
+    """Write `df` as one parquet file per batch value into `landing` —
+    the replay entries' micro-batch fixture — in ONE distributed pass
+    (partitionBy on the batch value) instead of n_batches coalesce(1)
+    jobs. File modification times are set in batch order so a
+    maxFilesPerTrigger=1 file stream (which orders by modTime, path
+    tie-break) processes batch 0 first — the batch that trains
+    first-batch-keyed indexes."""
+    import shutil
+    import time as _time
+
+    staged = landing + ".staging"
+    (
+        df.withColumn("__b", batch_col)
+        .repartition("__b")
+        .write.partitionBy("__b").mode("overwrite").parquet(staged)
+    )
+    os.makedirs(landing, exist_ok=True)
+    now = _time.time()
+    for b in range(n_batches):
+        pdir = os.path.join(staged, f"__b={b}")
+        parts = sorted(
+            p for p in os.listdir(pdir)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        )
+        assert len(parts) == 1, f"batch {b} split across {len(parts)} files"
+        dest = os.path.join(landing, f"batch{b}.parquet")
+        os.rename(os.path.join(pdir, parts[0]), dest)
+        os.utime(dest, (now + b, now + b))
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def table_sink(
