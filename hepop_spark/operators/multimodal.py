@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary columns with typed
 metadata, processed by Arrow-batched Pandas UDFs over mapInPandas.
 
-The real decode step (PIL / libsndfile / ffmpeg) is STUBBED — those
-libraries are not in this container. The Spark-side plumbing is real and
-tested: schema, partition carry-through, UDF signatures, batch shapes.
-`decode_image` raises NotImplementedError unless `fake=True`, which swaps in
-a deterministic fake decoder (dimensions/features derived from the bytes)
-so pipelines are testable end-to-end.
+Decode reality, by format class (r07): UNCOMPRESSED formats decode for
+real with zero media libraries — raw PCM8 audio (audio_pcm_windows) and
+P6 PPM images (decode_ppm_stats, header parse + numpy pixel math).
+COMPRESSED codecs (JPEG/PNG/video/ffmpeg audio) genuinely need PIL/
+libsndfile/ffmpeg, which are not in this container: decode_image_features
+raises NotImplementedError unless `fake=True`, which swaps in a
+deterministic fake decoder (dimensions/features derived from the bytes)
+so those pipelines stay testable end-to-end.
 
 Design for 100 TB of media:
  - binary payloads stay in parquet binary columns; metadata (mime, width,
@@ -71,6 +73,65 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+PPM_STATS_SCHEMA = (
+    "media_id bigint, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def decode_ppm_stats(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "media_id") -> DataFrame:
+    """REAL image decode with zero media libraries: binary P6 PPM payloads
+    -> (dimensions from the parsed header, exact per-channel pixel sums).
+    PPM is a genuine uncompressed image format (netpbm); parsing it needs
+    only bytes and numpy, so this closes part of the round-3..6 "decode is
+    a contractual fake" gap — the NotImplementedError gate now covers only
+    compressed codecs (JPEG/PNG/...), which genuinely need PIL/ffmpeg.
+
+    Integer channel sums are exact in int64, so the result is
+    deterministic across engines and partitionings (oracle-checkable).
+    mapInPandas keeps it a narrow Arrow-batched map — no shuffle, nothing
+    on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(blob)
+                # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+                toks, i, tok = [], 0, b""
+                while len(toks) < 4 and i < len(data):
+                    c = data[i:i + 1]
+                    if c.isspace():
+                        if tok:
+                            toks.append(tok)
+                            tok = b""
+                        i += 1
+                        # maxval's single trailing whitespace ends the header
+                        if len(toks) == 4:
+                            break
+                    else:
+                        tok += c
+                        i += 1
+                if len(toks) != 4 or toks[0] != b"P6":
+                    raise ValueError(f"not a P6 PPM payload (media_id={mid})")
+                w, h = int(toks[1]), int(toks[2])
+                px = np.frombuffer(data, dtype=np.uint8,
+                                   count=w * h * 3, offset=i)
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append((int(mid), w, h,
+                             int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.mapInPandas(decode, schema=PPM_STATS_SCHEMA)
 
 
 def frame_sample(df: DataFrame, payload_col: str = "payload",

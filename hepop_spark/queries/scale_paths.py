@@ -117,6 +117,69 @@ def multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
     return audio_pcm_windows(media, window=64, hop=32)
 
 
+PPM_W, PPM_H = 8, 8
+_PPM_PIXEL_BYTES = PPM_W * PPM_H * 3
+
+
+def multimodal_ppm_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode, zero media libraries (upgrades part of the
+    standing 'decode is a contractual fake' gap): each document's ASCII
+    bytes become the pixel plane of a valid binary P6 PPM (netpbm) image
+    — header + 8x8 RGB, text repeated/truncated to exactly 192 bytes —
+    and operators/multimodal.decode_ppm_stats PARSES the header and sums
+    the channels with numpy. Dimensions come from the decoded header, not
+    the builder, so a broken parse cannot pass; integer channel sums are
+    exact in both engines (ASCII code point == byte, the
+    multimodal-family invariant noted above). Compressed codecs
+    (JPEG/PNG) remain honestly gated behind NotImplementedError — THEY
+    need PIL/ffmpeg; PPM does not.
+
+    Scale: payload construction is a narrow column expression; decode is
+    one Arrow-batched mapInPandas pass, no shuffle, nothing on the
+    driver."""
+    from ..operators.multimodal import decode_ppm_stats
+
+    docs = load_table(spark, sf, "documents").filter(F.length("text") > 0)
+    header = f"P6\n{PPM_W} {PPM_H}\n255\n"
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.encode(F.lit(header), "utf-8"),
+            F.encode(
+                F.expr(
+                    f"substring(repeat(text, cast(ceil({_PPM_PIXEL_BYTES} / "
+                    f"length(text)) as int)), 1, {_PPM_PIXEL_BYTES})"
+                ),
+                "utf-8",
+            ),
+        ).alias("payload"),
+    )
+    return decode_ppm_stats(media)
+
+
+MULTIMODAL_PPM_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(repeat(text, CAST(ceil({_PPM_PIXEL_BYTES} * 1.0 / length(text)) AS INT)),
+                1, {_PPM_PIXEL_BYTES}) AS px
+  FROM documents WHERE length(text) > 0
+), pos AS (
+  SELECT doc_id, px, CAST(i.i AS INTEGER) AS i
+  FROM d, unnest(range(1, {_PPM_PIXEL_BYTES} + 1)) i(i)
+), vals AS (
+  SELECT doc_id, i, ord(substr(px, i, 1)) AS b FROM pos
+)
+SELECT doc_id AS media_id,
+       CAST({PPM_W} AS INTEGER) AS width,
+       CAST({PPM_H} AS INTEGER) AS height,
+       CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+FROM vals
+GROUP BY doc_id
+"""
+
+
 def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SQ8-quantized ANN (operators/similarity.sq8_topk): int8 codes
     shortlist candidates, float rerank finishes. Third scale path beside
@@ -798,6 +861,11 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_audio": QuerySpec(multimodal_audio, MULTIMODAL_AUDIO_SQL),
+    "multimodal_ppm_decode": QuerySpec(
+        multimodal_ppm_decode, MULTIMODAL_PPM_SQL,
+        doc="real P6 PPM image decode (header parse + numpy channel sums), "
+            "no media libs",
+    ),
     "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),
     "compaction_roundtrip": QuerySpec(
         compaction_roundtrip, COMPACTION_SQL,

@@ -496,6 +496,39 @@ class TestServeRollupSweep:
             h["stop"]()
 
 
+class TestPpmDecode:
+    def test_real_ppm_header_and_channel_sums(self, spark):
+        from hepop_spark.operators.multimodal import decode_ppm_stats
+
+        pixels = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+        rows = spark.createDataFrame(
+            [
+                (1, bytearray(b"P6\n2 2\n255\n" + pixels)),
+                # arbitrary header whitespace is legal netpbm
+                (2, bytearray(b"P6  2\n2\t255 " + pixels)),
+            ],
+            "media_id long, payload binary",
+        )
+        out = {r.media_id: r for r in
+               decode_ppm_stats(rows).collect()}
+        for mid in (1, 2):
+            r = out[mid]
+            assert (r.width, r.height) == (2, 2)
+            assert (r.sum_r, r.sum_g, r.sum_b) == (265, 275, 285)
+
+    def test_non_p6_payload_rejected(self, spark):
+        import pytest
+
+        from hepop_spark.operators.multimodal import decode_ppm_stats
+
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"P5\n2 2\n255\n\x00\x01\x02\x03"))],
+            "media_id long, payload binary",
+        )
+        with pytest.raises(Exception, match="not a P6 PPM|PythonException"):
+            decode_ppm_stats(bad).collect()
+
+
 class TestLpHourlyRollupEndToEnd:
     def test_lp_ingest_maintains_hourly_rollup_queryable_via_api(
             self, spark, tmp_path):
