@@ -218,7 +218,127 @@ def _stream_ann_sql() -> str:
     return IVFPQ_ORACLE_SQL.replace(samp_from, samp_to, 1)
 
 
+# ---------------------------------------------------------------------------
+# theta_sketch_setops — KMV (k-minimum-values) sketch set operations
+# ---------------------------------------------------------------------------
+
+THETA_K = 256
+_H48 = float(1 << 48)  # 48-bit hash fraction denominator (exact power of 2)
+
+
+def theta_sketch_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-count SET OPERATIONS on KMV/theta sketches — the
+    cross-dataset overlap estimator a 100 TB curation pipeline runs
+    instead of a distinct-join: two document subsets (A = doc_id % 2 = 0,
+    B = doc_id % 3 = 0, overlapping by construction) are sketched as
+    their k smallest DISTINCT 48-bit content-hash values (TakeOrdered —
+    k rows of state per set regardless of set size; the bottom-k merge
+    monoid proven by bottomk_sample_merge makes the sketch shard-local).
+    Union estimate = (k-1)/theta with theta = the union sketch's k-th
+    smallest hash as a fraction of hash space; intersection estimate =
+    |sk_A ∩ sk_B below theta| * union_est / k — below the union
+    threshold, sketch membership IS set membership (every A-hash ≤
+    theta_A is in sk_A and theta_A >= theta_union), so after the two
+    bottom-k scans every set operation is k-row arithmetic; the raw
+    sets are never co-shuffled or re-scanned. Exact counts ride along
+    so the judged row pins
+    BOTH the estimator arithmetic and its inputs; every step is
+    deterministic (md5, exact 48-bit integers, one IEEE division), so
+    the DuckDB oracle replays it bit-for-bit.
+
+    Scale: sketch state is k rows per set; set ops cost O(k) after two
+    narrow scans. The exact columns are the expensive part — a real
+    deployment drops them and keeps only the sketches."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
+        .cast("long").alias("h"),
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    b = docs.filter(F.col("doc_id") % 3 == 0).select("h").distinct()
+    sk_a = a.orderBy("h").limit(THETA_K)
+    sk_b = b.orderBy("h").limit(THETA_K)
+    union_sk = sk_a.union(sk_b).distinct().orderBy("h").limit(THETA_K)
+    # theta = k-th smallest union hash / 2^48 (exact integer, exact /2^48)
+    kth = union_sk.agg(F.max("h").alias("kth"))
+    matches = (
+        sk_a.join(sk_b, "h")
+        .crossJoin(kth)
+        .filter(F.col("h") <= F.col("kth"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        a.withColumn("s", F.lit("a"))
+        .unionByName(b.withColumn("s", F.lit("b")))
+        .agg(
+            F.countDistinct("h").alias("union_exact"),
+            (F.countDistinct(F.when(F.col("s") == "a", F.col("h")))
+             + F.countDistinct(F.when(F.col("s") == "b", F.col("h")))
+             - F.countDistinct("h")).alias("inter_exact"),
+        )
+    )
+    est = (
+        kth.crossJoin(matches)
+        .select(
+            F.lit(THETA_K).cast("int").alias("k"),
+            (F.lit(float(THETA_K - 1)) / (F.col("kth") / F.lit(_H48)))
+            .alias("union_est"),
+            (
+                F.col("c")
+                * (F.lit(float(THETA_K - 1)) / (F.col("kth") / F.lit(_H48)))
+                / F.lit(float(THETA_K))
+            ).alias("inter_est"),
+        )
+    )
+    return est.crossJoin(exact).select(
+        "k", "union_exact", "union_est", "inter_exact", "inter_est"
+    )
+
+
+THETA_SETOPS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+  FROM documents
+),
+a AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+b AS (SELECT DISTINCT h FROM d WHERE doc_id % 3 = 0),
+sk_a AS (SELECT h FROM a ORDER BY h LIMIT {THETA_K}),
+sk_b AS (SELECT h FROM b ORDER BY h LIMIT {THETA_K}),
+union_sk AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sk_a UNION ALL SELECT h FROM sk_b)
+  ORDER BY h LIMIT {THETA_K}
+),
+kth AS (SELECT max(h) AS kth FROM union_sk),
+m AS (
+  SELECT count(*) AS c
+  FROM sk_a JOIN sk_b USING (h), kth
+  WHERE h <= kth.kth
+),
+ex AS (
+  SELECT (SELECT count(*) FROM (SELECT h FROM a UNION SELECT h FROM b))
+           AS union_exact,
+         (SELECT count(*) FROM (SELECT h FROM a INTERSECT SELECT h FROM b))
+           AS inter_exact
+)
+SELECT CAST({THETA_K} AS INTEGER) AS k,
+       CAST(ex.union_exact AS BIGINT) AS union_exact,
+       CAST({THETA_K - 1} AS DOUBLE) / (kth.kth / CAST({1 << 48} AS DOUBLE))
+         AS union_est,
+       CAST(ex.inter_exact AS BIGINT) AS inter_exact,
+       m.c * (CAST({THETA_K - 1} AS DOUBLE)
+              / (kth.kth / CAST({1 << 48} AS DOUBLE)))
+           / CAST({THETA_K} AS DOUBLE) AS inter_est
+FROM kth, m, ex
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "theta_sketch_setops": QuerySpec(
+        theta_sketch_setops, THETA_SETOPS_SQL,
+        doc="KMV/theta-sketch distinct union/intersection estimates with "
+            "exact ground truth riding along; k rows of state per set",
+    ),
     "streaming_index_maintain_replay": QuerySpec(
         streaming_index_maintain_replay,
         # derived from the SAME generator as dedup_streaming_accumulate's

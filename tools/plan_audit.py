@@ -117,6 +117,9 @@ AUDITS: dict[str, set[str]] = {
     "streaming_index_maintain_replay": set(),
     "weighted_percentile_maintained": set(),
     "streaming_ann_maintain_replay": set(),
+    # KMV sketch set-ops: the crossJoins are 1-row aggregates x k-row
+    # sketches (constant cost at any corpus scale) -> BNLJ by design
+    "theta_sketch_setops": {"bnlj_ok"},
     "embedding_quantize_int8": {"partial"},
     # UDF surface: grouped pandas agg IS the (allowed) Arrow stage
     "grouped_mad_pandas": {"arrow_ok"},
