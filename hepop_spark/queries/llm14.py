@@ -23,7 +23,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -333,7 +333,169 @@ FROM kth, m, ex
 """
 
 
+# ---------------------------------------------------------------------------
+# ddsketch_quantiles — bounded-state mergeable quantile sketch (integer-exact)
+# ---------------------------------------------------------------------------
+
+DD_SUB = 16  # linear sub-buckets per power-of-two => relative error <= 1/16
+
+
+def ddsketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile SKETCH over lineitem price cents — the
+    DDSketch/HDR-histogram shape with INTEGER-EXACT bucketing, so unlike
+    the float log-gamma original it is deterministic across engines and
+    fully oracle-checkable: bucket = floor(log2(cents)) via the binary
+    string length (no transcendental), refined into DD_SUB linear
+    sub-buckets, giving relative error <= 1/DD_SUB. Sketch state is
+    O(log(max) * DD_SUB) counters per group — constant, mergeable by
+    addition — which is what a 1000-executor percentile actually ships
+    (weighted_percentile_* answer exactly at grid cost; this is the
+    bounded-state path when even the value grid is too large). Estimated
+    p50/p95/p99 (bucket lower bounds, exact integers) ride next to the
+    exact percentiles so the judged row pins both the sketch math and
+    its accuracy; tests assert the 1/DD_SUB relative-error contract.
+
+    Scale: one map-side-combinable aggregation to the bucket grid; the
+    per-flag cumulative window covers <= ~64*DD_SUB rows per flag."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).filter(F.col("cents") >= 1)
+    b = (F.length(F.conv(F.col("cents"), 10, 2)) - 1).cast("int")
+    low = F.expr("shiftleft(cast(1 as bigint), b)")
+    enc = li.withColumn("b", b).withColumn("low", low).select(
+        "l_returnflag", "cents", "b", "low",
+        ((F.col("cents") - F.col("low")) * DD_SUB / F.col("low"))
+        .cast("long").alias("sub"),
+    )
+    sketch = (
+        enc.groupBy(
+            "l_returnflag",
+            (F.col("b") * DD_SUB + F.col("sub")).alias("bucket"),
+            # bucket lower bound, exact integer: (DD_SUB+sub)*2^b / DD_SUB
+            F.expr(
+                f"((({DD_SUB} + sub) * low) div {DD_SUB})"
+            ).alias("bucket_low"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sketch.withColumn("cw", F.sum("n").over(wcum))
+    tot = sketch.groupBy("l_returnflag").agg(F.sum("n").alias("tw"))
+    ranked = cum.join(F.broadcast(tot), "l_returnflag")
+    ests = []
+    for q_name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        ests.append(
+            F.min(
+                F.when(
+                    F.col("cw") * 100 >= F.ceil(F.col("tw") * q * 100),
+                    F.col("bucket_low"),
+                )
+            ).cast("long").alias(f"{q_name}_est")
+        )
+    est = ranked.groupBy("l_returnflag").agg(*ests)
+    # exact ground truth: the same selection rule on the raw cents grid
+    grid = li.groupBy("l_returnflag", "cents").agg(F.count("*").alias("n"))
+    wg = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gcum = grid.withColumn("cw", F.sum("n").over(wg)).join(
+        F.broadcast(tot), "l_returnflag"
+    )
+    exacts = []
+    for q_name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        exacts.append(
+            F.min(
+                F.when(
+                    F.col("cw") * 100 >= F.ceil(F.col("tw") * q * 100),
+                    F.col("cents"),
+                )
+            ).cast("long").alias(f"{q_name}_exact")
+        )
+    exact = gcum.groupBy("l_returnflag").agg(*exacts)
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "p50_est", "p50_exact", "p95_est", "p95_exact",
+            "p99_est", "p99_exact",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DDSKETCH_SQL = f"""
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) >= 1
+), enc AS (
+  SELECT l_returnflag, cents,
+         length(bin(cents)) - 1 AS b,
+         (1::BIGINT << (length(bin(cents)) - 1)) AS low
+  FROM li
+), enc2 AS (
+  SELECT l_returnflag, cents, b, low,
+         ((cents - low) * {DD_SUB}) // low AS sub
+  FROM enc
+), sketch AS (
+  SELECT l_returnflag,
+         b * {DD_SUB} + sub AS bucket,
+         (({DD_SUB} + sub) * low) // {DD_SUB} AS bucket_low,
+         count(*) AS n
+  FROM enc2 GROUP BY 1, 2, 3
+), tot AS (
+  SELECT l_returnflag, sum(n) AS tw FROM sketch GROUP BY 1
+), cum AS (
+  SELECT s.l_returnflag, s.bucket_low, t.tw,
+         sum(s.n) OVER (PARTITION BY s.l_returnflag ORDER BY s.bucket) AS cw
+  FROM sketch s JOIN tot t USING (l_returnflag)
+), est AS (
+  SELECT l_returnflag,
+         CAST(min(CASE WHEN cw * 100 >= ceil(tw * 0.5 * 100)
+                       THEN bucket_low END) AS BIGINT) AS p50_est,
+         CAST(min(CASE WHEN cw * 100 >= ceil(tw * 0.95 * 100)
+                       THEN bucket_low END) AS BIGINT) AS p95_est,
+         CAST(min(CASE WHEN cw * 100 >= ceil(tw * 0.99 * 100)
+                       THEN bucket_low END) AS BIGINT) AS p99_est
+  FROM cum GROUP BY 1
+), grid AS (
+  SELECT l_returnflag, cents, count(*) AS n FROM li GROUP BY 1, 2
+), gcum AS (
+  SELECT g.l_returnflag, g.cents, t.tw,
+         sum(g.n) OVER (PARTITION BY g.l_returnflag ORDER BY g.cents) AS cw
+  FROM grid g JOIN tot t USING (l_returnflag)
+), exact AS (
+  SELECT l_returnflag,
+         CAST(min(CASE WHEN cw * 100 >= ceil(tw * 0.5 * 100)
+                       THEN cents END) AS BIGINT) AS p50_exact,
+         CAST(min(CASE WHEN cw * 100 >= ceil(tw * 0.95 * 100)
+                       THEN cents END) AS BIGINT) AS p95_exact,
+         CAST(min(CASE WHEN cw * 100 >= ceil(tw * 0.99 * 100)
+                       THEN cents END) AS BIGINT) AS p99_exact
+  FROM gcum GROUP BY 1
+)
+SELECT e.l_returnflag,
+       p50_est, p50_exact, p95_est, p95_exact, p99_est, p99_exact
+FROM est e JOIN exact x ON e.l_returnflag = x.l_returnflag
+ORDER BY e.l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ddsketch_quantiles": QuerySpec(
+        ddsketch_quantiles, DDSKETCH_SQL,
+        doc="integer-exact DDSketch-style quantile sketch (log2 buckets x "
+            "linear sub-buckets, bounded mergeable state) with exact "
+            "percentiles riding as ground truth",
+    ),
     "theta_sketch_setops": QuerySpec(
         theta_sketch_setops, THETA_SETOPS_SQL,
         doc="KMV/theta-sketch distinct union/intersection estimates with "

@@ -496,6 +496,32 @@ class TestServeRollupSweep:
             h["stop"]()
 
 
+class TestSketchEntries:
+    def test_ddsketch_relative_error_contract(self, spark, sf_dir):
+        """Every estimated percentile sits within 1/DD_SUB relative error
+        BELOW its exact counterpart (bucket lower bound semantics: the
+        estimate never exceeds the exact value)."""
+        from hepop_spark.queries.llm14 import DD_SUB, ddsketch_quantiles
+
+        for r in ddsketch_quantiles(spark, sf_dir).collect():
+            for q in ("p50", "p95", "p99"):
+                est, exact = r[f"{q}_est"], r[f"{q}_exact"]
+                assert est <= exact, (q, est, exact)
+                assert exact - est <= exact / DD_SUB + 1, (q, est, exact)
+
+    def test_theta_estimates_track_exact(self, spark, sf_dir):
+        """KMV estimates stay within a loose band of the exact counts
+        (k=256 on small sets is near-exact; the bound is the guard
+        against a broken estimator, not a statistical claim)."""
+        from hepop_spark.queries.llm14 import theta_sketch_setops
+
+        r = theta_sketch_setops(spark, sf_dir).collect()[0]
+        assert 0.5 * r.union_exact <= r.union_est <= 2.0 * r.union_exact
+        assert r.inter_exact == 0 or (
+            0.3 * r.inter_exact <= r.inter_est <= 3.0 * r.inter_exact
+        )
+
+
 class TestPpmDecode:
     def test_real_ppm_header_and_channel_sums(self, spark):
         from hepop_spark.operators.multimodal import decode_ppm_stats

@@ -120,6 +120,7 @@ AUDITS: dict[str, set[str]] = {
     # KMV sketch set-ops: the crossJoins are 1-row aggregates x k-row
     # sketches (constant cost at any corpus scale) -> BNLJ by design
     "theta_sketch_setops": {"bnlj_ok"},
+    "ddsketch_quantiles": {"partial"},
     "embedding_quantize_int8": {"partial"},
     # UDF surface: grouped pandas agg IS the (allowed) Arrow stage
     "grouped_mad_pandas": {"arrow_ok"},
@@ -439,6 +440,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/operators/pq_index.py:shortq": "rerank shortlist: <= |queries| x shortlist (150) rows joined to bounded query vectors",
     "hepop_spark/queries/llm11.py:cand_docs": "LSH candidate doc ids (near-dup volume, << corpus by construction)",
     "hepop_spark/queries/analytics19.py:tot": "per-returnflag totals (3 rows)",
+    "hepop_spark/queries/llm14.py:tot": "per-returnflag totals (3 rows)",
     "hepop_spark/queries/analytics19.py:vocab": "fixed top-K (100) corpus tokens",
     "hepop_spark/queries/analytics19.py:qdist": "K+1 bucket rows (bounded simplex)",
     "hepop_spark/queries/analytics19.py:ns": "per-source totals (bounded source domain)",
