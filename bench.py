@@ -84,6 +84,11 @@ EXTRA_R2 = [
     # append, tombstoned delete) answered from the persisted store
     "ann_ivfpq_append_topk",
     "ann_ivfpq_delete_topk",
+    # round-7 flagships: bounded-state sketches (the streaming replay
+    # entries measure full re-ingest by design and live in the 20x probe
+    # instead — SCALE.md)
+    "theta_sketch_setops",
+    "ddsketch_quantiles",
 ]
 
 
