@@ -90,9 +90,12 @@ def streaming_index_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
         ).start()
         q.awaitTermination()
 
-        # warm answer: corpus as the SINK wrote it, bands as the HOOK
-        # maintained them — the entry fails if either path lost rows
-        corpus = spark.read.parquet(os.path.join(base, "documents"))
+        # warm answer: corpus as the SINK committed it (exactly-once batch
+        # dirs), bands as the HOOK maintained them — the entry fails if
+        # either path lost or duplicated rows
+        from ..streaming.exactly_once import read_committed
+
+        corpus = read_committed(spark, os.path.join(base, "documents"))
         bands = minhash_store_bands(spark, store)
         bt = (F.col("doc_id") % MAINT_BATCHES).alias("bt")
         nb = bands.select(F.col("doc_id").alias("new_doc"), bt.alias("nbt"),

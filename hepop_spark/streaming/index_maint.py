@@ -189,19 +189,22 @@ def table_sink(
 ):
     """Streaming sink for ONE typed table (the document/embedding-corpus
     ingest shape a training-data pipeline runs — rows arrive already
-    structured, unlike the LP/HEP text paths): each micro-batch appends to
-    `{base_dir}/{table}` time-partitioned parquet, then the index hooks
-    run on the SAME batch, so the persisted dedup/ANN stores advance in
-    lock-step with the corpus. Returns the unstarted writer (availableNow
-    by default, like the test-driven ingest sinks)."""
-    from ..storage.writer import write_partitioned
+    structured, unlike the LP/HEP text paths): each micro-batch lands in
+    `{base_dir}/{table}` EXACTLY ONCE (batch-id-keyed directory + commit
+    marker, streaming/exactly_once.py), then the index hooks run on the
+    SAME batch. Corpus and stores therefore advance in lock-step with
+    end-to-end exactly-once semantics: a hook crash fails the batch,
+    Spark redelivers the same batch id, the table write no-ops on its
+    marker and each hook no-ops on its published batch dir — nothing
+    duplicates, nothing is lost (pinned by
+    tests/test_round7.py::TestHookCrashReplay). Read the corpus back
+    with exactly_once.read_committed. Returns the unstarted writer
+    (availableNow by default, like the test-driven ingest sinks)."""
+    from .exactly_once import write_batch_exactly_once
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
-        if "timestamp" in batch.columns:
-            write_partitioned(batch, f"{base_dir}/{table}")
-        else:
-            batch.write.mode("append").parquet(f"{base_dir}/{table}")
+        write_batch_exactly_once(batch, batch_id, f"{base_dir}/{table}")
         for hook in index_hooks or []:
             hook(table, batch, batch_id)
         batch.unpersist()

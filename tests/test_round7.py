@@ -496,6 +496,73 @@ class TestServeRollupSweep:
             h["stop"]()
 
 
+class TestHookCrashReplay:
+    def test_hook_crash_then_restart_is_exactly_once(self, spark, tmp_path):
+        """A hook crash AFTER its store publish fails the micro-batch;
+        Spark redelivers the same batch id on restart. The table write
+        no-ops on its commit marker and the hook no-ops on its published
+        batch dir — end to end, nothing duplicates and nothing is lost."""
+        import pytest
+
+        from hepop_spark.operators.minhash_index import minhash_store_bands
+        from hepop_spark.streaming.exactly_once import read_committed
+        from hepop_spark.streaming.index_maint import (
+            minhash_maintenance,
+            table_sink,
+        )
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma doc {i} tail words here") for i in range(8)],
+            "doc_id long, text string",
+        )
+        for b in range(2):
+            staged = tmp_path / f"stage{b}"
+            docs.filter(F.col("doc_id") % 2 == b).coalesce(1) \
+                .write.mode("overwrite").parquet(str(staged))
+            part = next(p for p in staged.iterdir()
+                        if p.name.endswith(".parquet")
+                        and not p.name.startswith(("_", ".")))
+            part.rename(landing / f"batch{b}.parquet")
+
+        store = str(tmp_path / "bands")
+        crash_flag = tmp_path / "crash_once"
+        crash_flag.touch()
+        inner = minhash_maintenance(store, table="documents")
+
+        def flaky_hook(table, rows, batch_id):
+            inner(table, rows, batch_id)  # store segment already published
+            if batch_id >= 1 and crash_flag.exists():
+                crash_flag.unlink()
+                raise RuntimeError("injected hook crash after publish")
+
+        def run():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(landing))
+            )
+            q = table_sink(
+                stream, str(tmp_path / "tables"), str(tmp_path / "ckpt"),
+                "documents", index_hooks=[flaky_hook],
+            ).start()
+            q.awaitTermination()
+
+        with pytest.raises(Exception, match="injected hook crash"):
+            run()
+        run()  # restart from the checkpoint: redelivery of the failed batch
+
+        corpus = read_committed(spark, str(tmp_path / "tables" / "documents"))
+        assert corpus.count() == 8
+        assert corpus.select("doc_id").distinct().count() == 8
+        bands = minhash_store_bands(spark, store).collect()
+        # every doc signed exactly once: no duplicate (doc_id, band) rows
+        keys = [(r.doc_id, r.band) for r in bands]
+        assert len(keys) == len(set(keys))
+        assert {r.doc_id for r in bands} == set(range(8))
+
+
 class TestSketchEntries:
     def test_ddsketch_relative_error_contract(self, spark, sf_dir):
         """Every estimated percentile sits within 1/DD_SUB relative error
