@@ -51,7 +51,7 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True):
     # view registration (reference fresh-metadata semantics, query.js:36-38)
     http = HepopHttpServer(
         spark, lp_spool=lp_spool, host=cfg.host, port=cfg.http_port,
-        data_dir=cfg.data_dir,
+        data_dir=cfg.data_dir, query_timeout_s=cfg.query_timeout_s,
     ).start()
 
     root = cfg.table_root()

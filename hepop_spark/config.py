@@ -23,6 +23,10 @@ class ServerConfig:
     # The reference runs its checkAndCompact loop every 60 s
     # (hepop.js:440-450); COMPACT_INTERVAL overrides.
     compact_interval: float = 60.0
+    # per-request HTTP query ceiling, seconds; None/0 disables. A runaway
+    # query is cancelled (its Spark job group only) and answered 408, so
+    # one pathological client cannot wedge the serve process.
+    query_timeout_s: float | None = None
 
     @classmethod
     def from_env(cls, env: dict | None = None, **overrides) -> "ServerConfig":
@@ -41,6 +45,11 @@ class ServerConfig:
             ),
             compact_interval=float(
                 overrides.get("compact_interval", e.get("COMPACT_INTERVAL", 60.0))
+            ),
+            query_timeout_s=(
+                float(t) if (t := overrides.get(
+                    "query_timeout_s", e.get("QUERY_TIMEOUT", 0))) and float(t) > 0
+                else None
             ),
         )
 

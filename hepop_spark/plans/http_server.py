@@ -34,7 +34,8 @@ def _json_default(o):
 class HepopHttpServer:
     def __init__(self, spark, lp_spool=None, host: str = "127.0.0.1", port: int = 0,
                  default_window: bool = True, data_dir: str | None = None,
-                 max_rows: int | None = DEFAULT_MAX_ROWS):
+                 max_rows: int | None = DEFAULT_MAX_ROWS,
+                 query_timeout_s: float | None = None):
         api = HepopQueryAPI(spark, default_window=default_window,
                             data_dir=data_dir, max_rows=max_rows)
         spool = lp_spool
@@ -51,14 +52,46 @@ class HepopHttpServer:
                 self.wfile.write(body)
 
             def _run_query(self, sql: str):
+                # per-request Spark job group on THIS handler thread
+                # (pinned-thread mode makes it thread-local), so a
+                # watchdog can cancel a runaway query without touching
+                # other in-flight requests — the serve process stays
+                # responsive behind one pathological client
+                gid = None
+                timer = None
+                if query_timeout_s is not None:
+                    import uuid as _uuid
+
+                    gid = f"hepop-http-{_uuid.uuid4().hex[:12]}"
+                    sc = spark.sparkContext
+                    sc.setJobGroup(gid, f"http query (timeout {query_timeout_s}s)",
+                                   interruptOnCancel=True)
+                    timer = threading.Timer(
+                        query_timeout_s, lambda: sc.cancelJobGroup(gid)
+                    )
+                    timer.daemon = True
+                    timer.start()
                 try:
                     # truncation arrives WITH the rows — never read
                     # api.last_truncated here: handlers run concurrently
                     # (ThreadingHTTPServer) and shared instance state races
                     rows, truncated = api.query_json(sql)
                 except Exception as e:  # reference: 500 + message (hepop.js:1050-1058)
-                    self._send(500, json.dumps({"error": str(e).split("\n")[0]}).encode())
+                    msg = str(e)
+                    if gid is not None and "cancelled" in msg.lower():
+                        self._send(408, json.dumps({
+                            "error": f"query exceeded {query_timeout_s}s "
+                                     "and was cancelled",
+                            "timeout": True,
+                        }).encode())
+                        return
+                    self._send(500, json.dumps({"error": msg.split("\n")[0]}).encode())
                     return
+                finally:
+                    if timer is not None:
+                        timer.cancel()
+                    if gid is not None:
+                        spark.sparkContext.setJobGroup(None, None)
                 if truncated:
                     # 413 Payload Too Large + the truncated prefix and the
                     # limit, so a client can page down or raise max_rows

@@ -496,6 +496,45 @@ class TestServeRollupSweep:
             h["stop"]()
 
 
+class TestQueryTimeout:
+    def test_runaway_query_cancelled_server_stays_healthy(self, spark):
+        """A pathological query is cancelled at the per-request timeout
+        (408 + timeout flag) while a subsequent normal query on the same
+        server answers fine — one bad client can't wedge serve mode."""
+        import json
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        from hepop_spark.plans.http_server import HepopHttpServer
+
+        spark.range(200_000).createOrReplaceTempView("big_range_t")
+        srv = HepopHttpServer(
+            spark, default_window=False, query_timeout_s=2.0
+        ).start()
+        try:
+            slow = ("SELECT sum(a.id * b.id) AS s FROM big_range_t a "
+                    "CROSS JOIN big_range_t b")
+            url = (f"http://127.0.0.1:{srv.port}/query?q="
+                   + urllib.parse.quote(slow))
+            try:
+                urllib.request.urlopen(url, timeout=120)
+                raise AssertionError("expected HTTP 408")
+            except urllib.error.HTTPError as e:
+                assert e.code == 408
+                body = json.load(e)
+                assert body["timeout"] is True
+            # server is still healthy for normal queries
+            ok = (f"http://127.0.0.1:{srv.port}/query?q="
+                  + urllib.parse.quote(
+                      "SELECT count(*) AS n FROM big_range_t"))
+            with urllib.request.urlopen(ok, timeout=120) as r:
+                assert r.status == 200 and json.load(r) == [{"n": 200_000}]
+        finally:
+            srv.stop()
+            spark.catalog.dropTempView("big_range_t")
+
+
 class TestHookCrashReplay:
     def test_hook_crash_then_restart_is_exactly_once(self, spark, tmp_path):
         """A hook crash AFTER its store publish fails the micro-batch;
