@@ -37,6 +37,12 @@ class SegmentSpool:
         self._n = 0
         self._count = 0
         self._fh = None
+        # process-incarnation token: segment names must be unique ACROSS
+        # RESTARTS, not just within one run — a restarted spool that
+        # reuses `{prefix}-00000000` overwrites the old segment at a path
+        # the consumer has already processed, silently dropping the new
+        # batch (found by tests/test_round7.py::TestServeRestartContinuity)
+        self._epoch = f"{time.time_ns():016x}"
         self._lock = threading.Lock()
         os.makedirs(out_dir, exist_ok=True)
 
@@ -45,8 +51,10 @@ class SegmentSpool:
             self._fh.close()
             # atomically publish the finished segment for the stream reader
             os.rename(self._tmp_path, self._pub_path)
-        self._tmp_path = os.path.join(self.out_dir, f".{self.prefix}-{self._n:08d}.tmp")
-        self._pub_path = os.path.join(self.out_dir, f"{self.prefix}-{self._n:08d}.seg")
+        self._tmp_path = os.path.join(
+            self.out_dir, f".{self.prefix}-{self._epoch}-{self._n:08d}.tmp")
+        self._pub_path = os.path.join(
+            self.out_dir, f"{self.prefix}-{self._epoch}-{self._n:08d}.seg")
         self._fh = open(self._tmp_path, "ab")
         self._n += 1
         self._count = 0
@@ -185,6 +193,12 @@ class LpLineSpool:
         self.rotate_every = rotate_every
         self._n = 0
         self._lines: list[str] = []
+        # unique across restarts: the file-source CHECKPOINT keys processed
+        # files by path, so a restarted spool reusing `w-00000000.lp`
+        # overwrites an already-consumed segment and the new rows are
+        # silently skipped — restart data loss
+        # (tests/test_round7.py::TestServeRestartContinuity)
+        self._epoch = f"{time.time_ns():016x}"
         self._lock = threading.Lock()
         os.makedirs(out_dir, exist_ok=True)
 
@@ -197,8 +211,8 @@ class LpLineSpool:
     def _publish(self):
         if not self._lines:
             return
-        tmp = os.path.join(self.out_dir, f".w-{self._n:08d}-{time.time_ns()}.tmp")
-        pub = os.path.join(self.out_dir, f"w-{self._n:08d}.lp")
+        tmp = os.path.join(self.out_dir, f".w-{self._epoch}-{self._n:08d}.tmp")
+        pub = os.path.join(self.out_dir, f"w-{self._epoch}-{self._n:08d}.lp")
         with open(tmp, "w") as fh:
             fh.write("\n".join(self._lines))
         os.rename(tmp, pub)

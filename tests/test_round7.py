@@ -496,6 +496,83 @@ class TestServeRollupSweep:
             h["stop"]()
 
 
+class TestServeRestartContinuity:
+    def test_restart_neither_drops_nor_duplicates(self, spark, tmp_path):
+        """Stop serve, start it again on the same data_dir/writer_id:
+        the streaming checkpoints make the landing-dir replay exactly
+        once (no re-ingest of batch 1), and post-restart writes land —
+        the operational restart a real deployment performs."""
+        import json
+        import time
+        import urllib.parse
+        import urllib.request
+
+        from hepop_spark.__main__ import serve
+        from hepop_spark.config import ServerConfig
+
+        def boot():
+            cfg = ServerConfig.from_env(
+                env={"COMPACT_INTERVAL": "3600"},
+                host="127.0.0.1", port=0, http_port=0,
+                data_dir=str(tmp_path / "data"), writer_id="w1",
+            )
+            return serve(cfg, spark=spark, block=False)
+
+        def write(h, lines: bytes):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{h['http_port']}/write",
+                data=lines, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.status == 201
+
+        def count(h) -> int:
+            url = (
+                f"http://127.0.0.1:{h['http_port']}/query?q="
+                + urllib.parse.quote(
+                    "SELECT count() AS n FROM restart_m "
+                    "WHERE time >= '2024-01-01'")
+            )
+            try:
+                with urllib.request.urlopen(url, timeout=60) as r:
+                    return json.load(r)[0]["n"]
+            except urllib.error.HTTPError:
+                return -1
+
+        def wait_count(h, want: int):
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                if count(h) == want:
+                    return
+                time.sleep(1.5)
+            raise AssertionError(
+                f"never reached {want} rows (last={count(h)})")
+
+        h1 = boot()
+        try:
+            write(h1, b"".join(
+                b"restart_m,host=a v=%d.0 %d\n"
+                % (i, 1_709_290_800_000_000_000 + i * 1_000_000_000)
+                for i in range(5)
+            ))
+            wait_count(h1, 5)
+        finally:
+            h1["stop"]()
+
+        h2 = boot()
+        try:
+            # batch 1 must not re-ingest (checkpointed file source)
+            wait_count(h2, 5)
+            write(h2, b"".join(
+                b"restart_m,host=b v=%d.0 %d\n"
+                % (i, 1_709_290_900_000_000_000 + i * 1_000_000_000)
+                for i in range(4)
+            ))
+            wait_count(h2, 9)
+        finally:
+            h2["stop"]()
+
+
 class TestQueryTimeout:
     def test_runaway_query_cancelled_server_stays_healthy(self, spark):
         """A pathological query is cancelled at the per-request timeout
