@@ -60,8 +60,13 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True):
 
     from .sources.hep import decode_hep_df
 
-    hep_stream = spark.readStream.schema("frame binary").parquet(
-        frames_dir + "/*.parquet"
+    # recursive lookup: each drained segment publishes its frames as one
+    # `seg=<name>/` directory (atomic rename — the drain's exactly-once
+    # unit); legacy loose part files at the root are still found
+    hep_stream = (
+        spark.readStream.schema("frame binary")
+        .option("recursiveFileLookup", "true")
+        .parquet(frames_dir)
     )
     queries = [
         lp_sink(
@@ -77,30 +82,58 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True):
     import threading
     import time as _time
 
-    from .sources.receiver import read_segments
+    from .sources.receiver import read_segment_file
 
     stop_evt = threading.Event()
+    drain_lock = threading.Lock()
 
     def _drain_once() -> int:
+        """Consume finished segments EXACTLY ONCE, crash-safe: a segment's
+        frames publish as a deterministic `seg=<name>/` parquet directory
+        (unique hidden staging + atomic rename), and only then does the
+        segment move to `.done`. A crash at any point re-drains
+        idempotently on the next sweep: published output -> skip the
+        write, unpublished -> restage. (The old shape moved the segment
+        into a shared temp dir FIRST, so a crash mid-drain stranded it
+        outside the listing — silent loss on restart.) The lock
+        serializes the background timer against manual handle calls and
+        the shutdown drain — two concurrent drains of one segment would
+        interleave their staging writes."""
+        import uuid as _uuid
+
+        with drain_lock:
+            return _drain_locked(_uuid.uuid4().hex[:8])
+
+    def _drain_locked(run_id: str) -> int:
         lp_spool.flush()  # reference flushes ALL buffers on the timer
         hep_spool.flush()
+        # legacy recovery: segments stranded by the pre-r07 drain shape
+        stranded = os.path.join(hep_landing, "_one")
+        if os.path.isdir(stranded):
+            for f in os.listdir(stranded):
+                if f.endswith(".seg"):
+                    os.rename(os.path.join(stranded, f),
+                              os.path.join(hep_landing, f))
         segs = sorted(
             f for f in os.listdir(hep_landing) if f.endswith(".seg")
         )
         n = 0
         for name in segs:
             path = os.path.join(hep_landing, name)
-            tmpdir = os.path.join(hep_landing, "_one")
-            os.makedirs(tmpdir, exist_ok=True)
-            done = path + ".done"
-            os.rename(path, os.path.join(tmpdir, name))
-            frames = read_segments(tmpdir)
-            if frames:
-                spark.createDataFrame(
-                    [(f,) for f in frames], "frame binary"
-                ).write.mode("append").parquet(frames_dir)
-            os.rename(os.path.join(tmpdir, name), done)
-            n += len(frames)
+            outdir = os.path.join(frames_dir, f"seg={name}")
+            if not os.path.isdir(outdir):
+                frames = read_segment_file(path)
+                if frames:
+                    tmp = os.path.join(
+                        frames_dir, f".seg={name}.tmp.{run_id}")
+                    spark.createDataFrame(
+                        [(f,) for f in frames], "frame binary"
+                    ).write.mode("overwrite").parquet(tmp)
+                    os.rename(tmp, outdir)
+                else:
+                    os.makedirs(outdir)  # empty segment: commit as empty
+                n += len(frames)
+            os.rename(path, path + ".done")
         return n
 
     def _drain_loop():

@@ -78,19 +78,26 @@ class SegmentSpool:
         self.flush()
 
 
+def read_segment_file(path: str) -> list[bytes]:
+    """Length-prefixed frames of ONE published segment file."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    frames = []
+    off = 0
+    while off + 4 <= len(data):
+        (ln,) = struct.unpack(">I", data[off:off + 4])
+        frames.append(data[off + 4:off + 4 + ln])
+        off += 4 + ln
+    return frames
+
+
 def read_segments(seg_dir: str) -> list[bytes]:
     """Read back all published length-prefixed frames (driver/test helper)."""
     frames = []
     for name in sorted(os.listdir(seg_dir)):
         if not name.endswith(".seg"):
             continue
-        with open(os.path.join(seg_dir, name), "rb") as fh:
-            data = fh.read()
-        off = 0
-        while off + 4 <= len(data):
-            (ln,) = struct.unpack(">I", data[off:off + 4])
-            frames.append(data[off + 4:off + 4 + ln])
-            off += 4 + ln
+        frames.extend(read_segment_file(os.path.join(seg_dir, name)))
     return frames
 
 

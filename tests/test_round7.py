@@ -573,6 +573,63 @@ class TestServeRestartContinuity:
             h2["stop"]()
 
 
+class TestDrainIdempotence:
+    def test_redrained_segment_does_not_duplicate_frames(self, spark, tmp_path):
+        """Simulate a crash between a segment's frame publish and its
+        .done rename: re-draining the same segment must skip the write
+        (its seg=<name>/ output already exists) — no duplicate HEP rows."""
+        import socket
+        import time
+
+        from hepop_spark.__main__ import serve
+        from hepop_spark.config import ServerConfig
+        from hepop_spark.sources.hep import encapsulate
+
+        cfg = ServerConfig.from_env(
+            env={"COMPACT_INTERVAL": "3600"},
+            host="127.0.0.1", port=0, http_port=0,
+            data_dir=str(tmp_path / "data"), writer_id="w1",
+        )
+        h = serve(cfg, spark=spark, block=False)
+        try:
+            frame = encapsulate(
+                {"timeSeconds": 1709290800, "timeUseconds": 0,
+                 "payloadType": 1},
+                "INVITE drain-test",
+            )
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            for _ in range(4):
+                s.sendto(frame, ("127.0.0.1", h["udp_port"]))
+            s.close()
+            deadline = time.time() + 60
+            landing = tmp_path / "data" / "_landing" / "hep"
+            while time.time() < deadline and h["drain_once"]() == 0:
+                time.sleep(0.5)
+            # undo the .done rename, as if the process died mid-drain
+            done = [p for p in landing.glob("*.seg.done")]
+            assert done, "no drained segment found"
+            for p in done:
+                p.rename(p.with_suffix(""))  # back to .seg
+            assert h["drain_once"]() == 0  # republish skipped, no frames
+            # the table converges to exactly 4 rows, never 8
+            from hepop_spark.storage.writer import read_table
+
+            root = cfg.table_root()
+            deadline = time.time() + 120
+            n = 0
+            while time.time() < deadline:
+                try:
+                    n = read_table(spark, f"{root}/hep_1").count()
+                except Exception:
+                    n = 0
+                if n >= 4:
+                    break
+                time.sleep(2)
+            assert n == 4
+        finally:
+            h["stop"]()
+
+
 class TestQueryTimeout:
     def test_runaway_query_cancelled_server_stays_healthy(self, spark):
         """A pathological query is cancelled at the per-request timeout
