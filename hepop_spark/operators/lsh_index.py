@@ -38,6 +38,7 @@ the fingerprint key applies the same policy to derived artifacts.
 from __future__ import annotations
 
 import os
+import uuid
 import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -122,7 +123,7 @@ def build_lsh_index(
         F.posexplode(F.array(*bucket_exprs(vec_col, dim, k_bits, n_tables)))
         .alias("tbl", "bucket"),
     )
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     try:
         buckets.repartition("tbl", "bucket").write.mode("overwrite").partitionBy(
             "tbl"

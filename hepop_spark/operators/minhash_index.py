@@ -27,6 +27,7 @@ the stored artifact against a from-scratch re-derivation every round.
 from __future__ import annotations
 
 import os
+import uuid
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -118,7 +119,7 @@ def build_minhash_index(
     if os.path.isdir(path):
         return False
     bands = minhash_bands(docs, n_seeds=n_seeds, band_rows=band_rows)
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     try:
         bands.repartition("band", "bkey").write.mode("overwrite").partitionBy(
             "band"
@@ -173,7 +174,7 @@ def minhash_store_append(
     # 'batch=<id>.tmp.<pid>' partition, or vanish mid-scan at the rename
     # (r06 ADVICE, minhash_index:164). `.tmp` is also dot-prefixed, so
     # Spark's file listing skips it even if a reader roots at the store.
-    tmp = os.path.join(store_path, ".tmp", f"batch={batch_id}.{os.getpid()}")
+    tmp = os.path.join(store_path, ".tmp", f"batch={batch_id}.{uuid.uuid4().hex[:8]}")
     try:
         bands.write.mode("overwrite").parquet(tmp)
         os.makedirs(os.path.dirname(dest), exist_ok=True)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import uuid
 import shutil
 import tempfile
 
@@ -225,7 +226,7 @@ def build_ivfpq_index(
         .agg(F.sum(F.expr("shiftleft(cast(k as bigint), m * 6)")).alias("packed"))
         .join(cassign, "c_id")
     )
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     try:
         codes.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(tmp, "codes")
@@ -294,7 +295,7 @@ def ivfpq_append_batch(
         .agg(F.sum(F.expr("shiftleft(cast(k as bigint), m * 6)")).alias("packed"))
         .join(cassign, "c_id")
     )
-    tmp = f"{bdir}.tmp.{os.getpid()}"
+    tmp = f"{bdir}.tmp.{uuid.uuid4().hex[:8]}"
     try:
         codes.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
         os.rename(tmp, bdir)
@@ -321,7 +322,7 @@ def ivfpq_delete_ids(
     tdir = os.path.join(path, f"tombstones_{batch_id}")
     if os.path.isdir(tdir):
         return False
-    tmp = f"{tdir}.tmp.{os.getpid()}"
+    tmp = f"{tdir}.tmp.{uuid.uuid4().hex[:8]}"
     try:
         ids.select("c_id").write.mode("overwrite").parquet(tmp)
         os.rename(tmp, tdir)
@@ -364,8 +365,8 @@ def ivfpq_compact_store(spark: SparkSession, path: str) -> bool:
         return False
     codes = _read_code_store(spark, path)
     live = codes.join(tomb, "c_id", "left_anti")
-    new_dir = f"{path}/codes.tmp.{os.getpid()}"
-    trash = f"{path}/codes.trash.{os.getpid()}"
+    new_dir = f"{path}/codes.tmp.{uuid.uuid4().hex[:8]}"
+    trash = f"{path}/codes.trash.{uuid.uuid4().hex[:8]}"
     try:
         live.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(new_dir)
         retired = [

@@ -383,7 +383,9 @@ def build_cents_rollup(spark: SparkSession, sf: str, path: str) -> bool:
         .groupBy("l_returnflag", "cents")
         .agg(F.sum("w").alias("w"))
     )
-    tmp = f"{path}.tmp.{os.getpid()}"
+    import uuid
+
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     try:
         # a handful of range-ordered files: the grid saturates at the
         # distinct-cents domain, so over-fragmenting it (v1 partitioned

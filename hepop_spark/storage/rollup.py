@@ -24,6 +24,7 @@ arriving hours.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -161,13 +162,13 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
     dest = os.path.join(store, f"seg_{batch_id}")
     if os.path.isdir(dest):
         return False
-    tmp = os.path.join(store, ".tmp", f"seg_{batch_id}.{os.getpid()}")
+    tmp = os.path.join(store, ".tmp", f"seg_{batch_id}.{uuid.uuid4().hex[:8]}")
     try:
         partial.write.mode("overwrite").parquet(tmp)
         os.makedirs(store, exist_ok=True)
         meta = os.path.join(store, "_meta.json")
         if keys is not None and sums is not None and not os.path.exists(meta):
-            mtmp = meta + f".tmp.{os.getpid()}"
+            mtmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
             with open(mtmp, "w") as fh:
                 json.dump({"keys": list(keys), "sums": list(sums)}, fh)
             os.rename(mtmp, meta)
@@ -228,7 +229,6 @@ def projection_compact(spark: SparkSession, store: str, keys: list[str],
     ivfpq_compact_store discipline). Scan results are invariant across the
     fold; compaction only bounds the live segment count."""
     import shutil
-    import uuid
 
     segs = _projection_segments(store)
     if len(segs) <= 1:

@@ -10,11 +10,20 @@ bucket dirs -> metadata commit. Spark-native equivalent:
   and checkpointing.
 
 Micro-batching replaces the hand-rolled buffer; the checkpoint replaces the
-WAL sequence; the output committer replaces tmp+rename metadata swaps; a
-final flush on shutdown is unnecessary (exactly-once via checkpoint +
-idempotent sink). Watermarked windows supply the late-data policy the
-reference lacks (SURVEY §2: late rows just land in their event-time bucket;
-here they additionally update windowed aggregates until the watermark).
+WAL sequence; the output committer replaces tmp+rename metadata swaps.
+Delivery contract, stated precisely: within a run each batch lands once
+(committer atomicity); across a CRASH between a batch's parquet commit and
+its checkpoint commit, the replayed batch re-appends — at-least-once into
+the partitioned layout. That window is the trade for keeping the
+reference's queryable date/bucket directory layout; the reference itself
+LOSES the buffer in the same window (hepop.js:407-457). Pipelines that
+need strict exactly-once route through streaming/exactly_once.py (batch-id
+dirs + commit markers — used by index_maint.table_sink) or dedup on a key
+downstream (queries/pipeline_ops.cdc_keep_latest). Index hooks riding
+these sinks are idempotent per batch id regardless. Watermarked windows
+supply the late-data policy the reference lacks (SURVEY §2: late rows just
+land in their event-time bucket; here they additionally update windowed
+aggregates until the watermark).
 
 All builders return the unstarted DataStreamWriter/StreamingQuery handles so
 tests can drive them with availableNow triggers.
