@@ -72,6 +72,79 @@ def _hidden_sibling(path: str, tag: str) -> str:
     return os.path.join(parent, f".{leaf}.{tag}_{uuid.uuid4().hex[:8]}")
 
 
+def recover_orphans(base_path: str) -> dict[str, str]:
+    """Crash recovery for interrupted swaps, run at the start of every
+    sweep: hidden staging/trash dirs from a dead compaction are either
+    RESTORED (they hold the only copy) or DELETED (their content is
+    live), decided per class:
+
+      .<leaf>.compact_tmp_* / .<leaf>.ladder_tmp_*  — incomplete staging:
+        the source data is still live (or in a restorable trash), delete.
+      .<leaf>.old_*  — the two-rename fallback's trash: if the live
+        partition is MISSING the crash hit between the renames and the
+        trash is the only copy -> restore; otherwise it is post-publish
+        residue -> delete.
+      .<leaf>.ladderold@<target_leaf>@_*  — a ladder-retired source: if
+        the merge TARGET was published (exists in the same parent) its
+        content is already inside the target -> delete; otherwise the
+        publish never happened -> restore.
+
+    Holds the table's append/compact mutex: a LIVE compaction's staging
+    dir must never be classified as an orphan mid-swap (same-process
+    sweeps and handle calls can overlap; cross-process writers are
+    excluded by the single-writer-per-tree layout contract).
+
+    Returns {orphan_path: action} for observability/tests."""
+    from .writer import table_lock
+
+    actions: dict[str, str] = {}
+    if not os.path.isdir(base_path):
+        return actions
+    with table_lock(base_path):
+        _recover_orphans_locked(base_path, actions)
+    return actions
+
+
+def _recover_orphans_locked(base_path: str, actions: dict[str, str]) -> None:
+    for dpath in [base_path] + [
+        os.path.join(base_path, d)
+        for d in os.listdir(base_path)
+        if d.startswith("date=")
+    ]:
+        if not os.path.isdir(dpath):
+            continue
+        for e in sorted(os.listdir(dpath)):
+            if not e.startswith("."):
+                continue
+            full = os.path.join(dpath, e)
+            if ".compact_tmp_" in e or ".ladder_tmp_" in e:
+                shutil.rmtree(full, ignore_errors=True)
+                actions[full] = "deleted-staging"
+            elif ".ladderold@" in e:
+                target_leaf = e.split(".ladderold@", 1)[1].rsplit("@_", 1)[0]
+                src_leaf = e[1:].split(".ladderold@", 1)[0]
+                if os.path.isdir(os.path.join(dpath, target_leaf)):
+                    shutil.rmtree(full, ignore_errors=True)
+                    actions[full] = "deleted-merged"
+                else:
+                    dst = os.path.join(dpath, src_leaf)
+                    if not os.path.exists(dst):
+                        os.rename(full, dst)
+                        actions[full] = "restored"
+                    else:
+                        shutil.rmtree(full, ignore_errors=True)
+                        actions[full] = "deleted-duplicate"
+            elif ".old_" in e:
+                leaf = e[1:].rsplit(".old_", 1)[0]
+                dst = os.path.join(dpath, leaf)
+                if not os.path.exists(dst):
+                    os.rename(full, dst)
+                    actions[full] = "restored"
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+                    actions[full] = "deleted-stale-trash"
+
+
 def list_partitions(base_path: str) -> list[str]:
     """Partition dirs `date=*/bucket=*` relative to base_path."""
     out = []
@@ -146,6 +219,7 @@ def compact(spark: SparkSession, base_path: str, min_files: int = 2,
     """One compaction sweep over all partitions (reference checkAndCompact,
     hepop.js:494-537: eligibility = enough small files). Returns
     {partition: files_removed} for the partitions rewritten."""
+    recover_orphans(base_path)
     result = {}
     for rel in list_partitions(base_path):
         if len(partition_files(base_path, rel)) >= min_files:
@@ -171,6 +245,7 @@ def compact_ladder(spark: SparkSession, base_path: str, level: str = "hour",
     Eligibility mirrors checkAndCompact: at least ``min_sources`` source
     partitions (reference: >=2 raw or raw+compacted, hepop.js:670-677).
     Returns {target_partition: source_partitions_merged}."""
+    recover_orphans(base_path)
     result: dict[str, int] = {}
     by_target: dict[str, list[str]] = {}
     for rel in list_partitions(base_path):
@@ -200,9 +275,12 @@ def compact_ladder(spark: SparkSession, base_path: str, level: str = "hour",
         # (fast renames — Spark never lists dot-dirs), publish the target,
         # THEN delete the retired copies. The rows-missing window is the
         # rename span, not a full rmtree of data.
+        # trash names carry the merge TARGET so crash recovery can decide
+        # restore-vs-delete by checking whether the target got published
+        target_leaf = os.path.basename(full_target)
         trashes = []
         for s in full_sources:
-            t = _hidden_sibling(s, "ladder_old")
+            t = _hidden_sibling(s, f"ladderold@{target_leaf}@")
             os.rename(s, t)
             trashes.append(t)
         os.makedirs(os.path.dirname(full_target), exist_ok=True)

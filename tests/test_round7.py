@@ -448,6 +448,96 @@ class TestRollupServeFace:
         assert rows == [{"v_sum": 107}]
 
 
+class TestCompactionOrphanRecovery:
+    def _mk(self, d, files=("a.parquet",)):
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        for f in files:
+            open(os.path.join(d, f), "w").write("x")
+
+    def test_each_crash_state_recovers(self, tmp_path):
+        """Every hidden dir a dead compaction can leave behind is either
+        restored (only copy) or deleted (content live elsewhere)."""
+        import os
+
+        from hepop_spark.storage.compaction import recover_orphans
+
+        base = str(tmp_path / "t")
+        date = os.path.join(base, "date=2024-03-01")
+        # 1. staging dirs: always deleted (source data still live)
+        self._mk(os.path.join(date, "bucket=10-00"))
+        self._mk(os.path.join(date, ".bucket=10-00.compact_tmp_ab"))
+        self._mk(os.path.join(date, ".bucket=11-00.ladder_tmp_cd"))
+        # 2. fallback trash, live partition MISSING -> restore
+        self._mk(os.path.join(date, ".bucket=12-00.old_ef"))
+        # 3. fallback trash, live partition present -> stale, delete
+        self._mk(os.path.join(date, "bucket=13-00"))
+        self._mk(os.path.join(date, ".bucket=13-00.old_gh"))
+        # 4. ladder-retired source, target NOT published -> restore
+        self._mk(os.path.join(date, ".bucket=14-10.ladderold@bucket=14-00@_ij"))
+        # 5. ladder-retired source, target published -> delete
+        self._mk(os.path.join(date, "bucket=15-00"))
+        self._mk(os.path.join(date, ".bucket=15-10.ladderold@bucket=15-00@_kl"))
+
+        actions = recover_orphans(base)
+        by_leaf = {os.path.basename(k): v for k, v in actions.items()}
+        assert by_leaf[".bucket=10-00.compact_tmp_ab"] == "deleted-staging"
+        assert by_leaf[".bucket=11-00.ladder_tmp_cd"] == "deleted-staging"
+        assert by_leaf[".bucket=12-00.old_ef"] == "restored"
+        assert by_leaf[".bucket=13-00.old_gh"] == "deleted-stale-trash"
+        assert by_leaf[
+            ".bucket=14-10.ladderold@bucket=14-00@_ij"] == "restored"
+        assert by_leaf[
+            ".bucket=15-10.ladderold@bucket=15-00@_kl"] == "deleted-merged"
+        live = sorted(os.listdir(date))
+        assert live == [
+            "bucket=10-00", "bucket=12-00", "bucket=13-00",
+            "bucket=14-10", "bucket=15-00",
+        ]
+        # idempotent: a second sweep finds nothing
+        assert recover_orphans(base) == {}
+
+    def test_ladder_crash_midswap_rows_survive(self, spark, tmp_path):
+        """End to end: kill the ladder between source retirement and
+        target publish (injected rename failure); the next sweep restores
+        the sources and a re-run merges them — zero rows lost."""
+        import os
+
+        from hepop_spark.storage import compaction
+        from hepop_spark.storage.compaction import compact_ladder
+        from hepop_spark.storage.writer import write_partitioned
+
+        base = str(tmp_path / "t")
+        for mm in ("10", "20"):
+            ts = F.lit(f"2024-03-01 10:{mm}:00").cast("timestamp")
+            write_partitioned(
+                spark.range(5).select(F.col("id").alias("v"),
+                                      ts.alias("timestamp")),
+                base,
+            )
+        total = spark.read.parquet(base).count()
+
+        real_rename = os.rename
+
+        def failing_rename(src, dst):
+            if os.path.basename(dst) == "bucket=10-00" and ".ladder_tmp_" in src:
+                raise OSError("injected ladder publish failure")
+            return real_rename(src, dst)
+
+        import pytest
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(compaction.os, "rename", failing_rename)
+            with pytest.raises(OSError, match="injected"):
+                compact_ladder(spark, base, level="hour")
+        # sources are stranded in hidden trash; the next sweep restores
+        # and completes the merge
+        out = compact_ladder(spark, base, level="hour")
+        assert out, "re-run ladder merged nothing"
+        assert spark.read.parquet(base).count() == total
+
+
 class TestServeRollupSweep:
     def test_serve_compaction_folds_rollup_segments(self, spark, tmp_path):
         """The serve background sweep folds maintained projection stores
