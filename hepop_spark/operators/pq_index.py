@@ -160,8 +160,16 @@ def build_ivfpq_index(
     m_sub: int,
     sub: int,
     k_codes: int,
+    trained_marker: str | None = None,
 ) -> bool:
     """Write the IVF-PQ index artifacts for `corpus` (c_id, cv) to `path`.
+
+    ``trained_marker`` (a batch id) is persisted INSIDE the staged dir
+    before the atomic publish, so "which batch trained this index"
+    survives any crash with no window: a streaming maintenance hook whose
+    training batch is redelivered reads the marker back
+    (read_trained_marker) and no-ops instead of re-appending every
+    trained vector (r07 ADVICE item 2).
 
     No-op (returns False) when the index already exists: build cost is
     paid at INGEST, not per query. The build is itself one distributed
@@ -233,6 +241,11 @@ def build_ivfpq_index(
         )
         books.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "books"))
         cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "cents"))
+        if trained_marker is not None:
+            import json as _json
+
+            with open(os.path.join(tmp, "trained_batch.json"), "w") as fh:
+                _json.dump({"trained_batch": trained_marker}, fh)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         os.rename(tmp, path)
         prune_stale_siblings(path)
@@ -240,6 +253,18 @@ def build_ivfpq_index(
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
         return os.path.isdir(path)  # lost a benign race to another builder
+
+
+def read_trained_marker(path: str) -> str | None:
+    """The batch id that trained the index at `path`, or None (index built
+    outside a streaming maintenance hook, or pre-marker layout)."""
+    import json as _json
+
+    try:
+        with open(os.path.join(path, "trained_batch.json")) as fh:
+            return _json.load(fh).get("trained_batch")
+    except (OSError, ValueError):
+        return None
 
 
 def ivfpq_append_batch(

@@ -52,7 +52,11 @@ _TAIL_RE = re.compile(r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|WINDOW)\b", re.IGN
 def _is_stale_listing_error(e: Exception) -> bool:
     """True when the failure smells like files/dirs vanishing between
     plan-time listing and execution — the signature of reading across
-    another process's compaction swap."""
+    another process's compaction swap. Patterns are FILE-level signatures
+    only: the former generic 'does not exist' / 'No such file or
+    directory' substrings misclassified missing-table AnalysisExceptions
+    as compaction races and retried them 4x before surfacing the real
+    error (r07 ADVICE item 3)."""
     msg = str(e)
     return any(
         s in msg
@@ -60,8 +64,6 @@ def _is_stale_listing_error(e: Exception) -> bool:
             "FileNotFoundException",
             "PATH_NOT_FOUND",
             "FILE_NOT_FOUND",
-            "does not exist",
-            "No such file or directory",
             "REFRESH TABLE",
         )
     )

@@ -59,6 +59,7 @@ class HepopHttpServer:
                 # responsive behind one pathological client
                 gid = None
                 timer = None
+                watchdog_fired = threading.Event()
                 if query_timeout_s is not None:
                     import uuid as _uuid
 
@@ -66,9 +67,16 @@ class HepopHttpServer:
                     sc = spark.sparkContext
                     sc.setJobGroup(gid, f"http query (timeout {query_timeout_s}s)",
                                    interruptOnCancel=True)
-                    timer = threading.Timer(
-                        query_timeout_s, lambda: sc.cancelJobGroup(gid)
-                    )
+
+                    def _cancel():
+                        # flag BEFORE cancelling: 408 is answered only when
+                        # the watchdog demonstrably fired, never because an
+                        # unrelated failure message happens to contain
+                        # 'cancelled' (r07 ADVICE item 4)
+                        watchdog_fired.set()
+                        sc.cancelJobGroup(gid)
+
+                    timer = threading.Timer(query_timeout_s, _cancel)
                     timer.daemon = True
                     timer.start()
                 try:
@@ -78,7 +86,7 @@ class HepopHttpServer:
                     rows, truncated = api.query_json(sql)
                 except Exception as e:  # reference: 500 + message (hepop.js:1050-1058)
                     msg = str(e)
-                    if gid is not None and "cancelled" in msg.lower():
+                    if gid is not None and watchdog_fired.is_set():
                         self._send(408, json.dumps({
                             "error": f"query exceeded {query_timeout_s}s "
                                      "and was cancelled",

@@ -160,7 +160,12 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
     import shutil
 
     dest = os.path.join(store, f"seg_{batch_id}")
-    if os.path.isdir(dest):
+    if os.path.isdir(dest) or batch_id in _folded_ids(store):
+        # the segment dir is the marker while live; once projection_compact
+        # folds it into base/ the id moves to the _folded.json manifest —
+        # without that second check a batch redelivered after the serve
+        # compact loop folded its segment would republish and double-count
+        # (r07 ADVICE item 1)
         return False
     tmp = os.path.join(store, ".tmp", f"seg_{batch_id}.{uuid.uuid4().hex[:8]}")
     try:
@@ -177,6 +182,33 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
         return os.path.isdir(dest)
+
+
+def _folded_ids(store: str) -> set[str]:
+    """Batch ids whose segments were folded into base/ by
+    projection_compact — they must keep no-oping in projection_append
+    forever (the exactly-once contract outlives the fold)."""
+    import json
+
+    try:
+        with open(os.path.join(store, "_folded.json")) as fh:
+            return set(json.load(fh))
+    except (OSError, ValueError):
+        return set()
+
+
+def _record_folded_ids(store: str, batch_ids: set[str]) -> None:
+    """Atomically extend the folded-ids manifest. Written BEFORE the fold
+    retires any segment: if the fold then crashes and the segments are
+    restored, the manifest is merely redundant (the seg dirs still no-op
+    appends); written after, a crash window would lose the markers."""
+    import json
+
+    merged = sorted(_folded_ids(store) | batch_ids)
+    tmp = os.path.join(store, f"_folded.json.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(merged, fh)
+    os.rename(tmp, os.path.join(store, "_folded.json"))
 
 
 def _projection_segments(store: str) -> list[str]:
@@ -238,6 +270,11 @@ def projection_compact(spark: SparkSession, store: str, keys: list[str],
     trash = os.path.join(store, f".trash.{uuid.uuid4().hex[:8]}")
     try:
         merged.write.mode("overwrite").parquet(new_dir)
+        _record_folded_ids(
+            store,
+            {os.path.basename(s)[len("seg_"):] for s in segs
+             if os.path.basename(s).startswith("seg_")},
+        )
         os.makedirs(trash)
         for s in segs:
             os.rename(s, os.path.join(trash, os.path.basename(s)))

@@ -82,10 +82,18 @@ def ivfpq_maintenance(
     sample, operators/pq_index.build_ivfpq_index); every later batch is
     encoded with the FROZEN codebook and published as an append-only code
     segment (ivfpq_append_batch) — the FAISS train-once/add-forever shape.
-    Redelivered batch ids no-op on the published segment."""
+    Redelivered batch ids no-op on the published segment; the TRAINING
+    batch id is persisted inside the index (atomic with its publish), so
+    a crash between the index publish and the streaming checkpoint commit
+    redelivers batch 0 into a no-op instead of a duplicate code segment
+    carrying every trained vector (r07 ADVICE item 2)."""
     import os
 
-    from ..operators.pq_index import build_ivfpq_index, ivfpq_append_batch
+    from ..operators.pq_index import (
+        build_ivfpq_index,
+        ivfpq_append_batch,
+        read_trained_marker,
+    )
 
     def hook(table_name: str, rows: DataFrame, batch_id: int) -> None:
         if table_name != table:
@@ -98,8 +106,11 @@ def ivfpq_maintenance(
             build_ivfpq_index(
                 rows.sparkSession, vecs, index_path,
                 n_cells=n_cells, m_sub=m_sub, sub=sub, k_codes=k_codes,
+                trained_marker=f"b{batch_id}",
             )
             return
+        if read_trained_marker(index_path) == f"b{batch_id}":
+            return  # redelivered training batch: its vectors ARE the base
         ivfpq_append_batch(
             rows.sparkSession, vecs, index_path,
             m_sub=m_sub, sub=sub, batch_id=f"b{batch_id}",
@@ -204,10 +215,15 @@ def table_sink(
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
-        write_batch_exactly_once(batch, batch_id, f"{base_dir}/{table}")
-        for hook in index_hooks or []:
-            hook(table, batch, batch_id)
-        batch.unpersist()
+        try:
+            write_batch_exactly_once(batch, batch_id, f"{base_dir}/{table}")
+            for hook in index_hooks or []:
+                hook(table, batch, batch_id)
+        finally:
+            # a hook exception is the DESIGNED crash-redelivery path —
+            # without the finally each failed attempt leaks a cached copy
+            # of the batch (r07 ADVICE item 5)
+            batch.unpersist()
 
     writer = (
         rows.writeStream.foreachBatch(write_batch)

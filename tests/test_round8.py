@@ -1,0 +1,219 @@
+"""Round-8 regression tests: the r07 ADVICE fixes (fold-then-redeliver
+double count, training-batch redelivery, stale-listing misclassification,
+408-vs-500 attribution, cached-batch leak) and the manifest-pinned serve
+read path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pyspark.sql.functions as F
+
+
+def _vecs(spark, n=40, dim=64, id_col="c_id", vec_col="cv"):
+    return spark.range(n).select(
+        F.col("id").alias(id_col),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            "j -> cast(sin(id * 7 + j) as double))"
+        ).alias(vec_col),
+    )
+
+
+class TestProjectionFoldRedelivery:
+    def test_batch_redelivered_after_fold_still_noops(self, spark, tmp_path):
+        """r07 ADVICE item 1: projection_compact folds seg_<id>/ dirs into
+        base/, erasing the per-batch idempotency markers. A batch
+        redelivered AFTER the fold (crash between hook effect and
+        streaming checkpoint commit, serve sweep folds in between) must
+        still no-op — the folded ids live on in _folded.json."""
+        from hepop_spark.storage.rollup import (
+            projection_append,
+            projection_compact,
+            projection_scan,
+        )
+
+        store = str(tmp_path / "store")
+        part = spark.createDataFrame([(0, 10), (1, 20)], "k long, v long")
+        assert projection_append(spark, store, part, "b0") is True
+        assert projection_append(spark, store, part, "b1") is True
+        assert projection_compact(spark, store, ["k"], ["v"]) is True
+        assert not any(
+            e.startswith("seg_") for e in os.listdir(store)
+        ), "fold left segments behind"
+        # the redelivered batch must not double-count
+        assert projection_append(spark, store, part, "b0") is False
+        got = {
+            (r.k, r.v)
+            for r in projection_scan(spark, store, ["k"], ["v"]).collect()
+        }
+        assert got == {(0, 20), (1, 40)}
+
+    def test_fold_crash_keeps_markers_consistent(self, spark, tmp_path,
+                                                 monkeypatch):
+        """A fold that fails AFTER recording folded ids but BEFORE
+        retiring segments restores cleanly: appends still no-op (both via
+        the surviving seg dirs and the manifest), scans are unchanged."""
+        from hepop_spark.storage import rollup
+        from hepop_spark.storage.rollup import (
+            projection_append,
+            projection_compact,
+            projection_scan,
+        )
+
+        store = str(tmp_path / "store")
+        part = spark.createDataFrame([(0, 5)], "k long, v long")
+        projection_append(spark, store, part, "b0")
+        projection_append(spark, store, part, "b1")
+
+        real_rename = os.rename
+
+        def failing_rename(src, dst):
+            if os.path.basename(dst) == "base":
+                raise OSError("injected swap failure")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(rollup.os, "rename", failing_rename)
+        assert projection_compact(spark, store, ["k"], ["v"]) is False
+        monkeypatch.setattr(rollup.os, "rename", real_rename)
+        assert projection_append(spark, store, part, "b0") is False
+        got = {(r.k, r.v)
+               for r in projection_scan(spark, store, ["k"], ["v"]).collect()}
+        assert got == {(0, 10)}
+
+
+class TestIvfpqTrainingRedelivery:
+    def test_redelivered_training_batch_noops(self, spark, tmp_path):
+        """r07 ADVICE item 2: the index publishing and the streaming
+        checkpoint commit are separate effects; a crash between them
+        redelivers the TRAINING batch to an existing index. The persisted
+        trained-batch marker (written inside the staged dir, atomic with
+        the publish) turns that into a no-op instead of a code segment
+        duplicating every trained vector."""
+        from hepop_spark.operators.pq_index import (
+            _read_code_store,
+            read_trained_marker,
+        )
+        from hepop_spark.streaming.index_maint import ivfpq_maintenance
+
+        path = str(tmp_path / "idx")
+        hook = ivfpq_maintenance(
+            path, table="vecs", id_col="c_id", vec_col="cv",
+            n_cells=4, m_sub=8, sub=8, k_codes=16,
+        )
+        b0 = _vecs(spark, n=20)
+        hook("vecs", b0, 0)
+        assert read_trained_marker(path) == "b0"
+        n_before = _read_code_store(spark, path).count()
+        assert n_before == 20
+        # crash-redelivery of batch 0: must not append codes_b0
+        hook("vecs", b0, 0)
+        assert not os.path.isdir(os.path.join(path, "codes_b0"))
+        assert _read_code_store(spark, path).count() == 20
+        # a genuinely new batch still appends
+        b1 = spark.range(20, 25).select(
+            F.col("id").alias("c_id"),
+            F.expr("transform(sequence(0, 63), "
+                   "j -> cast(sin(id * 7 + j) as double))").alias("cv"),
+        )
+        hook("vecs", b1, 1)
+        assert _read_code_store(spark, path).count() == 25
+
+
+class TestStaleListingClassifier:
+    def test_missing_table_is_not_a_compaction_race(self, spark, tmp_path):
+        """r07 ADVICE item 3: a missing-table/missing-path error must
+        surface immediately, not retry 4x with fingerprint invalidation."""
+        from hepop_spark.plans.api import (
+            HepopQueryAPI,
+            _is_stale_listing_error,
+        )
+
+        assert not _is_stale_listing_error(
+            Exception("[TABLE_OR_VIEW_NOT_FOUND] The table or view "
+                      "`nope` cannot be found... does not exist")
+        )
+        assert not _is_stale_listing_error(
+            OSError("No such file or directory: '/gone'")
+        )
+        assert _is_stale_listing_error(
+            Exception("java.io.FileNotFoundException: File file:/x.parquet "
+                      "does not exist ... REFRESH TABLE")
+        )
+        api = HepopQueryAPI(spark, default_window=False,
+                            data_dir=str(tmp_path))
+        calls = {"n": 0}
+        real = api._run_json
+
+        def counting(q, now):
+            calls["n"] += 1
+            return real(q, now)
+
+        api._run_json = counting
+        try:
+            api.query_json("SELECT 1 FROM definitely_absent_t8")
+        except Exception:
+            pass
+        else:
+            raise AssertionError("missing table should raise")
+        assert calls["n"] == 1, f"retried {calls['n']} times"
+
+
+class TestTimeoutAttribution:
+    def test_unrelated_cancelled_message_is_500_not_408(self, spark):
+        """r07 ADVICE item 4: only a watchdog that actually FIRED may
+        answer 408; an unrelated failure whose message contains
+        'cancelled' is a plain 500."""
+        from hepop_spark.plans.http_server import HepopHttpServer
+
+        spark.range(1).createOrReplaceTempView("t8_cancel_msg")
+        srv = HepopHttpServer(spark, default_window=False,
+                              query_timeout_s=300.0).start()
+        try:
+            sql = ("SELECT assert_true(id > 0, 'operation cancelled by peer')"
+                   " FROM t8_cancel_msg")
+            url = (f"http://127.0.0.1:{srv.port}/query?q="
+                   + urllib.parse.quote(sql))
+            try:
+                with urllib.request.urlopen(url, timeout=120) as r:
+                    raise AssertionError(f"expected failure, got {r.status}")
+            except urllib.error.HTTPError as e:
+                body = json.load(e)
+                assert e.code == 500, (e.code, body)
+                assert "timeout" not in body
+        finally:
+            srv.stop()
+
+
+class TestTableSinkUnpersist:
+    def test_failed_hook_does_not_leak_cached_batch(self, spark, tmp_path):
+        """r07 ADVICE item 5: the designed crash-redelivery path (hook
+        raises) must not leave the micro-batch pinned in storage memory."""
+        from hepop_spark.streaming.index_maint import table_sink
+
+        src_dir = tmp_path / "src"
+        src_dir.mkdir()
+        spark.range(5).select(F.col("id").alias("doc_id")).coalesce(1) \
+            .write.parquet(str(src_dir / "b0.parquet"))
+        stream = spark.readStream.schema("doc_id long").parquet(str(src_dir))
+
+        def bomb(table, rows, batch_id):
+            raise RuntimeError("injected hook crash")
+
+        q = table_sink(
+            stream, str(tmp_path / "data"), str(tmp_path / "ckpt"),
+            "docs", index_hooks=[bomb],
+        ).start()
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        # every cached RDD from the failed attempt must be released
+        jsc = spark.sparkContext._jsc.sc()
+        cached = jsc.getPersistentRDDs()
+        assert cached.isEmpty(), f"leaked {cached.size()} cached RDDs"
