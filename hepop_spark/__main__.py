@@ -70,10 +70,12 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True):
     )
     queries = [
         lp_sink(
-            read_lp_stream(spark, lp_landing), root, os.path.join(ckpt, "lp")
+            read_lp_stream(spark, lp_landing), root, os.path.join(ckpt, "lp"),
+            manifest=cfg.manifest_mode,
         ).start(),
         hep_sink(
-            decode_hep_df(hep_stream), root, os.path.join(ckpt, "hep")
+            decode_hep_df(hep_stream), root, os.path.join(ckpt, "hep"),
+            manifest=cfg.manifest_mode,
         ).start(),
     ]
 

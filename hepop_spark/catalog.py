@@ -160,19 +160,31 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
     """
     import glob as _glob
 
+    from .storage.manifest import latest as _manifest_latest
+    from .storage.manifest import manifest_enabled
+
     ensure_query_confs(spark)
-    dirs = sorted(
-        d
-        for d in _glob.glob(os.path.join(data_dir, "*", "dbs", name))
-        if os.path.isdir(d)
-    )
-    # tolerate a writer dir that exists but has no data files yet (a
-    # registry-only placeholder would make spark.read throw)
-    dirs = [
-        d
-        for d in dirs
-        if any(f.endswith(".parquet") for _r, _d, fs in os.walk(d) for f in fs)
-    ]
+    # (dir, pinned_files_or_None, fingerprint_token): manifest-mode writer
+    # dirs (storage/manifest.py) resolve their file list from the latest
+    # published version — a compaction swap can never invalidate the plan
+    # because retired files stay on disk through the vacuum grace (r07
+    # verdict item 1). Plain dirs keep the listing semantics.
+    dirs: list[tuple[str, list[str] | None, str | None]] = []
+    for d in sorted(
+        p
+        for p in _glob.glob(os.path.join(data_dir, "*", "dbs", name))
+        if os.path.isdir(p)
+    ):
+        if manifest_enabled(d):
+            got = _manifest_latest(d)
+            if got is not None and got[1]["files"]:
+                dirs.append((d, got[1]["files"], f"{d}@v{got[0]}"))
+        elif any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(d) for f in fs
+        ):
+            # tolerate a writer dir that exists but has no data files yet
+            # (a registry-only placeholder would make spark.read throw)
+            dirs.append((d, None, None))
     if not dirs:
         # maintained aggregate projections (storage/rollup.py): a store
         # published under {data}/{writer}/rollups/{name} with a _meta.json
@@ -185,7 +197,11 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
     if cache is not None:
         from .operators.pq_index import source_fingerprint
 
-        fp = source_fingerprint(*dirs)
+        listed = [d for d, pinned, _t in dirs if pinned is None]
+        tokens = [t for _d, pinned, t in dirs if pinned is not None]
+        fp = ";".join(tokens) + "|" + (
+            source_fingerprint(*listed) if listed else ""
+        )
         if cache.get(name) == fp:
             return True  # view already reflects this exact file state
         # do NOT store fp yet: if registration below throws (e.g. a writer
@@ -193,10 +209,18 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
         # would mark the STALE previous view as fresh until file state
         # changes again (r05 ADVICE). The cache is updated only after the
         # view registration succeeds.
-    parts = [
-        spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(d)
-        for d in dirs
-    ]
+    parts = []
+    for d, pinned, _t in dirs:
+        reader = spark.read.option("mergeSchema", str(merge_schema).lower())
+        if pinned is None:
+            parts.append(reader.parquet(d))
+        else:
+            # basePath keeps date/bucket partition-column inference (and
+            # therefore pruning) identical to the directory read
+            parts.append(
+                reader.option("basePath", d)
+                .parquet(*[os.path.join(d, f) for f in pinned])
+            )
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)

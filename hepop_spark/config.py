@@ -27,6 +27,11 @@ class ServerConfig:
     # query is cancelled (its Spark job group only) and answered 408, so
     # one pathological client cannot wedge the serve process.
     query_timeout_s: float | None = None
+    # manifest-pinned reads (storage/manifest.py): serve tables publish a
+    # versioned file manifest per mutation and queries resolve file lists
+    # from it, so readers never race compaction swaps. MANIFEST_MODE=0
+    # reverts to listing + bounded retry (the pre-r08 envelope).
+    manifest_mode: bool = True
 
     @classmethod
     def from_env(cls, env: dict | None = None, **overrides) -> "ServerConfig":
@@ -51,6 +56,9 @@ class ServerConfig:
                     "query_timeout_s", e.get("QUERY_TIMEOUT", 0))) and float(t) > 0
                 else None
             ),
+            manifest_mode=str(
+                overrides.get("manifest_mode", e.get("MANIFEST_MODE", "1"))
+            ).lower() not in ("0", "false", "no", ""),
         )
 
     def table_root(self) -> str:

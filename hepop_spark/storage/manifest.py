@@ -1,0 +1,274 @@
+"""Per-table file manifests: snapshot-pinned reads for serve tables.
+
+Why (r07 verdict item 1): a cross-process reader that LISTS a table
+directory races the owning writer's compaction — the plan captures a file
+list, the swap retires those files, execution hits FileNotFound. Bounded
+retries (plans/api.py) shrink the window but a zero-gap compaction storm
+can straddle every retry. The fix is the lakehouse commit-log pattern
+(the same design storage/snapshots.py uses for its versioned tables),
+applied to the reference's writer layout:
+
+  * every mutation of a manifest-enabled table publishes an immutable
+    `_manifest/v{N}.json` naming exactly the LIVE data files (atomic
+    rename — a reader always resolves a complete version);
+  * compaction never renames or deletes a live path in place: the new
+    compacted file is MOVED INTO the live tree under a fresh name and the
+    old files are marked retired IN the manifest; their bytes stay on
+    disk at their original paths for a grace period (`RETIRE_GRACE_S`),
+    so any reader pinned to an older manifest finishes against intact
+    paths;
+  * `vacuum` physically deletes retired files once their grace expires —
+    the Delta/Iceberg `VACUUM` split between logical delete (manifest)
+    and physical delete (grace);
+  * a WAL intent (`_manifest/intent_*.json`) brackets the
+    move-files-then-publish span: recovery rolls a crashed replace back
+    (new files not in the latest manifest -> delete them) or forward
+    (manifest published -> drop the intent), so no crash can double-count
+    a partition;
+  * appends stay walk-based: the live set is (visible data files) minus
+    (retired), so a flush that crashed between its parquet commit and its
+    manifest publish is ADOPTED by the next publish — the same
+    at-least-once window the ingest contract already documents.
+
+The reference's "listing is truth" metadata policy (query.js:36-38)
+becomes "manifest is truth" for serve tables; plain tables (no
+`_manifest/`) keep the r07 RENAME_EXCHANGE swap semantics unchanged.
+
+Scale: the manifest holds file PATHS — exactly what object stores need
+(no listing), and what lets a 1000-executor reader plan against a
+consistent snapshot while compaction runs at full cadence. Single writer
+per tree by the layout contract (hepop.js:114-132); multi-writer needs
+put-if-absent on v{N}, same protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+MANIFEST_DIR = "_manifest"
+# Seconds a retired file's bytes stay on disk after its manifest-level
+# delete. Must exceed the longest reader plan->execute span; the serve
+# default leaves 5 minutes, two orders of magnitude past the soak's
+# query times and still prompt enough to bound disk amplification at the
+# 60 s compaction cadence (<= ~5 retired generations live at once).
+RETIRE_GRACE_S = float(os.environ.get("SPARK_GRAFT_RETIRE_GRACE_S", "300"))
+KEEP_VERSIONS = 10  # manifest jsons retained past the latest
+
+
+def _mdir(table_dir: str) -> str:
+    return os.path.join(table_dir, MANIFEST_DIR)
+
+
+def manifest_enabled(table_dir: str) -> bool:
+    return os.path.isdir(_mdir(table_dir))
+
+
+def _versions(table_dir: str) -> list[int]:
+    try:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(_mdir(table_dir))
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        )
+    except OSError:
+        return []
+
+
+def latest(table_dir: str) -> tuple[int, dict] | None:
+    """(version, manifest) of the newest published version, or None.
+    Reader-safe without locks: versions publish by atomic rename, and a
+    version file, once listed, is complete."""
+    for v in reversed(_versions(table_dir)):
+        try:
+            with open(os.path.join(_mdir(table_dir), f"v{v}.json")) as fh:
+                return v, json.load(fh)
+        except (OSError, ValueError):
+            continue  # racing a prune of an old version: try the previous
+    return None
+
+
+def live_files(table_dir: str) -> list[str] | None:
+    """The pinned read face: relative paths of the files a reader should
+    scan, or None when no version is published yet."""
+    got = latest(table_dir)
+    return None if got is None else got[1]["files"]
+
+
+def _publish(table_dir: str, files: list[str], retired: dict[str, float],
+             prev_version: int) -> int:
+    v = prev_version + 1
+    doc = {"version": v, "ts": time.time(),
+           "files": sorted(files), "retired": retired}
+    md = _mdir(table_dir)
+    os.makedirs(md, exist_ok=True)
+    tmp = os.path.join(md, f".v{v}.json.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.rename(tmp, os.path.join(md, f"v{v}.json"))
+    return v
+
+
+def _walk_data_files(table_dir: str) -> set[str]:
+    """Visible *.parquet relpaths — hidden/underscore dirs and files are
+    never data (Spark's own listing rule)."""
+    out: set[str] = set()
+    for root, dirs, files in os.walk(table_dir):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.add(os.path.relpath(os.path.join(root, f), table_dir))
+    return out
+
+
+def _table_lock(table_dir: str):
+    from .writer import table_lock
+
+    return table_lock(table_dir)
+
+
+def enable_manifest(table_dir: str) -> None:
+    """Turn a table directory into a manifest-mode table, adopting any
+    existing visible files as version 1. Idempotent."""
+    with _table_lock(table_dir):
+        if manifest_enabled(table_dir) and _versions(table_dir):
+            return
+        os.makedirs(_mdir(table_dir), exist_ok=True)
+        _publish(table_dir, sorted(_walk_data_files(table_dir)), {}, 0)
+
+
+def recover(table_dir: str) -> dict[str, str]:
+    """Roll crashed replace intents forward or back (see module doc).
+    Runs before every publish/vacuum; cheap no-op when no intent exists.
+    Returns {intent_path: action} for tests."""
+    actions: dict[str, str] = {}
+    md = _mdir(table_dir)
+    try:
+        intents = sorted(f for f in os.listdir(md) if f.startswith("intent_"))
+    except OSError:
+        return actions
+    if not intents:
+        return actions
+    with _table_lock(table_dir):
+        got = latest(table_dir)
+        man_files = set(got[1]["files"]) if got else set()
+        for name in intents:
+            ipath = os.path.join(md, name)
+            try:
+                with open(ipath) as fh:
+                    intent = json.load(fh)
+            except (OSError, ValueError):
+                os.remove(ipath)
+                actions[ipath] = "dropped-unreadable"
+                continue
+            if all(n in man_files for n in intent["new"]):
+                actions[ipath] = "committed"  # publish happened; drop WAL
+            else:
+                # crash between moving new files in and publishing: the
+                # old files are still live in the manifest — delete any
+                # new files that made it, restoring the pre-replace state
+                for n in intent["new"]:
+                    p = os.path.join(table_dir, n)
+                    if os.path.exists(p):
+                        os.remove(p)
+                actions[ipath] = "rolled-back"
+            os.remove(ipath)
+    return actions
+
+
+def publish_append(table_dir: str) -> int:
+    """Publish a new version after an append: live = visible files minus
+    retired. Adopts files landed by a flush that crashed pre-publish."""
+    with _table_lock(table_dir):
+        recover(table_dir)
+        got = latest(table_dir)
+        prev_v, prev = (got if got else (0, {"files": [], "retired": {}}))
+        on_disk = _walk_data_files(table_dir)
+        retired = {r: t for r, t in prev.get("retired", {}).items()
+                   if r in on_disk}
+        files = sorted(on_disk - set(retired))
+        return _publish(table_dir, files, retired, prev_v)
+
+
+def replace_files(table_dir: str, moves: list[tuple[str, str]],
+                  old_rels: list[str]) -> int:
+    """The compaction commit: move staged files into the live tree under
+    their final names and publish a version that lists them and retires
+    ``old_rels`` — whose bytes stay at their paths until vacuum. The WAL
+    intent makes the move+publish span crash-atomic."""
+    with _table_lock(table_dir):
+        recover(table_dir)
+        got = latest(table_dir)
+        prev_v, prev = (got if got else (0, {"files": [], "retired": {}}))
+        new_rels = [os.path.relpath(dst, table_dir) for _src, dst in moves]
+        md = _mdir(table_dir)
+        os.makedirs(md, exist_ok=True)
+        ipath = os.path.join(md, f"intent_{uuid.uuid4().hex[:8]}.json")
+        itmp = ipath + ".tmp"
+        with open(itmp, "w") as fh:
+            json.dump({"new": new_rels, "old": list(old_rels)}, fh)
+        os.rename(itmp, ipath)
+        for src, dst in moves:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+        now = time.time()
+        retired = dict(prev.get("retired", {}))
+        retired.update({r: now for r in old_rels})
+        files = sorted((set(prev["files"]) - set(old_rels)) | set(new_rels))
+        v = _publish(table_dir, files, retired, prev_v)
+        os.remove(ipath)
+        return v
+
+
+def vacuum(table_dir: str, grace_s: float | None = None) -> list[str]:
+    """Physically delete retired files whose grace expired, prune emptied
+    partition directories and manifest versions past KEEP_VERSIONS.
+    Returns the removed file relpaths."""
+    grace = RETIRE_GRACE_S if grace_s is None else grace_s
+    removed: list[str] = []
+    with _table_lock(table_dir):
+        recover(table_dir)
+        got = latest(table_dir)
+        if got is None:
+            return removed
+        prev_v, prev = got
+        now = time.time()
+        keep: dict[str, float] = {}
+        for rel, t in prev.get("retired", {}).items():
+            p = os.path.join(table_dir, rel)
+            if now - t >= grace:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+                removed.append(rel)
+            elif os.path.exists(p):
+                keep[rel] = t
+        if removed or len(keep) != len(prev.get("retired", {})):
+            _publish(table_dir, prev["files"], keep, prev_v)
+        # rmdir partition dirs emptied by the deletes (bucket then date)
+        for rel in removed:
+            d = os.path.dirname(os.path.join(table_dir, rel))
+            while os.path.abspath(d) != os.path.abspath(table_dir):
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    break
+                d = os.path.dirname(d)
+        for v in _versions(table_dir)[:-KEEP_VERSIONS]:
+            try:
+                os.remove(os.path.join(_mdir(table_dir), f"v{v}.json"))
+            except OSError:
+                pass
+    return removed
+
+
+def live_files_by_partition(table_dir: str) -> dict[str, list[str]]:
+    """Live files grouped by their partition directory (relpath), the
+    eligibility input for manifest-mode compaction."""
+    by_part: dict[str, list[str]] = {}
+    for rel in live_files(table_dir) or []:
+        by_part.setdefault(os.path.dirname(rel), []).append(rel)
+    return by_part

@@ -31,15 +31,15 @@ from pyspark.sql import functions as F
 # query.js:24-33), and its compactor runs in the same process
 # (hepop.js:440-450 — the reference's is the same event loop, so it cannot
 # race itself; a multi-threaded engine must add the lock the JS model got
-# for free). Cross-process READERS are lock-free and safe by construction:
-# compaction stages and retires in dot-prefixed dirs Spark never lists and
-# swaps with an atomic RENAME_EXCHANGE (storage/compaction.py), so a
-# listing can never see a missing or doubled partition; a plan that
-# captured the pre-swap file list gets one fresh retry in the serve path
-# (plans/api.py) — proven by the two-process soak in tests/test_round7.py.
-# At cluster scale the same mutual exclusion is what a manifest-based table
-# format (snapshot isolation) provides; the lock is its single-writer
-# degenerate case.
+# for free). Cross-process READERS are lock-free and safe by construction.
+# Manifest-mode tables (storage/manifest.py, the serve default) pin reads
+# to a published file-list version while retired bytes persist through a
+# vacuum grace — nothing to race, proven by the ZERO-GAP two-process soak
+# in tests/test_round7.py. Legacy tables keep the r07 envelope: compaction
+# stages and retires in dot-prefixed dirs Spark never lists, swaps with an
+# atomic RENAME_EXCHANGE (storage/compaction.py), and a plan that captured
+# the pre-swap file list gets bounded retries in the serve path
+# (plans/api.py).
 _TABLE_LOCKS: dict[str, threading.RLock] = {}
 _TABLE_LOCKS_META = threading.Lock()
 
@@ -65,7 +65,8 @@ def with_time_partitions(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
 
 def write_partitioned(df: DataFrame, base_path: str, ts_col: str = "timestamp",
                       mode: str = "append",
-                      bloom_cols: tuple[str, ...] = ()) -> None:
+                      bloom_cols: tuple[str, ...] = (),
+                      manifest: bool | None = None) -> None:
     """Append rows under date/bucket partition directories.
 
     ``bloom_cols`` writes parquet bloom filters for the named columns —
@@ -74,12 +75,25 @@ def write_partitioned(df: DataFrame, base_path: str, ts_col: str = "timestamp",
     where row-group min/max stats already prune; blooms only pay off on
     high-cardinality POINT-lookup columns (session ids, call ids), so the
     column choice is the caller's, defaulting to none. Deliberate
-    improvement over the reference, documented in SURVEY §4."""
+    improvement over the reference, documented in SURVEY §4.
+
+    ``manifest``: True puts the table in manifest mode (snapshot-pinned
+    reads, storage/manifest.py) and publishes a new version after this
+    append; None (default) auto-publishes only if the table is ALREADY in
+    manifest mode; False never publishes. Serve-mode sinks pass True so a
+    brand-new measurement's first flush enables pinning."""
+    from .manifest import enable_manifest, manifest_enabled, publish_append
+
     w = with_time_partitions(df, ts_col).write.mode(mode)
     for c in bloom_cols:
         w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
     with table_lock(base_path):
         w.partitionBy("date", "bucket").parquet(base_path)
+        if manifest or (manifest is None and manifest_enabled(base_path)):
+            if not manifest_enabled(base_path):
+                enable_manifest(base_path)
+            else:
+                publish_append(base_path)
 
 
 def read_table(spark: SparkSession, base_path: str) -> DataFrame:

@@ -122,7 +122,8 @@ def read_lp_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
 def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
             processing_time: str | None = FLUSH_INTERVAL,
             schema_evolution: bool = False,
-            index_hooks: list | None = None):
+            index_hooks: list | None = None,
+            manifest: bool = False):
     """Write each measurement's rows under `{base}/{measurement}/` with the
     date/bucket partition layout and TYPED field columns frozen from the
     first row ever seen for that measurement (reference addLineProtocolBulk,
@@ -174,7 +175,8 @@ def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
             rows = rows.withColumn(
                 "timestamp", F.coalesce(F.col("timestamp"), F.current_timestamp())
             )
-            write_partitioned(rows, f"{base_dir}/{m}")
+            write_partitioned(rows, f"{base_dir}/{m}",
+                              manifest=manifest or None)
             for hook in index_hooks or []:
                 hook(m, rows, batch_id)
         batch.unpersist()
@@ -193,7 +195,8 @@ def lp_sink(parsed: DataFrame, base_dir: str, checkpoint_dir: str,
 
 def hep_sink(decoded: DataFrame, base_dir: str, checkpoint_dir: str,
              processing_time: str | None = FLUSH_INTERVAL,
-             index_hooks: list | None = None):
+             index_hooks: list | None = None,
+             manifest: bool = False):
     """HEP rows (timestamp, rcinfo, payload, type) -> one partitioned table
     per HEP type (`hep_{type}`), mirroring the per-type buffers
     (hepop.js:134-149). ``index_hooks`` as in lp_sink, keyed by the
@@ -203,7 +206,8 @@ def hep_sink(decoded: DataFrame, base_dir: str, checkpoint_dir: str,
         types = [r[0] for r in batch.select("type").distinct().collect()]
         for t in types:
             rows = batch.filter(F.col("type") == t).select("timestamp", "rcinfo", "payload")
-            write_partitioned(rows, f"{base_dir}/hep_{t}")
+            write_partitioned(rows, f"{base_dir}/hep_{t}",
+                              manifest=manifest or None)
             for hook in index_hooks or []:
                 hook(f"hep_{t}", rows, batch_id)
 

@@ -252,19 +252,20 @@ spark.stop()
 class TestCrossProcessCompactionRace:
     def test_reader_process_never_sees_loss_or_duplication(
             self, spark, tmp_path):
-        """r06 verdict item 4: a reader in ANOTHER process (own
-        SparkSession, serve-path discovery + query) hammers a table while
-        this process appends and compacts it. With hidden staging/trash
-        dirs + the RENAME_EXCHANGE swap + the serve retry-once, the
-        reader must never error, and its observed counts must be
-        NONDECREASING (a double-read of a retired copy would overshoot
-        then fall back; a lost partition would dip) and end at the exact
-        final total."""
+        """r06 verdict item 4, hardened to the r07 verdict's zero-gap
+        storm: a reader in ANOTHER process (own SparkSession, serve-path
+        discovery + query) hammers a MANIFEST-MODE table while this
+        process appends and compacts it back-to-back with NO cadence
+        sleep. Reads are pinned to published manifest versions and
+        retired bytes survive until vacuum, so the reader must never
+        error — not even retry — and its observed counts must be
+        NONDECREASING and end at the exact final total."""
         import subprocess
         import sys
         import time
 
         from hepop_spark.storage.compaction import compact, partition_files
+        from hepop_spark.storage.manifest import live_files, vacuum
         from hepop_spark.storage.writer import write_partitioned
 
         data = tmp_path / "data"
@@ -274,7 +275,7 @@ class TestCrossProcessCompactionRace:
         write_partitioned(
             spark.range(10).select(F.col("id").alias("v"),
                                    ts.alias("timestamp")),
-            str(base),
+            str(base), manifest=True,
         )
         script = tmp_path / "reader.py"
         out_path = tmp_path / "counts.txt"
@@ -301,12 +302,20 @@ class TestCrossProcessCompactionRace:
                         F.col("id").alias("v"), ts.alias("timestamp")),
                     str(base),
                 )
+                # ZERO-GAP storm: the next append+compact starts the
+                # moment the previous swap lands. Under listing+retry
+                # this outran the bounded envelope; under manifest
+                # pinning there is nothing to race.
                 compact(spark, str(base))
-                # a sweep CADENCE, not a back-to-back storm: serve mode
-                # compacts every COMPACT_INTERVAL (60 s default) — zero
-                # gap would mean every reader retry races the next swap
-                time.sleep(0.25)
             total = (rounds + 1) * 10
+            # logically compacted to one live file; retired bytes are
+            # still on disk (grace), then vacuum reclaims them
+            live = [f for f in (live_files(str(base)) or [])
+                    if f.startswith("date=2024-03-01/bucket=10-00/")]
+            assert len(live) == 1, live
+            assert len(partition_files(str(base),
+                                       "date=2024-03-01/bucket=10-00")) > 1
+            vacuum(str(base), grace_s=0)
             assert len(partition_files(str(base),
                                        "date=2024-03-01/bucket=10-00")) == 1
         finally:

@@ -217,3 +217,156 @@ class TestTableSinkUnpersist:
         jsc = spark.sparkContext._jsc.sc()
         cached = jsc.getPersistentRDDs()
         assert cached.isEmpty(), f"leaked {cached.size()} cached RDDs"
+
+
+def _write_soak(spark, base, lo, hi, manifest=None):
+    from hepop_spark.storage.writer import write_partitioned
+
+    ts = F.lit("2024-03-01 10:00:00").cast("timestamp")
+    write_partitioned(
+        spark.range(lo, hi).select(F.col("id").alias("v"),
+                                   ts.alias("timestamp")),
+        str(base), manifest=manifest,
+    )
+
+
+class TestManifestLifecycle:
+    def test_append_compact_vacuum_roundtrip(self, spark, tmp_path):
+        """Appends publish versions; manifest-mode compaction retires
+        instead of deleting; pinned reads see exactly the live set; vacuum
+        reclaims expired bytes and empties nothing live."""
+        from hepop_spark.storage.compaction import compact, partition_files
+        from hepop_spark.storage.manifest import (
+            latest,
+            live_files,
+            vacuum,
+        )
+
+        base = tmp_path / "t"
+        _write_soak(spark, base, 0, 10, manifest=True)
+        v1, man1 = latest(str(base))
+        assert man1["files"] and not man1["retired"]
+        _write_soak(spark, base, 10, 20)  # auto-publish: already enabled
+        v2, man2 = latest(str(base))
+        assert v2 > v1 and len(man2["files"]) > len(man1["files"])
+
+        res = compact(spark, str(base))
+        assert res, "partition should be eligible"
+        live = live_files(str(base))
+        assert len(live) == 1
+        # old bytes still on disk (grace default), manifest marks retired
+        rel = "date=2024-03-01/bucket=10-00"
+        assert len(partition_files(str(base), rel)) > 1
+        _v, man = latest(str(base))
+        assert set(man["retired"]) == set(man2["files"])
+        # the pinned read equals the data
+        df = spark.read.option("basePath", str(base)).parquet(
+            *[str(base / f) for f in live])
+        assert df.count() == 20
+        assert {r.v for r in df.collect()} == set(range(20))
+        # vacuum with zero grace deletes retired bytes, keeps live
+        removed = vacuum(str(base), grace_s=0)
+        assert set(removed) == set(man["retired"])
+        assert len(partition_files(str(base), rel)) == 1
+        assert spark.read.parquet(str(base)).count() == 20
+
+    def test_crashed_replace_rolls_back(self, spark, tmp_path):
+        """A replace intent whose publish never happened is rolled back:
+        the half-moved new files are deleted and the live set is the
+        pre-replace one."""
+        import json as _json
+
+        from hepop_spark.storage.manifest import (
+            latest,
+            live_files,
+            recover,
+        )
+
+        base = tmp_path / "t"
+        _write_soak(spark, base, 0, 10, manifest=True)
+        _v, man = latest(str(base))
+        rel = "date=2024-03-01/bucket=10-00"
+        stray = base / rel / "c_deadbeef_0.parquet"
+        stray.write_bytes(b"not a parquet file")
+        ipath = base / "_manifest" / "intent_deadbeef.json"
+        ipath.write_text(_json.dumps(
+            {"new": [f"{rel}/c_deadbeef_0.parquet"], "old": man["files"]}))
+        actions = recover(str(base))
+        assert list(actions.values()) == ["rolled-back"]
+        assert not stray.exists()
+        assert live_files(str(base)) == man["files"]
+        assert spark.read.parquet(str(base)).count() == 10
+
+    def test_committed_replace_intent_is_dropped(self, spark, tmp_path):
+        import json as _json
+
+        from hepop_spark.storage.compaction import compact
+        from hepop_spark.storage.manifest import latest, recover
+
+        base = tmp_path / "t"
+        _write_soak(spark, base, 0, 10, manifest=True)
+        _write_soak(spark, base, 10, 20)
+        compact(spark, str(base))
+        _v, man = latest(str(base))
+        live_new = [f for f in man["files"] if "/c_" in f]
+        ipath = base / "_manifest" / "intent_cafecafe.json"
+        ipath.write_text(_json.dumps(
+            {"new": live_new, "old": list(man["retired"])}))
+        actions = recover(str(base))
+        assert list(actions.values()) == ["committed"]
+        assert not ipath.exists()
+        assert spark.read.option("basePath", str(base)).parquet(
+            *[str(base / f) for f in man["files"]]).count() == 20
+
+    def test_ladder_manifest_mode(self, spark, tmp_path):
+        """Re-bucketing in manifest mode: rows move to the hour bucket
+        logically (live set), bytes linger until vacuum, results are
+        invariant."""
+        from hepop_spark.storage.compaction import compact_ladder
+        from hepop_spark.storage.manifest import live_files, vacuum
+        from hepop_spark.storage.writer import write_partitioned
+
+        base = tmp_path / "t"
+        df = spark.createDataFrame(
+            [(1, "2024-03-01 10:05:00"), (2, "2024-03-01 10:25:00"),
+             (3, "2024-03-01 10:45:00")], "v long, s string",
+        ).select("v", F.col("s").cast("timestamp").alias("timestamp"))
+        write_partitioned(df, str(base), manifest=True)
+        res = compact_ladder(spark, str(base), level="hour")
+        assert res == {"date=2024-03-01/bucket=10-00": 3}
+        live = live_files(str(base))
+        assert len(live) == 1 and live[0].startswith(
+            "date=2024-03-01/bucket=10-00/")
+        pinned = spark.read.option("basePath", str(base)).parquet(
+            str(base / live[0]))
+        assert {r.v for r in pinned.collect()} == {1, 2, 3}
+        vacuum(str(base), grace_s=0)
+        import os as _os
+
+        assert not _os.path.isdir(str(base / "date=2024-03-01/bucket=10-10"))
+        assert spark.read.parquet(str(base)).count() == 3
+
+    def test_discover_table_pins_manifest_and_federates(self, spark, tmp_path):
+        """A manifest-mode writer dir and a plain writer dir federate as
+        one table; the manifest dir's rows come from the pinned live set,
+        not a listing (retired duplicates are invisible)."""
+        from hepop_spark.catalog import discover_table
+        from hepop_spark.storage.compaction import compact
+
+        data = tmp_path / "data"
+        b1 = data / "w1" / "dbs" / "m"
+        b2 = data / "w2" / "dbs" / "m"
+        _write_soak(spark, b1, 0, 10, manifest=True)
+        _write_soak(spark, b1, 10, 20)
+        compact(spark, str(b1))  # retired bytes now on disk beside live
+        _write_soak(spark, b2, 100, 105)  # legacy listing dir
+        cache: dict = {}
+        assert discover_table(spark, str(data), "m", cache=cache)
+        got = {r.v for r in spark.table("m").select("v").collect()}
+        assert got == set(range(20)) | set(range(100, 105))
+        fp1 = cache["m"]
+        # a new append bumps the manifest version -> cache invalidates
+        _write_soak(spark, b1, 20, 25)
+        assert discover_table(spark, str(data), "m", cache=cache)
+        assert cache["m"] != fp1
+        assert spark.table("m").count() == 30
