@@ -2,12 +2,17 @@
 on Spark and its oracle_sql() on DuckDB over the same parquet tables, then
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/check_parity.py [--vanilla] [sf_dir] [query_name ...]
+Usage: python tools/check_parity.py [--vanilla] [--log FILE] [sf_dir] [query_name ...]
 
 --vanilla builds a DEFAULT SparkSession (no tuned confs) like the driver
 does, so parity is measured against driver reality, not the builder's
 session. (r01 lesson: 4 queries passed under get_spark() but crashed under
 the driver's default session on TIMESTAMP_NTZ reads.)
+
+--log FILE tees the sweep's own lines (not Spark's stage spam) to
+FILE.inprogress and renames to FILE only when the sweep COMPLETES — a
+killed or mid-run sweep can never leave a truncated log at the final name
+masquerading as a finished one (r07 verdict "what's wrong" item 1).
 """
 
 from __future__ import annotations
@@ -89,11 +94,50 @@ def duck_driver_unsafe(con, oracle_sql: str) -> list[str]:
     return bad
 
 
+class _Tee:
+    def __init__(self, fh):
+        self.fh = fh
+        self.stdout = sys.stdout
+
+    def write(self, s):
+        self.stdout.write(s)
+        self.fh.write(s)
+
+    def flush(self):
+        self.stdout.flush()
+        self.fh.flush()
+
+
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
+    import os
+
+    args = sys.argv[1:]
+    log_path = None
+    if "--log" in args:
+        i = args.index("--log")
+        log_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    vanilla = "--vanilla" in args
+    argv = [a for a in args if a != "--vanilla"]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+
+    if log_path is None:
+        return _run(vanilla, sf_dir, only)
+    tmp = log_path + ".inprogress"
+    fh = open(tmp, "w")
+    real_stdout = sys.stdout
+    sys.stdout = _Tee(fh)
+    try:
+        rc = _run(vanilla, sf_dir, only)
+    finally:
+        sys.stdout = real_stdout
+        fh.close()
+    os.rename(tmp, log_path)  # completion is the ONLY path to the name
+    return rc
+
+
+def _run(vanilla: bool, sf_dir: str, only: set[str]) -> int:
 
     from hepop_spark.queries import registry
 
