@@ -143,6 +143,55 @@ def lsh_buckets_from_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "buckets"))
 
 
+def lsh_store_append(
+    spark: SparkSession,
+    batch: DataFrame,
+    store: str,
+    batch_id: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = LSH_DIM,
+    k_bits: int = 8,
+    n_tables: int = 10,
+) -> bool:
+    """Append one ingest batch's (vec_id, tbl, bucket) rows to an
+    APPENDABLE bucket store as an immutable `batch=<id>/` segment —
+    the minhash_store_append contract for sign-LSH (r07 verdict item 2:
+    this was the only persisted artifact without a maintenance path).
+
+    Because the plane family is deterministic (seeds 42 + 977t), every
+    batch encodes independently with no train/append asymmetry: the store
+    after any prefix of batches equals build_lsh_index over the union of
+    those batches' vectors. No-op (False) when the batch id is already
+    published — idempotent under foreachBatch redelivery."""
+    dest = os.path.join(store, f"batch={batch_id}")
+    if os.path.isdir(dest):
+        return False
+    buckets = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.array(*bucket_exprs(vec_col, dim, k_bits, n_tables)))
+        .alias("tbl", "bucket"),
+    )
+    tmp = os.path.join(store, f".batch_{batch_id}.tmp.{uuid.uuid4().hex[:8]}")
+    try:
+        buckets.repartition("tbl", "bucket").write.mode("overwrite").partitionBy(
+            "tbl"
+        ).parquet(tmp)
+        os.rename(tmp, dest)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.isdir(dest)  # lost a benign race to another appender
+
+
+def lsh_store_scan(spark: SparkSession, store: str) -> DataFrame:
+    """(vec_id, tbl, bucket, batch) rows of every published segment — the
+    `batch=<id>` dirs read as one partition column, so the whole store is
+    a single partition-discovered scan and `tbl` still prunes."""
+    return spark.read.parquet(store).select("vec_id", "tbl", "bucket", "batch")
+
+
 def embeddings_lsh_buckets(
     spark: SparkSession,
     sf_dir: str,

@@ -222,6 +222,133 @@ def _stream_ann_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# streaming_lsh_maintain_replay — the sign-LSH twin (r07 verdict item 2):
+# the appendable bucket store maintained by the streaming sink's hook
+# ---------------------------------------------------------------------------
+
+LSH_MAINT_BATCHES = 3
+
+
+def streaming_lsh_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine range search answered WARM from a sign-LSH bucket store
+    MAINTAINED BY THE STREAMING PATH: vectors arrive as LSH_MAINT_BATCHES
+    micro-batches (one file per trigger) through
+    streaming/index_maint.table_sink; the lsh_maintenance hook encodes
+    each batch against the deterministic plane family and publishes it as
+    an immutable `batch=<id>/` segment (operators/lsh_index.
+    lsh_store_append) — no training batch, no frozen artifacts: the store
+    after any prefix of batches equals the from-scratch build over those
+    batches' vectors. The query is lsh_range_search's candidate equi-join
+    over the maintained buckets, restricted to CROSS-BATCH pairs (the
+    decontamination shape: new arrivals vs the older corpus), verified by
+    exact cosine against the corpus AS THE SINK COMMITTED IT — a dropped
+    row, an unfired hook or a duplicated segment all fail the gate.
+
+    Oracle: the flagship range-search oracle with the cross-batch
+    predicate added by one asserted substitution (the llm13 discipline) —
+    bucket math, candidate rule and verification are expression-for-
+    expression the flagship's.
+
+    Scale: hook work per trigger is one narrow encode of the arriving
+    batch (4 tables x 8 planes of zip_with dot products, JVM-side); the
+    warm query never rescans vectors outside the candidate-bounded
+    verification."""
+    from ..operators.lsh_index import lsh_store_scan
+    from ..streaming.exactly_once import read_committed
+    from ..streaming.index_maint import (
+        lsh_maintenance,
+        stage_batch_files,
+        table_sink,
+    )
+    from .llm6 import RANGE_BITS, RANGE_TABLES, RANGE_TAU
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    root = tempfile.mkdtemp(prefix="lsh_maint_")
+    landing = os.path.join(root, "landing")
+    store = os.path.join(root, "lsh_store")
+    try:
+        stage_batch_files(
+            emb, landing, F.col("vec_id") % LSH_MAINT_BATCHES,
+            LSH_MAINT_BATCHES,
+        )
+        stream = (
+            spark.readStream.schema(f"vec_id long, embedding {vec_type}")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        hook = lsh_maintenance(
+            store, table="vectors",
+            k_bits=RANGE_BITS, n_tables=RANGE_TABLES,
+        )
+        q = table_sink(
+            stream, os.path.join(root, "tables"), os.path.join(root, "ckpt"),
+            "vectors", index_hooks=[hook],
+        ).start()
+        q.awaitTermination()
+
+        corpus = read_committed(spark, os.path.join(root, "tables", "vectors"))
+        buck = lsh_store_scan(spark, store)
+        left = buck.select(F.col("vec_id").alias("a_id"), "tbl", "bucket")
+        right = buck.select(F.col("vec_id").alias("b_id"), "tbl", "bucket")
+        cand = (
+            left.join(right, ["tbl", "bucket"])
+            .filter(
+                (F.col("a_id") < F.col("b_id"))
+                & ((F.col("a_id") % LSH_MAINT_BATCHES)
+                   != (F.col("b_id") % LSH_MAINT_BATCHES))
+            )
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        vecs = corpus.select("vec_id", "embedding")
+        dot = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"),
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(F.col(c),
+                            lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        rows = (
+            cand.join(vecs.select(F.col("vec_id").alias("a_id"),
+                                  F.col("embedding").alias("va")), "a_id")
+            .join(vecs.select(F.col("vec_id").alias("b_id"),
+                              F.col("embedding").alias("vb")), "b_id")
+            .withColumn("sim", F.round(dot / (norm("va") * norm("vb")), 4))
+            .filter(F.col("sim") >= RANGE_TAU)
+            .select("a_id", "b_id", "sim")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "a_id bigint, b_id bigint, sim double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _stream_lsh_sql() -> str:
+    """Derived from the flagship range-search oracle by ONE asserted
+    substitution: the cross-batch candidate predicate."""
+    from .llm6 import _range_oracle_sql
+
+    base = _range_oracle_sql()
+    old = "WHERE a.vec_id < b.vec_id"
+    new = (
+        f"{old} AND (a.vec_id % {LSH_MAINT_BATCHES}) "
+        f"<> (b.vec_id % {LSH_MAINT_BATCHES})"
+    )
+    assert base.count(old) == 1, "flagship oracle changed; re-derive"
+    return base.replace(old, new, 1)
+
+
+# ---------------------------------------------------------------------------
 # theta_sketch_setops — KMV (k-minimum-values) sketch set operations
 # ---------------------------------------------------------------------------
 
@@ -520,5 +647,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="IVF-PQ index trained on the first micro-batch and grown by "
             "frozen-codebook appends from the streaming sink's hook; "
             "flagship oracle with the codebook sample re-rooted",
+    ),
+    "streaming_lsh_maintain_replay": QuerySpec(
+        streaming_lsh_maintain_replay,
+        _stream_lsh_sql(),
+        doc="sign-LSH bucket store grown per micro-batch by the streaming "
+            "sink's hook (deterministic planes: no train/append asymmetry); "
+            "cross-batch cosine range search answered warm from the "
+            "maintained segments",
     ),
 }

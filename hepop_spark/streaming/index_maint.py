@@ -119,6 +119,36 @@ def ivfpq_maintenance(
     return hook
 
 
+def lsh_maintenance(
+    store_path: str,
+    *,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_bits: int = 8,
+    n_tables: int = 10,
+) -> IndexHook:
+    """Hook that keeps an appendable sign-LSH bucket store fresh under a
+    vector ingest stream (r07 verdict item 2 — the last persisted store
+    without a maintenance path). The plane family is deterministic, so
+    every micro-batch encodes independently (no training batch, no frozen
+    artifacts to broadcast beyond the plane literals); hook work is one
+    narrow encode pass over the arriving batch. Redelivered batch ids
+    no-op inside lsh_store_append."""
+    from ..operators.lsh_index import lsh_store_append
+
+    def hook(table_name: str, rows: DataFrame, batch_id: int) -> None:
+        if table_name != table:
+            return
+        lsh_store_append(
+            rows.sparkSession, rows, store_path, f"b{batch_id}",
+            id_col=id_col, vec_col=vec_col,
+            k_bits=k_bits, n_tables=n_tables,
+        )
+
+    return hook
+
+
 def projection_maintenance(
     store_path: str,
     *,

@@ -370,3 +370,37 @@ class TestManifestLifecycle:
         assert discover_table(spark, str(data), "m", cache=cache)
         assert cache["m"] != fp1
         assert spark.table("m").count() == 30
+
+
+class TestLshMaintenance:
+    def test_append_idempotent_and_equals_build(self, spark, tmp_path):
+        """r07 verdict item 2: the appendable sign-LSH store. Appending
+        batches then scanning equals the one-shot build over the union;
+        redelivered batch ids no-op."""
+        from hepop_spark.operators.lsh_index import (
+            bucket_exprs,
+            lsh_store_append,
+            lsh_store_scan,
+        )
+
+        store = str(tmp_path / "lsh")
+        vecs = _vecs(spark, n=30, id_col="vec_id", vec_col="embedding")
+        for b in range(3):
+            batch = vecs.filter(F.col("vec_id") % 3 == b)
+            assert lsh_store_append(
+                spark, batch, store, f"b{b}", k_bits=4, n_tables=2) is True
+        # redelivery no-ops
+        assert lsh_store_append(
+            spark, vecs, store, "b0", k_bits=4, n_tables=2) is False
+        got = {
+            (r.vec_id, r.tbl, r.bucket)
+            for r in lsh_store_scan(spark, store)
+            .select("vec_id", "tbl", "bucket").collect()
+        }
+        direct = vecs.select(
+            F.col("vec_id"),
+            F.posexplode(F.array(
+                *bucket_exprs("embedding", 64, 4, 2))).alias("tbl", "bucket"),
+        )
+        want = {(r.vec_id, r.tbl, r.bucket) for r in direct.collect()}
+        assert got == want and len(got) == 60
