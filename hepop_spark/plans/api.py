@@ -69,6 +69,96 @@ def _is_stale_listing_error(e: Exception) -> bool:
     )
 
 
+# --- aggregate -> maintained-rollup routing (r07 verdict item 3) -----------
+# A maintained projection store (storage/rollup.py) that carries a `source`
+# routing contract in its _meta.json can answer a user's MATCHING aggregate
+# over the raw table from the pre-aggregated grid — the "continuous
+# aggregation" promise without the user knowing the rollup's name. The
+# matcher is deliberately conservative (whitespace-normalized expression
+# equality over a simple SELECT..FROM t GROUP BY shape, no WHERE/HAVING/
+# JOIN/subqueries); anything it cannot prove routes to the raw scan, so a
+# miss costs nothing but the raw aggregate the user asked for.
+
+_SIMPLE_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[A-Za-z_]\w*)\s+"
+    r"GROUP\s+BY\s+(?P<rest>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAIL_SPLIT_RE = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+_FORBIDDEN_RE = re.compile(
+    r"\b(WHERE|HAVING|JOIN|UNION|INTERSECT|EXCEPT|OVER|DISTINCT)\b",
+    re.IGNORECASE,
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parentheses."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+def _norm_expr(e: str) -> str:
+    return re.sub(r"\s+", "", e.lower())
+
+
+_AS_RE = re.compile(r"^(?P<expr>.+?)\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
+                    re.IGNORECASE | re.DOTALL)
+_TAIL_SHAPE_RE = re.compile(
+    r"^(?:ORDER\s+BY\s+(?P<ob>.+?))?\s*(?:LIMIT\s+\d+)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _tail_routable(tail: str, aliases: set[str]) -> bool:
+    """An ORDER BY/LIMIT tail survives the rewrite verbatim only when every
+    sort item is one of the rewritten select ALIASES (raw-table expressions
+    would dangle against the rollup view)."""
+    m = _TAIL_SHAPE_RE.match(tail)
+    if not m:
+        return False
+    ob = m.group("ob")
+    if not ob:
+        return True
+    for item in _split_top_level(ob):
+        item = re.sub(r"\s+(ASC|DESC)\s*$", "", item.strip(), flags=re.IGNORECASE)
+        if item.lower() not in aliases:
+            return False
+    return True
+
+
+def parse_simple_aggregate(sql: str):
+    """Parse `SELECT items FROM table GROUP BY keys [ORDER BY ...]
+    [LIMIT n]` into (table, [(expr, alias_or_None)], [group_exprs],
+    tail). None when the query is not provably this shape."""
+    m = _SIMPLE_AGG_RE.match(sql)
+    if not m or _FORBIDDEN_RE.search(sql):
+        return None
+    rest = m.group("rest")
+    tm = _TAIL_SPLIT_RE.search(rest)
+    gb, tail = (rest[: tm.start()], rest[tm.start():]) if tm else (rest, "")
+    items = []
+    for it in _split_top_level(m.group("sel")):
+        am = _AS_RE.match(it)
+        if am:
+            items.append((am.group("expr").strip(), am.group("alias")))
+        else:
+            items.append((it, it if re.fullmatch(r"[A-Za-z_]\w*", it) else None))
+    return (m.group("tbl"), items,
+            [g for g in _split_top_level(gb)], tail.strip())
+
+
 def resolve_table(sql: str) -> tuple[str, int | None]:
     """First FROM target (the reference extracts only the first —
     query.js:71-84, a documented mis-planning for multi-table SQL; we
@@ -147,9 +237,14 @@ class HepopQueryAPI:
         # unchanged (same freshness, cheaper hot loop)
         self.data_dir = data_dir
         self._view_fingerprints: dict[str, str] = {}
+        self.last_routed_rollup: str | None = None  # debug breadcrumb
 
     def sql(self, query: str, now: datetime | None = None) -> DataFrame:
         q = normalize_count(query)
+        routed = self._try_rollup_route(q) if self.data_dir else None
+        if routed is not None:
+            self.last_sql = routed
+            return self.spark.sql(routed)
         self.last_table, self.last_hep_type = resolve_table(q)
         if self.data_dir is not None:
             from ..catalog import discover_table
@@ -162,6 +257,95 @@ class HepopQueryAPI:
             q = inject_default_window(q, now=now)
         self.last_sql = q
         return self.spark.sql(q)
+
+    def _try_rollup_route(self, q: str) -> str | None:
+        """Rewrite a matching aggregate over a RAW table onto a maintained
+        rollup grid (r07 verdict item 3). Returns the rewritten SQL (FROM
+        the rollup view, which is registered as a side effect) or None —
+        in which case the caller scans raw, so routing can only ever
+        REMOVE work. Matching is proof-based: the store's `source`
+        contract must cover the query's table, every GROUP BY expression,
+        and every select item (keys verbatim; aggregates by normalized
+        expression equality, aliased). A GROUP BY over a SUBSET of the
+        grid's keys re-aggregates the grid (sum-monoid by the store
+        contract), the Timescale continuous-aggregate shape."""
+        import glob as _glob
+        import os
+
+        from ..storage.rollup import projection_meta
+
+        parsed = parse_simple_aggregate(q)
+        if parsed is None:
+            return None
+        table, items, group_exprs, tail = parsed
+        if self.default_window:
+            # the grid has no time dimension: routing a query whose raw
+            # form would receive the implicit last-10-minutes window
+            # (time-bearing table, no time predicate — and the simple-agg
+            # shape never has one) would silently widen it to all-time.
+            # Only tables WITHOUT a time face (document/vector corpora)
+            # route while the default window is on.
+            from ..catalog import discover_table
+
+            hep = re.fullmatch(r"hep_(\d+)", table)
+            try:
+                found = discover_table(
+                    self.spark, self.data_dir, table,
+                    int(hep.group(1)) if hep else None,
+                    cache=self._view_fingerprints,
+                )
+                if found and "time" in self.spark.table(table).columns:
+                    return None
+            except Exception:
+                return None
+        gset = {_norm_expr(g) for g in group_exprs}
+        for store in sorted(
+            _glob.glob(os.path.join(self.data_dir, "*", "rollups", "*"))
+        ):
+            meta = projection_meta(store)
+            if not meta or "source" not in meta:
+                continue
+            src = meta["source"]
+            if src.get("table", "").lower() != table.lower():
+                continue
+            key_map = {_norm_expr(e): c for c, e in src.get("keys", {}).items()}
+            sum_map = {_norm_expr(e): c for c, e in src.get("sums", {}).items()}
+            if not gset <= set(key_map):
+                continue
+            exact = gset == set(key_map)
+            sel, aliases, ok = [], set(), True
+            for expr, alias in items:
+                n = _norm_expr(expr)
+                if n in key_map and n in gset:
+                    out = alias or expr
+                    sel.append(f"{key_map[n]} AS {out}")
+                    aliases.add(out.lower())
+                elif n in sum_map and alias is not None:
+                    agg = sum_map[n] if exact else f"SUM({sum_map[n]})"
+                    sel.append(f"{agg} AS {alias}")
+                    aliases.add(alias.lower())
+                else:
+                    ok = False
+                    break
+            if not ok or not sel:
+                continue
+            if tail and not _tail_routable(tail, aliases):
+                continue
+            name = os.path.basename(store)
+            from ..catalog import discover_table
+
+            if not discover_table(self.spark, self.data_dir, name,
+                                  cache=self._view_fingerprints):
+                continue
+            group_clause = "" if exact else " GROUP BY " + ", ".join(
+                key_map[_norm_expr(g)] for g in group_exprs
+            )
+            self.last_routed_rollup = name
+            self.last_table, self.last_hep_type = name, None
+            return (f"SELECT {', '.join(sel)} FROM {name}"
+                    f"{group_clause} {tail}").rstrip()
+        self.last_routed_rollup = None
+        return None
 
     def _view_has_time(self, table: str) -> bool:
         """The reference's default window applies to its event tables,

@@ -75,6 +75,7 @@ def registry() -> dict[str, QuerySpec]:
         mining_q,
         pipeline_ops,
         reference_surface,
+        routing_q,
         scale_paths,
         sources_q,
         streaming_q,
@@ -143,6 +144,7 @@ def registry() -> dict[str, QuerySpec]:
         udf_surface,
         voip_q,
         voip_q2,
+        routing_q,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,158 @@
+"""Round-8: aggregate->rollup query routing (r07 verdict item 3).
+
+The maintained projection stores (storage/rollup.py) were queryable as
+named tables since r07, but the "continuous aggregation" promise required
+knowing the rollup's name. plans/api.py now rewrites a user's MATCHING
+aggregate over the RAW table onto the grid (the Timescale
+continuous-aggregate / materialized-view-routing shape); this module pins
+the behavior under the oracle gate: the judged entry issues the SAME SQL
+text a user would run against the raw documents table, asserts the API
+routed it to the rollup grid (and that the physical plan scans the
+store's parquet, never the raw table), and the DuckDB oracle computes the
+aggregate from the raw table — a grid that lost a batch, double-counted a
+fold, or mis-mapped an expression all fail the hash.
+
+Reference scope: north-star extension. The reference re-scans raw rows
+for every aggregate (query.js delegates the full scan to DuckDB); routing
+is the piece that makes maintained rollups an OPTIMIZATION rather than a
+parallel API.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+
+ROLLUP_ROUTE_BATCHES = 4
+
+# the SAME SQL text runs as the Spark entry (routed) and, over the raw
+# documents view, as the DuckDB oracle (modulo the HUGEINT->BIGINT casts
+# the driver canonicalizer requires)
+ROUTED_SQL_TEXT = (
+    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+def _build_rollup_serve_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """A temp serve layout: the raw documents table under w1/dbs AND a
+    maintained (lang, source) rollup grid under w1/rollups, appended in
+    ROLLUP_ROUTE_BATCHES per-batch partials then folded once — the state
+    a live ingest + serve sweep produces. Returns (root, data_dir)."""
+    from ..storage.rollup import projection_append, projection_compact
+
+    docs = load_table(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="rollup_route_")
+    data = os.path.join(root, "data")
+    docs.write.mode("overwrite").parquet(
+        os.path.join(data, "w1", "dbs", "documents")
+    )
+    store = os.path.join(data, "w1", "rollups", "doc_lang_rollup")
+    keys, sums = ["lang", "source"], ["n_docs", "total_chars"]
+    for b in range(ROLLUP_ROUTE_BATCHES):
+        part = (
+            docs.filter(F.col("doc_id") % ROLLUP_ROUTE_BATCHES == b)
+            .groupBy("lang", "source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+        )
+        projection_append(
+            spark, store, part, f"b{b}", keys=keys, sums=sums,
+            source={
+                "table": "documents",
+                "keys": {"lang": "lang", "source": "source"},
+                "sums": {"n_docs": "count(*)",
+                         "total_chars": "sum(n_chars)"},
+            },
+        )
+    # fold half the segments into base/ so routing reads the post-compaction
+    # store shape, then leave later segments live (the steady-state mix)
+    projection_compact(spark, store, keys, sums)
+    return root, data
+
+
+def _routed_df(spark: SparkSession, data: str) -> DataFrame:
+    from ..plans.api import HepopQueryAPI
+
+    api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+    df = api.sql(ROUTED_SQL_TEXT)
+    if api.last_routed_rollup != "doc_lang_rollup":
+        raise AssertionError(
+            f"aggregate was not routed to the rollup grid "
+            f"(last_routed_rollup={api.last_routed_rollup!r})"
+        )
+    return df
+
+
+def rollup_routed_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    """A user aggregate over the RAW documents table, answered from the
+    maintained rollup grid by the API layer's routing rewrite. The query
+    groups by a SUBSET of the grid's keys (lang, of the grid's
+    lang x source), so the rewrite re-aggregates the grid — the monoid
+    law that makes the grid answer coarser questions than it was built
+    for. The entry hard-fails if routing did not happen or if the
+    physical plan touches the raw table.
+
+    Scale: the routed plan scans O(|grid|) pre-aggregated rows (here
+    ~langs x sources) instead of O(|corpus|) documents — the entire point
+    of maintaining the rollup at ingest."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_docs bigint, total_chars bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_plan_text(spark: SparkSession, sf: str) -> str:
+    """The routed query's FORMATTED plan, for tools/plan_audit.py (the
+    judged entry returns collected rows, so the audit probes the live
+    routed DataFrame instead)."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data)
+        jdf = df._jdf
+        mode = (
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        return jdf.queryExecution().explainString(mode)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ROLLUP_ROUTED_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "rollup_routed_aggregate": QuerySpec(
+        rollup_routed_aggregate, ROLLUP_ROUTED_SQL,
+        doc="the SAME user SQL over the raw table, rewritten by the API "
+            "layer onto the maintained rollup grid (subset-key "
+            "re-aggregation); oracle recomputes from raw",
+    ),
+}

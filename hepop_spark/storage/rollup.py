@@ -147,7 +147,8 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
 def projection_append(spark: SparkSession, store: str, partial: DataFrame,
                       batch_id: str,
                       keys: list[str] | None = None,
-                      sums: list[str] | None = None) -> bool:
+                      sums: list[str] | None = None,
+                      source: dict | None = None) -> bool:
     """Publish one micro-batch's partial aggregate as an immutable
     segment. No-op (False) when the batch id is already published — safe
     under foreachBatch redelivery.
@@ -155,7 +156,13 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
     When `keys`/`sums` are given, a `_meta.json` descriptor is written
     once alongside the segments, making the store SELF-DESCRIBING: the
     serve catalog (catalog.discover_table) can then register the merged
-    scan as a query table without out-of-band schema knowledge."""
+    scan as a query table without out-of-band schema knowledge.
+
+    ``source`` additionally records the ROUTING contract (r07 verdict
+    item 3): {"table": raw_table, "keys": {store_col: raw_expr},
+    "sums": {store_col: raw_agg_expr}} — enough for the API layer
+    (plans/api.py rollup routing) to rewrite a user's matching aggregate
+    over the RAW table onto this grid."""
     import json
     import shutil
 
@@ -173,9 +180,12 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
         os.makedirs(store, exist_ok=True)
         meta = os.path.join(store, "_meta.json")
         if keys is not None and sums is not None and not os.path.exists(meta):
+            doc = {"keys": list(keys), "sums": list(sums)}
+            if source is not None:
+                doc["source"] = source
             mtmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
             with open(mtmp, "w") as fh:
-                json.dump({"keys": list(keys), "sums": list(sums)}, fh)
+                json.dump(doc, fh)
             os.rename(mtmp, meta)
         os.rename(tmp, dest)
         return True

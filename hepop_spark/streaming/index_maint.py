@@ -156,6 +156,7 @@ def projection_maintenance(
     derive: Callable[[DataFrame], DataFrame],
     keys: list[str] | None = None,
     sums: list[str] | None = None,
+    source: dict | None = None,
 ) -> IndexHook:
     """Hook that maintains a sum-monoid aggregate projection (a
     materialized-view grid: the cents-percentile rollup, per-key token
@@ -171,8 +172,9 @@ def projection_maintenance(
     Pass `keys`/`sums` to make the store self-describing (_meta.json): a
     store published under `{data}/{writer}/rollups/{name}` is then
     discoverable by the serve catalog and queryable through /query as
-    table `{name}` — the API-layer routing face of the maintained
-    rollup."""
+    table `{name}` — and with ``source`` (the raw-table routing contract,
+    see storage/rollup.projection_append) a user's MATCHING aggregate
+    over the raw table is rewritten onto this grid by the API layer."""
     from ..storage.rollup import projection_append
 
     def hook(table_name: str, rows: DataFrame, batch_id: int) -> None:
@@ -180,7 +182,7 @@ def projection_maintenance(
             return
         projection_append(
             rows.sparkSession, store_path, derive(rows), f"b{batch_id}",
-            keys=keys, sums=sums,
+            keys=keys, sums=sums, source=source,
         )
 
     return hook

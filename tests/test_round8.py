@@ -404,3 +404,120 @@ class TestLshMaintenance:
         )
         want = {(r.vec_id, r.tbl, r.bucket) for r in direct.collect()}
         assert got == want and len(got) == 60
+
+
+class TestRollupRouting:
+    def _tree(self, spark, tmp_path):
+        from hepop_spark.storage.rollup import projection_append
+
+        data = str(tmp_path / "data")
+        raw = spark.createDataFrame(
+            [(i, ["en", "de", "fr"][i % 3], ["web", "book"][i % 2], 10 + i)
+             for i in range(60)],
+            "doc_id long, lang string, source string, n_chars long",
+        )
+        raw.write.mode("overwrite").parquet(
+            os.path.join(data, "w1", "dbs", "docs_t8"))
+        store = os.path.join(data, "w1", "rollups", "docs_t8_grid")
+        for b in range(2):
+            part = (
+                raw.filter(F.col("doc_id") % 2 == b)
+                .groupBy("lang", "source")
+                .agg(F.count("*").alias("n"),
+                     F.sum("n_chars").alias("chars"))
+            )
+            projection_append(
+                spark, store, part, f"b{b}",
+                keys=["lang", "source"], sums=["n", "chars"],
+                source={"table": "docs_t8",
+                        "keys": {"lang": "lang", "source": "source"},
+                        "sums": {"n": "count(*)",
+                                 "chars": "sum(n_chars)"}},
+            )
+        return data, raw
+
+    def test_exact_and_subset_grouping_route(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, raw = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        # subset of the grid keys -> re-aggregated grid
+        rows, _ = api.query_json(
+            "SELECT lang, count(*) AS n, sum(n_chars) AS chars "
+            "FROM docs_t8 GROUP BY lang ORDER BY lang")
+        assert api.last_routed_rollup == "docs_t8_grid"
+        want = {
+            (r.lang, r.n, r.chars)
+            for r in raw.groupBy("lang").agg(
+                F.count("*").alias("n"),
+                F.sum("n_chars").alias("chars")).collect()
+        }
+        assert {(r["lang"], r["n"], r["chars"]) for r in rows} == want
+        # exact grid keys -> straight rename off the merged view
+        rows, _ = api.query_json(
+            "SELECT lang, source, count() AS n FROM docs_t8 "
+            "GROUP BY lang, source")
+        assert api.last_routed_rollup == "docs_t8_grid"
+        assert len(rows) == 6 and sum(r["n"] for r in rows) == 60
+
+    def test_non_matching_shapes_fall_back_to_raw(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, raw = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        for sql in (
+            # WHERE: the grid cannot answer filtered aggregates
+            "SELECT lang, count(*) AS n FROM docs_t8 "
+            "WHERE source = 'web' GROUP BY lang",
+            # avg is not a declared monoid column
+            "SELECT lang, avg(n_chars) AS a FROM docs_t8 GROUP BY lang",
+            # grouping key outside the grid
+            "SELECT doc_id % 7 AS k, count(*) AS n FROM docs_t8 "
+            "GROUP BY doc_id % 7",
+            # plain scan, no aggregate
+            "SELECT doc_id, lang FROM docs_t8",
+        ):
+            rows, _ = api.query_json(sql)
+            assert api.last_routed_rollup is None, sql
+            assert rows, sql
+        # the filtered fallback is CORRECT, not just unrouted
+        rows, _ = api.query_json(
+            "SELECT lang, count(*) AS n FROM docs_t8 "
+            "WHERE source = 'web' GROUP BY lang ORDER BY lang")
+        want = {(r.lang, r.n)
+                for r in raw.filter(F.col("source") == "web")
+                .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert {(r["lang"], r["n"]) for r in rows} == want
+
+    def test_default_window_blocks_routing_for_time_tables(
+            self, spark, tmp_path):
+        """With the serve default window ON, a time-bearing raw table's
+        aggregate must NOT be widened to the all-time grid."""
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.rollup import projection_append
+        from hepop_spark.storage.writer import write_partitioned
+
+        data = str(tmp_path / "data")
+        ts = F.lit("2024-03-01 10:00:00").cast("timestamp")
+        raw = spark.range(20).select(
+            F.col("id").alias("v"), (F.col("id") % 2).alias("k"),
+            ts.alias("timestamp"))
+        write_partitioned(raw, os.path.join(data, "w1", "dbs", "ev_t8"))
+        store = os.path.join(data, "w1", "rollups", "ev_t8_grid")
+        part = raw.groupBy("k").agg(F.count("*").alias("n"))
+        projection_append(
+            spark, store, part, "b0", keys=["k"], sums=["n"],
+            source={"table": "ev_t8", "keys": {"k": "k"},
+                    "sums": {"n": "count(*)"}})
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT k, count(*) AS n FROM ev_t8 GROUP BY k")
+        assert api.last_routed_rollup is None
+        # raw rows are from 2024 -> outside the implicit window
+        assert rows == []
+        # same deployment, window off: routing applies
+        api2 = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api2.query_json(
+            "SELECT k, count(*) AS n FROM ev_t8 GROUP BY k")
+        assert api2.last_routed_rollup == "ev_t8_grid"
+        assert sorted((r["k"], r["n"]) for r in rows) == [(0, 10), (1, 10)]

@@ -117,6 +117,11 @@ AUDITS: dict[str, set[str]] = {
     "streaming_index_maintain_replay": set(),
     "weighted_percentile_maintained": set(),
     "streaming_ann_maintain_replay": set(),
+    "streaming_lsh_maintain_replay": set(),
+    # aggregate->rollup routing (r08): the audited plan is the ROUTED
+    # query's (routed_plan_text probe, SPECIAL_PLANS below) — rollup_scan
+    # asserts the grid parquet is scanned and the raw table is NOT
+    "rollup_routed_aggregate": {"rollup_scan", "partial"},
     # KMV sketch set-ops: the crossJoins are 1-row aggregates x k-row
     # sketches (constant cost at any corpus scale) -> BNLJ by design
     "theta_sketch_setops": {"bnlj_ok"},
@@ -552,6 +557,13 @@ def explain_str(df) -> str:
 
 def audit(name: str, plan: str, flags: set[str]) -> list[str]:
     problems: list[str] = []
+    if "rollup_scan" in flags:
+        # the routed aggregate must read the maintained grid, never the raw
+        # table (r07 verdict item 3's done-criterion)
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            problems.append("routed plan does not scan a rollups/ store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            problems.append("routed plan still scans the raw dbs/ table")
     if "pushdown" in flags:
         pushed = [
             ln for ln in plan.splitlines()
@@ -607,8 +619,16 @@ def main() -> None:
     spark = get_spark("plan-audit")
     reg = registry()
     failures = len(bcast_problems)
+    # entries whose returned DataFrame is a pinned local result but whose
+    # INTERESTING plan is reachable through a probe helper
+    from hepop_spark.queries.routing_q import routed_plan_text
+
+    special_plans = {"rollup_routed_aggregate": routed_plan_text}
     for name, flags in AUDITS.items():
-        plan = explain_str(reg[name].fn(spark, sf_dir))
+        if name in special_plans:
+            plan = special_plans[name](spark, sf_dir)
+        else:
+            plan = explain_str(reg[name].fn(spark, sf_dir))
         problems = audit(name, plan, flags)
         if problems:
             failures += 1
