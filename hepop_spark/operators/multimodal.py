@@ -1,14 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary columns with typed
 metadata, processed by Arrow-batched Pandas UDFs over mapInPandas.
 
-Decode reality, by format class (r07): UNCOMPRESSED formats decode for
+Decode reality, by format class (r08): UNCOMPRESSED formats decode for
 real with zero media libraries — raw PCM8 audio (audio_pcm_windows) and
-P6 PPM images (decode_ppm_stats, header parse + numpy pixel math).
-COMPRESSED codecs (JPEG/PNG/video/ffmpeg audio) genuinely need PIL/
-libsndfile/ffmpeg, which are not in this container: decode_image_features
-raises NotImplementedError unless `fake=True`, which swaps in a
-deterministic fake decoder (dimensions/features derived from the bytes)
-so those pipelines stay testable end-to-end.
+P6 PPM images (decode_ppm_stats, header parse + numpy pixel math) — and
+so does baseline JPEG now (decode_jpeg_stats over the pure-numpy
+Huffman+IDCT decoder in operators/jpeg.py, r07 verdict item 4). The
+remaining COMPRESSED codecs (PNG needs a zlib-inflate path, video/ffmpeg
+audio need ffmpeg) stay behind the NotImplementedError gate in
+decode_image_features unless `fake=True`, which swaps in a deterministic
+fake decoder (dimensions/features derived from the bytes) so those
+pipelines stay testable end-to-end.
 
 Design for 100 TB of media:
  - binary payloads stay in parquet binary columns; metadata (mime, width,
@@ -63,8 +65,11 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                 data = bytes(blob)
                 if not fake:
                     raise NotImplementedError(
-                        "real image decode requires PIL/opencv — not in container; "
-                        "pass fake=True for the deterministic test decoder"
+                        "generic image decode here covers PNG/video codecs, "
+                        "which need zlib-inflate/ffmpeg (not in container); "
+                        "baseline JPEG decodes for real via decode_jpeg_stats "
+                        "and P6 PPM via decode_ppm_stats; pass fake=True for "
+                        "the deterministic test decoder"
                     )
                 w, h, feats = _fake_decode(data)
                 rows.append((int(mid), w, h, len(data), feats))
@@ -132,6 +137,89 @@ def decode_ppm_stats(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.mapInPandas(decode, schema=PPM_STATS_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = (
+    "media_id bigint, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def decode_jpeg_stats(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """REAL compressed-codec image decode with zero media libraries:
+    binary baseline-JFIF payloads -> (dimensions from the decoded SOF0
+    header, exact per-channel pixel sums), via the pure-numpy decoder in
+    operators/jpeg.py (markers, canonical Huffman + byte unstuffing,
+    differential DC / RLE AC, dequant, zigzag, IDCT, YCbCr->RGB). This
+    retires JPEG from the NotImplementedError gate — only PNG/video
+    remain there (zlib-inflate/ffmpeg territory).
+
+    Integer channel sums are exact in int64; mapInPandas keeps it a
+    narrow Arrow-batched map — no shuffle, nothing on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from .jpeg import decode_baseline_jpeg
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_baseline_jpeg(bytes(blob))
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=-1)
+                h, w = img.shape[:2]
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append((int(mid), w, h,
+                             int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.mapInPandas(decode, schema=JPEG_STATS_SCHEMA)
+
+
+def synthesize_block_jpegs(df: DataFrame, id_col: str = "media_id",
+                           blocks: int = 2, block_px: int = 8) -> DataFrame:
+    """Deterministic JPEG fixture synthesis (the encoder half of
+    operators/jpeg.py): each id becomes a (blocks*8 x blocks*8) RGB image
+    of CONSTANT 8x8 blocks whose colors are closed-form functions of
+    (id, block index), encoded with Annex K tables overridden to DC q=8 —
+    the determinism contract under which decode(encode(img)) is exactly
+    the YCbCr roundtrip chain, replayable in ANSI SQL (see
+    operators/jpeg.py module doc). Output: (media_id, payload)."""
+    import numpy as np
+    import pandas as pd
+
+    from .jpeg import QUANT_CHROMA, QUANT_LUMA, encode_baseline_jpeg
+
+    ql = QUANT_LUMA.copy()
+    ql[0, 0] = 8
+    qc = QUANT_CHROMA.copy()
+    qc[0, 0] = 8
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                img = np.zeros((blocks * block_px, blocks * block_px, 3),
+                               dtype=np.uint8)
+                for k in range(blocks * blocks):
+                    by, bx = divmod(k, blocks)
+                    img[by * block_px:(by + 1) * block_px,
+                        bx * block_px:(bx + 1) * block_px] = (
+                        (mid * 31 + k * 97) % 256,
+                        (mid * 57 + k * 131) % 256,
+                        (mid * 83 + k * 53) % 256,
+                    )
+                rows.append((mid, encode_baseline_jpeg(img, ql, qc)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return df.mapInPandas(synth, schema="media_id bigint, payload binary")
 
 
 def frame_sample(df: DataFrame, payload_col: str = "payload",

@@ -521,3 +521,103 @@ class TestRollupRouting:
             "SELECT k, count(*) AS n FROM ev_t8 GROUP BY k")
         assert api2.last_routed_rollup == "ev_t8_grid"
         assert sorted((r["k"], r["n"]) for r in rows) == [(0, 10), (1, 10)]
+
+
+class TestJpegCodec:
+    """r07 verdict item 4: pure-numpy baseline JFIF. The judged entry pins
+    the exact-roundtrip fixture class; these tests pin the GENERAL decode
+    paths (non-constant blocks, byte stuffing, restart markers, gray)."""
+
+    def _q8(self):
+        from hepop_spark.operators.jpeg import QUANT_CHROMA, QUANT_LUMA
+
+        ql = QUANT_LUMA.copy()
+        ql[0, 0] = 8
+        qc = QUANT_CHROMA.copy()
+        qc[0, 0] = 8
+        return ql, qc
+
+    def test_constant_blocks_roundtrip_exactly(self):
+        import numpy as np
+
+        from hepop_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+            rgb_to_ycbcr,
+            ycbcr_to_rgb,
+        )
+
+        ql, qc = self._q8()
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        for k, c in enumerate([(10, 200, 30), (250, 5, 128),
+                               (66, 66, 66), (0, 255, 17)]):
+            by, bx = divmod(k, 2)
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = c
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(img, ql, qc))
+        assert np.array_equal(dec, ycbcr_to_rgb(rgb_to_ycbcr(img)))
+
+    def test_smooth_gradient_error_bound(self):
+        import numpy as np
+
+        from hepop_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+        )
+
+        x = np.linspace(0, np.pi * 2, 32)
+        img = (128 + 60 * np.sin(np.add.outer(x, x))).astype(np.uint8)
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        assert dec.shape == img.shape
+        assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 12
+
+    def test_byte_stuffing_and_noise(self):
+        """Seed 1 provably produces 0xFF bytes in the entropy stream
+        (stuffed as FF00); the decoder must unstuff and still bound the
+        reconstruction error of a noise image."""
+        import numpy as np
+
+        from hepop_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+        )
+
+        g = np.random.RandomState(1).randint(0, 256, (16, 16)).astype(np.uint8)
+        data = encode_baseline_jpeg(g)
+        assert b"\xff\x00" in data.split(b"\xff\xda")[1]
+        dec = decode_baseline_jpeg(data)
+        assert dec.shape == g.shape
+        assert int(np.max(np.abs(dec.astype(int) - g.astype(int)))) <= 120
+
+    def test_restart_markers_roundtrip(self):
+        import numpy as np
+
+        from hepop_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+        )
+
+        x = np.linspace(0, np.pi * 2, 32)
+        img = (128 + 50 * np.cos(np.add.outer(x, 2 * x))).astype(np.uint8)
+        plain = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        rst = encode_baseline_jpeg(img, restart_interval=2)
+        assert any(bytes([0xFF, 0xD0 + i]) in rst.split(b"\xff\xda")[1]
+                   for i in range(8))
+        assert np.array_equal(decode_baseline_jpeg(rst), plain)
+
+    def test_unsupported_shapes_fail_loudly(self):
+        import numpy as np
+        import pytest
+
+        from hepop_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+        )
+
+        with pytest.raises(ValueError, match="SOI"):
+            decode_baseline_jpeg(b"\x89PNG\r\n\x1a\n")
+        # progressive SOF2 rejected: patch the SOF0 marker byte
+        img = np.zeros((8, 8), dtype=np.uint8) + 100
+        data = bytearray(encode_baseline_jpeg(img))
+        data[data.index(b"\xff\xc0") + 1] = 0xC2
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_baseline_jpeg(bytes(data))
