@@ -77,6 +77,7 @@ def registry() -> dict[str, QuerySpec]:
         reference_surface,
         routing_q,
         scale_paths,
+        skew_q,
         sources_q,
         streaming_q,
         timeseries,
@@ -145,6 +146,7 @@ def registry() -> dict[str, QuerySpec]:
         voip_q,
         voip_q2,
         routing_q,
+        skew_q,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
@@ -190,16 +192,17 @@ GATE_WINDOW_50 = (
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_collapsed",
     "dedup_simhash", "dedup_incremental_indexed", "semantic_dedup_cc",
+    "streaming_lsh_maintain_replay",
     # ANN / similarity family
     "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "lsh_range_search", "embedding_neardup",
-    # multimodal
-    "multimodal_features", "multimodal_ppm_decode",
+    # multimodal (real decodes)
+    "multimodal_jpeg_decode", "multimodal_ppm_decode",
     # text analysis
     "text_lang_id", "text_quality_score", "text_bpe_token_count",
     # bounded-state sketches + curation + SQL-surface heavies
     "theta_sketch_setops", "ddsketch_quantiles", "curation_funnel",
-    "weighted_percentile_disc", "table_checksum",
+    "rollup_routed_aggregate",
 )
 
 

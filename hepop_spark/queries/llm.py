@@ -185,11 +185,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return _minhash_pairs(_shingles_raw(spark, sf))
 
 
-def _minhash_pairs(sh_raw: DataFrame) -> DataFrame:
-    """The minhash->bands->candidates->exact-verify chain over any
-    (doc_id, sh) raw-shingle frame; returns (da, db, jaccard) pairs.
-    Shared by dedup_minhash_lsh (full corpus) and llm4's
-    dedup_minhash_collapsed (exact-dedup representatives)."""
+def _minhash_bands(sh_raw: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band rows from a raw-shingle frame — the
+    shared signing front end of every banded dedup chain."""
     # All k minhashes in ONE aggregation (k agg expressions over one shuffle
     # on doc_id) instead of exploding by seed — at scale this kills a k×-row
     # shuffle and a second (doc, seed) aggregation exchange.
@@ -215,9 +213,17 @@ def _minhash_pairs(sh_raw: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
+
+
+def _minhash_pairs(sh_raw: DataFrame) -> DataFrame:
+    """The minhash->bands->candidates->exact-verify chain over any
+    (doc_id, sh) raw-shingle frame; returns (da, db, jaccard) pairs.
+    Shared by dedup_minhash_lsh (full corpus) and llm4's
+    dedup_minhash_collapsed (exact-dedup representatives)."""
+    bands = _minhash_bands(sh_raw)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -230,6 +236,14 @@ def _minhash_pairs(sh_raw: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
+    return _verify_candidate_pairs(sh_raw, candidates)
+
+
+def _verify_candidate_pairs(sh_raw: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of (da, db) candidate pairs against the
+    raw-shingle frame; returns pairs >= JACCARD_THRESHOLD. Shared by the
+    banded all-pairs chain above and skew_q's salted star-join chain —
+    one verification body, so the two candidate policies cannot drift."""
     # exact verification of candidates only: restrict the shingle table to
     # candidate docs (broadcast semi-join), and only THEN take distinct
     # shingle sets — the expensive distinct runs over a tiny slice

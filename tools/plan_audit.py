@@ -122,6 +122,11 @@ AUDITS: dict[str, set[str]] = {
     # query's (routed_plan_text probe, SPECIAL_PLANS below) — rollup_scan
     # asserts the grid parquet is scanned and the raw table is NOT
     "rollup_routed_aggregate": {"rollup_scan", "partial"},
+    # skewed-band dedup (r08): the reps join must carry the salt in its
+    # join keys (hot bucket spread over SKEW_SALT partitions) and the
+    # min-per-bucket agg must be map-side partial (hot key absorbed
+    # before the exchange) — together, no single-partition band stage
+    "dedup_skewed_band": {"salted_band_join", "partial"},
     # KMV sketch set-ops: the crossJoins are 1-row aggregates x k-row
     # sketches (constant cost at any corpus scale) -> BNLJ by design
     "theta_sketch_setops": {"bnlj_ok"},
@@ -557,6 +562,16 @@ def explain_str(df) -> str:
 
 def audit(name: str, plan: str, flags: set[str]) -> list[str]:
     problems: list[str] = []
+    if "salted_band_join" in flags:
+        # the band->reps equi-join's keys must include the salt column:
+        # every "keys [...]" detail line naming bkey must name salt too
+        key_lines = [ln for ln in plan.splitlines()
+                     if "keys [" in ln and "bkey" in ln]
+        if not key_lines:
+            problems.append("no band-key join in plan")
+        elif not all("salt" in ln for ln in key_lines):
+            problems.append("band join keys missing the salt column "
+                            "(hot bucket lands on one partition)")
     if "rollup_scan" in flags:
         # the routed aggregate must read the maintained grid, never the raw
         # table (r07 verdict item 3's done-criterion)
