@@ -89,6 +89,12 @@ EXTRA_R2 = [
     # instead — SCALE.md)
     "theta_sketch_setops",
     "ddsketch_quantiles",
+    # round-8 flagships: the skew-safe banded dedup (adversarial hot
+    # bucket), the routed rollup aggregate (grid scan instead of raw),
+    # and the real JPEG decode (bounded 400-image fixture)
+    "dedup_skewed_band",
+    "rollup_routed_aggregate",
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -23,8 +23,15 @@ import sys
 from .config import ServerConfig
 
 
-def serve(cfg: ServerConfig, spark=None, block: bool = True):
-    """Start everything; returns a stop() callable when block=False."""
+def serve(cfg: ServerConfig, spark=None, block: bool = True,
+          index_hooks: list | None = None):
+    """Start everything; returns a stop() callable when block=False.
+
+    ``index_hooks`` (streaming/index_maint.py hooks, embedding-API only —
+    hooks are callables, so they cannot ride the env config) are run per
+    micro-batch by BOTH ingest sinks, keyed by table name: how a serve
+    deployment keeps MinHash/IVF-PQ/LSH stores and rollup projections
+    fresh in lock-step with ingest."""
     from .plans.http_server import HepopHttpServer
     from .session import get_spark
     from .sources.receiver import (
@@ -49,9 +56,12 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True):
     # data_dir enables per-query table discovery: a measurement POSTed to
     # /write is queryable the moment its first parquet lands — no manual
     # view registration (reference fresh-metadata semantics, query.js:36-38)
+    from .plans.api import DEFAULT_MAX_ROWS
+
     http = HepopHttpServer(
         spark, lp_spool=lp_spool, host=cfg.host, port=cfg.http_port,
         data_dir=cfg.data_dir, query_timeout_s=cfg.query_timeout_s,
+        max_rows=cfg.max_rows if cfg.max_rows else DEFAULT_MAX_ROWS,
     ).start()
 
     root = cfg.table_root()
@@ -71,11 +81,11 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True):
     queries = [
         lp_sink(
             read_lp_stream(spark, lp_landing), root, os.path.join(ckpt, "lp"),
-            manifest=cfg.manifest_mode,
+            manifest=cfg.manifest_mode, index_hooks=index_hooks,
         ).start(),
         hep_sink(
             decode_hep_df(hep_stream), root, os.path.join(ckpt, "hep"),
-            manifest=cfg.manifest_mode,
+            manifest=cfg.manifest_mode, index_hooks=index_hooks,
         ).start(),
     ]
 

@@ -32,6 +32,10 @@ class ServerConfig:
     # from it, so readers never race compaction swaps. MANIFEST_MODE=0
     # reverts to listing + bounded retry (the pre-r08 envelope).
     manifest_mode: bool = True
+    # JSON-path row ceiling for /query (MAX_ROWS env); None = the
+    # plans/api.py default (100k). Oversized results answer 413 with the
+    # truncated prefix.
+    max_rows: int | None = None
 
     @classmethod
     def from_env(cls, env: dict | None = None, **overrides) -> "ServerConfig":
@@ -59,6 +63,11 @@ class ServerConfig:
             manifest_mode=str(
                 overrides.get("manifest_mode", e.get("MANIFEST_MODE", "1"))
             ).lower() not in ("0", "false", "no", ""),
+            max_rows=(
+                int(m) if (m := overrides.get(
+                    "max_rows", e.get("MAX_ROWS", 0))) and int(m) > 0
+                else None
+            ),
         )
 
     def table_root(self) -> str:

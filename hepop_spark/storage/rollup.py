@@ -166,6 +166,18 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
     import json
     import shutil
 
+    from .writer import table_lock
+
+    with table_lock(store):
+        return _projection_append_locked(
+            spark, store, partial, batch_id, keys, sums, source)
+
+
+def _projection_append_locked(spark, store, partial, batch_id,
+                              keys, sums, source) -> bool:
+    import json
+    import shutil
+
     dest = os.path.join(store, f"seg_{batch_id}")
     if os.path.isdir(dest) or batch_id in _folded_ids(store):
         # the segment dir is the marker while live; once projection_compact
@@ -269,7 +281,20 @@ def projection_compact(spark: SparkSession, store: str, keys: list[str],
     """Fold all published segments into one `base/` (reader-safe: hidden
     staging, atomic swap, retired segments restored on failure — the
     ivfpq_compact_store discipline). Scan results are invariant across the
-    fold; compaction only bounds the live segment count."""
+    fold; compaction only bounds the live segment count.
+
+    Serialized per store against appends and OTHER FOLDS via table_lock:
+    the r08 chaos soak caught the serve sweep timer and a manual
+    compact_once folding the same store concurrently — one fold retired
+    base/ while the other's merge was still scanning it."""
+    from .writer import table_lock
+
+    with table_lock(store):
+        return _projection_compact_locked(spark, store, keys, sums)
+
+
+def _projection_compact_locked(spark: SparkSession, store: str,
+                               keys: list[str], sums: list[str]) -> bool:
     import shutil
 
     segs = _projection_segments(store)

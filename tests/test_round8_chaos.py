@@ -1,0 +1,302 @@
+"""Round-8 combined serve chaos soak (r07 verdict item 7).
+
+Every serve-mode behavior had its own test — query timeout (408), row
+ceiling (413), index-maintenance hooks, rollup folds, compaction swaps,
+fresh discovery. This soak runs them TOGETHER against ONE serve process
+for a bounded wall clock: concurrent LP + HEP writers, a zero-gap
+compaction hammer on top of the serve sweep timer, a rollup-projection
+maintenance hook riding the ingest sink, and three query personalities
+(normal, oversized, runaway) firing concurrently. Per-request invariants
+hold throughout and the final state is EXACT — no row lost, duplicated,
+or double-counted anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pyspark.sql.functions as F
+
+from hepop_spark.config import ServerConfig
+
+BASE_TS_NS = 1_709_290_800_000_000_000  # 2024-03-01 10:00:00 UTC
+
+
+class TestServeChaos:
+    def test_combined_chaos(self, spark, tmp_path):
+        from hepop_spark.__main__ import serve
+        from hepop_spark.sources.hep import encapsulate
+        from hepop_spark.storage.writer import read_table
+        from hepop_spark.streaming.index_maint import projection_maintenance
+
+        data = tmp_path / "data"
+        cfg = ServerConfig.from_env(
+            env={}, host="127.0.0.1", port=0, http_port=0,
+            data_dir=str(data), writer_id="w1",
+            compact_interval=1.0,       # aggressive serve sweep timer
+            query_timeout_s=20.0,       # runaway queries -> 408; innocents
+                                        # stay far under even while the
+                                        # runaway hogs the session
+            max_rows=20,                # oversized results -> 413
+        )
+        store = str(data / "w1" / "rollups" / "chaos_by_host")
+        def _by_host(rows):
+            # LP typed rows carry tags as a JSON string column
+            return (
+                rows.select(
+                    F.get_json_object("tags", "$.host").alias("host"), "v")
+                .groupBy("host")
+                .agg(F.count("*").alias("n"), F.sum("v").alias("v_sum"))
+            )
+
+        hook = projection_maintenance(
+            store, table="chaos", derive=_by_host,
+            keys=["host"], sums=["n", "v_sum"],
+        )
+        h = serve(cfg, spark=spark, block=False, index_hooks=[hook])
+        http = h["http_port"]
+        running = threading.Event()
+        running.set()
+        failures: list[str] = []
+        stats = {"posted": 0, "hep_sent": 0, "normal_ok": 0,
+                 "n_413": 0, "n_408": 0, "counts": []}
+        lock = threading.Lock()
+
+        def _url(sql: str) -> str:
+            return f"http://127.0.0.1:{http}/query?q=" + urllib.parse.quote(sql)
+
+        def lp_writer():
+            k = 0
+            while running.is_set():
+                lines = []
+                for _ in range(4):
+                    ts = BASE_TS_NS + (k % 12) * 60_000_000_000
+                    lines.append(
+                        f"chaos,host=h{k % 4} v={k}i {ts}")
+                    k += 1
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{http}/write",
+                    data="\n".join(lines).encode(), method="POST")
+                try:
+                    with urllib.request.urlopen(req, timeout=30) as r:
+                        if r.status != 201:
+                            failures.append(f"write status {r.status}")
+                            return
+                    with lock:
+                        stats["posted"] += 4
+                except Exception as e:
+                    failures.append(f"lp write: {e}")
+                    return
+                time.sleep(0.05)
+
+        def hep_writer():
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            while running.is_set():
+                frame = encapsulate(
+                    {"timeSeconds": 1709290800, "timeUseconds": 0,
+                     "payloadType": 1},
+                    f"INVITE chaos {stats['hep_sent']}")
+                s.sendto(frame, ("127.0.0.1", h["udp_port"]))
+                with lock:
+                    stats["hep_sent"] += 1
+                time.sleep(0.05)
+            s.close()
+
+        def compact_hammer():
+            while running.is_set():
+                try:
+                    h["compact_once"]()  # zero-gap on top of the 1 s timer
+                except Exception as e:
+                    failures.append(f"compact: {e}")
+                    return
+
+        def normal_reader():
+            last = -1
+            while running.is_set():
+                try:
+                    with urllib.request.urlopen(
+                        _url("SELECT count() AS n FROM chaos "
+                             "WHERE time >= '2024-01-01'"),
+                            timeout=60) as r:
+                        n = json.load(r)[0]["n"]
+                except urllib.error.HTTPError as e:
+                    failures.append(f"normal query HTTP {e.code}: "
+                                    f"{e.read()[:200]!r}")
+                    return
+                except Exception as e:
+                    failures.append(f"normal query: {e}")
+                    return
+                if n < last:
+                    failures.append(f"count regressed {last} -> {n}")
+                    return
+                last = n
+                with lock:
+                    stats["normal_ok"] += 1
+                    stats["counts"].append(n)
+                time.sleep(0.1)
+
+        def oversized_reader():
+            while running.is_set():
+                try:
+                    with urllib.request.urlopen(
+                        _url("SELECT v FROM chaos "
+                             "WHERE time >= '2024-01-01'"),
+                            timeout=60) as r:
+                        body = json.load(r)
+                        if len(body) > cfg.max_rows:
+                            failures.append(
+                                f"200 with {len(body)} rows > max_rows")
+                            return
+                except urllib.error.HTTPError as e:
+                    if e.code != 413:
+                        failures.append(f"oversized HTTP {e.code}")
+                        return
+                    body = json.load(e)
+                    if (body.get("truncated") is not True
+                            or len(body.get("rows", [])) != cfg.max_rows):
+                        failures.append(f"bad 413 body keys={sorted(body)}")
+                        return
+                    with lock:
+                        stats["n_413"] += 1
+                except Exception as e:
+                    failures.append(f"oversized query: {e}")
+                    return
+                time.sleep(0.2)
+
+        RUNAWAY = (
+            "SELECT count(md5(concat(cast(a.v AS string), "
+            "cast(b.v AS string), cast(c.v AS string), "
+            "cast(d.v AS string), cast(e.v AS string)))) AS n "
+            "FROM chaos a, chaos b, chaos c, chaos d, chaos e "
+            "WHERE a.time >= '2024-01-01'"
+        )
+
+        def runaway_reader():
+            while running.is_set():
+                with lock:
+                    big_enough = stats["counts"] and stats["counts"][-1] >= 80
+                if not big_enough:
+                    time.sleep(0.5)
+                    continue
+                t0 = time.time()
+                try:
+                    with urllib.request.urlopen(_url(RUNAWAY), timeout=120):
+                        failures.append("runaway query returned 200")
+                        return
+                except urllib.error.HTTPError as e:
+                    if e.code != 408 or json.load(e).get("timeout") is not True:
+                        failures.append(f"runaway HTTP {e.code}")
+                        return
+                    if time.time() - t0 < cfg.query_timeout_s - 0.5:
+                        failures.append("408 before the timeout elapsed")
+                        return
+                    with lock:
+                        stats["n_408"] += 1
+                except Exception as e:
+                    failures.append(f"runaway query: {e}")
+                    return
+
+        threads = [threading.Thread(target=t, daemon=True) for t in (
+            lp_writer, hep_writer, compact_hammer,
+            normal_reader, oversized_reader, runaway_reader)]
+        stopped = False
+        try:
+            # phase 0: first flush must land before readers assert anything
+            for t in threads[:2]:
+                t.start()
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                try:
+                    if read_table(spark, f"{cfg.table_root()}/chaos").count() > 0:
+                        break
+                except Exception:
+                    pass
+                time.sleep(1)
+            else:
+                raise AssertionError("first flush never landed")
+            for t in threads[2:]:
+                t.start()
+            # bounded chaos phase
+            t_end = time.time() + 40
+            while time.time() < t_end and not failures:
+                time.sleep(0.5)
+            running.clear()
+            for t in threads:
+                t.join(timeout=150)
+            assert not failures, failures[:5]
+
+            # convergence: every posted row lands exactly once in the
+            # PINNED live set (manifest mode: retired compaction
+            # generations linger on disk until vacuum, so a raw directory
+            # read would overcount — the serve read path never does)
+            from hepop_spark.plans.api import HepopQueryAPI
+
+            api = HepopQueryAPI(spark, default_window=False,
+                                data_dir=str(data))
+
+            def _count(table: str) -> int:
+                try:
+                    rows, _ = api.query_json(f"SELECT count() AS n FROM {table}")
+                    return rows[0]["n"]
+                except Exception:
+                    return -1
+
+            posted, sent = stats["posted"], stats["hep_sent"]
+            deadline = time.time() + 180
+            chaos_n = hep_n = -1
+            while time.time() < deadline:
+                h["drain_once"]()
+                chaos_n, hep_n = _count("chaos"), _count("hep_1")
+                if chaos_n == posted and hep_n == sent:
+                    break
+                time.sleep(2)
+            assert chaos_n == posted, (chaos_n, posted)
+            assert hep_n == sent, (hep_n, sent)
+            # QUIESCE before the exact-state assertions: the serve sweep
+            # timer is still folding rollup segments, and a fold retiring
+            # base/ mid-scan would make the final comparison race the very
+            # machinery it is checking (live queries ride the retry
+            # envelope; a final-state audit should not need to)
+            h["stop"]()
+            stopped = True
+            # vacuum with zero grace reclaims every retired byte: the
+            # PHYSICAL tree then matches the live set exactly
+            from hepop_spark.storage.manifest import vacuum
+
+            for t in ("chaos", "hep_1"):
+                vacuum(f"{cfg.table_root()}/{t}", grace_s=0)
+            assert read_table(
+                spark, f"{cfg.table_root()}/chaos").count() == posted
+            assert read_table(
+                spark, f"{cfg.table_root()}/hep_1").count() == sent
+
+            # the maintained rollup (appends racing serve-sweep folds)
+            # equals the direct aggregate of everything ingested
+            from hepop_spark.storage.rollup import projection_scan
+
+            got = {
+                (r.host, r.n, r.v_sum)
+                for r in projection_scan(
+                    spark, store, ["host"], ["n", "v_sum"]).collect()
+            }
+            want = {
+                (r.host, r.n, r.v_sum)
+                for r in _by_host(
+                    read_table(spark, f"{cfg.table_root()}/chaos")).collect()
+            }
+            assert got == want
+            # every personality actually exercised its path
+            assert stats["normal_ok"] >= 10, stats
+            assert stats["n_413"] >= 1, stats
+            assert stats["n_408"] >= 1, stats
+            assert max(stats["counts"]) <= posted
+        finally:
+            running.clear()
+            if not stopped:
+                h["stop"]()

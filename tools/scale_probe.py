@@ -151,6 +151,12 @@ def main() -> int:
             "streaming_index_maintain_replay",
             "weighted_percentile_maintained",
             "streaming_ann_maintain_replay",
+            # round-8: the adversarial hot-band corpus at 20x — the
+            # replication makes the boilerplate family 20x larger (the
+            # hot bucket holds ~10% of 20x docs); the salted star plan
+            # must stay linear in the bucket, never quadratic
+            "dedup_skewed_band",
+            "streaming_lsh_maintain_replay",
         ]
         timings: dict[str, dict] = {}
         for name in probes:
