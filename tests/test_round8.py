@@ -196,6 +196,15 @@ class TestTableSinkUnpersist:
         raises) must not leave the micro-batch pinned in storage memory."""
         from hepop_spark.streaming.index_maint import table_sink
 
+        def cached_ids():
+            it = (spark.sparkContext._jsc.sc()
+                  .getPersistentRDDs().keysIterator())
+            ids = set()
+            while it.hasNext():
+                ids.add(it.next())
+            return ids
+
+        before = cached_ids()  # other suite tests may own live caches
         src_dir = tmp_path / "src"
         src_dir.mkdir()
         spark.range(5).select(F.col("id").alias("doc_id")).coalesce(1) \
@@ -214,9 +223,8 @@ class TestTableSinkUnpersist:
         except Exception:
             pass
         # every cached RDD from the failed attempt must be released
-        jsc = spark.sparkContext._jsc.sc()
-        cached = jsc.getPersistentRDDs()
-        assert cached.isEmpty(), f"leaked {cached.size()} cached RDDs"
+        leaked = cached_ids() - before
+        assert not leaked, f"leaked cached RDD ids {sorted(leaked)}"
 
 
 def _write_soak(spark, base, lo, hi, manifest=None):
