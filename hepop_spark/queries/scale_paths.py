@@ -272,6 +272,53 @@ GROUP BY doc_id
 """
 
 
+PNG_DOCS = 400
+PNG_SIDE = 16
+
+
+def multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL PNG decode, stdlib zlib + numpy (operators/png.py — the last
+    image codec leaves the gate; only video/ffmpeg remains): each of
+    PNG_DOCS ids becomes a 16x16 RGB PNG whose pixels are closed-form in
+    (doc_id, position) and whose rows cycle through ALL FIVE filter types
+    (operators/multimodal.synthesize_pattern_pngs), so the judged decode
+    exercises every scanline reconstruction path plus CRC verification
+    and inflate. PNG is LOSSLESS: decoded channel sums equal the
+    generator exactly, making the oracle a pure closed-form aggregate —
+    no rounding contract needed at all.
+
+    Scale: synthesis and decode are one Arrow-batched mapInPandas each,
+    no shuffle."""
+    from ..operators.multimodal import decode_png_stats, synthesize_pattern_pngs
+
+    ids = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < PNG_DOCS)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return decode_png_stats(synthesize_pattern_pngs(ids, side=PNG_SIDE))
+
+
+def _png_oracle_sql() -> str:
+    n_px = PNG_SIDE * PNG_SIDE
+    return f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {PNG_DOCS}
+), px AS (
+  SELECT doc_id, CAST(i.i AS BIGINT) AS i
+  FROM ids, unnest(range(0, {n_px})) i(i)
+)
+SELECT doc_id AS media_id,
+       CAST({PNG_SIDE} AS INTEGER) AS width,
+       CAST({PNG_SIDE} AS INTEGER) AS height,
+       CAST(sum((doc_id * 31 + i * 7) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 57 + i * 11) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 83 + i * 13) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id
+"""
+
+
 def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SQ8-quantized ANN (operators/similarity.sq8_topk): int8 codes
     shortlist candidates, float rerank finishes. Third scale path beside
@@ -963,6 +1010,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="real baseline JPEG decode (pure-numpy Huffman + IDCT + "
             "YCbCr->RGB over synthesized JFIF streams); oracle replays "
             "the exact-roundtrip chain in closed form",
+    ),
+    "multimodal_png_decode": QuerySpec(
+        multimodal_png_decode, _png_oracle_sql(),
+        doc="real PNG decode (stdlib zlib inflate + CRC verification + "
+            "all five filter reconstructions); lossless, so the oracle "
+            "is the fixture generator itself",
     ),
     "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),
     "compaction_roundtrip": QuerySpec(

@@ -629,3 +629,64 @@ class TestJpegCodec:
         data[data.index(b"\xff\xc0") + 1] = 0xC2
         with pytest.raises(ValueError, match="non-baseline"):
             decode_baseline_jpeg(bytes(data))
+
+
+class TestPngCodec:
+    """PNG joins the real-decode set (stdlib zlib IS the codec): exact
+    lossless roundtrips across color types and every filter type, CRC
+    enforcement, loud gates for unsupported shapes."""
+
+    def test_roundtrips_exact_all_filters_and_color_types(self):
+        import numpy as np
+
+        from hepop_spark.operators.png import decode_png, encode_png
+
+        rng = np.random.RandomState(7)
+        rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        for ft in (0, 1, 2, 3, 4):
+            assert np.array_equal(decode_png(encode_png(rgb, ft)), rgb), ft
+        assert np.array_equal(
+            decode_png(encode_png(rgb, lambda y: y % 5)), rgb)
+        gray = rng.randint(0, 256, (8, 12)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(gray, 4)), gray)
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        idx = rng.randint(0, 16, (8, 8)).astype(np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(idx, 3, palette=pal)), pal[idx])
+        rgba = rng.randint(0, 256, (8, 8, 4)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(rgba, 2)), rgba)
+        ga = rng.randint(0, 256, (8, 8, 2)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(ga, 1)), ga)
+
+    def test_crc_and_unsupported_shapes_fail_loudly(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from hepop_spark.operators.png import _chunk, decode_png, encode_png
+
+        g = np.zeros((8, 8), dtype=np.uint8) + 7
+        data = bytearray(encode_png(g))
+        data[40] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(data))
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"\xff\xd8\xff\xe0 not a png")
+        # 16-bit depth and Adam7 both rejected, not mis-decoded
+        sig = b"\x89PNG\r\n\x1a\n"
+        deep = sig + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0))
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_png(deep)
+        adam = sig + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
+        with pytest.raises(ValueError, match="Adam7"):
+            decode_png(adam)
+        # truncated IDAT (inflates to the wrong length) is caught
+        bad = sig + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+        ) + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="length"):
+            decode_png(bad)
