@@ -81,14 +81,38 @@ def _is_stale_listing_error(e: Exception) -> bool:
 
 _SIMPLE_AGG_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[A-Za-z_]\w*)\s+"
+    r"(?:WHERE\s+(?P<where>.+?)\s+)?"
     r"GROUP\s+BY\s+(?P<rest>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _TAIL_SPLIT_RE = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
 _FORBIDDEN_RE = re.compile(
-    r"\b(WHERE|HAVING|JOIN|UNION|INTERSECT|EXCEPT|OVER|DISTINCT)\b",
+    r"\b(HAVING|JOIN|UNION|INTERSECT|EXCEPT|OVER|DISTINCT"
+    r"|OR|NOT|BETWEEN|LIKE|EXISTS|CASE)\b",
     re.IGNORECASE,
 )
+# one conjunct of a routable WHERE: <expr> = <literal> or <expr> IN (<lits>)
+_PRED_RE = re.compile(
+    r"^(?P<e>.+?)\s*(?:=\s*(?P<lit>'[^']*'|-?\d+(?:\.\d+)?)"
+    r"|IN\s*\(\s*(?P<ins>('[^']*'|-?\d+(?:\.\d+)?)"
+    r"(\s*,\s*('[^']*'|-?\d+(?:\.\d+)?))*)\s*\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_conjuncts(where: str) -> list[str] | None:
+    """AND-ed conjuncts at paren depth 0, or None if anything else."""
+    out, depth, cur = [], 0, []
+    tokens = re.split(r"(\bAND\b)", where, flags=re.IGNORECASE)
+    for t in tokens:
+        if t.upper() == "AND" and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            depth += t.count("(") - t.count(")")
+            cur.append(t)
+    out.append("".join(cur).strip())
+    return [c for c in out if c] or None
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -139,12 +163,29 @@ def _tail_routable(tail: str, aliases: set[str]) -> bool:
 
 
 def parse_simple_aggregate(sql: str):
-    """Parse `SELECT items FROM table GROUP BY keys [ORDER BY ...]
-    [LIMIT n]` into (table, [(expr, alias_or_None)], [group_exprs],
-    tail). None when the query is not provably this shape."""
+    """Parse `SELECT items FROM table [WHERE conjuncts] GROUP BY keys
+    [ORDER BY ...] [LIMIT n]` into (table, [(expr, alias_or_None)],
+    [group_exprs], tail, [(pred_expr, op_sql) ...]). The WHERE is
+    accepted only as AND-ed `expr = literal` / `expr IN (literals)`
+    conjuncts — anything richer returns None (raw scan)."""
     m = _SIMPLE_AGG_RE.match(sql)
     if not m or _FORBIDDEN_RE.search(sql):
         return None
+    preds: list[tuple[str, str]] = []
+    if m.group("where"):
+        conjuncts = _split_conjuncts(m.group("where"))
+        if not conjuncts:
+            return None
+        for c in conjuncts:
+            pm = _PRED_RE.match(c)
+            if not pm:
+                return None
+            if pm.group("lit") is not None:
+                preds.append((pm.group("e").strip(),
+                              f"= {pm.group('lit')}"))
+            else:
+                preds.append((pm.group("e").strip(),
+                              f"IN ({pm.group('ins')})"))
     rest = m.group("rest")
     tm = _TAIL_SPLIT_RE.search(rest)
     gb, tail = (rest[: tm.start()], rest[tm.start():]) if tm else (rest, "")
@@ -156,7 +197,7 @@ def parse_simple_aggregate(sql: str):
         else:
             items.append((it, it if re.fullmatch(r"[A-Za-z_]\w*", it) else None))
     return (m.group("tbl"), items,
-            [g for g in _split_top_level(gb)], tail.strip())
+            [g for g in _split_top_level(gb)], tail.strip(), preds)
 
 
 def resolve_table(sql: str) -> tuple[str, int | None]:
@@ -265,10 +306,13 @@ class HepopQueryAPI:
         in which case the caller scans raw, so routing can only ever
         REMOVE work. Matching is proof-based: the store's `source`
         contract must cover the query's table, every GROUP BY expression,
-        and every select item (keys verbatim; aggregates by normalized
-        expression equality, aliased). A GROUP BY over a SUBSET of the
-        grid's keys re-aggregates the grid (sum-monoid by the store
-        contract), the Timescale continuous-aggregate shape."""
+        every WHERE conjunct (AND-ed equality/IN on GRID KEY expressions
+        only — filtering a key SELECTS grid rows, so results stay exact;
+        a filter on a raw measure column can never route), and every
+        select item (keys verbatim; aggregates by normalized expression
+        equality, aliased). A GROUP BY over a SUBSET of the grid's keys
+        re-aggregates the grid (sum-monoid by the store contract), the
+        Timescale continuous-aggregate shape."""
         import glob as _glob
         import os
 
@@ -277,7 +321,7 @@ class HepopQueryAPI:
         parsed = parse_simple_aggregate(q)
         if parsed is None:
             return None
-        table, items, group_exprs, tail = parsed
+        table, items, group_exprs, tail, preds = parsed
         if self.default_window:
             # the grid has no time dimension: routing a query whose raw
             # form would receive the implicit last-10-minutes window
@@ -312,8 +356,20 @@ class HepopQueryAPI:
             sum_map = {_norm_expr(e): c for c, e in src.get("sums", {}).items()}
             if not gset <= set(key_map):
                 continue
-            exact = gset == set(key_map)
-            sel, aliases, ok = [], set(), True
+            # WHERE conjuncts must each hit a grid KEY (a filter on a raw
+            # measure column cannot be answered by the aggregated grid)
+            where_parts, ok = [], True
+            for pexpr, op_sql in preds:
+                n = _norm_expr(pexpr)
+                if n in key_map:
+                    where_parts.append(f"{key_map[n]} {op_sql}")
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            exact = gset == set(key_map) and not where_parts
+            sel, aliases = [], set()
             for expr, alias in items:
                 n = _norm_expr(expr)
                 if n in key_map and n in gset:
@@ -337,13 +393,16 @@ class HepopQueryAPI:
             if not discover_table(self.spark, self.data_dir, name,
                                   cache=self._view_fingerprints):
                 continue
+            where_clause = (
+                " WHERE " + " AND ".join(where_parts) if where_parts else ""
+            )
             group_clause = "" if exact else " GROUP BY " + ", ".join(
                 key_map[_norm_expr(g)] for g in group_exprs
             )
             self.last_routed_rollup = name
             self.last_table, self.last_hep_type = name, None
             return (f"SELECT {', '.join(sel)} FROM {name}"
-                    f"{group_clause} {tail}").rstrip()
+                    f"{where_clause}{group_clause} {tail}").rstrip()
         self.last_routed_rollup = None
         return None
 

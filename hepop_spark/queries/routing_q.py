@@ -80,11 +80,12 @@ def _build_rollup_serve_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
     return root, data
 
 
-def _routed_df(spark: SparkSession, data: str) -> DataFrame:
+def _routed_df(spark: SparkSession, data: str,
+               sql: str | None = None) -> DataFrame:
     from ..plans.api import HepopQueryAPI
 
     api = HepopQueryAPI(spark, default_window=False, data_dir=data)
-    df = api.sql(ROUTED_SQL_TEXT)
+    df = api.sql(sql or ROUTED_SQL_TEXT)
     if api.last_routed_rollup != "doc_lang_rollup":
         raise AssertionError(
             f"aggregate was not routed to the rollup grid "
@@ -121,13 +122,14 @@ def rollup_routed_aggregate(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def routed_plan_text(spark: SparkSession, sf: str) -> str:
+def routed_plan_text(spark: SparkSession, sf: str,
+                     sql: str | None = None) -> str:
     """The routed query's FORMATTED plan, for tools/plan_audit.py (the
     judged entry returns collected rows, so the audit probes the live
     routed DataFrame instead)."""
     root, data = _build_rollup_serve_tree(spark, sf)
     try:
-        df = _routed_df(spark, data)
+        df = _routed_df(spark, data, sql)
         jdf = df._jdf
         mode = (
             spark._jvm.org.apache.spark.sql.execution.ExplainMode
@@ -136,6 +138,58 @@ def routed_plan_text(spark: SparkSession, sf: str) -> str:
         return jdf.queryExecution().explainString(mode)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_filtered_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, FILTERED_SQL_TEXT)
+
+
+# WHERE on a grid key: the conjunct rewrites onto the grid column, so the
+# routed plan both scans the grid AND pushes the key filter into that scan
+FILTERED_SQL_TEXT = (
+    "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "FROM documents WHERE lang IN ('en', 'de') "
+    "GROUP BY source ORDER BY source"
+)
+
+
+def rollup_routed_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """The filtered continuous-aggregate shape (r08 routing extension): a
+    WHERE over a GRID KEY routes with the predicate rewritten onto the
+    grid column — filtering a key merely SELECTS pre-aggregated rows, so
+    results are exact; a filter on any raw measure column falls back to
+    the raw scan (pinned by tests). Here the query filters one key (lang)
+    and groups by the other (source), so the rewrite both filters and
+    re-aggregates the grid.
+
+    Scale: the routed plan scans O(|grid|) rows with the key predicate
+    pushed into the grid's parquet scan — the dashboard query shape that
+    motivates maintaining the rollup at all."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, FILTERED_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "source string, n_docs bigint, total_chars bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ROLLUP_FILTERED_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang IN ('en', 'de')
+GROUP BY source
+ORDER BY source
+"""
 
 
 ROLLUP_ROUTED_SQL = """
@@ -154,5 +208,11 @@ QUERIES: dict[str, QuerySpec] = {
         doc="the SAME user SQL over the raw table, rewritten by the API "
             "layer onto the maintained rollup grid (subset-key "
             "re-aggregation); oracle recomputes from raw",
+    ),
+    "rollup_routed_filtered": QuerySpec(
+        rollup_routed_filtered, ROLLUP_FILTERED_SQL,
+        doc="WHERE on a grid key routes too: the conjunct rewrites onto "
+            "the grid column (IN over lang, grouped by source); oracle "
+            "recomputes from raw",
     ),
 }

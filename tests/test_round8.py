@@ -474,9 +474,9 @@ class TestRollupRouting:
         data, raw = self._tree(spark, tmp_path)
         api = HepopQueryAPI(spark, default_window=False, data_dir=data)
         for sql in (
-            # WHERE: the grid cannot answer filtered aggregates
+            # WHERE on a measure column: the grid cannot answer it
             "SELECT lang, count(*) AS n FROM docs_t8 "
-            "WHERE source = 'web' GROUP BY lang",
+            "WHERE n_chars = 11 GROUP BY lang",
             # avg is not a declared monoid column
             "SELECT lang, avg(n_chars) AS a FROM docs_t8 GROUP BY lang",
             # grouping key outside the grid
@@ -488,12 +488,13 @@ class TestRollupRouting:
             rows, _ = api.query_json(sql)
             assert api.last_routed_rollup is None, sql
             assert rows, sql
-        # the filtered fallback is CORRECT, not just unrouted
+        # the measure-filtered fallback is CORRECT, not just unrouted
         rows, _ = api.query_json(
             "SELECT lang, count(*) AS n FROM docs_t8 "
-            "WHERE source = 'web' GROUP BY lang ORDER BY lang")
+            "WHERE n_chars = 11 GROUP BY lang ORDER BY lang")
+        assert api.last_routed_rollup is None
         want = {(r.lang, r.n)
-                for r in raw.filter(F.col("source") == "web")
+                for r in raw.filter(F.col("n_chars") == 11)
                 .groupBy("lang").agg(F.count("*").alias("n")).collect()}
         assert {(r["lang"], r["n"]) for r in rows} == want
 
@@ -529,6 +530,48 @@ class TestRollupRouting:
             "SELECT k, count(*) AS n FROM ev_t8 GROUP BY k")
         assert api2.last_routed_rollup == "ev_t8_grid"
         assert sorted((r["k"], r["n"]) for r in rows) == [(0, 10), (1, 10)]
+
+    def test_filtered_aggregates_route_on_grid_keys(self, spark, tmp_path):
+        """WHERE conjuncts on GRID KEYS route (equality and IN); filters
+        on measure columns fall back to raw — both with correct results."""
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, raw = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT source, count(*) AS n FROM docs_t8 "
+            "WHERE lang = 'en' GROUP BY source ORDER BY source")
+        assert api.last_routed_rollup == "docs_t8_grid"
+        want = {(r.source, r.n)
+                for r in raw.filter(F.col("lang") == "en")
+                .groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert {(r["source"], r["n"]) for r in rows} == want
+        # IN over two keys + both keys grouped
+        rows, _ = api.query_json(
+            "SELECT lang, source, sum(n_chars) AS chars FROM docs_t8 "
+            "WHERE lang IN ('en', 'fr') AND source = 'web' "
+            "GROUP BY lang, source")
+        assert api.last_routed_rollup == "docs_t8_grid"
+        want = {(r.lang, r.source, r.chars)
+                for r in raw.filter(F.col("lang").isin("en", "fr")
+                                    & (F.col("source") == "web"))
+                .groupBy("lang", "source")
+                .agg(F.sum("n_chars").alias("chars")).collect()}
+        assert {(r["lang"], r["source"], r["chars"]) for r in rows} == want
+        # filter on a MEASURE column: falls back to raw, still correct
+        rows, _ = api.query_json(
+            "SELECT lang, count(*) AS n FROM docs_t8 "
+            "WHERE n_chars = 10 GROUP BY lang")
+        assert api.last_routed_rollup is None
+        want = {(r.lang, r.n)
+                for r in raw.filter(F.col("n_chars") == 10)
+                .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert {(r["lang"], r["n"]) for r in rows} == want
+        # OR is never routed
+        rows, _ = api.query_json(
+            "SELECT lang, count(*) AS n FROM docs_t8 "
+            "WHERE lang = 'en' OR source = 'web' GROUP BY lang")
+        assert api.last_routed_rollup is None
 
 
 class TestJpegCodec:
@@ -690,3 +733,4 @@ class TestPngCodec:
         ) + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
         with pytest.raises(ValueError, match="length"):
             decode_png(bad)
+

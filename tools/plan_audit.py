@@ -122,6 +122,9 @@ AUDITS: dict[str, set[str]] = {
     # query's (routed_plan_text probe, SPECIAL_PLANS below) — rollup_scan
     # asserts the grid parquet is scanned and the raw table is NOT
     "rollup_routed_aggregate": {"rollup_scan", "partial"},
+    # the filtered variant must ALSO push the rewritten key predicate
+    # into the grid's parquet scan
+    "rollup_routed_filtered": {"rollup_scan", "partial", "pushdown"},
     # skewed-band dedup (r08): the reps join must carry the salt in its
     # join keys (hot bucket spread over SKEW_SALT partitions) and the
     # min-per-bucket agg must be map-side partial (hot key absorbed
@@ -636,9 +639,15 @@ def main() -> None:
     failures = len(bcast_problems)
     # entries whose returned DataFrame is a pinned local result but whose
     # INTERESTING plan is reachable through a probe helper
-    from hepop_spark.queries.routing_q import routed_plan_text
+    from hepop_spark.queries.routing_q import (
+        routed_filtered_plan_text,
+        routed_plan_text,
+    )
 
-    special_plans = {"rollup_routed_aggregate": routed_plan_text}
+    special_plans = {
+        "rollup_routed_aggregate": routed_plan_text,
+        "rollup_routed_filtered": routed_filtered_plan_text,
+    }
     for name, flags in AUDITS.items():
         if name in special_plans:
             plan = special_plans[name](spark, sf_dir)
