@@ -233,8 +233,52 @@ def _record_folded_ids(store: str, batch_ids: set[str]) -> None:
     os.rename(tmp, os.path.join(store, "_folded.json"))
 
 
+def _read_head(store: str) -> dict | None:
+    """The fold pointer (_head.json): {"base": dir_name|None,
+    "folded": [batch_ids], "retired": {dir_name: ts}}. Published by
+    atomic rename — a reader always resolves a complete view."""
+    import json
+
+    try:
+        with open(os.path.join(store, "_head.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_head(store: str, doc: dict) -> None:
+    import json
+
+    tmp = os.path.join(store, f"_head.json.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.rename(tmp, os.path.join(store, "_head.json"))
+
+
 def _projection_segments(store: str) -> list[str]:
-    segs = []
+    """The LIVE segment view. With a fold pointer (_head.json): the
+    head's base generation plus every seg dir NOT folded into it — folds
+    never rename or delete a path a reader may hold (retired generations
+    persist through a vacuum grace), so one head read gives a consistent
+    old-plus-delta view under any concurrent fold; without one (legacy
+    store or never folded): `base/` + all seg dirs by listing."""
+    head = _read_head(store)
+    segs: list[str] = []
+    if head is not None:
+        if head.get("base"):
+            b = os.path.join(store, head["base"])
+            if os.path.isdir(b):
+                segs.append(b)
+        folded = set(head.get("folded", ()))
+        try:
+            segs += sorted(
+                os.path.join(store, e)
+                for e in os.listdir(store)
+                if e.startswith("seg_") and e[len("seg_"):] not in folded
+            )
+        except OSError:
+            pass
+        return segs
     base = os.path.join(store, "base")
     if os.path.isdir(base):
         segs.append(base)
@@ -278,60 +322,111 @@ def projection_meta(store: str) -> dict | None:
 
 def projection_compact(spark: SparkSession, store: str, keys: list[str],
                        sums: list[str]) -> bool:
-    """Fold all published segments into one `base/` (reader-safe: hidden
-    staging, atomic swap, retired segments restored on failure — the
-    ivfpq_compact_store discipline). Scan results are invariant across the
-    fold; compaction only bounds the live segment count.
+    """Fold the live segments into a NEW base generation and switch the
+    fold pointer (r08 redesign): the fold never renames or deletes a
+    path a reader may hold — the merged result lands under a fresh
+    `base_v<hex>` name, `_head.json` switches to it atomically, and the
+    retired generation + folded seg dirs stay on disk until a vacuum
+    grace expires (manifest.RETIRE_GRACE_S, the same discipline as the
+    table manifests). Before this, projection_scan rode the serve retry
+    envelope because a fold could retire `base/` mid-scan; now ANY scan
+    that resolved a head finishes against intact paths. Scan results are
+    invariant across the fold; compaction only bounds the live segment
+    count.
 
     Serialized per store against appends and OTHER FOLDS via table_lock:
     the r08 chaos soak caught the serve sweep timer and a manual
-    compact_once folding the same store concurrently — one fold retired
-    base/ while the other's merge was still scanning it."""
+    compact_once folding the same store concurrently."""
     from .writer import table_lock
 
     with table_lock(store):
         return _projection_compact_locked(spark, store, keys, sums)
 
 
+def projection_vacuum(store: str, grace_s: float | None = None) -> list[str]:
+    """Delete retired fold generations whose grace expired, plus orphan
+    base_v* dirs from a fold that crashed before its head publish.
+    Returns removed dir names. Folds run this first, so a serve loop
+    needs no extra scheduling."""
+    from .writer import table_lock
+
+    with table_lock(store):
+        return _projection_vacuum_locked(store, grace_s)
+
+
+def _projection_vacuum_locked(store: str,
+                              grace_s: float | None = None) -> list[str]:
+    import shutil
+    import time as _time
+
+    from .manifest import RETIRE_GRACE_S
+
+    grace = RETIRE_GRACE_S if grace_s is None else grace_s
+    head = _read_head(store)
+    if head is None:
+        return []
+    now = _time.time()
+    removed: list[str] = []
+    retired = dict(head.get("retired", {}))
+    for name, ts in list(retired.items()):
+        if now - ts >= grace:
+            shutil.rmtree(os.path.join(store, name), ignore_errors=True)
+            removed.append(name)
+            del retired[name]
+    try:
+        entries = os.listdir(store)
+    except OSError:
+        entries = []
+    for e in entries:
+        if (e.startswith("base_v") and e != head.get("base")
+                and e not in retired):
+            p = os.path.join(store, e)
+            try:
+                orphan_age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if orphan_age >= grace:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(e)
+    if removed:
+        _write_head(store, {**head, "retired": retired})
+    return removed
+
+
 def _projection_compact_locked(spark: SparkSession, store: str,
                                keys: list[str], sums: list[str]) -> bool:
     import shutil
+    import time as _time
 
+    _projection_vacuum_locked(store)
     segs = _projection_segments(store)
     if len(segs) <= 1:
         return False
     merged = projection_scan(spark, store, keys, sums)
-    new_dir = os.path.join(store, f".base.tmp.{uuid.uuid4().hex[:8]}")
-    trash = os.path.join(store, f".trash.{uuid.uuid4().hex[:8]}")
+    new_base = f"base_v{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(store, f".{new_base}.tmp")
     try:
-        merged.write.mode("overwrite").parquet(new_dir)
-        _record_folded_ids(
-            store,
-            {os.path.basename(s)[len("seg_"):] for s in segs
-             if os.path.basename(s).startswith("seg_")},
-        )
-        os.makedirs(trash)
-        for s in segs:
-            os.rename(s, os.path.join(trash, os.path.basename(s)))
-        os.rename(new_dir, os.path.join(store, "base"))
-        shutil.rmtree(trash, ignore_errors=True)
-        return True
+        merged.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(store, new_base))
     except OSError:
-        try:
-            if os.path.isdir(trash):
-                for e in os.listdir(trash):
-                    dst = os.path.join(store, e)
-                    if not os.path.exists(dst):
-                        os.rename(os.path.join(trash, e), dst)
-                os.rmdir(trash)
-        except OSError:
-            pass
-        if _projection_segments(store):
-            shutil.rmtree(new_dir, ignore_errors=True)
-            return False
-        # restore failed and nothing live: promote the complete merge
-        try:
-            os.rename(new_dir, os.path.join(store, "base"))
-            return True
-        except OSError:
-            return False
+        # nothing was mutated: the live view is untouched by construction
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    head = _read_head(store) or {"base": None, "folded": [], "retired": {}}
+    folded_now = {
+        os.path.basename(s)[len("seg_"):]
+        for s in segs if os.path.basename(s).startswith("seg_")
+    }
+    # appends must keep no-oping on folded ids forever; written BEFORE the
+    # head switch (the seg dirs still exist, so this is never premature)
+    _record_folded_ids(store, folded_now)
+    now = _time.time()
+    retired = dict(head.get("retired", {}))
+    for s in segs:
+        retired[os.path.basename(s)] = now
+    _write_head(store, {
+        "base": new_base,
+        "folded": sorted(set(head.get("folded", ())) | folded_now),
+        "retired": retired,
+    })
+    return True

@@ -406,7 +406,7 @@ class TestProjectionStore:
         real_rename = os.rename
 
         def failing_rename(src, dst):
-            if os.path.basename(dst) == "base":
+            if os.path.basename(dst).startswith("base_v"):
                 raise OSError("injected swap failure")
             return real_rename(src, dst)
 

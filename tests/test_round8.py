@@ -43,9 +43,20 @@ class TestProjectionFoldRedelivery:
         assert projection_append(spark, store, part, "b0") is True
         assert projection_append(spark, store, part, "b1") is True
         assert projection_compact(spark, store, ["k"], ["v"]) is True
+        # folded seg dirs persist on disk for the vacuum grace (readers
+        # pinned to the pre-fold view must finish), but leave the LIVE view
+        from hepop_spark.storage.rollup import (
+            _projection_segments,
+            projection_vacuum,
+        )
+
         assert not any(
-            e.startswith("seg_") for e in os.listdir(store)
-        ), "fold left segments behind"
+            os.path.basename(s).startswith("seg_")
+            for s in _projection_segments(store)
+        ), "fold left segments in the live view"
+        removed = projection_vacuum(store, grace_s=0)
+        assert any(n.startswith("seg_") for n in removed)
+        assert not any(e.startswith("seg_") for e in os.listdir(store))
         # the redelivered batch must not double-count
         assert projection_append(spark, store, part, "b0") is False
         got = {
@@ -74,7 +85,7 @@ class TestProjectionFoldRedelivery:
         real_rename = os.rename
 
         def failing_rename(src, dst):
-            if os.path.basename(dst) == "base":
+            if os.path.basename(dst).startswith("base_v"):
                 raise OSError("injected swap failure")
             return real_rename(src, dst)
 

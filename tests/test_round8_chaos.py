@@ -258,11 +258,11 @@ class TestServeChaos:
                 time.sleep(2)
             assert chaos_n == posted, (chaos_n, posted)
             assert hep_n == sent, (hep_n, sent)
-            # QUIESCE before the exact-state assertions: the serve sweep
-            # timer is still folding rollup segments, and a fold retiring
-            # base/ mid-scan would make the final comparison race the very
-            # machinery it is checking (live queries ride the retry
-            # envelope; a final-state audit should not need to)
+            # QUIESCE before the exact-state assertions: folds are now
+            # pointer-switched and grace-deferred (a pinned scan never
+            # races one), but a final-state audit wants a FIXED state —
+            # stopping the timers first keeps counts and vacuum effects
+            # deterministic rather than merely safe
             h["stop"]()
             stopped = True
             # vacuum with zero grace reclaims every retired byte: the
