@@ -319,6 +319,58 @@ GROUP BY doc_id
 """
 
 
+WAV_DOCS = 400
+WAV_FRAMES = 256
+WAV_RATE = 8000
+
+
+def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WAV/RIFF audio decode, zero media libraries (the audio
+    sibling of the PPM/JPEG/PNG de-fakes): per id, a stereo PCM16 WAV
+    with a JUNK chunk planted BEFORE fmt (operators/multimodal.
+    synthesize_pcm16_wavs) — the decoder must WALK chunks, validate the
+    PCM fmt, locate data, and de-interleave channels
+    (decode_wav_stats). Sample values are closed-form in (id, frame,
+    channel), so integer channel sums and the peak replay exactly in the
+    oracle; rate/channels/frame counts come from the DECODED header.
+
+    Scale: one mapInPandas pass each way, no shuffle."""
+    from ..operators.multimodal import decode_wav_stats, synthesize_pcm16_wavs
+
+    ids = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < WAV_DOCS)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return decode_wav_stats(
+        synthesize_pcm16_wavs(ids, n_frames=WAV_FRAMES, rate=WAV_RATE))
+
+
+def _wav_oracle_sql() -> str:
+    return f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {WAV_DOCS}
+), fr AS (
+  SELECT doc_id, CAST(i.i AS BIGINT) AS i
+  FROM ids, unnest(range(0, {WAV_FRAMES})) i(i)
+), s AS (
+  SELECT doc_id,
+         ((doc_id * 7 + i * 13) % 65536) - 32768 AS sl,
+         ((doc_id * 7 + i * 13 + 101) % 65536) - 32768 AS sr
+  FROM fr
+)
+SELECT doc_id AS media_id,
+       CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+       CAST(2 AS INTEGER) AS n_channels,
+       CAST({WAV_FRAMES} AS BIGINT) AS n_samples,
+       CAST(sum(sl) AS BIGINT) AS sum_l,
+       CAST(sum(sr) AS BIGINT) AS sum_r,
+       CAST(max(greatest(abs(sl), abs(sr))) AS INTEGER) AS peak
+FROM s
+GROUP BY doc_id
+"""
+
+
 def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SQ8-quantized ANN (operators/similarity.sq8_topk): int8 codes
     shortlist candidates, float rerank finishes. Third scale path beside
@@ -1016,6 +1068,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="real PNG decode (stdlib zlib inflate + CRC verification + "
             "all five filter reconstructions); lossless, so the oracle "
             "is the fixture generator itself",
+    ),
+    "multimodal_wav_decode": QuerySpec(
+        multimodal_wav_decode, _wav_oracle_sql(),
+        doc="real WAV/RIFF decode (chunk walking past a planted JUNK "
+            "chunk, PCM fmt validation, stereo de-interleave); integer "
+            "sums + peak replay exactly",
     ),
     "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),
     "compaction_roundtrip": QuerySpec(

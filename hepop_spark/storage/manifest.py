@@ -99,6 +99,13 @@ def live_files(table_dir: str) -> list[str] | None:
 
 def _publish(table_dir: str, files: list[str], retired: dict[str, float],
              prev_version: int) -> int:
+    """Publish the next version PUT-IF-ABSENT (os.link fails with EEXIST
+    instead of overwriting): a second writer racing on the same tree —
+    a violation of the single-writer layout contract — is DETECTED
+    loudly rather than silently clobbering a committed version. (The
+    full multi-writer protocol is a CAS retry of the whole mutation
+    against the new latest; on an object store the link becomes a
+    conditional put. Same commit point either way.)"""
     v = prev_version + 1
     doc = {"version": v, "ts": time.time(),
            "files": sorted(files), "retired": retired}
@@ -107,7 +114,20 @@ def _publish(table_dir: str, files: list[str], retired: dict[str, float],
     tmp = os.path.join(md, f".v{v}.json.tmp.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
-    os.rename(tmp, os.path.join(md, f"v{v}.json"))
+    final = os.path.join(md, f"v{v}.json")
+    try:
+        os.link(tmp, final)  # atomic create-if-absent on POSIX
+    except FileExistsError:
+        raise RuntimeError(
+            f"manifest version v{v} already exists under {md}: a second "
+            "writer is mutating this table tree (single-writer layout "
+            "contract violated)"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
     return v
 
 

@@ -745,3 +745,37 @@ class TestPngCodec:
         with pytest.raises(ValueError, match="length"):
             decode_png(bad)
 
+
+
+class TestManifestPutIfAbsent:
+    def test_concurrent_writer_detected_not_clobbered(self, spark, tmp_path):
+        """Version publish is create-if-absent: a second writer racing on
+        the same tree fails loudly instead of silently overwriting a
+        committed version (the object-store conditional-put shape)."""
+        import json as _json
+
+        import pytest
+
+        from hepop_spark.storage.manifest import latest, publish_append
+
+        base = tmp_path / "t"
+        _write_soak(spark, base, 0, 10, manifest=True)
+        v, man = latest(str(base))
+        # simulate the OTHER writer publishing v+1 out from under us
+        rogue = dict(man, version=v + 1)
+        (base / "_manifest" / f"v{v + 1}.json").write_text(_json.dumps(rogue))
+        # our next publish computes v+1 from ... the rogue's latest, so it
+        # lands at v+2 cleanly; force the collision by racing the SAME
+        # prev_version
+        from hepop_spark.storage import manifest as m
+
+        with pytest.raises(RuntimeError, match="single-writer"):
+            m._publish(str(base), man["files"], {}, v)
+        # the committed rogue version was not clobbered
+        got = _json.loads(
+            (base / "_manifest" / f"v{v + 1}.json").read_text())
+        assert got == rogue
+        # and a normal append continues from the true latest
+        _write_soak(spark, base, 10, 20)
+        v2, man2 = latest(str(base))
+        assert v2 == v + 2 and len(man2["files"]) > len(man["files"])
