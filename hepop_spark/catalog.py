@@ -175,15 +175,19 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
         for p in _glob.glob(os.path.join(data_dir, "*", "dbs", name))
         if os.path.isdir(p)
     ):
-        if manifest_enabled(d):
-            got = _manifest_latest(d)
-            if got is not None and got[1]["files"]:
+        got = _manifest_latest(d) if manifest_enabled(d) else None
+        if got is not None:
+            if got[1]["files"]:
                 dirs.append((d, got[1]["files"], f"{d}@v{got[0]}"))
+            # an empty published live set is a real (empty) table state
         elif any(
             f.endswith(".parquet") for _r, _d, fs in os.walk(d) for f in fs
         ):
             # tolerate a writer dir that exists but has no data files yet
-            # (a registry-only placeholder would make spark.read throw)
+            # (a registry-only placeholder would make spark.read throw).
+            # Also covers a manifest dir with NO published version (crash
+            # between enable_manifest's mkdir and its first publish):
+            # listing stays truth rather than hiding live data (r08 ADVICE)
             dirs.append((d, None, None))
     if not dirs:
         # maintained aggregate projections (storage/rollup.py): a store

@@ -247,8 +247,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG scan data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG scan data (dangling 0xFF)")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:  # stuffed
                 self.pos += 2
@@ -275,8 +279,8 @@ class _BitReader:
         self.pos += 2  # consume the RST marker
 
     def peek_is_restart(self) -> bool:
-        return (self.data[self.pos] == 0xFF
-                and 0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        nxt = self.data[self.pos:self.pos + 2]  # slice: safe at stream end
+        return len(nxt) == 2 and nxt[0] == 0xFF and 0xD0 <= nxt[1] <= 0xD7
 
 
 class _RestartMarker(Exception):

@@ -374,6 +374,15 @@ class HepopQueryAPI:
                 n = _norm_expr(expr)
                 if n in key_map and n in gset:
                     out = alias or expr
+                    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", out):
+                        # unaliased EXPRESSION key (e.g. `upper(region)`):
+                        # `grid_col AS upper(region)` is unparseable, and a
+                        # backtick-quoted alias would not reproduce Spark's
+                        # auto-generated column name — fall back to the raw
+                        # scan, which answered this query before the rollup
+                        # existed (r08 ADVICE, medium)
+                        ok = False
+                        break
                     sel.append(f"{key_map[n]} AS {out}")
                     aliases.add(out.lower())
                 elif n in sum_map and alias is not None:

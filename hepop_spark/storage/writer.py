@@ -98,5 +98,29 @@ def write_partitioned(df: DataFrame, base_path: str, ts_col: str = "timestamp",
 
 def read_table(spark: SparkSession, base_path: str) -> DataFrame:
     """Read a partitioned table back; partition columns become `date` and
-    `bucket`, prunable by Catalyst."""
+    `bucket`, prunable by Catalyst.
+
+    Manifest-mode tables (storage/manifest.py) are read through their
+    latest published file list — a plain directory read would see BOTH
+    retired (grace-deferred) and replacement compacted files and
+    double-count rows for up to RETIRE_GRACE_S after every compaction
+    (r08 ADVICE, medium). `basePath` keeps date/bucket partition-column
+    inference (and pruning) identical to the directory read — the same
+    pinned-read shape as catalog.discover_table."""
+    from .manifest import live_files, manifest_enabled
+
+    if manifest_enabled(base_path):
+        pinned = live_files(base_path)
+        if pinned:
+            return (
+                spark.read.option("basePath", base_path)
+                .parquet(*[os.path.join(base_path, f) for f in pinned])
+            )
+        if pinned is not None:
+            # published live set is EMPTY (everything retired, grace not
+            # yet expired): the directory still holds retired bytes, so a
+            # plain read would resurrect deleted rows — pin emptiness.
+            return spark.read.parquet(base_path).limit(0)
+        # manifest dir exists but no version published (crash between
+        # enable_manifest's mkdir and its first publish): listing is truth
     return spark.read.parquet(base_path)
