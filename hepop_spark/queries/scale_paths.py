@@ -371,6 +371,111 @@ GROUP BY doc_id
 """
 
 
+Y4M_DOCS = 300
+Y4M_FRAMES = 4
+Y4M_SIDE = 8
+
+
+def multimodal_y4m_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode, zero media libraries (r09 — the PPM/WAV de-fake
+    applied to moving pictures): each of Y4M_DOCS ids becomes a
+    deterministic YUV4MPEG2 stream (operators/multimodal.
+    synthesize_y4m_videos: Y4M_FRAMES frames of Y4M_SIDE^2 C444 planar
+    video, every plane byte closed-form in (id, frame, position)) and
+    operators/multimodal.decode_y4m_frames parses the BYTES back: stream
+    magic + parameter tokenization, plane geometry from the declared
+    chroma, FRAME framing, truncation checks — emitting one row per
+    frame with dimensions from the parsed header and exact per-plane
+    int64 sums. YUV4MPEG2 is a genuine video interchange format
+    (mjpegtools/ffmpeg lineage), so a wrong header parse, wrong plane
+    split or wrong frame stride cannot pass.
+
+    Scale: synthesis and decode are one Arrow-batched mapInPandas each;
+    the 1->N frame explosion follows input partitioning, no shuffle."""
+    from ..operators.multimodal import decode_y4m_frames, synthesize_y4m_videos
+
+    ids = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < Y4M_DOCS)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return decode_y4m_frames(
+        synthesize_y4m_videos(ids, n_frames=Y4M_FRAMES, side=Y4M_SIDE))
+
+
+def _y4m_oracle_sql() -> str:
+    n_px = Y4M_SIDE * Y4M_SIDE
+    return f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {Y4M_DOCS}
+), fr AS (
+  SELECT doc_id, CAST(f.f AS INTEGER) AS f
+  FROM ids, unnest(range(0, {Y4M_FRAMES})) f(f)
+), px AS (
+  SELECT doc_id, f, CAST(k.k AS BIGINT) AS k
+  FROM fr, unnest(range(0, {n_px})) k(k)
+)
+SELECT doc_id AS media_id,
+       f AS frame_idx,
+       CAST({Y4M_SIDE} AS INTEGER) AS width,
+       CAST({Y4M_SIDE} AS INTEGER) AS height,
+       CAST(sum((doc_id * 31 + f * 17 + k * 7) % 256) AS BIGINT) AS sum_y,
+       CAST(sum((doc_id * 57 + f * 29 + k * 11) % 256) AS BIGINT) AS sum_u,
+       CAST(sum((doc_id * 83 + f * 41 + k * 13) % 256) AS BIGINT) AS sum_v
+FROM px
+GROUP BY doc_id, f
+"""
+
+
+MP4_DOCS = 500
+MP4_TIMESCALE = 600  # classic QuickTime timescale: makes duration_ms a
+#                      real integer division, not a no-op
+
+
+def multimodal_mp4_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL ISO BMFF (MP4) container parsing, zero media libraries: each
+    of MP4_DOCS ids becomes a structurally valid ftyp+moov+mdat movie
+    (operators/multimodal.synthesize_meta_mp4s — every third uses the
+    64-bit mvhd v1 layout) and operators/multimodal.decode_mp4_meta
+    walks the box tree for real (size/largesize framing, nested
+    containers, mvhd timescale+duration, tkhd 16.16 fixed-point
+    dimensions, hdlr types). All planted fields are closed-form in the
+    id, so the oracle replays the parse exactly — including the
+    exact-integer duration_ms division.
+
+    This is the metadata face a 100 TB video corpus filters on BEFORE
+    any codec runs; the codec payloads themselves (avc1/hev1) stay
+    behind the documented ffmpeg gate."""
+    from ..operators.multimodal import decode_mp4_meta, synthesize_meta_mp4s
+
+    ids = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < MP4_DOCS)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return decode_mp4_meta(synthesize_meta_mp4s(ids, timescale=MP4_TIMESCALE))
+
+
+def _mp4_oracle_sql() -> str:
+    return f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {MP4_DOCS}
+)
+SELECT doc_id AS media_id,
+       'isom' AS brand,
+       CAST({MP4_TIMESCALE} AS INTEGER) AS timescale,
+       CAST(1000 + (doc_id * 37) % 100000 AS BIGINT) AS duration,
+       CAST(((1000 + (doc_id * 37) % 100000) * 1000) // {MP4_TIMESCALE}
+            AS BIGINT) AS duration_ms,
+       CAST(1 AS INTEGER) AS n_tracks,
+       CAST(1 + doc_id % 7 AS INTEGER) AS video_track_id,
+       CAST(16 * (1 + doc_id % 64) AS INTEGER) AS width,
+       CAST(16 * (1 + doc_id % 36) AS INTEGER) AS height,
+       'vide' AS handlers
+FROM ids
+"""
+
+
 def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SQ8-quantized ANN (operators/similarity.sq8_topk): int8 codes
     shortlist candidates, float rerank finishes. Third scale path beside
@@ -1074,6 +1179,19 @@ QUERIES: dict[str, QuerySpec] = {
         doc="real WAV/RIFF decode (chunk walking past a planted JUNK "
             "chunk, PCM fmt validation, stereo de-interleave); integer "
             "sums + peak replay exactly",
+    ),
+    "multimodal_y4m_frames": QuerySpec(
+        multimodal_y4m_frames, _y4m_oracle_sql(),
+        doc="REAL video decode (YUV4MPEG2 uncompressed interchange "
+            "format): header tokenization, planar C444 frame extraction, "
+            "per-frame exact plane sums — video's uncompressed class "
+            "leaves the ffmpeg gate",
+    ),
+    "multimodal_mp4_meta": QuerySpec(
+        multimodal_mp4_meta, _mp4_oracle_sql(),
+        doc="REAL ISO BMFF container parsing: box walking (largesize, "
+            "nested containers), mvhd v0+v1, tkhd 16.16 dimensions, "
+            "hdlr types; the pre-codec metadata face of a video corpus",
     ),
     "zorder_roundtrip": QuerySpec(zorder_roundtrip, ZORDER_SQL),
     "compaction_roundtrip": QuerySpec(
