@@ -192,7 +192,9 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True,
                     continue
                 try:
                     if projection_compact(spark, store, meta["keys"],
-                                          meta["sums"]):
+                                          meta["sums"],
+                                          meta.get("mins", []),
+                                          meta.get("maxs", [])):
                         out[f"rollups/{r}"] = {"folded": True}
                 except Exception:
                     continue

@@ -264,14 +264,17 @@ def _discover_rollup(spark: SparkSession, data_dir: str, name: str,
         fp = source_fingerprint(*stores)
         if cache.get(name) == fp:
             return True
+    from .storage.rollup import merge_aggs
+
     meta = projection_meta(stores[0])
     keys, sums = meta["keys"], meta["sums"]
+    mins, maxs = meta.get("mins", []), meta.get("maxs", [])
     df = None
     for s in stores:
-        scan = projection_scan(spark, s, keys, sums)
+        scan = projection_scan(spark, s, keys, sums, mins, maxs)
         df = scan if df is None else df.unionByName(scan)
     if len(stores) > 1:
-        df = df.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sums])
+        df = df.groupBy(*keys).agg(*merge_aggs(sums, mins, maxs))
     df.createOrReplaceTempView(name)
     if cache is not None:
         cache[name] = fp

@@ -353,7 +353,15 @@ class HepopQueryAPI:
             if src.get("table", "").lower() != table.lower():
                 continue
             key_map = {_norm_expr(e): c for c, e in src.get("keys", {}).items()}
-            sum_map = {_norm_expr(e): c for c, e in src.get("sums", {}).items()}
+            # value columns by their monoid re-merge function: SUM for the
+            # sum-class (count/sum), MIN/MAX for the r09 extremum classes —
+            # any of them re-aggregates exactly over a key-subset grouping
+            agg_map = {
+                _norm_expr(e): (c, fn)
+                for field, fn in (("sums", "SUM"), ("mins", "MIN"),
+                                  ("maxs", "MAX"))
+                for c, e in src.get(field, {}).items()
+            }
             if not gset <= set(key_map):
                 continue
             # WHERE conjuncts must each hit a grid KEY (a filter on a raw
@@ -385,8 +393,9 @@ class HepopQueryAPI:
                         break
                     sel.append(f"{key_map[n]} AS {out}")
                     aliases.add(out.lower())
-                elif n in sum_map and alias is not None:
-                    agg = sum_map[n] if exact else f"SUM({sum_map[n]})"
+                elif n in agg_map and alias is not None:
+                    col, fn = agg_map[n]
+                    agg = col if exact else f"{fn}({col})"
                     sel.append(f"{agg} AS {alias}")
                     aliases.add(alias.lower())
                 else:

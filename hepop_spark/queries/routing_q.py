@@ -56,6 +56,7 @@ def _build_rollup_serve_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
     )
     store = os.path.join(data, "w1", "rollups", "doc_lang_rollup")
     keys, sums = ["lang", "source"], ["n_docs", "total_chars"]
+    mins, maxs = ["min_chars"], ["max_chars"]
     for b in range(ROLLUP_ROUTE_BATCHES):
         part = (
             docs.filter(F.col("doc_id") % ROLLUP_ROUTE_BATCHES == b)
@@ -63,20 +64,25 @@ def _build_rollup_serve_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum("n_chars").alias("total_chars"),
+                F.min("n_chars").alias("min_chars"),
+                F.max("n_chars").alias("max_chars"),
             )
         )
         projection_append(
             spark, store, part, f"b{b}", keys=keys, sums=sums,
+            mins=mins, maxs=maxs,
             source={
                 "table": "documents",
                 "keys": {"lang": "lang", "source": "source"},
                 "sums": {"n_docs": "count(*)",
                          "total_chars": "sum(n_chars)"},
+                "mins": {"min_chars": "min(n_chars)"},
+                "maxs": {"max_chars": "max(n_chars)"},
             },
         )
     # fold half the segments into base/ so routing reads the post-compaction
     # store shape, then leave later segments live (the steady-state mix)
-    projection_compact(spark, store, keys, sums)
+    projection_compact(spark, store, keys, sums, mins, maxs)
     return root, data
 
 
@@ -202,6 +208,60 @@ ORDER BY lang
 """
 
 
+# min/max re-aggregate over a key-subset grouping exactly like sums do
+# (all four are commutative monoids) — r09 widens the routed surface to
+# the full monoid family Timescale-style continuous aggregates carry
+MINMAX_SQL_TEXT = (
+    "SELECT lang, min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+    "sum(n_chars) AS total_chars FROM documents "
+    "GROUP BY lang ORDER BY lang"
+)
+
+
+def routed_minmax_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, MINMAX_SQL_TEXT)
+
+
+def rollup_routed_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """MIN/MAX continuous aggregation (r09): the maintained grid carries
+    extremum columns merged with the MIN/MAX monoid (storage/rollup.py
+    merge_aggs), and the API routing rewrite maps a user's min()/max()
+    over the raw table onto them — re-aggregating when the GROUP BY is a
+    key subset, exactly as sums do. A grid that SUM-merged an extremum
+    column anywhere (append, fold, federation, routing) fails the
+    oracle, which recomputes from raw.
+
+    Scale: same O(|grid|) routed scan as the sum entries; extrema add no
+    shuffle — they ride the same partial-aggregate segments."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, MINMAX_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows,
+            "lang string, min_chars bigint, max_chars bigint, "
+            "total_chars bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ROLLUP_MINMAX_SQL = """
+SELECT lang,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_routed_aggregate": QuerySpec(
         rollup_routed_aggregate, ROLLUP_ROUTED_SQL,
@@ -214,5 +274,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="WHERE on a grid key routes too: the conjunct rewrites onto "
             "the grid column (IN over lang, grouped by source); oracle "
             "recomputes from raw",
+    ),
+    "rollup_routed_minmax": QuerySpec(
+        rollup_routed_minmax, ROLLUP_MINMAX_SQL,
+        doc="min()/max() continuous aggregation: extremum columns ride "
+            "the maintained grid with the MIN/MAX monoid and route like "
+            "sums, incl. key-subset re-aggregation; oracle recomputes "
+            "from raw",
     ),
 }

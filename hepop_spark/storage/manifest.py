@@ -36,9 +36,15 @@ becomes "manifest is truth" for serve tables; plain tables (no
 
 Scale: the manifest holds file PATHS — exactly what object stores need
 (no listing), and what lets a 1000-executor reader plan against a
-consistent snapshot while compaction runs at full cadence. Single writer
-per tree by the layout contract (hepop.js:114-132); multi-writer needs
-put-if-absent on v{N}, same protocol.
+consistent snapshot while compaction runs at full cadence. The layout
+contract keeps one writer per tree (hepop.js:114-132), but r09 makes a
+SHARED tree safe too: version publish is a compare-and-swap — the
+put-if-absent `os.link` on v{N} (a conditional put on an object store)
+is the commit point, and on conflict the mutation re-reads the new
+latest and re-applies itself (bounded retries). Appends and vacuums
+recompute from (walk, latest) so any interleaving converges; a
+compaction whose inputs were retired by a concurrent winner rolls back
+instead of double-applying.
 """
 
 from __future__ import annotations
@@ -49,6 +55,18 @@ import time
 import uuid
 
 MANIFEST_DIR = "_manifest"
+# Bounded CAS attempts for a mutation racing concurrent writers. Each
+# retry re-reads the latest version and re-derives the mutation, so the
+# bound only matters under pathological contention — 16 writers landing
+# in lock-step on one table tree.
+CAS_RETRIES = 16
+
+
+class ManifestConflict(RuntimeError):
+    """A concurrent writer committed the version this mutation targeted.
+    Raised by the CAS primitive (_publish); public mutations retry
+    internally and raise only when CAS_RETRIES interleavings all lost
+    (or when the mutation is no longer applicable — see replace_files)."""
 # Seconds a retired file's bytes stay on disk after its manifest-level
 # delete. Must exceed the longest reader plan->execute span; the serve
 # default leaves 5 minutes, two orders of magnitude past the soak's
@@ -99,13 +117,14 @@ def live_files(table_dir: str) -> list[str] | None:
 
 def _publish(table_dir: str, files: list[str], retired: dict[str, float],
              prev_version: int) -> int:
-    """Publish the next version PUT-IF-ABSENT (os.link fails with EEXIST
-    instead of overwriting): a second writer racing on the same tree —
-    a violation of the single-writer layout contract — is DETECTED
-    loudly rather than silently clobbering a committed version. (The
-    full multi-writer protocol is a CAS retry of the whole mutation
-    against the new latest; on an object store the link becomes a
-    conditional put. Same commit point either way.)"""
+    """The CAS primitive: publish the next version PUT-IF-ABSENT
+    (os.link fails with EEXIST instead of overwriting; on an object
+    store this becomes a conditional put). A concurrent writer that
+    committed v{N} first wins — the loser gets ManifestConflict and the
+    public mutations re-derive against the new latest and retry. A
+    committed version is never clobbered (pinned by the round-8 test:
+    racing the SAME prev_version, in the single-writer sense, still
+    raises)."""
     v = prev_version + 1
     doc = {"version": v, "ts": time.time(),
            "files": sorted(files), "retired": retired}
@@ -118,10 +137,10 @@ def _publish(table_dir: str, files: list[str], retired: dict[str, float],
     try:
         os.link(tmp, final)  # atomic create-if-absent on POSIX
     except FileExistsError:
-        raise RuntimeError(
-            f"manifest version v{v} already exists under {md}: a second "
-            "writer is mutating this table tree (single-writer layout "
-            "contract violated)"
+        raise ManifestConflict(
+            f"manifest version v{v} already exists under {md}: a "
+            "concurrent writer committed first (single-writer trees "
+            "never see this; shared trees retry the mutation)"
         ) from None
     finally:
         try:
@@ -151,12 +170,17 @@ def _table_lock(table_dir: str):
 
 def enable_manifest(table_dir: str) -> None:
     """Turn a table directory into a manifest-mode table, adopting any
-    existing visible files as version 1. Idempotent."""
+    existing visible files as version 1. Idempotent; a concurrent
+    enabler losing the v1 race adopts its files through a normal append
+    publish instead (same walk-minus-retired rule, so nothing is lost)."""
     with _table_lock(table_dir):
         if manifest_enabled(table_dir) and _versions(table_dir):
             return
         os.makedirs(_mdir(table_dir), exist_ok=True)
-        _publish(table_dir, sorted(_walk_data_files(table_dir)), {}, 0)
+        try:
+            _publish(table_dir, sorted(_walk_data_files(table_dir)), {}, 0)
+        except ManifestConflict:
+            publish_append(table_dir)
 
 
 def recover(table_dir: str) -> dict[str, str]:
@@ -200,16 +224,25 @@ def recover(table_dir: str) -> dict[str, str]:
 
 def publish_append(table_dir: str) -> int:
     """Publish a new version after an append: live = visible files minus
-    retired. Adopts files landed by a flush that crashed pre-publish."""
+    retired. Adopts files landed by a flush that crashed pre-publish.
+    CAS-safe on a shared tree: the (walk, latest) inputs are re-derived
+    on every attempt, so losing a race to another appender simply folds
+    both writers' files into the winner-plus-one version."""
     with _table_lock(table_dir):
-        recover(table_dir)
-        got = latest(table_dir)
-        prev_v, prev = (got if got else (0, {"files": [], "retired": {}}))
-        on_disk = _walk_data_files(table_dir)
-        retired = {r: t for r, t in prev.get("retired", {}).items()
-                   if r in on_disk}
-        files = sorted(on_disk - set(retired))
-        return _publish(table_dir, files, retired, prev_v)
+        for attempt in range(CAS_RETRIES):
+            recover(table_dir)
+            got = latest(table_dir)
+            prev_v, prev = (got if got else (0, {"files": [], "retired": {}}))
+            on_disk = _walk_data_files(table_dir)
+            retired = {r: t for r, t in prev.get("retired", {}).items()
+                       if r in on_disk}
+            files = sorted(on_disk - set(retired))
+            try:
+                return _publish(table_dir, files, retired, prev_v)
+            except ManifestConflict:
+                if attempt == CAS_RETRIES - 1:
+                    raise
+                time.sleep(0.002 * (attempt + 1))
 
 
 def replace_files(table_dir: str, moves: list[tuple[str, str]],
@@ -217,11 +250,17 @@ def replace_files(table_dir: str, moves: list[tuple[str, str]],
     """The compaction commit: move staged files into the live tree under
     their final names and publish a version that lists them and retires
     ``old_rels`` — whose bytes stay at their paths until vacuum. The WAL
-    intent makes the move+publish span crash-atomic."""
+    intent makes the move+publish span crash-atomic.
+
+    CAS on a shared tree: the moves happen once; the publish re-derives
+    against the new latest on conflict. A replace is only re-applied
+    while EVERY old_rel is still live in the winner's version — if a
+    concurrent compactor already replaced any of them, re-retiring would
+    double-apply (rows present in both winners' outputs), so this loser
+    rolls its moved files back out and raises ManifestConflict; the
+    caller's inputs no longer exist and it must re-plan."""
     with _table_lock(table_dir):
         recover(table_dir)
-        got = latest(table_dir)
-        prev_v, prev = (got if got else (0, {"files": [], "retired": {}}))
         new_rels = [os.path.relpath(dst, table_dir) for _src, dst in moves]
         md = _mdir(table_dir)
         os.makedirs(md, exist_ok=True)
@@ -233,13 +272,40 @@ def replace_files(table_dir: str, moves: list[tuple[str, str]],
         for src, dst in moves:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
-        now = time.time()
-        retired = dict(prev.get("retired", {}))
-        retired.update({r: now for r in old_rels})
-        files = sorted((set(prev["files"]) - set(old_rels)) | set(new_rels))
-        v = _publish(table_dir, files, retired, prev_v)
-        os.remove(ipath)
-        return v
+
+        def _roll_back(reason: str):
+            for n in new_rels:
+                p = os.path.join(table_dir, n)
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+            os.remove(ipath)
+            raise ManifestConflict(reason)
+
+        for attempt in range(CAS_RETRIES):
+            got = latest(table_dir)
+            prev_v, prev = (got if got else (0, {"files": [], "retired": {}}))
+            if not set(old_rels) <= set(prev.get("files", ())):
+                _roll_back(
+                    f"replace inputs retired by a concurrent writer under "
+                    f"{table_dir}: re-plan the compaction")
+            now = time.time()
+            retired = dict(prev.get("retired", {}))
+            retired.update({r: now for r in old_rels})
+            files = sorted(
+                (set(prev["files"]) - set(old_rels)) | set(new_rels))
+            try:
+                v = _publish(table_dir, files, retired, prev_v)
+            except ManifestConflict:
+                if attempt == CAS_RETRIES - 1:
+                    _roll_back(
+                        f"lost {CAS_RETRIES} consecutive publish races "
+                        f"under {table_dir}")
+                time.sleep(0.002 * (attempt + 1))
+                continue
+            os.remove(ipath)
+            return v
 
 
 def vacuum(table_dir: str, grace_s: float | None = None) -> list[str]:
@@ -267,7 +333,24 @@ def vacuum(table_dir: str, grace_s: float | None = None) -> list[str]:
             elif os.path.exists(p):
                 keep[rel] = t
         if removed or len(keep) != len(prev.get("retired", {})):
-            _publish(table_dir, prev["files"], keep, prev_v)
+            # CAS: the physical deletes above are idempotent facts; on a
+            # publish race, re-derive the retired map against the new
+            # latest (drop entries whose bytes this vacuum deleted)
+            for attempt in range(CAS_RETRIES):
+                try:
+                    _publish(table_dir, prev["files"], keep, prev_v)
+                    break
+                except ManifestConflict:
+                    if attempt == CAS_RETRIES - 1:
+                        raise
+                    time.sleep(0.002 * (attempt + 1))
+                    prev_v, prev = latest(table_dir)
+                    gone = set(removed)
+                    keep = {
+                        r: t for r, t in prev.get("retired", {}).items()
+                        if r not in gone
+                        and os.path.exists(os.path.join(table_dir, r))
+                    }
         # rmdir partition dirs emptied by the deletes (bucket then date)
         for rel in removed:
             d = os.path.dirname(os.path.join(table_dir, rel))

@@ -148,7 +148,9 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
                       batch_id: str,
                       keys: list[str] | None = None,
                       sums: list[str] | None = None,
-                      source: dict | None = None) -> bool:
+                      source: dict | None = None,
+                      mins: list[str] | None = None,
+                      maxs: list[str] | None = None) -> bool:
     """Publish one micro-batch's partial aggregate as an immutable
     segment. No-op (False) when the batch id is already published — safe
     under foreachBatch redelivery.
@@ -157,12 +159,16 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
     once alongside the segments, making the store SELF-DESCRIBING: the
     serve catalog (catalog.discover_table) can then register the merged
     scan as a query table without out-of-band schema knowledge.
+    ``mins``/``maxs`` (r09) name columns merged with the MIN/MAX monoid
+    instead of SUM — count/sum/min/max are all commutative monoids, so
+    the exactly-once segment contract carries over unchanged; avg stays
+    derived (sum/count) and is never stored.
 
     ``source`` additionally records the ROUTING contract (r07 verdict
     item 3): {"table": raw_table, "keys": {store_col: raw_expr},
-    "sums": {store_col: raw_agg_expr}} — enough for the API layer
-    (plans/api.py rollup routing) to rewrite a user's matching aggregate
-    over the RAW table onto this grid."""
+    "sums": {store_col: raw_agg_expr}, "mins": {...}, "maxs": {...}} —
+    enough for the API layer (plans/api.py rollup routing) to rewrite a
+    user's matching aggregate over the RAW table onto this grid."""
     import json
     import shutil
 
@@ -170,11 +176,13 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
 
     with table_lock(store):
         return _projection_append_locked(
-            spark, store, partial, batch_id, keys, sums, source)
+            spark, store, partial, batch_id, keys, sums, source,
+            mins, maxs)
 
 
 def _projection_append_locked(spark, store, partial, batch_id,
-                              keys, sums, source) -> bool:
+                              keys, sums, source,
+                              mins=None, maxs=None) -> bool:
     import json
     import shutil
 
@@ -193,6 +201,10 @@ def _projection_append_locked(spark, store, partial, batch_id,
         meta = os.path.join(store, "_meta.json")
         if keys is not None and sums is not None and not os.path.exists(meta):
             doc = {"keys": list(keys), "sums": list(sums)}
+            if mins:
+                doc["mins"] = list(mins)
+            if maxs:
+                doc["maxs"] = list(maxs)
             if source is not None:
                 doc["source"] = source
             mtmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -294,11 +306,14 @@ def _projection_segments(store: str) -> list[str]:
 
 
 def projection_scan(spark: SparkSession, store: str, keys: list[str],
-                    sums: list[str]) -> DataFrame:
-    """The merged projection: base + all published segments, re-summed per
-    key. Returns None-equivalent empty only if the store has no segments;
-    callers that built at least one batch always get the full monoid
-    merge."""
+                    sums: list[str],
+                    mins: list[str] = (), maxs: list[str] = (),
+                    kmvs: list[str] = (),
+                    kmv_k: int | None = None) -> DataFrame:
+    """The merged projection: base + all published segments, monoid-merged
+    per key (SUM / MIN / MAX / KMV-sketch per column class). Returns
+    None-equivalent empty only if the store has no segments; callers that
+    built at least one batch always get the full monoid merge."""
     segs = _projection_segments(store)
     df = None
     for s in segs:
@@ -306,7 +321,45 @@ def projection_scan(spark: SparkSession, store: str, keys: list[str],
         df = part if df is None else df.unionByName(part)
     if df is None:
         raise FileNotFoundError(f"empty projection store: {store}")
-    return df.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sums])
+    return df.groupBy(*keys).agg(*merge_aggs(sums, mins, maxs, kmvs, kmv_k))
+
+
+def scan_with_meta(spark: SparkSession, store: str) -> DataFrame:
+    """projection_scan driven by the store's own _meta.json — the one
+    call sites should prefer so a store's column classes can evolve
+    without touching readers."""
+    meta = projection_meta(store)
+    if meta is None:
+        raise FileNotFoundError(f"projection store has no _meta.json: {store}")
+    return projection_scan(
+        spark, store, meta["keys"], meta["sums"], meta.get("mins", []),
+        meta.get("maxs", []), meta.get("kmvs", []), meta.get("kmv_k"))
+
+
+def merge_aggs(sums: list[str], mins: list[str] = (),
+               maxs: list[str] = (), kmvs: list[str] = (),
+               kmv_k: int | None = None) -> list:
+    """The monoid re-merge expressions for a projection's value columns —
+    shared by scan, fold and multi-writer federation so the three can
+    never disagree on a column's merge function.
+
+    ``kmvs`` columns are KMV (k-minimum-values / theta) distinct-count
+    sketches: each stored value is the sorted array of the group's k
+    smallest DISTINCT hash values. The merge — union, dedup, keep the k
+    smallest — is itself the bottom-k monoid (every element of the
+    merged bottom-k is in some input's bottom-k), so sketches fold and
+    federate exactly like sums do, with k*8 bytes of state per
+    (key, column) regardless of ingested rows. Deterministic
+    (integer hashes, total order), so a maintained sketch replays
+    bit-for-bit in ANSI SQL."""
+    out = ([F.sum(c).alias(c) for c in sums]
+           + [F.min(c).alias(c) for c in mins]
+           + [F.max(c).alias(c) for c in maxs])
+    for c in kmvs:
+        merged = F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.col(c)))))
+        out.append(F.slice(merged, 1, int(kmv_k)).alias(c))
+    return out
 
 
 def projection_meta(store: str) -> dict | None:
@@ -321,7 +374,8 @@ def projection_meta(store: str) -> dict | None:
 
 
 def projection_compact(spark: SparkSession, store: str, keys: list[str],
-                       sums: list[str]) -> bool:
+                       sums: list[str],
+                       mins: list[str] = (), maxs: list[str] = ()) -> bool:
     """Fold the live segments into a NEW base generation and switch the
     fold pointer (r08 redesign): the fold never renames or deletes a
     path a reader may hold — the merged result lands under a fresh
@@ -340,7 +394,8 @@ def projection_compact(spark: SparkSession, store: str, keys: list[str],
     from .writer import table_lock
 
     with table_lock(store):
-        return _projection_compact_locked(spark, store, keys, sums)
+        return _projection_compact_locked(spark, store, keys, sums,
+                                          mins, maxs)
 
 
 def projection_vacuum(store: str, grace_s: float | None = None) -> list[str]:
@@ -394,7 +449,9 @@ def _projection_vacuum_locked(store: str,
 
 
 def _projection_compact_locked(spark: SparkSession, store: str,
-                               keys: list[str], sums: list[str]) -> bool:
+                               keys: list[str], sums: list[str],
+                               mins: list[str] = (),
+                               maxs: list[str] = ()) -> bool:
     import shutil
     import time as _time
 
@@ -402,7 +459,7 @@ def _projection_compact_locked(spark: SparkSession, store: str,
     segs = _projection_segments(store)
     if len(segs) <= 1:
         return False
-    merged = projection_scan(spark, store, keys, sums)
+    merged = projection_scan(spark, store, keys, sums, mins, maxs)
     new_base = f"base_v{uuid.uuid4().hex[:8]}"
     tmp = os.path.join(store, f".{new_base}.tmp")
     try:

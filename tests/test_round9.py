@@ -327,3 +327,230 @@ class TestVideoCodecs:
             decode_y4m_frames(bad).collect()
         assert "ValueError" in str(ei.value)
         assert "media_id=11" in str(ei.value)
+
+
+class TestMinMaxProjections:
+    """r09: MIN/MAX monoid columns in maintained projection stores —
+    append/fold/federation/routing must never SUM-merge an extremum."""
+
+    def _store(self, spark, tmp_path, writer="w1"):
+        from hepop_spark.storage.rollup import projection_append
+
+        data = str(tmp_path / "data")
+        raw = spark.createDataFrame(
+            [(i, ["a", "b"][i % 2], 10 + (i * 7) % 50) for i in range(40)],
+            "doc_id long, k string, v long",
+        )
+        raw.write.mode("append").parquet(
+            os.path.join(data, writer, "dbs", "mm_docs"))
+        store = os.path.join(data, writer, "rollups", "mm_grid")
+        for b in range(3):
+            part = (
+                raw.filter(F.col("doc_id") % 3 == b)
+                .groupBy("k")
+                .agg(F.count("*").alias("n"), F.sum("v").alias("sv"),
+                     F.min("v").alias("mn"), F.max("v").alias("mx"))
+            )
+            projection_append(
+                spark, store, part, f"b{b}",
+                keys=["k"], sums=["n", "sv"], mins=["mn"], maxs=["mx"],
+                source={"table": "mm_docs", "keys": {"k": "k"},
+                        "sums": {"n": "count(*)", "sv": "sum(v)"},
+                        "mins": {"mn": "min(v)"},
+                        "maxs": {"mx": "max(v)"}},
+            )
+        return data, store, raw
+
+    def _want(self, raw):
+        return {
+            (r[0], r[1], r[2], r[3], r[4])
+            for r in raw.groupBy("k").agg(
+                F.count("*"), F.sum("v"), F.min("v"), F.max("v")).collect()
+        }
+
+    def test_scan_fold_invariant(self, spark, tmp_path):
+        from hepop_spark.storage.rollup import (
+            projection_compact,
+            projection_scan,
+        )
+
+        data, store, raw = self._store(spark, tmp_path)
+        args = (["k"], ["n", "sv"], ["mn"], ["mx"])
+        got = {
+            tuple(r) for r in projection_scan(
+                spark, store, *args).select("k", "n", "sv", "mn", "mx")
+            .collect()
+        }
+        assert got == self._want(raw)
+        assert projection_compact(spark, store, *args) is True
+        got2 = {
+            tuple(r) for r in projection_scan(
+                spark, store, *args).select("k", "n", "sv", "mn", "mx")
+            .collect()
+        }
+        assert got2 == got
+
+    def test_federation_and_routing(self, spark, tmp_path):
+        from hepop_spark.catalog import discover_table
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, _s1, raw1 = self._store(spark, tmp_path, "w1")
+        # second writer: shifted values so extrema differ across writers
+        from hepop_spark.storage.rollup import projection_append
+
+        raw2 = spark.createDataFrame(
+            [(100 + i, ["a", "b"][i % 2], 200 + i) for i in range(10)],
+            "doc_id long, k string, v long",
+        )
+        raw2.write.mode("append").parquet(
+            os.path.join(data, "w2", "dbs", "mm_docs"))
+        part2 = raw2.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"))
+        projection_append(
+            spark, os.path.join(data, "w2", "rollups", "mm_grid"),
+            part2, "b0", keys=["k"], sums=["n", "sv"],
+            mins=["mn"], maxs=["mx"],
+            source={"table": "mm_docs", "keys": {"k": "k"},
+                    "sums": {"n": "count(*)", "sv": "sum(v)"},
+                    "mins": {"mn": "min(v)"}, "maxs": {"mx": "max(v)"}},
+        )
+        both = raw1.unionByName(raw2)
+        # federated view (two writers' grids monoid-merged by the catalog)
+        assert discover_table(spark, data, "mm_grid", cache={})
+        got = {
+            tuple(r) for r in spark.table("mm_grid")
+            .select("k", "n", "sv", "mn", "mx").collect()
+        }
+        assert got == self._want(both)
+        # routed: user min/max over the raw table answered from the grids
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT k, min(v) AS mn, max(v) AS mx, sum(v) AS sv "
+            "FROM mm_docs GROUP BY k ORDER BY k")
+        assert api.last_routed_rollup == "mm_grid"
+        want = {(r[0], r[1], r[2], r[3]) for r in both.groupBy("k").agg(
+            F.min("v"), F.max("v"), F.sum("v")).collect()}
+        assert {(r["k"], r["mn"], r["mx"], r["sv"]) for r in rows} == want
+
+    def test_avg_never_routes_to_extrema(self, spark, tmp_path):
+        """avg is not a monoid and has no grid column — must fall back."""
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, _store, raw = self._store(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT k, avg(v) AS av FROM mm_docs GROUP BY k ORDER BY k")
+        assert api.last_routed_rollup is None
+        want = {(r[0], r[1]) for r in raw.groupBy("k").agg(F.avg("v")).collect()}
+        assert {(r["k"], r["av"]) for r in rows} == want
+
+
+class TestManifestMultiWriterCAS:
+    """r09: version publish is a bounded CAS — a writer losing the
+    put-if-absent race re-derives against the winner's version and
+    retries, so a SHARED table tree converges without losing either
+    writer's files; a compaction whose inputs were already replaced
+    rolls back instead of double-applying."""
+
+    def _stale_once(self, monkeypatch):
+        """Make manifest.latest return the PREVIOUS version once — the
+        cross-process race (a winner landing between the mutation's read
+        and its publish) reproduced deterministically in-process."""
+        from hepop_spark.storage import manifest as m
+
+        real = m.latest
+        state = {"armed": True}
+
+        def stale(table_dir):
+            got = real(table_dir)
+            if state["armed"] and got and got[0] > 1:
+                state["armed"] = False
+                import json as _json
+                with open(os.path.join(table_dir, "_manifest",
+                                       f"v{got[0] - 1}.json")) as fh:
+                    return got[0] - 1, _json.load(fh)
+            return got
+
+        monkeypatch.setattr(m, "latest", stale)
+        return state
+
+    def _plant(self, base, rel):
+        p = base / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"PAR1 dummy")
+        return rel
+
+    def test_publish_append_retries_and_adopts_winner(
+            self, spark, tmp_path, monkeypatch):
+        import json as _json
+
+        from hepop_spark.storage.manifest import latest, publish_append
+
+        base = tmp_path / "t"
+        _write_ts(spark, base, 0, 10, manifest=True)
+        v1, man1 = latest(str(base))
+        # concurrent winner: an append publishing v2 with an extra file
+        extra = self._plant(base, "date=2024-03-01/bucket=10-00/w2.parquet")
+        rogue = {"version": v1 + 1, "ts": 0,
+                 "files": sorted(man1["files"] + [extra]), "retired": {}}
+        (base / "_manifest" / f"v{v1 + 1}.json").write_text(
+            _json.dumps(rogue))
+        self._stale_once(monkeypatch)  # our writer still sees v1
+        v = publish_append(str(base))  # CAS: conflict at v2, lands at v3
+        assert v == v1 + 2
+        _v, man = latest(str(base))
+        assert extra in man["files"]  # the winner's file was not lost
+        assert set(man1["files"]) <= set(man["files"])
+
+    def test_replace_files_retries_while_inputs_live(
+            self, spark, tmp_path, monkeypatch):
+        import json as _json
+
+        from hepop_spark.storage.manifest import latest, replace_files
+
+        base = tmp_path / "t"
+        _write_ts(spark, base, 0, 10, manifest=True)
+        v1, man1 = latest(str(base))
+        old = man1["files"][0]
+        extra = self._plant(base, "date=2024-03-01/bucket=10-00/w2.parquet")
+        rogue = {"version": v1 + 1, "ts": 0,
+                 "files": sorted(man1["files"] + [extra]), "retired": {}}
+        (base / "_manifest" / f"v{v1 + 1}.json").write_text(
+            _json.dumps(rogue))
+        self._stale_once(monkeypatch)
+        staged = base / ".staged_c.parquet"
+        staged.write_bytes(b"PAR1 dummy")
+        dst = base / "date=2024-03-01/bucket=10-00/c_r9.parquet"
+        v = replace_files(str(base), [(str(staged), str(dst))], [old])
+        assert v == v1 + 2
+        _v, man = latest(str(base))
+        assert old not in man["files"] and old in man["retired"]
+        assert extra in man["files"]  # winner's append preserved
+        assert "date=2024-03-01/bucket=10-00/c_r9.parquet" in man["files"]
+
+    def test_replace_files_rolls_back_when_inputs_retired(
+            self, spark, tmp_path):
+        import glob as _glob
+
+        from hepop_spark.storage.manifest import (
+            ManifestConflict,
+            latest,
+            replace_files,
+        )
+
+        base = tmp_path / "t"
+        _write_ts(spark, base, 0, 10, manifest=True)
+        v1, man1 = latest(str(base))
+        old = man1["files"][0]
+        # a concurrent compactor already replaced `old`
+        replace_files(str(base), [], [old])
+        before = latest(str(base))
+        staged = base / ".staged_c.parquet"
+        staged.write_bytes(b"PAR1 dummy")
+        dst = base / "date=2024-03-01/bucket=10-00/loser.parquet"
+        with pytest.raises(ManifestConflict, match="re-plan"):
+            replace_files(str(base), [(str(staged), str(dst))], [old])
+        assert not dst.exists()  # moved file rolled back out
+        assert latest(str(base)) == before  # manifest untouched
+        assert not _glob.glob(str(base / "_manifest" / "intent_*"))
