@@ -194,7 +194,9 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True,
                     if projection_compact(spark, store, meta["keys"],
                                           meta["sums"],
                                           meta.get("mins", []),
-                                          meta.get("maxs", [])):
+                                          meta.get("maxs", []),
+                                          meta.get("kmvs", []),
+                                          meta.get("kmv_k")):
                         out[f"rollups/{r}"] = {"folded": True}
                 except Exception:
                     continue

@@ -269,12 +269,13 @@ def _discover_rollup(spark: SparkSession, data_dir: str, name: str,
     meta = projection_meta(stores[0])
     keys, sums = meta["keys"], meta["sums"]
     mins, maxs = meta.get("mins", []), meta.get("maxs", [])
+    kmvs, kmv_k = meta.get("kmvs", []), meta.get("kmv_k")
     df = None
     for s in stores:
-        scan = projection_scan(spark, s, keys, sums, mins, maxs)
+        scan = projection_scan(spark, s, keys, sums, mins, maxs, kmvs, kmv_k)
         df = scan if df is None else df.unionByName(scan)
     if len(stores) > 1:
-        df = df.groupBy(*keys).agg(*merge_aggs(sums, mins, maxs))
+        df = df.groupBy(*keys).agg(*merge_aggs(sums, mins, maxs, kmvs, kmv_k))
     df.createOrReplaceTempView(name)
     if cache is not None:
         cache[name] = fp

@@ -619,12 +619,178 @@ ORDER BY e.l_returnflag
 """
 
 
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_maintained — continuous approx-distinct aggregation: a KMV
+# sketch COLUMN CLASS in the maintained projection store (r09)
+# ---------------------------------------------------------------------------
+
+KMV_K = 128
+KMV_BATCHES = 4
+
+
+def _kmv_partial(docs: DataFrame) -> DataFrame:
+    """One batch's partial: per lang, the row count (sum class) and the
+    bottom-KMV_K distinct 48-bit content hashes (kmv class). The bottom-k
+    is a PARTITIONED window over the batch's distinct (lang, h) pairs —
+    at most KMV_K rows survive per lang before the k-element array is
+    gathered, so no array ever exceeds k*8 bytes."""
+    base = docs.select(
+        "lang",
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
+        .cast("long").alias("h"),
+    )
+    nrows = base.groupBy("lang").agg(F.count("*").alias("n_rows"))
+    w = Window.partitionBy("lang").orderBy("h")
+    sk = (
+        base.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("lang")
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+    return nrows.join(sk, "lang")
+
+
+def _kmv_est(size_col, kth_col):
+    """(k-1)/theta estimator with the exact-below-k fast path: while the
+    sketch holds fewer than k hashes it IS the distinct set, so the
+    estimate is the exact count — both branches replay in ANSI SQL
+    (integer sizes, one IEEE division)."""
+    return F.when(
+        size_col < KMV_K, size_col.cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) / (kth_col / F.lit(_H48))
+    )
+
+
+def kmv_distinct_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous APPROX-DISTINCT aggregation (r09): the maintained
+    projection store (storage/rollup.py) gains a KMV-sketch column class
+    — per (lang), the k smallest distinct content hashes ride the same
+    immutable segments as sums, merged by the bottom-k monoid
+    (merge_aggs), folded by projection_compact, and re-aggregated across
+    key subsets like any other monoid column. The entry ingests the
+    documents corpus as KMV_BATCHES per-batch partials (idempotence
+    pinned in-entry: a redelivered batch id must no-op; a mid-lifecycle
+    fold must not change the scan), then answers per-lang distinct-doc
+    estimates PLUS the global row obtained by merging the per-lang
+    sketches — the continuous-aggregation face of count(distinct).
+
+    Everything is deterministic (48-bit md5 integers, total order, one
+    IEEE division), so the DuckDB oracle replays both estimator branches
+    bit-for-bit; below k the sketch IS the distinct set, so small scales
+    exercise the exact branch and large scales the (k-1)/theta branch.
+
+    Scale: sketch state is k*8 bytes per (key, column) forever; each
+    batch contributes one bounded partial; the query reads O(|grid|)
+    rows. count(distinct x) at 100 TB without ever re-shuffling raw
+    rows."""
+    from ..storage.rollup import (
+        merge_aggs,
+        projection_append,
+        projection_compact,
+        projection_scan,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    root = tempfile.mkdtemp(prefix="kmv_store_")
+    store = os.path.join(root, "lang_distinct")
+    try:
+        for b in range(KMV_BATCHES):
+            part = _kmv_partial(docs.filter(F.col("doc_id") % KMV_BATCHES == b))
+            assert projection_append(
+                spark, store, part, f"b{b}",
+                keys=["lang"], sums=["n_rows"], kmvs=["kmv"], kmv_k=KMV_K,
+            ) is True
+            if b == 1:  # mid-lifecycle fold: scan must be invariant
+                projection_compact(spark, store, ["lang"], ["n_rows"],
+                                   kmvs=["kmv"], kmv_k=KMV_K)
+        # exactly-once: a redelivered batch id must no-op (b0 was folded,
+        # so this also exercises the _folded.json path)
+        redelivered = _kmv_partial(docs.filter(F.col("doc_id") % KMV_BATCHES == 0))
+        assert projection_append(spark, store, redelivered, "b0") is False
+        scan = projection_scan(spark, store, ["lang"], ["n_rows"],
+                               kmvs=["kmv"], kmv_k=KMV_K)
+        per_lang = scan.select(
+            "lang", "n_rows",
+            F.size("kmv").alias("sketch_size"),
+            F.element_at("kmv", F.size("kmv")).alias("kth"),
+        )
+        glob = (
+            scan.groupBy()
+            .agg(*merge_aggs(["n_rows"], kmvs=["kmv"], kmv_k=KMV_K))
+            .select(
+                F.lit("*").alias("lang"), "n_rows",
+                F.size("kmv").alias("sketch_size"),
+                F.element_at("kmv", F.size("kmv")).alias("kth"),
+            )
+        )
+        out = per_lang.unionByName(glob).select(
+            "lang", "n_rows", "sketch_size",
+            _kmv_est(F.col("sketch_size"), F.col("kth")).alias("distinct_est"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows,
+            "lang string, n_rows bigint, sketch_size int, distinct_est double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+KMV_MAINT_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+  FROM documents
+),
+n AS (SELECT lang, count(*) AS n_rows FROM d GROUP BY lang),
+dd AS (SELECT DISTINCT lang, h FROM d),
+rk AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM dd
+),
+sk AS (
+  SELECT lang, count(*) AS sketch_size, max(h) AS kth
+  FROM rk WHERE rn <= {KMV_K} GROUP BY lang
+),
+gd AS (SELECT DISTINCT h FROM d),
+grk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gd),
+gsk AS (
+  SELECT count(*) AS sketch_size, max(h) AS kth FROM grk WHERE rn <= {KMV_K}
+),
+gn AS (SELECT count(*) AS n_rows FROM d),
+unioned AS (
+  SELECT n.lang, n.n_rows, sk.sketch_size, sk.kth
+  FROM n JOIN sk USING (lang)
+  UNION ALL
+  SELECT '*' AS lang, gn.n_rows, gsk.sketch_size, gsk.kth FROM gn, gsk
+)
+SELECT lang,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sketch_size AS INTEGER) AS sketch_size,
+       CASE WHEN sketch_size < {KMV_K} THEN CAST(sketch_size AS DOUBLE)
+            ELSE CAST({KMV_K - 1} AS DOUBLE)
+                 / (kth / CAST({1 << 48} AS DOUBLE))
+       END AS distinct_est
+FROM unioned
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ddsketch_quantiles": QuerySpec(
         ddsketch_quantiles, DDSKETCH_SQL,
         doc="integer-exact DDSketch-style quantile sketch (log2 buckets x "
             "linear sub-buckets, bounded mergeable state) with exact "
             "percentiles riding as ground truth",
+    ),
+    "kmv_distinct_maintained": QuerySpec(
+        kmv_distinct_maintained, KMV_MAINT_SQL,
+        doc="continuous approx-distinct: a KMV sketch column class in the "
+            "maintained projection store (bottom-k monoid rides the same "
+            "segments as sums; fold-invariant, redelivery-idempotent); "
+            "per-key + merged-global estimates, exact below k",
     ),
     "theta_sketch_setops": QuerySpec(
         theta_sketch_setops, THETA_SETOPS_SQL,

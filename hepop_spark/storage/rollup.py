@@ -150,7 +150,9 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
                       sums: list[str] | None = None,
                       source: dict | None = None,
                       mins: list[str] | None = None,
-                      maxs: list[str] | None = None) -> bool:
+                      maxs: list[str] | None = None,
+                      kmvs: list[str] | None = None,
+                      kmv_k: int | None = None) -> bool:
     """Publish one micro-batch's partial aggregate as an immutable
     segment. No-op (False) when the batch id is already published — safe
     under foreachBatch redelivery.
@@ -177,12 +179,13 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
     with table_lock(store):
         return _projection_append_locked(
             spark, store, partial, batch_id, keys, sums, source,
-            mins, maxs)
+            mins, maxs, kmvs, kmv_k)
 
 
 def _projection_append_locked(spark, store, partial, batch_id,
                               keys, sums, source,
-                              mins=None, maxs=None) -> bool:
+                              mins=None, maxs=None,
+                              kmvs=None, kmv_k=None) -> bool:
     import json
     import shutil
 
@@ -205,6 +208,9 @@ def _projection_append_locked(spark, store, partial, batch_id,
                 doc["mins"] = list(mins)
             if maxs:
                 doc["maxs"] = list(maxs)
+            if kmvs:
+                doc["kmvs"] = list(kmvs)
+                doc["kmv_k"] = int(kmv_k)
             if source is not None:
                 doc["source"] = source
             mtmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -375,7 +381,9 @@ def projection_meta(store: str) -> dict | None:
 
 def projection_compact(spark: SparkSession, store: str, keys: list[str],
                        sums: list[str],
-                       mins: list[str] = (), maxs: list[str] = ()) -> bool:
+                       mins: list[str] = (), maxs: list[str] = (),
+                       kmvs: list[str] = (),
+                       kmv_k: int | None = None) -> bool:
     """Fold the live segments into a NEW base generation and switch the
     fold pointer (r08 redesign): the fold never renames or deletes a
     path a reader may hold — the merged result lands under a fresh
@@ -395,7 +403,7 @@ def projection_compact(spark: SparkSession, store: str, keys: list[str],
 
     with table_lock(store):
         return _projection_compact_locked(spark, store, keys, sums,
-                                          mins, maxs)
+                                          mins, maxs, kmvs, kmv_k)
 
 
 def projection_vacuum(store: str, grace_s: float | None = None) -> list[str]:
@@ -451,7 +459,9 @@ def _projection_vacuum_locked(store: str,
 def _projection_compact_locked(spark: SparkSession, store: str,
                                keys: list[str], sums: list[str],
                                mins: list[str] = (),
-                               maxs: list[str] = ()) -> bool:
+                               maxs: list[str] = (),
+                               kmvs: list[str] = (),
+                               kmv_k: int | None = None) -> bool:
     import shutil
     import time as _time
 
@@ -459,7 +469,8 @@ def _projection_compact_locked(spark: SparkSession, store: str,
     segs = _projection_segments(store)
     if len(segs) <= 1:
         return False
-    merged = projection_scan(spark, store, keys, sums, mins, maxs)
+    merged = projection_scan(spark, store, keys, sums, mins, maxs,
+                             kmvs, kmv_k)
     new_base = f"base_v{uuid.uuid4().hex[:8]}"
     tmp = os.path.join(store, f".{new_base}.tmp")
     try:

@@ -554,3 +554,100 @@ class TestManifestMultiWriterCAS:
         assert not dst.exists()  # moved file rolled back out
         assert latest(str(base)) == before  # manifest untouched
         assert not _glob.glob(str(base / "_manifest" / "intent_*"))
+
+
+class TestKmvSketchColumnClass:
+    """r09: KMV (bottom-k distinct) sketch columns in projection stores —
+    the continuous approx-distinct monoid."""
+
+    def _partial(self, spark, lo, hi, k):
+        from pyspark.sql import Window
+
+        base = spark.range(lo, hi).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            # collide some values on purpose: distinct matters
+            ((F.col("id") * 2654435761) % 1000003).alias("h"),
+        )
+        w = Window.partitionBy("g").orderBy("h")
+        return (
+            base.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy("g")
+            .agg(F.array_sort(F.collect_list("h")).alias("kmv"),
+                 F.count("*").alias("n"))
+            .select("g", "n", "kmv")
+        )
+
+    def test_merge_equals_global_bottom_k(self, spark, tmp_path):
+        """Merged per-batch sketches == bottom-k over ALL distinct values
+        (the KMV merge theorem), and the fold keeps it invariant."""
+        from hepop_spark.storage.rollup import (
+            projection_append,
+            projection_compact,
+            projection_scan,
+        )
+
+        K = 16
+        store = str(tmp_path / "kmv")
+        for b, (lo, hi) in enumerate([(0, 40), (40, 80), (20, 60)]):
+            assert projection_append(
+                spark, store, self._partial(spark, lo, hi, K), f"b{b}",
+                keys=["g"], sums=["n"], kmvs=["kmv"], kmv_k=K) is True
+        # duplicate id no-ops
+        assert projection_append(
+            spark, store, self._partial(spark, 0, 40, K), "b0") is False
+
+        def scan():
+            return {
+                (r.g, tuple(r.kmv))
+                for r in projection_scan(
+                    spark, store, ["g"], ["n"], kmvs=["kmv"], kmv_k=K)
+                .collect()
+            }
+
+        got = scan()
+        want = {}
+        for g in ("0", "1"):
+            hs = sorted({
+                (i * 2654435761) % 1000003
+                for i in range(0, 80) if str(i % 2) == g
+            })[:K]
+            want[g] = tuple(hs)
+        assert got == {("0", want["0"]), ("1", want["1"])}
+        assert all(len(t) == K for _g, t in got)  # capped at k
+        assert projection_compact(
+            spark, store, ["g"], ["n"], kmvs=["kmv"], kmv_k=K) is True
+        assert scan() == got  # fold-invariant
+
+    def test_meta_roundtrip_and_discovery(self, spark, tmp_path):
+        """kmvs/kmv_k persist in _meta.json; scan_with_meta and catalog
+        discovery both honor the sketch merge (no silent SUM of arrays,
+        no dropped column)."""
+        from hepop_spark.catalog import discover_table
+        from hepop_spark.storage.rollup import (
+            projection_append,
+            projection_meta,
+            scan_with_meta,
+        )
+
+        K = 8
+        data = tmp_path / "data"
+        store = str(data / "w1" / "rollups" / "kmv_grid")
+        for b, (lo, hi) in enumerate([(0, 30), (30, 60)]):
+            projection_append(
+                spark, store, self._partial(spark, lo, hi, K), f"b{b}",
+                keys=["g"], sums=["n"], kmvs=["kmv"], kmv_k=K)
+        meta = projection_meta(store)
+        assert meta["kmvs"] == ["kmv"] and meta["kmv_k"] == K
+        direct = {
+            (r.g, r.n, tuple(r.kmv))
+            for r in scan_with_meta(spark, store).collect()
+        }
+        assert discover_table(spark, str(data), "kmv_grid", cache={})
+        via_catalog = {
+            (r.g, r.n, tuple(r.kmv))
+            for r in spark.table("kmv_grid").collect()
+        }
+        assert via_catalog == direct
+        assert all(len(t) == K for _g, _n, t in direct)

@@ -118,6 +118,8 @@ AUDITS: dict[str, set[str]] = {
     "weighted_percentile_maintained": set(),
     "streaming_ann_maintain_replay": set(),
     "streaming_lsh_maintain_replay": set(),
+    # KMV-sketch maintained store (r09): lifecycle entry, pinned result
+    "kmv_distinct_maintained": set(),
     # aggregate->rollup routing (r08): the audited plan is the ROUTED
     # query's (routed_plan_text probe, SPECIAL_PLANS below) — rollup_scan
     # asserts the grid parquet is scanned and the raw table is NOT
