@@ -157,10 +157,16 @@ def projection_maintenance(
     keys: list[str] | None = None,
     sums: list[str] | None = None,
     source: dict | None = None,
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
+    kmvs: list[str] | None = None,
+    kmv_k: int | None = None,
 ) -> IndexHook:
-    """Hook that maintains a sum-monoid aggregate projection (a
+    """Hook that maintains a monoid aggregate projection (a
     materialized-view grid: the cents-percentile rollup, per-key token
-    counts, ...) from the ingest stream. `derive` maps one micro-batch's
+    counts, min/max extrema, KMV distinct sketches — any
+    sum/min/max/bottom-k column class, see storage/rollup.merge_aggs)
+    from the ingest stream. `derive` maps one micro-batch's
     typed rows to its partial aggregate (keys + sum columns); the partial
     is published as an immutable segment
     (storage/rollup.projection_append), so a redelivered batch id no-ops
@@ -183,6 +189,7 @@ def projection_maintenance(
         projection_append(
             rows.sparkSession, store_path, derive(rows), f"b{batch_id}",
             keys=keys, sums=sums, source=source,
+            mins=mins, maxs=maxs, kmvs=kmvs, kmv_k=kmv_k,
         )
 
     return hook
