@@ -398,6 +398,25 @@ class HepopQueryAPI:
                     agg = col if exact else f"{fn}({col})"
                     sel.append(f"{agg} AS {alias}")
                     aliases.add(alias.lower())
+                elif alias is not None and re.fullmatch(r"avg\([^()]+\)", n):
+                    # avg is not a monoid but it IS derivable: when the
+                    # grid carries BOTH sum(X) and count(X) (the strict
+                    # null-correct denominator — count(*) is accepted
+                    # only as itself, never for count(X)), avg(X)
+                    # rewrites to the finalized division of re-merged
+                    # partials (the Timescale finalized-aggregate shape).
+                    # Integer-exact sums make the quotient a single IEEE
+                    # division, reproducible across engines.
+                    inner = n[4:-1]
+                    num = agg_map.get(f"sum({inner})")
+                    den = agg_map.get(f"count({inner})")
+                    if not (num and den and num[1] == den[1] == "SUM"):
+                        ok = False
+                        break
+                    nsql = num[0] if exact else f"SUM({num[0]})"
+                    dsql = den[0] if exact else f"SUM({den[0]})"
+                    sel.append(f"({nsql} / {dsql}) AS {alias}")
+                    aliases.add(alias.lower())
                 else:
                     ok = False
                     break

@@ -190,14 +190,16 @@ GATE_WINDOW_50 = (
     "streaming_window_replay", "streaming_index_maintain_replay",
     "streaming_ann_maintain_replay", "weighted_percentile_maintained",
     # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_collapsed",
-    "dedup_simhash", "dedup_incremental_indexed", "semantic_dedup_cc",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_incremental_indexed", "semantic_dedup_cc",
     "streaming_lsh_maintain_replay",
+    # r09 continuous-aggregation flagship: KMV sketch column class
+    "kmv_distinct_maintained",
     # ANN / similarity family
     "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "lsh_range_search", "embedding_neardup",
-    # multimodal (real decodes)
-    "multimodal_jpeg_decode", "multimodal_ppm_decode",
+    # multimodal (real decodes; y4m = real VIDEO decode, r09)
+    "multimodal_jpeg_decode", "multimodal_y4m_frames",
     # text analysis
     "text_lang_id", "text_quality_score", "text_bpe_token_count",
     # bounded-state sketches + curation + SQL-surface heavies

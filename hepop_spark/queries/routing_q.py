@@ -55,7 +55,8 @@ def _build_rollup_serve_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
         os.path.join(data, "w1", "dbs", "documents")
     )
     store = os.path.join(data, "w1", "rollups", "doc_lang_rollup")
-    keys, sums = ["lang", "source"], ["n_docs", "total_chars"]
+    keys = ["lang", "source"]
+    sums = ["n_docs", "total_chars", "cnt_chars"]
     mins, maxs = ["min_chars"], ["max_chars"]
     for b in range(ROLLUP_ROUTE_BATCHES):
         part = (
@@ -64,6 +65,9 @@ def _build_rollup_serve_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum("n_chars").alias("total_chars"),
+                # the strict avg denominator: count(n_chars), NOT
+                # count(*) — null-correct, so avg(n_chars) can route
+                F.count("n_chars").alias("cnt_chars"),
                 F.min("n_chars").alias("min_chars"),
                 F.max("n_chars").alias("max_chars"),
             )
@@ -75,7 +79,8 @@ def _build_rollup_serve_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
                 "table": "documents",
                 "keys": {"lang": "lang", "source": "source"},
                 "sums": {"n_docs": "count(*)",
-                         "total_chars": "sum(n_chars)"},
+                         "total_chars": "sum(n_chars)",
+                         "cnt_chars": "count(n_chars)"},
                 "mins": {"min_chars": "min(n_chars)"},
                 "maxs": {"max_chars": "max(n_chars)"},
             },
@@ -251,6 +256,55 @@ def rollup_routed_minmax(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# avg is not a monoid, but it is DERIVABLE: the grid carries sum(n_chars)
+# and the strict count(n_chars) denominator, and the routing rewrite
+# finalizes SUM(sums)/SUM(counts) — one IEEE division of exact BIGINT
+# sums, reproducible in any engine
+AVG_SQL_TEXT = (
+    "SELECT lang, avg(n_chars) AS avg_chars, count(*) AS n_docs "
+    "FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+def routed_avg_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, AVG_SQL_TEXT)
+
+
+def rollup_routed_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """avg() continuous aggregation (r09): avg never rides the grid as a
+    stored column (not a monoid — the module doc of storage/rollup.py);
+    instead the routing rewrite FINALIZES it from the grid's sum(X) and
+    strict count(X) partials, re-merged across the key-subset grouping.
+    The division happens once, over exact integer sums, so the oracle's
+    unrounded quotient from raw matches bit-for-bit (the established
+    exact-integer-ratio parity rule). A grid lacking count(X) — count(*)
+    is NOT accepted as a stand-in, nulls would skew it — falls back to
+    the raw scan, pinned by tests."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, AVG_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, avg_chars double, n_docs bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ROLLUP_AVG_SQL = """
+SELECT lang,
+       CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 ROLLUP_MINMAX_SQL = """
 SELECT lang,
        CAST(min(n_chars) AS BIGINT) AS min_chars,
@@ -274,6 +328,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="WHERE on a grid key routes too: the conjunct rewrites onto "
             "the grid column (IN over lang, grouped by source); oracle "
             "recomputes from raw",
+    ),
+    "rollup_routed_avg": QuerySpec(
+        rollup_routed_avg, ROLLUP_AVG_SQL,
+        doc="avg() finalized from the grid's sum+strict-count partials "
+            "(not a stored column — avg is not a monoid); one IEEE "
+            "division of exact integer sums; oracle recomputes from raw",
     ),
     "rollup_routed_minmax": QuerySpec(
         rollup_routed_minmax, ROLLUP_MINMAX_SQL,

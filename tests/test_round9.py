@@ -651,3 +651,61 @@ class TestKmvSketchColumnClass:
         }
         assert via_catalog == direct
         assert all(len(t) == K for _g, _n, t in direct)
+
+
+class TestAvgRouting:
+    """r09: avg() finalized from grid sum+strict-count partials."""
+
+    def _tree(self, spark, tmp_path, with_count):
+        from hepop_spark.storage.rollup import projection_append
+
+        data = str(tmp_path / "data")
+        raw = spark.createDataFrame(
+            [(i, ["a", "b", "c"][i % 3], 10 + (i * 13) % 97)
+             for i in range(60)],
+            "doc_id long, k string, v long",
+        )
+        raw.write.mode("overwrite").parquet(
+            os.path.join(data, "w1", "dbs", "avg_docs"))
+        aggs = [F.count("*").alias("n"), F.sum("v").alias("sv")]
+        sums = ["n", "sv"]
+        src_sums = {"n": "count(*)", "sv": "sum(v)"}
+        if with_count:
+            aggs.append(F.count("v").alias("cv"))
+            sums.append("cv")
+            src_sums["cv"] = "count(v)"
+        projection_append(
+            spark, os.path.join(data, "w1", "rollups", "avg_grid"),
+            raw.groupBy("k").agg(*aggs), "b0", keys=["k"], sums=sums,
+            source={"table": "avg_docs", "keys": {"k": "k"},
+                    "sums": src_sums},
+        )
+        return data, raw
+
+    def test_avg_routes_with_strict_count(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, raw = self._tree(spark, tmp_path, with_count=True)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT k, avg(v) AS av, count(*) AS n FROM avg_docs "
+            "GROUP BY k ORDER BY k")
+        assert api.last_routed_rollup == "avg_grid"
+        want = {(r[0], r[1], r[2]) for r in raw.groupBy("k").agg(
+            F.avg("v"), F.count("*")).collect()}
+        got = {(r["k"], r["av"], r["n"]) for r in rows}
+        # integer-exact sums -> the finalized division equals raw avg
+        assert got == want
+
+    def test_avg_without_count_falls_back(self, spark, tmp_path):
+        """count(*) must NOT stand in for count(v): without a strict
+        count(v) grid column the query is answered from raw."""
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, raw = self._tree(spark, tmp_path, with_count=False)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT k, avg(v) AS av FROM avg_docs GROUP BY k ORDER BY k")
+        assert api.last_routed_rollup is None
+        want = {(r[0], r[1]) for r in raw.groupBy("k").agg(F.avg("v")).collect()}
+        assert {(r["k"], r["av"]) for r in rows} == want

@@ -129,6 +129,8 @@ AUDITS: dict[str, set[str]] = {
     "rollup_routed_filtered": {"rollup_scan", "partial", "pushdown"},
     # min/max extrema ride the same routed grid scan (r09)
     "rollup_routed_minmax": {"rollup_scan", "partial"},
+    # avg finalized from grid sum+count partials (r09)
+    "rollup_routed_avg": {"rollup_scan", "partial"},
     # skewed-band dedup (r08): the reps join must carry the salt in its
     # join keys (hot bucket spread over SKEW_SALT partitions) and the
     # min-per-bucket agg must be map-side partial (hot key absorbed
@@ -644,6 +646,7 @@ def main() -> None:
     # entries whose returned DataFrame is a pinned local result but whose
     # INTERESTING plan is reachable through a probe helper
     from hepop_spark.queries.routing_q import (
+        routed_avg_plan_text,
         routed_filtered_plan_text,
         routed_minmax_plan_text,
         routed_plan_text,
@@ -653,6 +656,7 @@ def main() -> None:
         "rollup_routed_aggregate": routed_plan_text,
         "rollup_routed_filtered": routed_filtered_plan_text,
         "rollup_routed_minmax": routed_minmax_plan_text,
+        "rollup_routed_avg": routed_avg_plan_text,
     }
     for name, flags in AUDITS.items():
         if name in special_plans:
