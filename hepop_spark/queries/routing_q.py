@@ -316,6 +316,127 @@ ORDER BY lang
 """
 
 
+
+# ---------------------------------------------------------------------------
+# rollup_routed_timegrid — continuous aggregation over the TIME dimension
+# ---------------------------------------------------------------------------
+
+TIMEGRID_BATCHES = 3
+# the hour bucket as an EXPRESSION grid key: the routing matcher proves
+# the user's GROUP BY expression equals the grid's source expression
+# (normalized), the aliased-expression-key path hardened by the r08
+# ADVICE fix
+HR_EXPR = "date_format(ts, 'yyyy-MM-dd-HH')"
+
+TIMEGRID_SQL_TEXT = (
+    f"SELECT {HR_EXPR} AS hr, count(*) AS n, sum(user_id) AS su, "
+    f"max(event_id) AS max_eid FROM events_rt "
+    f"GROUP BY {HR_EXPR} ORDER BY hr"
+)
+
+
+def _build_timegrid_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """events under w1/dbs/events_rt plus an HOURLY (hr, event_type) grid
+    under w1/rollups — the continuous-aggregate deployment shape for a
+    time-series table."""
+    from ..storage.rollup import projection_append, projection_compact
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    root = tempfile.mkdtemp(prefix="timegrid_route_")
+    data = os.path.join(root, "data")
+    ev.write.mode("overwrite").parquet(
+        os.path.join(data, "w1", "dbs", "events_rt"))
+    store = os.path.join(data, "w1", "rollups", "events_hourly")
+    keys, sums, maxs = ["hr", "event_type"], ["n", "su"], ["max_eid"]
+    for b in range(TIMEGRID_BATCHES):
+        part = (
+            ev.filter(F.col("event_id") % TIMEGRID_BATCHES == b)
+            .groupBy(
+                F.date_format("ts", "yyyy-MM-dd-HH").alias("hr"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"), F.sum("user_id").alias("su"),
+                 F.max("event_id").alias("max_eid"))
+        )
+        projection_append(
+            spark, store, part, f"b{b}", keys=keys, sums=sums, maxs=maxs,
+            source={
+                "table": "events_rt",
+                "keys": {"hr": HR_EXPR, "event_type": "event_type"},
+                "sums": {"n": "count(*)", "su": "sum(user_id)"},
+                "maxs": {"max_eid": "max(event_id)"},
+            },
+        )
+    projection_compact(spark, store, keys, sums, maxs=maxs)
+    return root, data
+
+
+def routed_timegrid_plan_text(spark: SparkSession, sf: str) -> str:
+    from ..plans.api import HepopQueryAPI
+
+    root, data = _build_timegrid_tree(spark, sf)
+    try:
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        df = api.sql(TIMEGRID_SQL_TEXT)
+        if api.last_routed_rollup != "events_hourly":
+            raise AssertionError(
+                f"not routed (last={api.last_routed_rollup!r})")
+        mode = (
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        return df._jdf.queryExecution().explainString(mode)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def rollup_routed_timegrid(spark: SparkSession, sf: str) -> DataFrame:
+    """The Timescale continuous-aggregate headline shape, routed end to
+    end: an HOURLY (hr, event_type) grid is maintained from the events
+    table (3 per-batch partials + a fold); a user's hourly aggregate —
+    GROUP BY the same date_format expression, aliased — is rewritten
+    onto the grid with the event_type dimension re-aggregated away
+    (sums by SUM, the extremum by MAX). The query runs with the default
+    window OFF (a deployment that routes time-bearing tables opts out of
+    the implicit last-10-minutes window; with it on, routing correctly
+    refuses — pinned by r08 tests).
+
+    Scale: the dashboard query reads O(hours x event_types) grid rows
+    instead of O(events) raw rows — at 100 TB that is the difference
+    between milliseconds and a full scan."""
+    root, data = _build_timegrid_tree(spark, sf)
+    try:
+        from ..plans.api import HepopQueryAPI
+
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        df = api.sql(TIMEGRID_SQL_TEXT)
+        if api.last_routed_rollup != "events_hourly":
+            raise AssertionError(
+                f"not routed (last={api.last_routed_rollup!r})")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "hr string, n bigint, su bigint, max_eid bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ROLLUP_TIMEGRID_SQL = """
+SELECT strftime(ts, '%Y-%m-%d-%H') AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS su,
+       CAST(max(event_id) AS BIGINT) AS max_eid
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d-%H')
+ORDER BY hr
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_routed_aggregate": QuerySpec(
         rollup_routed_aggregate, ROLLUP_ROUTED_SQL,
@@ -328,6 +449,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="WHERE on a grid key routes too: the conjunct rewrites onto "
             "the grid column (IN over lang, grouped by source); oracle "
             "recomputes from raw",
+    ),
+    "rollup_routed_timegrid": QuerySpec(
+        rollup_routed_timegrid, ROLLUP_TIMEGRID_SQL,
+        doc="hourly continuous aggregation on a time-series table: the "
+            "user's GROUP BY date_format(ts, hour) routes onto the "
+            "maintained hourly grid with the event_type dimension "
+            "re-aggregated away; oracle recomputes from raw events",
     ),
     "rollup_routed_avg": QuerySpec(
         rollup_routed_avg, ROLLUP_AVG_SQL,

@@ -427,6 +427,64 @@ GROUP BY doc_id, f
 """
 
 
+GIF_DOCS = 300
+GIF_FRAMES = 3
+GIF_SIDE = 16
+
+
+def multimodal_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL animated-GIF decode, zero media libraries (r09 — the third
+    compressed-image family after PNG/DEFLATE and JPEG/DCT, and a second
+    real video-frames path beside YUV4MPEG2): each of GIF_DOCS ids
+    becomes a GIF_FRAMES-frame animation (operators/multimodal.
+    synthesize_palette_gifs: 256-color closed-form palette, per-frame
+    indices closed-form in (id, frame, position), a Graphic Control
+    Extension before every frame, frame 0 INTERLACED for every fourth
+    id) and operators/gif.py decodes the BYTES back: header + screen
+    descriptor, global color table, extension skipping via sub-block
+    framing, full GIF-variant LZW (variable code widths, clear/end,
+    KwKwK), deinterlace, palette indirection. GIF is palette-lossless,
+    so decoded channel sums equal the generator exactly — closed-form
+    oracle through the palette map.
+
+    Scale: synthesis and decode are one Arrow-batched mapInPandas each;
+    the frame explosion follows input partitioning, no shuffle."""
+    from ..operators.multimodal import decode_gif_frames, synthesize_palette_gifs
+
+    ids = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < GIF_DOCS)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return decode_gif_frames(synthesize_palette_gifs(
+        ids, n_frames=GIF_FRAMES, side=GIF_SIDE))
+
+
+def _gif_oracle_sql() -> str:
+    n_px = GIF_SIDE * GIF_SIDE
+    return f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {GIF_DOCS}
+), fr AS (
+  SELECT doc_id, CAST(f.f AS INTEGER) AS f
+  FROM ids, unnest(range(0, {GIF_FRAMES})) f(f)
+), px AS (
+  SELECT doc_id, f,
+         (doc_id * 7 + f * 13 + CAST(k.k AS BIGINT) * 11) % 256 AS idx
+  FROM fr, unnest(range(0, {n_px})) k(k)
+)
+SELECT doc_id AS media_id,
+       f AS frame_idx,
+       CAST({GIF_SIDE} AS INTEGER) AS width,
+       CAST({GIF_SIDE} AS INTEGER) AS height,
+       CAST(sum((idx * 31) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((idx * 57) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((idx * 83) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, f
+"""
+
+
 MP4_DOCS = 500
 MP4_TIMESCALE = 600  # classic QuickTime timescale: makes duration_ms a
 #                      real integer division, not a no-op
@@ -1179,6 +1237,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="real WAV/RIFF decode (chunk walking past a planted JUNK "
             "chunk, PCM fmt validation, stereo de-interleave); integer "
             "sums + peak replay exactly",
+    ),
+    "multimodal_gif_frames": QuerySpec(
+        multimodal_gif_frames, _gif_oracle_sql(),
+        doc="REAL animated-GIF decode (pure-Python LZW with variable "
+            "code widths + table resets, palette indirection, extension "
+            "skipping, interlace); palette-lossless -> closed-form "
+            "oracle; a second real video-frames path",
     ),
     "multimodal_y4m_frames": QuerySpec(
         multimodal_y4m_frames, _y4m_oracle_sql(),

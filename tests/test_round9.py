@@ -782,3 +782,82 @@ class TestSharedTreeCasSoak:
         # one commit per publish call that actually changed state, and
         # the manifest dir holds a contiguous recent chain
         assert v >= n  # both writers' publishes cannot fit below this
+
+
+class TestGifCodec:
+    """r09: pure-Python GIF (LZW) decode — operators/gif.py."""
+
+    def _palette(self):
+        import numpy as np
+
+        i = np.arange(256, dtype=np.int64)
+        return np.stack(
+            [(i * 31) % 256, (i * 57) % 256, (i * 83) % 256], axis=-1
+        ).astype(np.uint8)
+
+    def test_animated_roundtrip_and_interlace(self):
+        import numpy as np
+
+        from hepop_spark.operators.gif import decode_gif, encode_gif
+
+        pal = self._palette()
+        k = np.arange(256, dtype=np.int64)
+        frames = [
+            ((7 * 7 + f * 13 + k * 11) % 256).astype(np.uint8).reshape(16, 16)
+            for f in range(3)
+        ]
+        for inter in (False, True):
+            got = list(decode_gif(encode_gif(frames, pal,
+                                             interlace_frame0=inter)))
+            assert [g[0] for g in got] == [0, 1, 2]
+            for (_, rgb), fr in zip(got, frames):
+                assert np.array_equal(rgb, pal[fr])
+
+    def test_twelve_bit_table_reset(self):
+        """A frame large and varied enough to fill the 4096-entry LZW
+        table forces the mid-stream CLEAR/reset path on both sides."""
+        import numpy as np
+
+        from hepop_spark.operators.gif import decode_gif, encode_gif
+
+        pal = self._palette()
+        rng = np.random.default_rng(42)
+        big = rng.integers(0, 256, size=(120, 120), dtype=np.uint8)
+        (_, rgb), = list(decode_gif(encode_gif([big], pal)))
+        assert np.array_equal(rgb, pal[big])
+
+    def test_small_palette_and_malformed(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from hepop_spark.operators.gif import decode_gif, encode_gif
+
+        pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                        dtype=np.uint8)
+        f4 = (np.arange(64) % 4).astype(np.uint8).reshape(8, 8)
+        blob = encode_gif([f4], pal4)
+        (_, rgb), = list(decode_gif(blob))
+        assert np.array_equal(rgb, pal4[f4])
+        for bad in (blob[:15], b"NOTGIF" + blob[6:], blob[:-6]):
+            with _pytest.raises(ValueError):
+                list(decode_gif(bad))
+
+    def test_spark_wrapper_sums(self, spark):
+        from hepop_spark.operators.multimodal import (
+            decode_gif_frames,
+            synthesize_palette_gifs,
+        )
+
+        ids = spark.range(8).select(F.col("id").alias("media_id"))
+        rows = decode_gif_frames(
+            synthesize_palette_gifs(ids, n_frames=2, side=8)).collect()
+        assert len(rows) == 16
+        r = next(x for x in rows if x.media_id == 4 and x.frame_idx == 1)
+        want_r = sum(
+            (((4 * 7 + 13 + k * 11) % 256) * 31) % 256 for k in range(64))
+        assert (r.width, r.height, r.sum_r) == (8, 8, want_r)
+        # id 4 interlaces frame 0: sums identical either way (order-free)
+        r0 = next(x for x in rows if x.media_id == 4 and x.frame_idx == 0)
+        want_r0 = sum(
+            (((4 * 7 + k * 11) % 256) * 31) % 256 for k in range(64))
+        assert r0.sum_r == want_r0
