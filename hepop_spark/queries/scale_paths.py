@@ -427,6 +427,50 @@ GROUP BY doc_id, f
 """
 
 
+COMPRESSED_DOCS = 1200
+
+
+def text_compressed_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL compressed-corpus ingestion (r09): each of COMPRESSED_DOCS
+    documents is compressed into the container chosen by doc_id % 4
+    (gzip mtime=0 / bz2 / xz / raw zlib — multimodal.
+    synthesize_compressed_texts) and the decode path
+    (decompress_text_stats) SNIFFS the codec from magic bytes,
+    decompresses with the stdlib codec, and reduces to text statistics.
+    decompress(compress(text)) == text, so the oracle replays every
+    column from the uncompressed source — a wrong sniff, a codec mixup
+    or a corrupted roundtrip all fail the hash (codec is itself an
+    output column).
+
+    Scale: the shape of reading 100 TB of .gz/.bz2/.xz text shards —
+    two Arrow-batched mapInPandas passes, no shuffle, binary payloads
+    never leave the executor."""
+    from ..operators.multimodal import (
+        decompress_text_stats,
+        synthesize_compressed_texts,
+    )
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < COMPRESSED_DOCS)
+        .select("doc_id", "text")
+    )
+    return decompress_text_stats(synthesize_compressed_texts(docs))
+
+
+def _compressed_oracle_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+            WHEN 2 THEN 'xz' ELSE 'zlib' END AS codec,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_ws,
+       md5(text) AS text_md5
+FROM documents
+WHERE doc_id < {COMPRESSED_DOCS}
+"""
+
+
 GIF_DOCS = 300
 GIF_FRAMES = 3
 GIF_SIDE = 16
@@ -1237,6 +1281,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="real WAV/RIFF decode (chunk walking past a planted JUNK "
             "chunk, PCM fmt validation, stereo de-interleave); integer "
             "sums + peak replay exactly",
+    ),
+    "text_compressed_ingest": QuerySpec(
+        text_compressed_ingest, _compressed_oracle_sql(),
+        doc="mixed-codec compressed-corpus ingestion: magic-byte sniff "
+            "(gzip/bz2/xz/zlib) + stdlib decompress + text stats; the "
+            "identity roundtrip makes the oracle exact, codec included",
     ),
     "multimodal_gif_frames": QuerySpec(
         multimodal_gif_frames, _gif_oracle_sql(),

@@ -861,3 +861,50 @@ class TestGifCodec:
         want_r0 = sum(
             (((4 * 7 + k * 11) % 256) * 31) % 256 for k in range(64))
         assert r0.sum_r == want_r0
+
+
+class TestCompressedIngest:
+    def test_sniff_roundtrip_all_codecs(self, spark):
+        from hepop_spark.operators.multimodal import (
+            decompress_text_stats,
+            synthesize_compressed_texts,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} body " * (i + 1)) for i in range(8)],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in decompress_text_stats(
+            synthesize_compressed_texts(docs)).collect()}
+        import hashlib
+        for i in range(8):
+            text = f"doc {i} body " * (i + 1)
+            want_codec = ["gzip", "bz2", "xz", "zlib"][i % 4]
+            r = rows[i]
+            assert r.codec == want_codec
+            assert r.n_chars == len(text)
+            assert r.n_tokens_ws == len(text.split(" "))
+            assert r.text_md5 == hashlib.md5(text.encode()).hexdigest()
+
+    def test_garbage_payload_is_valueerror(self, spark):
+        from hepop_spark.operators.multimodal import decompress_text_stats
+
+        bad = spark.createDataFrame(
+            [(5, bytearray(b"plain text, no container"))],
+            "doc_id long, payload binary",
+        )
+        with pytest.raises(Exception) as ei:
+            decompress_text_stats(bad).collect()
+        assert "ValueError" in str(ei.value) and "media_id=5" in str(ei.value)
+
+    def test_truncated_gzip_is_valueerror(self, spark):
+        import gzip
+
+        from hepop_spark.operators.multimodal import decompress_text_stats
+
+        blob = gzip.compress(b"hello world " * 50, mtime=0)
+        bad = spark.createDataFrame(
+            [(9, bytearray(blob[:20]))], "doc_id long, payload binary")
+        with pytest.raises(Exception) as ei:
+            decompress_text_stats(bad).collect()
+        assert "ValueError" in str(ei.value)
