@@ -87,25 +87,41 @@ _SIMPLE_AGG_RE = re.compile(
 )
 _TAIL_SPLIT_RE = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
 _FORBIDDEN_RE = re.compile(
+    # BETWEEN left this list in r09: _PRED_RE parses it as a routable
+    # range conjunct; anywhere else it can appear (a select item, a
+    # group key) the key/agg-map lookup misses and routing falls back
     r"\b(HAVING|JOIN|UNION|INTERSECT|EXCEPT|OVER|DISTINCT"
-    r"|OR|NOT|BETWEEN|LIKE|EXISTS|CASE)\b",
+    r"|OR|NOT|LIKE|EXISTS|CASE)\b",
     re.IGNORECASE,
 )
 # one conjunct of a routable WHERE: <expr> = <literal> or <expr> IN (<lits>)
+_LIT = r"'[^']*'|-?\d+(?:\.\d+)?"
+# routable WHERE conjuncts: any pure row-filter comparison against
+# literals — equality, IN, ranges (r09), BETWEEN (r09). On a grid KEY
+# each merely SELECTS pre-aggregated rows, so routed results stay exact.
 _PRED_RE = re.compile(
-    r"^(?P<e>.+?)\s*(?:=\s*(?P<lit>'[^']*'|-?\d+(?:\.\d+)?)"
-    r"|IN\s*\(\s*(?P<ins>('[^']*'|-?\d+(?:\.\d+)?)"
-    r"(\s*,\s*('[^']*'|-?\d+(?:\.\d+)?))*)\s*\))\s*$",
+    r"^(?P<e>.+?)\s*(?:(?P<op>>=|<=|<>|!=|>|<|=)\s*(?P<lit>" + _LIT + r")"
+    r"|BETWEEN\s+(?P<lo>" + _LIT + r")\s+AND\s+(?P<hi>" + _LIT + r")"
+    r"|IN\s*\(\s*(?P<ins>(" + _LIT + r")"
+    r"(\s*,\s*(" + _LIT + r"))*)\s*\))\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+
+# an AND that COMPLETES `x BETWEEN lo` is part of the predicate, not a
+# conjunct boundary
+_BETWEEN_HEAD_RE = re.compile(
+    r"\bBETWEEN\s+(" + _LIT + r")\s*$", re.IGNORECASE | re.DOTALL
 )
 
 
 def _split_conjuncts(where: str) -> list[str] | None:
-    """AND-ed conjuncts at paren depth 0, or None if anything else."""
+    """AND-ed conjuncts at paren depth 0, or None if anything else.
+    BETWEEN-aware: the AND inside `x BETWEEN lo AND hi` never splits."""
     out, depth, cur = [], 0, []
     tokens = re.split(r"(\bAND\b)", where, flags=re.IGNORECASE)
     for t in tokens:
-        if t.upper() == "AND" and depth == 0:
+        if (t.upper() == "AND" and depth == 0
+                and not _BETWEEN_HEAD_RE.search("".join(cur))):
             out.append("".join(cur).strip())
             cur = []
         else:
@@ -182,7 +198,11 @@ def parse_simple_aggregate(sql: str):
                 return None
             if pm.group("lit") is not None:
                 preds.append((pm.group("e").strip(),
-                              f"= {pm.group('lit')}"))
+                              f"{pm.group('op')} {pm.group('lit')}"))
+            elif pm.group("lo") is not None:
+                preds.append((pm.group("e").strip(),
+                              f"BETWEEN {pm.group('lo')} "
+                              f"AND {pm.group('hi')}"))
             else:
                 preds.append((pm.group("e").strip(),
                               f"IN ({pm.group('ins')})"))
@@ -306,9 +326,10 @@ class HepopQueryAPI:
         in which case the caller scans raw, so routing can only ever
         REMOVE work. Matching is proof-based: the store's `source`
         contract must cover the query's table, every GROUP BY expression,
-        every WHERE conjunct (AND-ed equality/IN on GRID KEY expressions
-        only — filtering a key SELECTS grid rows, so results stay exact;
-        a filter on a raw measure column can never route), and every
+        every WHERE conjunct (AND-ed equality/IN/range/BETWEEN against
+        literals, on GRID KEY expressions only — filtering a key SELECTS
+        grid rows, so results stay exact; a filter on a raw measure
+        column can never route), and every
         select item (keys verbatim; aggregates by normalized expression
         equality, aliased). A GROUP BY over a SUBSET of the grid's keys
         re-aggregates the grid (sum-monoid by the store contract), the

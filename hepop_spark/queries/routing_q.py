@@ -437,6 +437,82 @@ ORDER BY hr
 """
 
 
+
+# WHERE with a RANGE on the time-grid key (r09): BETWEEN and ordered
+# comparisons against literals are pure row-filters on a grid key, so
+# the routed grid selection stays exact — the "dashboard over the last
+# N hours" shape that motivates time-grid rollups in the first place
+TIMERANGE_SQL_TEXT = (
+    f"SELECT event_type, count(*) AS n, sum(user_id) AS su "
+    f"FROM events_rt "
+    f"WHERE {HR_EXPR} BETWEEN '2024-01-10-00' AND '2024-01-12-23' "
+    f"GROUP BY event_type ORDER BY event_type"
+)
+
+
+def routed_timerange_plan_text(spark: SparkSession, sf: str) -> str:
+    from ..plans.api import HepopQueryAPI
+
+    root, data = _build_timegrid_tree(spark, sf)
+    try:
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        df = api.sql(TIMERANGE_SQL_TEXT)
+        if api.last_routed_rollup != "events_hourly":
+            raise AssertionError(
+                f"not routed (last={api.last_routed_rollup!r})")
+        mode = (
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        return df._jdf.queryExecution().explainString(mode)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def rollup_routed_timerange(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE routing (r09): the user filters a window of hours with
+    BETWEEN on the same date_format expression the grid is keyed by, and
+    groups by the other key (event_type) — the rewrite selects the grid
+    rows inside the range (predicate pushed into the grid's parquet
+    scan), re-aggregates the hour dimension away, and never touches raw
+    events. Range conjuncts on grid keys are exact for the same reason
+    equality is: they only SELECT pre-aggregated rows.
+
+    Scale: a three-day dashboard window reads O(72 x event_types) grid
+    rows with the range pushed to the scan — independent of how many
+    raw events the window covers."""
+    root, data = _build_timegrid_tree(spark, sf)
+    try:
+        from ..plans.api import HepopQueryAPI
+
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        df = api.sql(TIMERANGE_SQL_TEXT)
+        if api.last_routed_rollup != "events_hourly":
+            raise AssertionError(
+                f"not routed (last={api.last_routed_rollup!r})")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "event_type string, n bigint, su bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ROLLUP_TIMERANGE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS su
+FROM events
+WHERE strftime(ts, '%Y-%m-%d-%H') BETWEEN '2024-01-10-00' AND '2024-01-12-23'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_routed_aggregate": QuerySpec(
         rollup_routed_aggregate, ROLLUP_ROUTED_SQL,
@@ -456,6 +532,12 @@ QUERIES: dict[str, QuerySpec] = {
             "user's GROUP BY date_format(ts, hour) routes onto the "
             "maintained hourly grid with the event_type dimension "
             "re-aggregated away; oracle recomputes from raw events",
+    ),
+    "rollup_routed_timerange": QuerySpec(
+        rollup_routed_timerange, ROLLUP_TIMERANGE_SQL,
+        doc="BETWEEN on the time-grid key routes: a three-day hour window "
+            "selected from the maintained hourly grid (predicate pushed "
+            "into the grid scan), hour dimension re-aggregated away",
     ),
     "rollup_routed_avg": QuerySpec(
         rollup_routed_avg, ROLLUP_AVG_SQL,

@@ -908,3 +908,71 @@ class TestCompressedIngest:
         with pytest.raises(Exception) as ei:
             decompress_text_stats(bad).collect()
         assert "ValueError" in str(ei.value)
+
+
+class TestRangeRouting:
+    """r09: range/BETWEEN conjuncts on grid keys route; on measures they
+    fall back; NOT BETWEEN stays unparsed (forbidden NOT)."""
+
+    def test_parser_between_and_ranges(self):
+        from hepop_spark.plans.api import parse_simple_aggregate
+
+        p = parse_simple_aggregate(
+            "SELECT k, count(*) AS n FROM t "
+            "WHERE hr BETWEEN '1' AND '2' AND v >= 5 AND w != 'x' "
+            "GROUP BY k")
+        assert p[4] == [("hr", "BETWEEN '1' AND '2'"), ("v", ">= 5"),
+                        ("w", "!= 'x'")]
+        assert parse_simple_aggregate(
+            "SELECT k, count(*) AS n FROM t "
+            "WHERE a NOT BETWEEN 1 AND 2 GROUP BY k") is None
+
+    def test_range_on_key_routes_on_measure_falls_back(
+            self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.rollup import projection_append
+
+        data = str(tmp_path / "data")
+        raw = spark.createDataFrame(
+            [(i, f"h{(i % 5):02d}", ["a", "b"][i % 2], 10 + i)
+             for i in range(40)],
+            "doc_id long, hr string, k string, v long",
+        )
+        raw.write.mode("overwrite").parquet(
+            os.path.join(data, "w1", "dbs", "rng_docs"))
+        projection_append(
+            spark, os.path.join(data, "w1", "rollups", "rng_grid"),
+            raw.groupBy("hr", "k").agg(F.count("*").alias("n"),
+                                       F.sum("v").alias("sv")),
+            "b0", keys=["hr", "k"], sums=["n", "sv"],
+            source={"table": "rng_docs",
+                    "keys": {"hr": "hr", "k": "k"},
+                    "sums": {"n": "count(*)", "sv": "sum(v)"}},
+        )
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT k, count(*) AS n, sum(v) AS sv FROM rng_docs "
+            "WHERE hr BETWEEN 'h01' AND 'h03' GROUP BY k ORDER BY k")
+        assert api.last_routed_rollup == "rng_grid"
+        want = {
+            (r[0], r[1], r[2])
+            for r in raw.filter(F.col("hr").between("h01", "h03"))
+            .groupBy("k").agg(F.count("*"), F.sum("v")).collect()
+        }
+        assert {(r["k"], r["n"], r["sv"]) for r in rows} == want
+        # >= on a key also routes
+        rows2, _ = api.query_json(
+            "SELECT k, count(*) AS n FROM rng_docs "
+            "WHERE hr >= 'h03' GROUP BY k ORDER BY k")
+        assert api.last_routed_rollup == "rng_grid"
+        want2 = {(r[0], r[1]) for r in raw.filter(F.col("hr") >= "h03")
+                 .groupBy("k").agg(F.count("*")).collect()}
+        assert {(r["k"], r["n"]) for r in rows2} == want2
+        # range on a MEASURE cannot be answered by the grid -> raw scan
+        rows3, _ = api.query_json(
+            "SELECT k, count(*) AS n FROM rng_docs "
+            "WHERE v >= 30 GROUP BY k ORDER BY k")
+        assert api.last_routed_rollup is None
+        want3 = {(r[0], r[1]) for r in raw.filter(F.col("v") >= 30)
+                 .groupBy("k").agg(F.count("*")).collect()}
+        assert {(r["k"], r["n"]) for r in rows3} == want3

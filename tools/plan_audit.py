@@ -133,6 +133,8 @@ AUDITS: dict[str, set[str]] = {
     "rollup_routed_avg": {"rollup_scan", "partial"},
     # hourly continuous aggregation on the events time series (r09)
     "rollup_routed_timegrid": {"rollup_scan", "partial"},
+    # BETWEEN range on the hour key, pushed into the grid scan (r09)
+    "rollup_routed_timerange": {"rollup_scan", "partial", "pushdown"},
     # skewed-band dedup (r08): the reps join must carry the salt in its
     # join keys (hot bucket spread over SKEW_SALT partitions) and the
     # min-per-bucket agg must be map-side partial (hot key absorbed
@@ -653,6 +655,7 @@ def main() -> None:
         routed_minmax_plan_text,
         routed_plan_text,
         routed_timegrid_plan_text,
+        routed_timerange_plan_text,
     )
 
     special_plans = {
@@ -661,6 +664,7 @@ def main() -> None:
         "rollup_routed_minmax": routed_minmax_plan_text,
         "rollup_routed_avg": routed_avg_plan_text,
         "rollup_routed_timegrid": routed_timegrid_plan_text,
+        "rollup_routed_timerange": routed_timerange_plan_text,
     }
     for name, flags in AUDITS.items():
         if name in special_plans:
