@@ -94,6 +94,12 @@ _FORBIDDEN_RE = re.compile(
     r"|OR|NOT|LIKE|EXISTS|CASE)\b",
     re.IGNORECASE,
 )
+# the ONE routable DISTINCT shape: count(distinct <bare column>). It is
+# masked before the forbidden scan, so any OTHER distinct (SELECT
+# DISTINCT, sum(distinct ...), count(distinct expr(...))) still rejects.
+_COUNT_DISTINCT_RE = re.compile(
+    r"count\s*\(\s*distinct\s+[A-Za-z_]\w*\s*\)", re.IGNORECASE
+)
 # one conjunct of a routable WHERE: <expr> = <literal> or <expr> IN (<lits>)
 _LIT = r"'[^']*'|-?\d+(?:\.\d+)?"
 # routable WHERE conjuncts: any pure row-filter comparison against
@@ -185,7 +191,7 @@ def parse_simple_aggregate(sql: str):
     accepted only as AND-ed `expr = literal` / `expr IN (literals)`
     conjuncts — anything richer returns None (raw scan)."""
     m = _SIMPLE_AGG_RE.match(sql)
-    if not m or _FORBIDDEN_RE.search(sql):
+    if not m or _FORBIDDEN_RE.search(_COUNT_DISTINCT_RE.sub("cnt()", sql)):
         return None
     preds: list[tuple[str, str]] = []
     if m.group("where"):
@@ -339,6 +345,10 @@ class HepopQueryAPI:
 
         from ..storage.rollup import projection_meta
 
+        # clear the debug breadcrumb up front: early un-routable returns
+        # (unparseable shape, time-faced table) must not leave the
+        # PREVIOUS query's routed store name dangling
+        self.last_routed_rollup = None
         parsed = parse_simple_aggregate(q)
         if parsed is None:
             return None
@@ -437,6 +447,24 @@ class HepopQueryAPI:
                     nsql = num[0] if exact else f"SUM({num[0]})"
                     dsql = den[0] if exact else f"SUM({den[0]})"
                     sel.append(f"({nsql} / {dsql}) AS {alias}")
+                    aliases.add(alias.lower())
+                elif alias is not None and (cd := re.fullmatch(
+                        r"count\s*\(\s*distinct\s+([A-Za-z_]\w*)\s*\)",
+                        expr, re.IGNORECASE)):
+                    # EXACT count(distinct X) through the grid: each grid
+                    # row is one distinct key combination, so counting
+                    # non-null X-key rows per group IS the distinct count
+                    # — PROVIDED X is a grid key outside the GROUP BY and
+                    # the grid has no dimensions beyond (GROUP BY ∪ {X})
+                    # (an extra dimension would repeat (group, X) pairs).
+                    # COUNT(col), not COUNT(*): count(distinct) ignores
+                    # nulls and so does the null-key grid row this way.
+                    inner = _norm_expr(cd.group(1))
+                    if (inner not in key_map or inner in gset
+                            or set(key_map) != gset | {inner}):
+                        ok = False
+                        break
+                    sel.append(f"COUNT({key_map[inner]}) AS {alias}")
                     aliases.add(alias.lower())
                 else:
                     ok = False

@@ -513,6 +513,63 @@ ORDER BY event_type
 """
 
 
+
+# count(DISTINCT key) through the grid (r09): each grid row IS one
+# distinct key combination, so the distinct count of a non-grouped grid
+# key is a plain COUNT of non-null grid rows — the classic
+# materialized-view distinct rewrite, exact (never a sketch)
+CNTD_SQL_TEXT = (
+    "SELECT source, count(distinct lang) AS n_langs, "
+    "sum(n_chars) AS total_chars FROM documents "
+    "GROUP BY source ORDER BY source"
+)
+
+
+def routed_cntd_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, CNTD_SQL_TEXT)
+
+
+def rollup_routed_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT count(distinct X) answered from the maintained grid: X
+    (lang) is a grid key outside the GROUP BY (source), and the grid has
+    no dimensions beyond (source, lang) — so each (source, lang) grid
+    row is one distinct pair and COUNT(lang) per source IS
+    count(distinct lang). COUNT of the key column (not COUNT(*)) keeps
+    null-key rows out, matching count(distinct) null semantics. The
+    companion sum re-aggregates over the lang dimension in the same
+    routed scan. Routing refuses whenever the grid carries an extra
+    dimension (it would repeat pairs) — pinned by tests.
+
+    Scale: distinct-count queries are why engines grow sketches; when a
+    maintained grid already materializes the key combination, the EXACT
+    answer costs one O(|grid|) scan — no raw-table distinct shuffle at
+    all (compare kmv_distinct_maintained for the approximate path when
+    the key domain itself is too big to grid)."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, CNTD_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "source string, n_langs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ROLLUP_CNTD_SQL = """
+SELECT source,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_routed_aggregate": QuerySpec(
         rollup_routed_aggregate, ROLLUP_ROUTED_SQL,
@@ -532,6 +589,12 @@ QUERIES: dict[str, QuerySpec] = {
             "user's GROUP BY date_format(ts, hour) routes onto the "
             "maintained hourly grid with the event_type dimension "
             "re-aggregated away; oracle recomputes from raw events",
+    ),
+    "rollup_routed_count_distinct": QuerySpec(
+        rollup_routed_count_distinct, ROLLUP_CNTD_SQL,
+        doc="EXACT count(distinct key) from the grid: one grid row per "
+            "distinct key combination, so COUNT(key_col) per group is "
+            "the distinct count; refuses when extra grid dims exist",
     ),
     "rollup_routed_timerange": QuerySpec(
         rollup_routed_timerange, ROLLUP_TIMERANGE_SQL,

@@ -976,3 +976,87 @@ class TestRangeRouting:
         want3 = {(r[0], r[1]) for r in raw.filter(F.col("v") >= 30)
                  .groupBy("k").agg(F.count("*")).collect()}
         assert {(r["k"], r["n"]) for r in rows3} == want3
+
+
+class TestCountDistinctRouting:
+    """r09: exact count(distinct key) as a grid row count."""
+
+    def _tree(self, spark, tmp_path, extra_dim=False):
+        from hepop_spark.storage.rollup import projection_append
+
+        data = str(tmp_path / "data")
+        raw = spark.createDataFrame(
+            [(i, ["a", "b"][i % 2], f"L{i % 5}",
+              None if i % 7 == 0 else f"M{i % 3}", 10 + i)
+             for i in range(40)],
+            "doc_id long, src string, lang string, m string, v long",
+        )
+        raw.write.mode("overwrite").parquet(
+            os.path.join(data, "w1", "dbs", "cd_docs"))
+        keys = ["src", "m"] + (["lang"] if extra_dim else [])
+        grid = raw.groupBy(*keys).agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv"))
+        projection_append(
+            spark, os.path.join(data, "w1", "rollups", "cd_grid"),
+            grid, "b0", keys=keys, sums=["n", "sv"],
+            source={"table": "cd_docs",
+                    "keys": {k: k for k in keys},
+                    "sums": {"n": "count(*)", "sv": "sum(v)"}},
+        )
+        return data, raw
+
+    def test_distinct_key_count_routes_and_skips_nulls(
+            self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, raw = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT src, count(distinct m) AS nm, sum(v) AS sv "
+            "FROM cd_docs GROUP BY src ORDER BY src")
+        assert api.last_routed_rollup == "cd_grid"
+        want = {
+            (r[0], r[1], r[2])
+            for r in raw.groupBy("src").agg(
+                F.countDistinct("m"), F.sum("v")).collect()
+        }
+        assert {(r["src"], r["nm"], r["sv"]) for r in rows} == want
+
+    def test_extra_grid_dimension_refuses(self, spark, tmp_path):
+        """A third grid dimension repeats (src, m) pairs — COUNT would
+        over-count, so routing must fall back to raw."""
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, raw = self._tree(spark, tmp_path, extra_dim=True)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT src, count(distinct m) AS nm FROM cd_docs "
+            "GROUP BY src ORDER BY src")
+        assert api.last_routed_rollup is None
+        want = {(r[0], r[1]) for r in raw.groupBy("src")
+                .agg(F.countDistinct("m")).collect()}
+        assert {(r["src"], r["nm"]) for r in rows} == want
+
+    def test_select_distinct_never_parses(self, spark, tmp_path):
+        from hepop_spark.plans.api import parse_simple_aggregate
+
+        assert parse_simple_aggregate(
+            "SELECT DISTINCT src, count(*) AS n FROM t GROUP BY src") is None
+        assert parse_simple_aggregate(
+            "SELECT src, sum(distinct v) AS s FROM t GROUP BY src") is None
+        assert parse_simple_aggregate(
+            "SELECT src, count(distinct upper(m)) AS s FROM t "
+            "GROUP BY src") is None
+
+    def test_stale_breadcrumb_cleared(self, spark, tmp_path):
+        """A routed query followed by an unroutable one must not leave
+        last_routed_rollup dangling (r09 fix)."""
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, _raw = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        api.query_json("SELECT src, count(*) AS n FROM cd_docs "
+                       "GROUP BY src ORDER BY src")
+        assert api.last_routed_rollup == "cd_grid"
+        api.query_json("SELECT DISTINCT src FROM cd_docs")
+        assert api.last_routed_rollup is None

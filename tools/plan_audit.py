@@ -135,6 +135,8 @@ AUDITS: dict[str, set[str]] = {
     "rollup_routed_timegrid": {"rollup_scan", "partial"},
     # BETWEEN range on the hour key, pushed into the grid scan (r09)
     "rollup_routed_timerange": {"rollup_scan", "partial", "pushdown"},
+    # exact count(distinct key) as a grid row count (r09)
+    "rollup_routed_count_distinct": {"rollup_scan", "partial"},
     # skewed-band dedup (r08): the reps join must carry the salt in its
     # join keys (hot bucket spread over SKEW_SALT partitions) and the
     # min-per-bucket agg must be map-side partial (hot key absorbed
@@ -651,6 +653,7 @@ def main() -> None:
     # INTERESTING plan is reachable through a probe helper
     from hepop_spark.queries.routing_q import (
         routed_avg_plan_text,
+        routed_cntd_plan_text,
         routed_filtered_plan_text,
         routed_minmax_plan_text,
         routed_plan_text,
@@ -665,6 +668,7 @@ def main() -> None:
         "rollup_routed_avg": routed_avg_plan_text,
         "rollup_routed_timegrid": routed_timegrid_plan_text,
         "rollup_routed_timerange": routed_timerange_plan_text,
+        "rollup_routed_count_distinct": routed_cntd_plan_text,
     }
     for name, flags in AUDITS.items():
         if name in special_plans:
