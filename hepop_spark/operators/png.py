@@ -8,9 +8,10 @@ verification (zlib.crc32), IHDR validation, IDAT concatenation + inflate,
 per-scanline filter reconstruction (None/Sub/Up/Average/Paeth — the full
 filter set of the spec), and color-type assembly for grayscale (0),
 truecolor (2), palette (3, via PLTE), gray+alpha (4) and RGBA (6) at bit
-depth 8. Rejected loudly: Adam7 interlacing, bit depths != 8 — honest
-gates, never wrong answers. After this, the multimodal gate covers only
-video/compressed audio (genuinely ffmpeg territory).
+depth 8, and (r09) Adam7 interlacing — each of the seven passes is an
+independently-filtered sub-image scattered back on the 8x8 pixel
+lattice. Rejected loudly: bit depths != 8 — an honest gate, never wrong
+answers.
 
 PNG is LOSSLESS, so decode(encode(img)) == img exactly — the oracle for
 the judged entry is simply the fixture generator itself, with the real
@@ -105,13 +106,37 @@ def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray,
     return row.astype(np.uint8)
 
 
+# Adam7 pass lattice: (x0, y0, dx, dy) — pass p covers pixels
+# (x0 + i*dx, y0 + j*dy); every pass is an independently-filtered
+# sub-image in the IDAT stream (empty passes contribute zero bytes)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _filter_image(pix: np.ndarray, chans: int, pick) -> bytes:
+    """Filter one (sub-)image: pix is (ph, pw, chans) pixels; the Prior
+    row resets at the image top (per-pass independence in Adam7)."""
+    ph, pw = pix.shape[:2]
+    raw = pix.reshape(ph, pw * chans)
+    lines = bytearray()
+    prev = np.zeros(pw * chans, dtype=np.uint8)
+    for y in range(ph):
+        ft = int(pick(y))
+        lines.append(ft)
+        lines += _filter_row(ft, raw[y], prev, chans).tobytes()
+        prev = raw[y]
+    return bytes(lines)
+
+
 def encode_png(img: np.ndarray, filter_type=0,
-               palette: np.ndarray | None = None) -> bytes:
+               palette: np.ndarray | None = None,
+               interlace: bool = False) -> bytes:
     """Encode a uint8 array as PNG: (H, W) gray, (H, W) + palette ->
     color type 3 (values are palette indices), (H, W, 2) gray+alpha,
     (H, W, 3) RGB, (H, W, 4) RGBA. ``filter_type`` is an int applied to
     every row or a callable row_index -> int, so fixtures can exercise
-    every reconstruction path deterministically."""
+    every reconstruction path deterministically. ``interlace`` emits the
+    Adam7 seven-pass layout (r09)."""
     if img.ndim == 2:
         ctype = 3 if palette is not None else 0
         chans = 1
@@ -121,18 +146,19 @@ def encode_png(img: np.ndarray, filter_type=0,
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
     h, w = img.shape[:2]
-    raw = img.reshape(h, w * chans).astype(np.uint8)
-    bpp = chans  # bit depth 8: bytes per pixel == samples per pixel
+    pix = img.reshape(h, w, chans).astype(np.uint8)
     pick = filter_type if callable(filter_type) else (lambda _y: filter_type)
-    lines = bytearray()
-    prev = np.zeros(w * chans, dtype=np.uint8)
-    for y in range(h):
-        ft = int(pick(y))
-        lines.append(ft)
-        lines += _filter_row(ft, raw[y], prev, bpp).tobytes()
-        prev = raw[y]
+    if interlace:
+        lines = b"".join(
+            _filter_image(pix[y0::dy, x0::dx], chans, pick)
+            for x0, y0, dx, dy in _ADAM7
+            if pix[y0::dy, x0::dx].size
+        )
+    else:
+        lines = _filter_image(pix, chans, pick)
     out = bytearray(_SIGNATURE)
-    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    out += _chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0))
     if ctype == 3:
         out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
     out += _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
@@ -151,8 +177,12 @@ def decode_png(data: bytes) -> np.ndarray:
     palette = None
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         ctype = data[pos + 4:pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated {ctype!r} chunk")
         body = data[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
@@ -167,9 +197,9 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise ValueError(f"color type {color} invalid")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
-            if interlace != 0:
-                raise ValueError("Adam7 interlacing unsupported")
-            ihdr = (w, h, color)
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+            ihdr = (w, h, color, interlace)
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -179,20 +209,47 @@ def decode_png(data: bytes) -> np.ndarray:
         # ancillary chunks skipped (CRC still verified above)
     if ihdr is None:
         raise ValueError("missing IHDR")
-    w, h, color = ihdr
+    w, h, color, interlace = ihdr
     chans = _CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * chans
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
-        out[y] = _unfilter_row(ft, row, prev, chans)
-        prev = out[y]
+
+    def unfilter(pw: int, ph: int, offset: int) -> tuple[np.ndarray, int]:
+        stride = pw * chans
+        sub = np.zeros((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        pos = offset
+        for y in range(ph):
+            if pos + stride + 1 > len(raw):
+                raise ValueError("IDAT shorter than dimensions require")
+            ft = raw[pos]
+            row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                                offset=pos + 1)
+            sub[y] = _unfilter_row(ft, row, prev, chans)
+            prev = sub[y]
+            pos += stride + 1
+        return sub.reshape(ph, pw, chans), pos
+
+    if interlace:
+        # Adam7 (r09): seven independently-filtered sub-images scattered
+        # back on the 8x8 pixel lattice; empty passes contribute nothing
+        img = np.zeros((h, w, chans), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = unfilter(pw, ph, pos)
+            img[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("IDAT length does not match Adam7 passes")
+        out = img.reshape(h, w * chans)
+    else:
+        stride = w * chans
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT length does not match dimensions")
+        out, _pos = unfilter(w, h, 0)
+        out = out.reshape(h, stride)
     if color == 0:
         return out
     if color == 3:
