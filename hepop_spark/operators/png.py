@@ -211,7 +211,12 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     w, h, color, interlace = ihdr
     chans = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT deflate stream: {e}") from None
 
     def unfilter(pw: int, ph: int, offset: int) -> tuple[np.ndarray, int]:
         stride = pw * chans

@@ -728,15 +728,23 @@ class TestPngCodec:
             decode_png(bytes(data))
         with pytest.raises(ValueError, match="signature"):
             decode_png(b"\xff\xd8\xff\xe0 not a png")
-        # 16-bit depth and Adam7 both rejected, not mis-decoded
+        # 16-bit depth and unknown interlace methods rejected, not
+        # mis-decoded (Adam7 itself DECODES for real since r09 —
+        # tests/test_round9.py::TestAdam7Png)
         sig = b"\x89PNG\r\n\x1a\n"
         deep = sig + _chunk(
             b"IHDR", struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0))
         with pytest.raises(ValueError, match="bit depth"):
             decode_png(deep)
+        bad_im = sig + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 2))
+        with pytest.raises(ValueError, match="interlace"):
+            decode_png(bad_im)
+        # a headers-only Adam7 stream fails on the missing IDAT, as a
+        # ValueError (not a zlib.error escape)
         adam = sig + _chunk(
             b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
-        with pytest.raises(ValueError, match="Adam7"):
+        with pytest.raises(ValueError, match="IDAT"):
             decode_png(adam)
         # truncated IDAT (inflates to the wrong length) is caught
         bad = sig + _chunk(
