@@ -196,7 +196,8 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True,
                                           meta.get("mins", []),
                                           meta.get("maxs", []),
                                           meta.get("kmvs", []),
-                                          meta.get("kmv_k")):
+                                          meta.get("kmv_k"),
+                                          meta.get("hists", [])):
                         out[f"rollups/{r}"] = {"folded": True}
                 except Exception:
                     continue

@@ -270,12 +270,15 @@ def _discover_rollup(spark: SparkSession, data_dir: str, name: str,
     keys, sums = meta["keys"], meta["sums"]
     mins, maxs = meta.get("mins", []), meta.get("maxs", [])
     kmvs, kmv_k = meta.get("kmvs", []), meta.get("kmv_k")
+    hists = meta.get("hists", [])
     df = None
     for s in stores:
-        scan = projection_scan(spark, s, keys, sums, mins, maxs, kmvs, kmv_k)
+        scan = projection_scan(spark, s, keys, sums, mins, maxs, kmvs, kmv_k,
+                               hists)
         df = scan if df is None else df.unionByName(scan)
     if len(stores) > 1:
-        df = df.groupBy(*keys).agg(*merge_aggs(sums, mins, maxs, kmvs, kmv_k))
+        df = df.groupBy(*keys).agg(
+            *merge_aggs(sums, mins, maxs, kmvs, kmv_k, hists))
     df.createOrReplaceTempView(name)
     if cache is not None:
         cache[name] = fp

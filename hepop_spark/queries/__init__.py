@@ -72,6 +72,7 @@ def registry() -> dict[str, QuerySpec]:
         llm12,
         llm13,
         llm14,
+        llm15,
         mining_q,
         pipeline_ops,
         reference_surface,
@@ -130,6 +131,7 @@ def registry() -> dict[str, QuerySpec]:
         llm12,
         llm13,
         llm14,
+        llm15,
         functions_ext,
         functions_ext2,
         functions_ext3,

@@ -152,7 +152,8 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
                       mins: list[str] | None = None,
                       maxs: list[str] | None = None,
                       kmvs: list[str] | None = None,
-                      kmv_k: int | None = None) -> bool:
+                      kmv_k: int | None = None,
+                      hists: list[str] | None = None) -> bool:
     """Publish one micro-batch's partial aggregate as an immutable
     segment. No-op (False) when the batch id is already published — safe
     under foreachBatch redelivery.
@@ -179,13 +180,14 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
     with table_lock(store):
         return _projection_append_locked(
             spark, store, partial, batch_id, keys, sums, source,
-            mins, maxs, kmvs, kmv_k)
+            mins, maxs, kmvs, kmv_k, hists)
 
 
 def _projection_append_locked(spark, store, partial, batch_id,
                               keys, sums, source,
                               mins=None, maxs=None,
-                              kmvs=None, kmv_k=None) -> bool:
+                              kmvs=None, kmv_k=None,
+                              hists=None) -> bool:
     import json
     import shutil
 
@@ -211,6 +213,8 @@ def _projection_append_locked(spark, store, partial, batch_id,
             if kmvs:
                 doc["kmvs"] = list(kmvs)
                 doc["kmv_k"] = int(kmv_k)
+            if hists:
+                doc["hists"] = list(hists)
             if source is not None:
                 doc["source"] = source
             mtmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -315,7 +319,8 @@ def projection_scan(spark: SparkSession, store: str, keys: list[str],
                     sums: list[str],
                     mins: list[str] = (), maxs: list[str] = (),
                     kmvs: list[str] = (),
-                    kmv_k: int | None = None) -> DataFrame:
+                    kmv_k: int | None = None,
+                    hists: list[str] = ()) -> DataFrame:
     """The merged projection: base + all published segments, monoid-merged
     per key (SUM / MIN / MAX / KMV-sketch per column class). Returns
     None-equivalent empty only if the store has no segments; callers that
@@ -327,7 +332,8 @@ def projection_scan(spark: SparkSession, store: str, keys: list[str],
         df = part if df is None else df.unionByName(part)
     if df is None:
         raise FileNotFoundError(f"empty projection store: {store}")
-    return df.groupBy(*keys).agg(*merge_aggs(sums, mins, maxs, kmvs, kmv_k))
+    return df.groupBy(*keys).agg(
+        *merge_aggs(sums, mins, maxs, kmvs, kmv_k, hists))
 
 
 def scan_with_meta(spark: SparkSession, store: str) -> DataFrame:
@@ -339,12 +345,14 @@ def scan_with_meta(spark: SparkSession, store: str) -> DataFrame:
         raise FileNotFoundError(f"projection store has no _meta.json: {store}")
     return projection_scan(
         spark, store, meta["keys"], meta["sums"], meta.get("mins", []),
-        meta.get("maxs", []), meta.get("kmvs", []), meta.get("kmv_k"))
+        meta.get("maxs", []), meta.get("kmvs", []), meta.get("kmv_k"),
+        meta.get("hists", []))
 
 
 def merge_aggs(sums: list[str], mins: list[str] = (),
                maxs: list[str] = (), kmvs: list[str] = (),
-               kmv_k: int | None = None) -> list:
+               kmv_k: int | None = None,
+               hists: list[str] = ()) -> list:
     """The monoid re-merge expressions for a projection's value columns —
     shared by scan, fold and multi-writer federation so the three can
     never disagree on a column's merge function.
@@ -357,7 +365,16 @@ def merge_aggs(sums: list[str], mins: list[str] = (),
     federate exactly like sums do, with k*8 bytes of state per
     (key, column) regardless of ingested rows. Deterministic
     (integer hashes, total order), so a maintained sketch replays
-    bit-for-bit in ANSI SQL."""
+    bit-for-bit in ANSI SQL.
+
+    ``hists`` columns are bucket-counter histograms (the DDSketch /
+    HDR-histogram shape): map<bigint,bigint> from bucket index to count.
+    The merge is key-wise counter addition — the free-commutative-monoid
+    product of the sum monoid — so a maintained histogram is EXACTLY the
+    one-shot histogram of everything ingested (no approximation enters
+    at merge time; only the bucket width bounds quantile error). State
+    per (key, column) is O(distinct buckets), ~log(max)*sub_buckets
+    counters regardless of ingested rows."""
     out = ([F.sum(c).alias(c) for c in sums]
            + [F.min(c).alias(c) for c in mins]
            + [F.max(c).alias(c) for c in maxs])
@@ -365,6 +382,17 @@ def merge_aggs(sums: list[str], mins: list[str] = (),
         merged = F.array_sort(
             F.array_distinct(F.flatten(F.collect_list(F.col(c)))))
         out.append(F.slice(merged, 1, int(kmv_k)).alias(c))
+    zero = F.lit(0).cast("bigint")
+    for c in hists:
+        merged = F.aggregate(
+            F.collect_list(F.col(c)),
+            F.expr("map()").cast("map<bigint,bigint>"),
+            lambda acc, m: F.map_zip_with(
+                acc, m,
+                lambda _k, v1, v2: F.coalesce(v1, zero) + F.coalesce(v2, zero),
+            ),
+        )
+        out.append(merged.alias(c))
     return out
 
 
@@ -383,7 +411,8 @@ def projection_compact(spark: SparkSession, store: str, keys: list[str],
                        sums: list[str],
                        mins: list[str] = (), maxs: list[str] = (),
                        kmvs: list[str] = (),
-                       kmv_k: int | None = None) -> bool:
+                       kmv_k: int | None = None,
+                       hists: list[str] = ()) -> bool:
     """Fold the live segments into a NEW base generation and switch the
     fold pointer (r08 redesign): the fold never renames or deletes a
     path a reader may hold — the merged result lands under a fresh
@@ -403,7 +432,7 @@ def projection_compact(spark: SparkSession, store: str, keys: list[str],
 
     with table_lock(store):
         return _projection_compact_locked(spark, store, keys, sums,
-                                          mins, maxs, kmvs, kmv_k)
+                                          mins, maxs, kmvs, kmv_k, hists)
 
 
 def projection_vacuum(store: str, grace_s: float | None = None) -> list[str]:
@@ -461,7 +490,8 @@ def _projection_compact_locked(spark: SparkSession, store: str,
                                mins: list[str] = (),
                                maxs: list[str] = (),
                                kmvs: list[str] = (),
-                               kmv_k: int | None = None) -> bool:
+                               kmv_k: int | None = None,
+                               hists: list[str] = ()) -> bool:
     import shutil
     import time as _time
 
@@ -470,7 +500,7 @@ def _projection_compact_locked(spark: SparkSession, store: str,
     if len(segs) <= 1:
         return False
     merged = projection_scan(spark, store, keys, sums, mins, maxs,
-                             kmvs, kmv_k)
+                             kmvs, kmv_k, hists)
     new_base = f"base_v{uuid.uuid4().hex[:8]}"
     tmp = os.path.join(store, f".{new_base}.tmp")
     try:

@@ -161,6 +161,7 @@ def projection_maintenance(
     maxs: list[str] | None = None,
     kmvs: list[str] | None = None,
     kmv_k: int | None = None,
+    hists: list[str] | None = None,
 ) -> IndexHook:
     """Hook that maintains a monoid aggregate projection (a
     materialized-view grid: the cents-percentile rollup, per-key token
@@ -189,7 +190,7 @@ def projection_maintenance(
         projection_append(
             rows.sparkSession, store_path, derive(rows), f"b{batch_id}",
             keys=keys, sums=sums, source=source,
-            mins=mins, maxs=maxs, kmvs=kmvs, kmv_k=kmv_k,
+            mins=mins, maxs=maxs, kmvs=kmvs, kmv_k=kmv_k, hists=hists,
         )
 
     return hook

@@ -120,6 +120,9 @@ AUDITS: dict[str, set[str]] = {
     "streaming_lsh_maintain_replay": set(),
     # KMV-sketch maintained store (r09): lifecycle entry, pinned result
     "kmv_distinct_maintained": set(),
+    # DDSketch-histogram maintained store (r09): lifecycle entry, pinned
+    # result (map-sum monoid merged in-store; quantile read is bounded)
+    "ddsketch_maintained": set(),
     # aggregate->rollup routing (r08): the audited plan is the ROUTED
     # query's (routed_plan_text probe, SPECIAL_PLANS below) — rollup_scan
     # asserts the grid parquet is scanned and the raw table is NOT
