@@ -360,6 +360,67 @@ FROM c GROUP BY hour
 """
 
 
+
+
+_BLOOM_PROBE_IDS = (11, 123, 456, 789, 877)
+
+
+def bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """File-level Bloom sidecar pruning for point lookups
+    (storage/bloom_index.py) — the call-ID-lookup shape HEPop users run
+    (the reference's writer bloom option, hepop.js:26-34, works only
+    inside an already-opened file; this skips whole files at plan time).
+    Events are rewritten as 24 shard files, a per-file bloom sidecar is
+    built over a synthetic call_id (one distributed pass: k=4 double-md5
+    positions, per-file-sized bitmaps), then five call ids are answered
+    through bloom_point_read. The entry ASSERTS pruning really happened
+    (files_read < files_live — no false negatives means results cannot
+    change, so the oracle is the plain unpruned scan).
+
+    Scale: the sidecar is O(files x bits); the probe is driver-side
+    bitmap math with NO Spark job; the read opens only admitted files.
+    At 100 TB this is the difference between a point lookup touching a
+    handful of files and a full time-partition scan."""
+    from ..storage.bloom_index import bloom_index_update, bloom_point_read
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value",
+        F.concat(F.lit("call-"), F.col("event_id")).alias("call_id"),
+        F.pmod(F.col("event_id"), F.lit(24)).alias("shard"),
+    )
+    d = tempfile.mkdtemp(prefix="bloom_idx_")
+    try:
+        path = os.path.join(d, "events_sharded")
+        ev.repartition("shard").write.partitionBy("shard").parquet(path)
+        bloom_index_update(spark, path, "call_id")
+        probes = [f"call-{i}" for i in _BLOOM_PROBE_IDS]
+        out, stats = bloom_point_read(spark, path, "call_id", probes)
+        assert stats["files_read"] < stats["files_live"], stats
+        assert stats["files_read"] >= 1, stats
+        rows = (
+            out.select("event_id", "call_id", "event_type", "value")
+            .orderBy("event_id")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_id bigint, call_id string, event_type string, value double",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_BLOOM_LOOKUP_ORACLE = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       'call-' || CAST(event_id AS VARCHAR) AS call_id,
+       event_type, value
+FROM events
+WHERE event_id IN {_BLOOM_PROBE_IDS}
+ORDER BY event_id
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "source_csv_roundtrip": QuerySpec(source_csv_roundtrip, _AGG_ORACLE),
     "source_jsonl_roundtrip": QuerySpec(source_jsonl_roundtrip, _AGG_ORACLE),
@@ -373,5 +434,10 @@ QUERIES: dict[str, QuerySpec] = {
     "hep_sip_call_stats": QuerySpec(
         hep_sip_call_stats, HEP_SIP_SQL,
         "SIP dialog correlation through the HEP v3 binary codec",
+    ),
+    "bloom_point_lookup": QuerySpec(
+        bloom_point_lookup, _BLOOM_LOOKUP_ORACLE,
+        "file-level Bloom sidecar index: point lookups open only "
+        "bloom-admitted files (pruning asserted in-entry)",
     ),
 }

@@ -1,0 +1,236 @@
+"""File-level Bloom sidecar index: point-lookup file skipping.
+
+The reference writes parquet ROW-GROUP bloom filters (hepop.js:26-34 writer
+option) — useful only after a file is already opened. At 100 TB the win is
+skipping whole FILES at plan time: a `call_id = 'X'` lookup over years of
+HEP traffic should open the handful of files whose bloom admits X, not
+every file the time predicate leaves. This module maintains a per-table
+sidecar (`{base}/_bloom/{col}.json`) holding one bloom bitmap per data
+file; the query path intersects the table's live file list with the
+bitmaps and reads only the survivors (plus any not-yet-indexed files —
+absence means "must scan", so the index can only ever REMOVE work and
+never changes results: blooms have no false negatives).
+
+Design:
+- Bitmaps are sized per file: m = next power of two >= BITS_PER_ROW * rows
+  (>= M_MIN), so a 5M-row compacted file and a 1k-row flush segment both
+  land near the same false-positive rate instead of saturating a fixed m.
+- Hash positions are integer md5 math — h1 = first 48 bits, h2 = next 48
+  bits, pos_j = (h1 + j*h2) mod m (Kirsch-Mitzenmacher double hashing,
+  j < BLOOM_K) — computable identically JVM-side (build, vectorized
+  conv/md5), driver-side (probe, hashlib) and in ANSI SQL (oracles).
+- The build is ONE distributed pass: explode each row's k positions,
+  distinct, collect_set per file — the driver receives at most
+  files x m positions, never rows.
+- Sidecar writes are atomic (tmp + rename) under the table lock; readers
+  never see a partial index. Indexed-but-retired files are ignored by
+  construction (candidates intersect the LIVE list); live-but-unindexed
+  files are always scanned.
+
+Scale: the sidecar is O(files x m bits). A 1000-executor deployment shards
+it per partition directory exactly like the manifest; the probe stays a
+driver-side bitmap test per candidate file — no Spark job until the
+pruned read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BLOOM_K = 4           # hash functions
+BITS_PER_ROW = 16     # m/n ratio; ~0.24% FPR at k=4
+M_MIN = 1024          # floor so tiny flush files still get a real bitmap
+_H48 = 1 << 48
+
+
+def _next_pow2(n: int) -> int:
+    m = M_MIN
+    while m < n:
+        m <<= 1
+    return m
+
+
+def _hash_pair_cols(col):
+    """(h1, h2) = first/second 48 bits of md5(value) — the same split the
+    KMV sketches use (48-bit integers are exact in BIGINT and DOUBLE)."""
+    hx = F.md5(col.cast("string"))
+    h1 = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 13, 12), 16, 10).cast("long")
+    return h1, h2
+
+
+def _hash_pair_py(value) -> tuple[int, int]:
+    hx = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    return int(hx[0:12], 16), int(hx[12:24], 16)
+
+
+def _positions_py(value, m: int) -> list[int]:
+    h1, h2 = _hash_pair_py(value)
+    return [(h1 + j * h2) % m for j in range(BLOOM_K)]
+
+
+def _sidecar_path(base_path: str, col: str) -> str:
+    return os.path.join(base_path, "_bloom", f"{col}.json")
+
+
+def load_sidecar(base_path: str, col: str) -> dict | None:
+    try:
+        with open(_sidecar_path(base_path, col)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _live_files(base_path: str) -> list[str]:
+    """The table's live data files, relative to base_path — manifest-pinned
+    when the table is in manifest mode (the same rule as
+    writer.read_table), directory walk otherwise."""
+    from .manifest import live_files, manifest_enabled
+
+    if manifest_enabled(base_path):
+        pinned = live_files(base_path)
+        if pinned is not None:
+            return list(pinned)
+    out: list[str] = []
+    for root, dirs, files in os.walk(base_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.relpath(os.path.join(root, f), base_path))
+    return sorted(out)
+
+
+def bloom_index_update(spark: SparkSession, base_path: str, col: str,
+                       files: list[str] | None = None) -> int:
+    """Index `files` (relative paths; default: all live files not yet in
+    the sidecar) and merge the bitmaps into the sidecar atomically.
+    Returns the number of files indexed. Incremental by design: ingest
+    hooks pass just-landed files; compaction passes replacement files;
+    a full rebuild passes files=_live_files(...)."""
+    from .writer import table_lock
+
+    base_path = os.path.abspath(base_path)
+    with table_lock(base_path):
+        doc = load_sidecar(base_path, col) or {
+            "col": col, "k": BLOOM_K, "files": {}}
+        if files is None:
+            files = [f for f in _live_files(base_path)
+                     if f not in doc["files"]]
+        files = [f for f in files
+                 if os.path.isfile(os.path.join(base_path, f))]
+        if not files:
+            return 0
+        paths = [os.path.join(base_path, f) for f in files]
+        df = (
+            spark.read.option("basePath", base_path).parquet(*paths)
+            .select(
+                # canonical absolute path: strip the file: scheme however
+                # many slashes the runtime emits (file:/x vs file:///x)
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+                .alias("f"),
+                F.col(col).alias("v"),
+            )
+            .filter(F.col("v").isNotNull())
+        )
+        counts = {os.path.relpath(r["f"], base_path): r["n"]
+                  for r in df.groupBy("f").agg(F.count("*").alias("n")).collect()}
+        ms = {f: _next_pow2(BITS_PER_ROW * n) for f, n in counts.items()}
+        m_rows = [(os.path.abspath(os.path.join(base_path, f)), m)
+                  for f, m in ms.items()]
+        if not m_rows:
+            # all-null or empty files: record empty bitmaps so they are
+            # PRUNED for every probe (nothing can match)
+            _merge_sidecar(base_path, col, doc,
+                           {f: {"m": M_MIN, "bits": "0"} for f in files})
+            return len(files)
+        mdf = spark.createDataFrame(m_rows, "f string, m long")
+        h1, h2 = _hash_pair_cols(F.col("v"))
+        pos = (
+            df.join(F.broadcast(mdf), "f")
+            .select(
+                "f",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+                        lambda j: (h1 + j.cast("long") * h2) % F.col("m"),
+                    )
+                ).alias("p"),
+            )
+            .distinct()
+            .groupBy("f")
+            .agg(F.collect_set("p").alias("ps"))
+        )
+        bitmaps: dict[str, dict] = {}
+        for r in pos.collect():
+            rel = os.path.relpath(r["f"], base_path)
+            bits = 0
+            for p in r["ps"]:
+                bits |= 1 << int(p)
+            bitmaps[rel] = {"m": ms[rel], "bits": format(bits, "x")}
+        for f in files:  # files whose rows were all NULL in col
+            if f not in bitmaps:
+                bitmaps[f] = {"m": M_MIN, "bits": "0"}
+        _merge_sidecar(base_path, col, doc, bitmaps)
+        return len(files)
+
+
+def _merge_sidecar(base_path: str, col: str, doc: dict,
+                   new_entries: dict) -> None:
+    doc["files"].update(new_entries)
+    path = _sidecar_path(base_path, col)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.rename(tmp, path)
+
+
+def bloom_candidates(base_path: str, col: str,
+                     values: list) -> tuple[list[str], int, int]:
+    """Live files that may contain ANY of `values` in `col`:
+    (candidates, n_live, n_pruned). Files without a bitmap are kept
+    (absence = must scan); a file survives if its bitmap admits at least
+    one probe value. Pure driver-side bitmap math — no Spark job."""
+    base_path = os.path.abspath(base_path)
+    live = _live_files(base_path)
+    doc = load_sidecar(base_path, col)
+    if doc is None:
+        return live, len(live), 0
+    entries = doc["files"]
+    kept: list[str] = []
+    for f in live:
+        e = entries.get(f)
+        if e is None:
+            kept.append(f)
+            continue
+        m, bits = int(e["m"]), int(e["bits"], 16)
+        for v in values:
+            if all((bits >> p) & 1 for p in _positions_py(v, m)):
+                kept.append(f)
+                break
+    return kept, len(live), len(live) - len(kept)
+
+
+def bloom_point_read(spark: SparkSession, base_path: str, col: str,
+                     values: list) -> tuple[DataFrame, dict]:
+    """The pruned point-lookup read: scan only bloom-admitted files, with
+    the IN/equality predicate still applied (bloom false positives are
+    filtered by the scan; false negatives do not exist). Returns
+    (DataFrame, stats) where stats carries the pruning accounting the
+    caller can assert on."""
+    kept, n_live, n_pruned = bloom_candidates(base_path, col, values)
+    stats = {"files_live": n_live, "files_read": len(kept),
+             "files_pruned": n_pruned}
+    pred = F.col(col).isin(values) if len(values) > 1 \
+        else (F.col(col) == values[0])
+    if not kept:
+        return (spark.read.parquet(base_path).limit(0).filter(pred), stats)
+    df = spark.read.option("basePath", base_path).parquet(
+        *[os.path.join(base_path, f) for f in kept])
+    return df.filter(pred), stats

@@ -149,6 +149,41 @@ def lsh_maintenance(
     return hook
 
 
+def bloom_maintenance(
+    base_dir: str,
+    *,
+    table: str,
+    col: str,
+) -> IndexHook:
+    """Hook that keeps a file-level Bloom sidecar (storage/bloom_index.py)
+    fresh under a table_sink ingest stream: after the exactly-once batch
+    write, the just-landed `batch_id={N}` files are indexed for `col`.
+    Idempotent under redelivery — the data write no-ops on its commit
+    marker, so re-indexing the identical files recomputes identical
+    bitmaps. Hook work is one narrow pass over the arriving batch's
+    files; the sidecar grows by one entry per file, never rewrites old
+    entries."""
+    from ..storage.bloom_index import bloom_index_update
+
+    def hook(table_name: str, rows: DataFrame, batch_id: int) -> None:
+        if table_name != table:
+            return
+        tbl = os.path.join(base_dir, table)
+        bdir = os.path.join(tbl, f"batch_id={batch_id}")
+        try:
+            files = sorted(
+                os.path.join(f"batch_id={batch_id}", e)
+                for e in os.listdir(bdir)
+                if e.endswith(".parquet") and not e.startswith(("_", "."))
+            )
+        except OSError:
+            return
+        if files:
+            bloom_index_update(rows.sparkSession, tbl, col, files=files)
+
+    return hook
+
+
 def projection_maintenance(
     store_path: str,
     *,

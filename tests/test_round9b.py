@@ -188,3 +188,126 @@ class TestDdsketchMaintainedEntry:
                 assert est <= exact, (flag, q_name, est, exact)
                 assert exact <= est * (1 + 2.0 / DD_SUB), (
                     flag, q_name, est, exact)
+
+
+class TestBloomSidecarIndex:
+    """r09: file-level Bloom sidecar — point-lookup file skipping with
+    no false negatives (pruned reads are result-invisible)."""
+
+    def _write_sharded(self, spark, base, lo, hi, shards=8):
+        df = spark.range(lo, hi).select(
+            (F.col("id") % shards).alias("shard"),
+            F.concat(F.lit("k-"), F.col("id")).alias("key"),
+            F.col("id").alias("v"),
+        )
+        df.repartition("shard").write.mode("append").partitionBy(
+            "shard").parquet(base)
+
+    def test_prune_never_loses_rows(self, spark, tmp_path):
+        from hepop_spark.storage.bloom_index import (
+            bloom_candidates,
+            bloom_index_update,
+            bloom_point_read,
+        )
+
+        base = str(tmp_path / "tbl")
+        self._write_sharded(spark, base, 0, 400)
+        assert bloom_index_update(spark, base, "key") > 0
+        # every planted key must be found through the pruned read
+        for probe in ("k-0", "k-123", "k-399"):
+            out, stats = bloom_point_read(spark, base, "key", [probe])
+            assert [r.v for r in out.collect()] == [int(probe[2:])]
+            assert stats["files_read"] < stats["files_live"]
+        # absent keys prune everything (no file admits them) or FP-scan a
+        # few files but return zero rows either way
+        out, _ = bloom_point_read(spark, base, "key", ["absent-key"])
+        assert out.count() == 0
+        kept, live, pruned = bloom_candidates(base, "key", ["k-7", "k-8"])
+        assert len(kept) <= live and pruned == live - len(kept)
+
+    def test_incremental_update_and_unindexed_files_kept(self, spark, tmp_path):
+        from hepop_spark.storage.bloom_index import (
+            bloom_candidates,
+            bloom_index_update,
+            bloom_point_read,
+            load_sidecar,
+        )
+
+        base = str(tmp_path / "tbl")
+        self._write_sharded(spark, base, 0, 200)
+        bloom_index_update(spark, base, "key")
+        n_first = len(load_sidecar(base, "key")["files"])
+        # new files land WITHOUT being indexed: they must always be scanned
+        self._write_sharded(spark, base, 200, 280)
+        kept, live, _ = bloom_candidates(base, "key", ["k-999999"])
+        assert live > n_first
+        assert len(kept) == live - n_first  # unindexed files all kept
+        out, _ = bloom_point_read(spark, base, "key", ["k-250"])
+        assert [r.v for r in out.collect()] == [250]  # found pre-indexing
+        # default (files=None) indexes only the NEW files
+        assert bloom_index_update(spark, base, "key") == live - n_first
+        assert len(load_sidecar(base, "key")["files"]) == live
+        assert bloom_index_update(spark, base, "key") == 0  # nothing new
+        out, stats = bloom_point_read(spark, base, "key", ["k-250"])
+        assert [r.v for r in out.collect()] == [250]
+        assert stats["files_pruned"] > 0
+
+    def test_null_values_and_empty_probe_semantics(self, spark, tmp_path):
+        from hepop_spark.storage.bloom_index import (
+            bloom_index_update,
+            bloom_point_read,
+        )
+
+        base = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(0, None, 1), (0, "k-a", 2), (1, None, 3)],
+            "shard int, key string, v int",
+        )
+        df.repartition("shard").write.partitionBy("shard").parquet(base)
+        bloom_index_update(spark, base, "key")
+        out, _ = bloom_point_read(spark, base, "key", ["k-a"])
+        assert [r.v for r in out.collect()] == [2]
+        # the all-NULL file is recorded with an empty bitmap => pruned
+        out, stats = bloom_point_read(spark, base, "key", ["k-zzz"])
+        assert out.count() == 0
+
+    def test_streaming_hook_maintains_sidecar(self, spark, tmp_path):
+        """table_sink + bloom_maintenance: the sidecar grows in lock-step
+        with committed batches, redelivery included."""
+        from hepop_spark.storage.bloom_index import (
+            bloom_point_read,
+            load_sidecar,
+        )
+        from hepop_spark.streaming.index_maint import (
+            bloom_maintenance,
+            stage_batch_files,
+            table_sink,
+        )
+
+        base = str(tmp_path / "data")
+        landing = str(tmp_path / "landing")
+        rows = spark.range(0, 90).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("call-"), F.col("id")).alias("call_id"),
+            (F.col("id") % 3).alias("b"),
+        )
+        stage_batch_files(rows, landing, F.col("doc_id") % 3, 3)
+        stream = (
+            spark.readStream.schema("doc_id long, call_id string, b long")
+            .option("maxFilesPerTrigger", "1").parquet(landing)
+        )
+        hook = bloom_maintenance(base, table="calls", col="call_id")
+        q = table_sink(stream, base, str(tmp_path / "ckpt"), "calls",
+                       index_hooks=[hook]).start()
+        q.awaitTermination(120)
+        tbl = os.path.join(base, "calls")
+        sc = load_sidecar(tbl, "call_id")
+        assert sc is not None and len(sc["files"]) >= 3
+        out, stats = bloom_point_read(spark, tbl, "call_id", ["call-41"])
+        assert [r.doc_id for r in out.collect()] == [41]
+        assert stats["files_pruned"] > 0
+        # redelivery: re-running the hook on batch 0's rows is a no-op
+        # on content (identical bitmaps rewritten)
+        before = load_sidecar(tbl, "call_id")
+        hook("calls", rows.filter(F.col("doc_id") % 3 == 0), 0)
+        assert load_sidecar(tbl, "call_id") == before

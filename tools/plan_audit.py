@@ -123,6 +123,10 @@ AUDITS: dict[str, set[str]] = {
     # DDSketch-histogram maintained store (r09): lifecycle entry, pinned
     # result (map-sum monoid merged in-store; quantile read is bounded)
     "ddsketch_maintained": set(),
+    # Bloom sidecar point lookup (r09): lifecycle entry, pinned result
+    # (pruning accounting asserted in-entry; probe is driver-side bitmap
+    # math, the read opens only admitted files)
+    "bloom_point_lookup": set(),
     # aggregate->rollup routing (r08): the audited plan is the ROUTED
     # query's (routed_plan_text probe, SPECIAL_PLANS below) — rollup_scan
     # asserts the grid parquet is scanned and the raw table is NOT
