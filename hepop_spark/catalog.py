@@ -136,7 +136,9 @@ def register_hep_view(spark: SparkSession, parquet_glob: str, name: str) -> None
 def discover_table(spark: SparkSession, data_dir: str, name: str,
                    hep_type: int | None = None,
                    merge_schema: bool = True,
-                   cache: dict[str, str] | None = None) -> bool:
+                   cache: dict[str, str] | None = None,
+                   bloom_probe: tuple[str, list] | None = None,
+                   view_name: str | None = None) -> bool:
     """Serve-mode FRESH-METADATA table resolution (reference query.js:22-63:
     the table's file set is re-listed on EVERY query, re-read at :36-38, so
     a measurement first written milliseconds ago is immediately queryable).
@@ -157,6 +159,15 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
     is unchanged. Freshness semantics are identical (file state IS the
     ground truth, exactly the reference's metadata re-read), but a hot
     serve loop pays the footer reads only when data actually landed.
+
+    ``bloom_probe`` = (col, values): each writer dir's file list is
+    intersected with its Bloom sidecar's admitted files for the probe
+    values (storage/bloom_index.bloom_candidates — dirs without a
+    sidecar keep their full list, so pruning is result-invisible for
+    any query whose WHERE implies col ∈ values). The pruned view is
+    registered under ``view_name`` (required with bloom_probe; pruned
+    views are per-query, so the fingerprint cache is bypassed and the
+    CALLER owns dropping the view).
     """
     import glob as _glob
 
@@ -189,6 +200,36 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
             # between enable_manifest's mkdir and its first publish):
             # listing stays truth rather than hiding live data (r08 ADVICE)
             dirs.append((d, None, None))
+    if bloom_probe is not None:
+        from .storage.bloom_index import bloom_candidates
+
+        assert view_name is not None, "bloom_probe requires view_name"
+        col, values = bloom_probe
+        pruned_dirs: list[tuple[str, list[str] | None, str | None]] = []
+        for d, pinned, _t in dirs:
+            kept, _live, _np = bloom_candidates(d, col, values)
+            if pinned is not None:
+                kept = [f for f in kept if f in set(pinned)]
+            if kept:
+                pruned_dirs.append((d, kept, None))
+        if not pruned_dirs:
+            # every file pruned: pin emptiness with the table's schema
+            if not dirs:
+                return False
+            d0, pinned0, _ = dirs[0]
+            rd = spark.read.option("mergeSchema", str(merge_schema).lower())
+            base = (rd.parquet(d0) if pinned0 is None else
+                    rd.option("basePath", d0)
+                    .parquet(*[os.path.join(d0, f) for f in pinned0]))
+            df = base.limit(0)
+            if hep_type is not None:
+                df = hep_virtual_view(df)
+            elif "timestamp" in df.columns and "time" not in df.columns:
+                df = df.withColumn("time", F.col("timestamp"))
+            df.createOrReplaceTempView(view_name)
+            return True
+        dirs = pruned_dirs
+        cache = None  # per-query view: never poison the table cache
     if not dirs:
         # maintained aggregate projections (storage/rollup.py): a store
         # published under {data}/{writer}/rollups/{name} with a _meta.json
@@ -233,7 +274,7 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
     elif "timestamp" in df.columns and "time" not in df.columns:
         # documented LP query surface calls the timestamp column `time`
         df = df.withColumn("time", F.col("timestamp"))
-    df.createOrReplaceTempView(name)
+    df.createOrReplaceTempView(view_name or name)
     if cache is not None:
         cache[name] = fp
     return True

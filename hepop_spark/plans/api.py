@@ -305,6 +305,7 @@ class HepopQueryAPI:
         self.data_dir = data_dir
         self._view_fingerprints: dict[str, str] = {}
         self.last_routed_rollup: str | None = None  # debug breadcrumb
+        self.last_bloom_pruned: dict | None = None  # debug breadcrumb
 
     def sql(self, query: str, now: datetime | None = None) -> DataFrame:
         q = normalize_count(query)
@@ -323,7 +324,117 @@ class HepopQueryAPI:
         if self.default_window and self._view_has_time(self.last_table):
             q = inject_default_window(q, now=now)
         self.last_sql = q
+        if self.data_dir is not None:
+            pruned = self._try_bloom_sql(q)
+            if pruned is not None:
+                return pruned
         return self.spark.sql(q)
+
+    def _try_bloom_sql(self, q: str) -> DataFrame | None:
+        """Answer `q` from a Bloom-pruned file set when its WHERE contains
+        an equality/IN conjunct on a sidecar-indexed column
+        (storage/bloom_index.py). The rewrite is result-invisible by the
+        no-false-negative property: every file that can hold a matching
+        row is admitted, the predicate itself still runs, and dirs
+        without a sidecar keep their full file list — so this path can
+        only ever REMOVE scan work. Anything un-analyzable returns None
+        and the raw view answers. The pruned view is per-query (unique
+        name, dropped after analysis): concurrent HTTP threads never
+        share one."""
+        import glob as _glob
+        import os
+        import uuid as _uuid
+
+        self.last_bloom_pruned = None
+        table = self.last_table
+        # conservative shape gates: one FROM, no qualified column refs
+        # (the rewritten view name would dangle), no subqueries
+        if len(_FROM_RE.findall(q)) != 1 or re.search(
+                rf"\b{re.escape(table)}\s*\.", q):
+            return None
+        wm = _WHERE_RE.search(q)
+        if not wm:
+            return None
+        tail_m = _TAIL_RE.search(q, wm.end())
+        where_body = q[wm.end(): tail_m.start() if tail_m else len(q)]
+        conjs = _split_conjuncts(where_body)
+        if not conjs:
+            return None
+        try:
+            dtypes = dict(self.spark.table(table).dtypes)
+        except Exception:
+            return None
+        probe: tuple[str, list] | None = None
+        for c in conjs:
+            m = re.fullmatch(
+                r"\s*(?P<col>[A-Za-z_]\w*)\s*(?:=\s*(?P<lit>" + _LIT + r")"
+                r"|IN\s*\(\s*(?P<ins>(" + _LIT + r")(\s*,\s*(" + _LIT
+                + r"))*)\s*\))\s*",
+                c, re.IGNORECASE | re.DOTALL)
+            if not m:
+                continue
+            col = m.group("col")
+            lits = ([m.group("lit")] if m.group("lit")
+                    else _split_top_level(m.group("ins")))
+            vals: list = []
+            for lit in lits:
+                lit = lit.strip()
+                if lit.startswith("'"):
+                    if dtypes.get(col) != "string":
+                        vals = []
+                        break
+                    vals.append(lit[1:-1])
+                elif re.fullmatch(r"-?\d+", lit):
+                    # integral literal on an integral column: the bitmap
+                    # was built over CAST(col AS STRING), and str(int)
+                    # reproduces it exactly; doubles do NOT (1 vs 1.0)
+                    if dtypes.get(col) not in ("bigint", "int", "smallint",
+                                               "tinyint"):
+                        vals = []
+                        break
+                    vals.append(int(lit))
+                else:
+                    vals = []
+                    break
+            if not vals:
+                continue
+            if _glob.glob(os.path.join(
+                    self.data_dir, "*", "dbs", table, "_bloom",
+                    f"{col}.json")):
+                probe = (col, vals)
+                break
+        if probe is None:
+            return None
+        from ..catalog import discover_table
+
+        view = f"{table}__bloom_{_uuid.uuid4().hex[:8]}"
+        try:
+            if not discover_table(self.spark, self.data_dir, table,
+                                  self.last_hep_type, bloom_probe=probe,
+                                  view_name=view):
+                return None
+            q2 = _FROM_RE.sub(f"FROM {view}", q, count=1)
+            df = self.spark.sql(q2)  # analyzed eagerly: view resolved here
+            from ..storage.bloom_index import bloom_candidates
+
+            stats = [
+                bloom_candidates(d, probe[0], probe[1])
+                for d in sorted(_glob.glob(
+                    os.path.join(self.data_dir, "*", "dbs", table)))
+            ]
+            self.last_bloom_pruned = {
+                "col": probe[0],
+                "files_live": sum(s[1] for s in stats),
+                "files_read": sum(len(s[0]) for s in stats),
+            }
+            return df
+        except Exception:
+            return None  # raw view answers; pruning is best-effort
+        finally:
+            try:
+                self.spark.catalog.dropTempView(view)
+            except Exception:
+                pass
 
     def _try_rollup_route(self, q: str) -> str | None:
         """Rewrite a matching aggregate over a RAW table onto a maintained

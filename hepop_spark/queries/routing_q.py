@@ -570,6 +570,69 @@ ORDER BY source
 """
 
 
+
+
+# --- r09: Bloom sidecar point-lookup routing -------------------------------
+
+BLOOM_ROUTE_IDS = (7, 311, 522)
+BLOOM_ROUTED_SQL_TEXT = (
+    "SELECT event_id, call_id, value FROM calls WHERE call_id IN ("
+    + ", ".join(f"'call-{i}'" for i in BLOOM_ROUTE_IDS)
+    + ") ORDER BY event_id"
+)
+
+
+def bloom_routed_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME /query SQL a user runs against a serve-mode call table,
+    answered from a Bloom-pruned file set by the API layer
+    (plans/api._try_bloom_sql over storage/bloom_index.py): the WHERE's
+    IN conjunct on the sidecar-indexed call_id admits a handful of files,
+    the per-query pruned view scans only those, and the predicate still
+    runs (no false negatives => result-invisible). The entry hard-fails
+    unless pruning actually happened (breadcrumb files_read <
+    files_live); the oracle recomputes from the raw events table.
+
+    Scale: the probe is driver-side bitmap math (no Spark job); the read
+    opens ~|probes| files out of the table's thousands — the call-ID
+    lookup a HEPop operator runs against years of capture."""
+    from ..plans.api import HepopQueryAPI
+    from ..storage.bloom_index import bloom_index_update
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.concat(F.lit("call-"), F.col("event_id")).alias("call_id"),
+        "value",
+        F.pmod(F.col("event_id"), F.lit(24)).alias("shard"),
+    )
+    root = tempfile.mkdtemp(prefix="bloom_route_")
+    data = os.path.join(root, "data")
+    try:
+        tbl = os.path.join(data, "w1", "dbs", "calls")
+        ev.repartition("shard").write.partitionBy("shard").parquet(tbl)
+        bloom_index_update(spark, tbl, "call_id")
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        df = api.sql(BLOOM_ROUTED_SQL_TEXT)
+        bp = api.last_bloom_pruned
+        if not bp or bp["files_read"] >= bp["files_live"]:
+            raise AssertionError(f"bloom pruning did not engage: {bp}")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "event_id bigint, call_id string, value double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+BLOOM_ROUTED_SQL = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       'call-' || CAST(event_id AS VARCHAR) AS call_id,
+       value
+FROM events
+WHERE event_id IN {BLOOM_ROUTE_IDS}
+ORDER BY event_id
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_routed_aggregate": QuerySpec(
         rollup_routed_aggregate, ROLLUP_ROUTED_SQL,
@@ -607,6 +670,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="avg() finalized from the grid's sum+strict-count partials "
             "(not a stored column — avg is not a monoid); one IEEE "
             "division of exact integer sums; oracle recomputes from raw",
+    ),
+    "bloom_routed_lookup": QuerySpec(
+        bloom_routed_lookup, BLOOM_ROUTED_SQL,
+        doc="the SAME /query SQL answered from a Bloom-pruned file set "
+            "(sidecar-admitted files only, pruning asserted in-entry); "
+            "oracle recomputes from the raw table",
     ),
     "rollup_routed_minmax": QuerySpec(
         rollup_routed_minmax, ROLLUP_MINMAX_SQL,

@@ -311,3 +311,75 @@ class TestBloomSidecarIndex:
         before = load_sidecar(tbl, "call_id")
         hook("calls", rows.filter(F.col("doc_id") % 3 == 0), 0)
         assert load_sidecar(tbl, "call_id") == before
+
+
+class TestBloomApiRouting:
+    """r09: the SAME /query SQL answers from a Bloom-pruned file set when
+    a sidecar covers an equality/IN conjunct — result-invisible, with the
+    pruning accounting on the API breadcrumb."""
+
+    def _serve_tree(self, spark, tmp_path):
+        from hepop_spark.storage.bloom_index import bloom_index_update
+
+        data = tmp_path / "data"
+        tbl = str(data / "w1" / "dbs" / "calls")
+        rows = spark.range(0, 240).select(
+            F.col("id").alias("event_id"),
+            F.concat(F.lit("call-"), F.col("id")).alias("call_id"),
+            (F.col("id") % 12).alias("shard"),
+            (F.col("id") * 3).alias("v"),
+        )
+        rows.repartition("shard").write.partitionBy("shard").parquet(tbl)
+        bloom_index_update(spark, tbl, "call_id")
+        return str(data), tbl
+
+    def test_point_query_routes_and_matches_raw(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, _tbl = self._serve_tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT event_id, v FROM calls WHERE call_id = 'call-77'")
+        assert rows == [{"event_id": 77, "v": 231}]
+        bp = api.last_bloom_pruned
+        assert bp is not None and bp["col"] == "call_id"
+        assert 1 <= bp["files_read"] < bp["files_live"]
+        # IN list + extra conjunct + aggregate shape
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n, sum(v) AS sv FROM calls "
+            "WHERE call_id IN ('call-3', 'call-141') AND v > 0")
+        assert rows == [{"n": 2, "sv": 3 * 3 + 141 * 3}]
+        assert api.last_bloom_pruned["files_read"] < \
+            api.last_bloom_pruned["files_live"]
+
+    def test_unindexed_and_unroutable_shapes_fall_back(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, _tbl = self._serve_tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        # no sidecar on v: plain path, no breadcrumb
+        rows, _ = api.query_json("SELECT count(*) AS n FROM calls WHERE v = 9")
+        assert rows == [{"n": 1}] and api.last_bloom_pruned is None
+        # OR disables conjunct analysis: falls back, still correct
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n FROM calls "
+            "WHERE call_id = 'call-1' OR call_id = 'call-2'")
+        assert rows == [{"n": 2}] and api.last_bloom_pruned is None
+        # absent key: zero rows, full prune is fine
+        rows, _ = api.query_json(
+            "SELECT event_id FROM calls WHERE call_id = 'call-99999'")
+        assert rows == []
+
+    def test_integral_literal_probe(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.bloom_index import bloom_index_update
+
+        data, tbl = self._serve_tree(spark, tmp_path)
+        bloom_index_update(spark, tbl, "event_id")
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT call_id FROM calls WHERE event_id = 131")
+        assert rows == [{"call_id": "call-131"}]
+        assert api.last_bloom_pruned["col"] == "event_id"
+        assert api.last_bloom_pruned["files_read"] < \
+            api.last_bloom_pruned["files_live"]

@@ -127,6 +127,9 @@ AUDITS: dict[str, set[str]] = {
     # (pruning accounting asserted in-entry; probe is driver-side bitmap
     # math, the read opens only admitted files)
     "bloom_point_lookup": set(),
+    # API-routed bloom lookup (r09): same lifecycle shape; the in-entry
+    # breadcrumb assertion (files_read < files_live) is the prune proof
+    "bloom_routed_lookup": set(),
     # aggregate->rollup routing (r08): the audited plan is the ROUTED
     # query's (routed_plan_text probe, SPECIAL_PLANS below) — rollup_scan
     # asserts the grid parquet is scanned and the raw table is NOT
