@@ -177,6 +177,22 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True,
                     continue  # a mid-append listing race; next sweep retries
                 if res:
                     out[t] = res
+                # bloom sidecars: index files landed since the last sweep
+                # and drop entries compaction retired (correctness never
+                # depends on this — unindexed files always scan — it only
+                # keeps point lookups FAST as the table churns)
+                from .storage.bloom_index import (
+                    bloom_index_refresh,
+                    sidecar_cols,
+                )
+
+                if sidecar_cols(tdir):
+                    try:
+                        r = bloom_index_refresh(spark, tdir)
+                        if r:
+                            out[f"bloom/{t}"] = r
+                    except Exception:
+                        continue
         # maintained aggregate projections this writer owns: fold their
         # per-batch segments into base/ on the same cadence (results are
         # invariant across the fold; this only bounds the live segment

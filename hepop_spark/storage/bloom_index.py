@@ -234,3 +234,53 @@ def bloom_point_read(spark: SparkSession, base_path: str, col: str,
     df = spark.read.option("basePath", base_path).parquet(
         *[os.path.join(base_path, f) for f in kept])
     return df.filter(pred), stats
+
+
+def sidecar_cols(base_path: str) -> list[str]:
+    """Columns with a bloom sidecar on this table."""
+    d = os.path.join(base_path, "_bloom")
+    try:
+        return sorted(
+            f[:-len(".json")] for f in os.listdir(d)
+            if f.endswith(".json") and ".tmp." not in f
+        )
+    except OSError:
+        return []
+
+
+def bloom_reindex_files(spark: SparkSession, base_path: str,
+                        files: list[str]) -> int:
+    """Index `files` (relative paths) in EVERY sidecar the table carries —
+    the compaction hook: replacement files must enter the index in the
+    same step that retires their inputs, or point lookups degrade to
+    scanning every compacted file (absence = must scan). Returns the
+    number of (file, col) pairs indexed."""
+    n = 0
+    for col in sidecar_cols(base_path):
+        n += bloom_index_update(spark, base_path, col, files=files)
+    return n
+
+
+def bloom_index_refresh(spark: SparkSession, base_path: str) -> dict:
+    """Serve-sweep maintenance: per sidecar column, index any live files
+    not yet indexed and drop entries for files no longer live (retired by
+    compaction — inert for correctness since candidates intersect the
+    live list, but dead weight in the sidecar). Returns
+    {col: files_indexed}."""
+    from .writer import table_lock
+
+    base_path = os.path.abspath(base_path)
+    out: dict = {}
+    with table_lock(base_path):
+        live = set(_live_files(base_path))
+        for col in sidecar_cols(base_path):
+            n = bloom_index_update(spark, base_path, col)
+            doc = load_sidecar(base_path, col)
+            dead = [f for f in doc["files"] if f not in live]
+            if dead:
+                for f in dead:
+                    del doc["files"][f]
+                _merge_sidecar(base_path, col, doc, {})
+            if n or dead:
+                out[col] = {"indexed": n, "vacuumed": len(dead)}
+    return out

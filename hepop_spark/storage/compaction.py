@@ -214,6 +214,17 @@ def compact_partition(spark: SparkSession, base_path: str, rel: str,
             p = os.path.join(full, marker)
             if os.path.exists(p):
                 os.remove(p)
+        # replacement files enter every bloom sidecar in the same step
+        # that retired their inputs (absence = must-scan, so skipping
+        # this would silently degrade point lookups, never break them)
+        from .bloom_index import bloom_reindex_files, sidecar_cols
+
+        if sidecar_cols(base_path):
+            new_rels = [
+                os.path.join(rel, f) for f in os.listdir(full)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+            bloom_reindex_files(spark, base_path, new_rels)
         return len(files) - target_files
 
 
@@ -253,6 +264,12 @@ def _compact_partition_manifest(spark: SparkSession, base_path: str,
         ]
         replace_files(base_path, moves, old_rels)
         shutil.rmtree(tmp, ignore_errors=True)
+        from .bloom_index import bloom_reindex_files, sidecar_cols
+
+        if sidecar_cols(base_path):
+            bloom_reindex_files(
+                spark, base_path,
+                [os.path.relpath(dst, base_path) for _src, dst in moves])
         return len(old_rels) - len(moves)
 
 
@@ -351,6 +368,14 @@ def compact_ladder(spark: SparkSession, base_path: str, level: str = "hour",
         marker = os.path.join(base_path, target, "_SUCCESS")
         if os.path.exists(marker):
             os.remove(marker)
+        from .bloom_index import bloom_reindex_files, sidecar_cols
+
+        if sidecar_cols(base_path):
+            bloom_reindex_files(spark, base_path, [
+                os.path.join(target, f)
+                for f in os.listdir(full_target)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ])
         result[target] = len(sources)
     return result
 
@@ -404,6 +429,12 @@ def _compact_ladder_manifest(spark: SparkSession, base_path: str,
             ]
             replace_files(base_path, moves, old_rels)
             shutil.rmtree(tmp, ignore_errors=True)
+            from .bloom_index import bloom_reindex_files, sidecar_cols
+
+            if sidecar_cols(base_path):
+                bloom_reindex_files(
+                    spark, base_path,
+                    [os.path.relpath(dst, base_path) for _s, dst in moves])
             result[target] = len(sources)
     return result
 

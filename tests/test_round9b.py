@@ -383,3 +383,68 @@ class TestBloomApiRouting:
         assert api.last_bloom_pruned["col"] == "event_id"
         assert api.last_bloom_pruned["files_read"] < \
             api.last_bloom_pruned["files_live"]
+
+
+class TestBloomCompactionLifecycle:
+    """r09: compaction re-indexes replacement files in the same step that
+    retires their inputs — point lookups stay pruned as the table churns."""
+
+    def _hep_shaped(self, spark, n, lo=0):
+        # timestamp-carrying rows so the partition compactor's
+        # sortWithinPartitions("timestamp") applies
+        return spark.range(lo, lo + n).select(
+            F.timestamp_micros(
+                (F.lit(1_709_280_000_000_000)
+                 + F.col("id") * 18_000_000).cast("long")).alias("timestamp"),
+            F.concat(F.lit("call-"), F.col("id")).alias("call_id"),
+            F.col("id").alias("v"),
+        )
+
+    def test_partition_compaction_reindexes(self, spark, tmp_path):
+        from hepop_spark.storage.bloom_index import (
+            bloom_index_update,
+            bloom_point_read,
+            load_sidecar,
+        )
+        from hepop_spark.storage.compaction import compact
+        from hepop_spark.storage.writer import write_partitioned
+
+        base = str(tmp_path / "tbl")
+        # several appends -> multiple files per partition
+        for i in range(3):
+            write_partitioned(self._hep_shaped(spark, 200), base)
+        bloom_index_update(spark, base, "call_id")
+        out, stats0 = bloom_point_read(spark, base, "call_id", ["call-7"])
+        assert out.count() == 3  # three appends planted call-7 thrice
+        assert stats0["files_pruned"] > 0
+        assert compact(spark, base, min_files=2)  # rewrites partitions
+        # replacement files must already be in the sidecar
+        sc = load_sidecar(base, "call_id")
+        out, stats1 = bloom_point_read(spark, base, "call_id", ["call-7"])
+        assert out.count() == 3
+        assert stats1["files_pruned"] > 0, (stats1, sorted(sc["files"]))
+        # every live file is indexed (no must-scan stragglers)
+        from hepop_spark.storage.bloom_index import _live_files
+
+        assert set(_live_files(base)) <= set(sc["files"])
+
+    def test_refresh_indexes_new_and_vacuums_dead(self, spark, tmp_path):
+        from hepop_spark.storage.bloom_index import (
+            bloom_index_refresh,
+            bloom_index_update,
+            load_sidecar,
+            _live_files,
+        )
+        from hepop_spark.storage.compaction import compact
+        from hepop_spark.storage.writer import write_partitioned
+
+        base = str(tmp_path / "tbl")
+        write_partitioned(self._hep_shaped(spark, 100), base)
+        bloom_index_update(spark, base, "call_id")
+        write_partitioned(self._hep_shaped(spark, 100, lo=100), base)
+        compact(spark, base, min_files=2)
+        res = bloom_index_refresh(spark, base)
+        sc = load_sidecar(base, "call_id")
+        live = set(_live_files(base))
+        assert set(sc["files"]) == live  # fully indexed AND vacuumed
+        assert bloom_index_refresh(spark, base) == {}  # steady state
