@@ -85,12 +85,20 @@ _SIMPLE_AGG_RE = re.compile(
     r"GROUP\s+BY\s+(?P<rest>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_TAIL_SPLIT_RE = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+_TAIL_SPLIT_RE = re.compile(r"\b(HAVING|ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+_HAVING_RE = re.compile(
+    r"^HAVING\s+(?P<body>.+?)\s*(?=\bORDER\s+BY\b|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
 _FORBIDDEN_RE = re.compile(
     # BETWEEN left this list in r09: _PRED_RE parses it as a routable
     # range conjunct; anywhere else it can appear (a select item, a
-    # group key) the key/agg-map lookup misses and routing falls back
-    r"\b(HAVING|JOIN|UNION|INTERSECT|EXCEPT|OVER|DISTINCT"
+    # group key) the key/agg-map lookup misses and routing falls back.
+    # HAVING left it too (r09): the STRUCTURAL clause is extracted and
+    # strictly parsed (AND-ed `expr op literal` comparisons) before the
+    # forbidden scan runs on the remainder — anything richer inside it
+    # fails that parse and falls back to raw.
+    r"\b(JOIN|UNION|INTERSECT|EXCEPT|OVER|DISTINCT"
     r"|OR|NOT|LIKE|EXISTS|CASE)\b",
     re.IGNORECASE,
 )
@@ -186,12 +194,15 @@ def _tail_routable(tail: str, aliases: set[str]) -> bool:
 
 def parse_simple_aggregate(sql: str):
     """Parse `SELECT items FROM table [WHERE conjuncts] GROUP BY keys
-    [ORDER BY ...] [LIMIT n]` into (table, [(expr, alias_or_None)],
-    [group_exprs], tail, [(pred_expr, op_sql) ...]). The WHERE is
-    accepted only as AND-ed `expr = literal` / `expr IN (literals)`
-    conjuncts — anything richer returns None (raw scan)."""
+    [HAVING conjuncts] [ORDER BY ...] [LIMIT n]` into
+    (table, [(expr, alias_or_None)], [group_exprs], tail,
+    [(pred_expr, op_sql) ...], [(having_expr, op_sql) ...]). The WHERE is
+    accepted only as AND-ed `expr = literal` / `expr IN (literals)` /
+    range / BETWEEN conjuncts, the HAVING only as AND-ed
+    `expr op literal` comparisons — anything richer returns None
+    (raw scan)."""
     m = _SIMPLE_AGG_RE.match(sql)
-    if not m or _FORBIDDEN_RE.search(_COUNT_DISTINCT_RE.sub("cnt()", sql)):
+    if not m:
         return None
     preds: list[tuple[str, str]] = []
     if m.group("where"):
@@ -215,6 +226,32 @@ def parse_simple_aggregate(sql: str):
     rest = m.group("rest")
     tm = _TAIL_SPLIT_RE.search(rest)
     gb, tail = (rest[: tm.start()], rest[tm.start():]) if tm else (rest, "")
+    tail = tail.strip()
+    havings: list[tuple[str, str]] = []
+    scan_text = sql
+    if tail[:6].upper() == "HAVING":
+        hm = _HAVING_RE.match(tail)
+        if not hm:
+            return None
+        conjuncts = _split_conjuncts(hm.group("body"))
+        if not conjuncts:
+            return None
+        for c in conjuncts:
+            pm = re.match(
+                r"^(?P<e>.+?)\s*(?P<op>>=|<=|<>|!=|>|<|=)\s*(?P<lit>"
+                + _LIT + r")\s*$", c, re.DOTALL)
+            if not pm:
+                return None
+            havings.append((pm.group("e").strip(),
+                            f"{pm.group('op')} {pm.group('lit')}"))
+        # keep the BODY visible to the forbidden scan (OR/CASE/... inside
+        # a having conjunct must reject) — only the structural keyword is
+        # excused; a whitespace-normalization miss leaves sql unchanged,
+        # which is strictly MORE conservative (body still scanned)
+        scan_text = sql.replace(hm.group(0), hm.group("body"), 1)
+        tail = tail[hm.end():].strip()
+    if _FORBIDDEN_RE.search(_COUNT_DISTINCT_RE.sub("cnt()", scan_text)):
+        return None
     items = []
     for it in _split_top_level(m.group("sel")):
         am = _AS_RE.match(it)
@@ -223,7 +260,7 @@ def parse_simple_aggregate(sql: str):
         else:
             items.append((it, it if re.fullmatch(r"[A-Za-z_]\w*", it) else None))
     return (m.group("tbl"), items,
-            [g for g in _split_top_level(gb)], tail.strip(), preds)
+            [g for g in _split_top_level(gb)], tail, preds, havings)
 
 
 def resolve_table(sql: str) -> tuple[str, int | None]:
@@ -463,7 +500,7 @@ class HepopQueryAPI:
         parsed = parse_simple_aggregate(q)
         if parsed is None:
             return None
-        table, items, group_exprs, tail, preds = parsed
+        table, items, group_exprs, tail, preds, havings = parsed
         if self.default_window:
             # the grid has no time dimension: routing a query whose raw
             # form would receive the implicit last-10-minutes window
@@ -519,6 +556,35 @@ class HepopQueryAPI:
             if not ok:
                 continue
             exact = gset == set(key_map) and not where_parts
+            # HAVING conjuncts (r09): each maps through the same
+            # key/agg/avg rewrite as select items. When the rewrite has
+            # no GROUP BY (exact grid match) a HAVING would be invalid
+            # SQL — but there each grid ROW is one group, so the mapped
+            # conditions are exactly row filters and join the WHERE.
+            having_parts: list[str] = []
+            for hexpr, op_sql in havings:
+                n = _norm_expr(hexpr)
+                if n in agg_map:
+                    col, fn = agg_map[n]
+                    having_parts.append(
+                        f"{col if exact else f'{fn}({col})'} {op_sql}")
+                elif n in key_map and n in gset:
+                    having_parts.append(f"{key_map[n]} {op_sql}")
+                elif re.fullmatch(r"avg\([^()]+\)", n):
+                    inner = n[4:-1]
+                    num = agg_map.get(f"sum({inner})")
+                    den = agg_map.get(f"count({inner})")
+                    if not (num and den and num[1] == den[1] == "SUM"):
+                        ok = False
+                        break
+                    nsql = num[0] if exact else f"SUM({num[0]})"
+                    dsql = den[0] if exact else f"SUM({den[0]})"
+                    having_parts.append(f"({nsql} / {dsql}) {op_sql}")
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
             sel, aliases = [], set()
             for expr, alias in items:
                 n = _norm_expr(expr)
@@ -590,6 +656,12 @@ class HepopQueryAPI:
             if not discover_table(self.spark, self.data_dir, name,
                                   cache=self._view_fingerprints):
                 continue
+            having_clause = ""
+            if having_parts:
+                if exact:
+                    where_parts = where_parts + having_parts
+                else:
+                    having_clause = " HAVING " + " AND ".join(having_parts)
             where_clause = (
                 " WHERE " + " AND ".join(where_parts) if where_parts else ""
             )
@@ -599,7 +671,8 @@ class HepopQueryAPI:
             self.last_routed_rollup = name
             self.last_table, self.last_hep_type = name, None
             return (f"SELECT {', '.join(sel)} FROM {name}"
-                    f"{where_clause}{group_clause} {tail}").rstrip()
+                    f"{where_clause}{group_clause}{having_clause} "
+                    f"{tail}").rstrip()
         self.last_routed_rollup = None
         return None
 

@@ -633,6 +633,66 @@ ORDER BY event_id
 
 
 
+
+
+# --- r09: HAVING routing ----------------------------------------------------
+
+HAVING_SQL_TEXT = (
+    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+    "avg(n_chars) AS avg_chars FROM documents GROUP BY lang "
+    "HAVING avg(n_chars) > 300 AND count(*) >= 50 ORDER BY lang"
+)
+
+
+def routed_having_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, HAVING_SQL_TEXT)
+
+
+def rollup_routed_having(spark: SparkSession, sf: str) -> DataFrame:
+    """HAVING routes too (r09): the structural HAVING clause is parsed as
+    AND-ed `expr op literal` comparisons and each side maps through the
+    SAME key/agg/avg rewrite as select items — `count(*) >= 50` becomes
+    `SUM(n_docs) >= 50` over the re-merged grid, `avg(n_chars) > 300`
+    becomes the finalized `SUM(sums)/SUM(counts) > 300` division of exact
+    integer partials (bit-equal to raw avg). Group-level filtering after
+    re-aggregation is exactly SQL HAVING semantics, so routed results
+    stay exact; any HAVING expression the grid cannot express falls back
+    to the raw scan (pinned by tests). The entry hard-fails unless the
+    plan scans the grid and never the raw table.
+
+    Scale: the HAVING runs over O(|grid|) re-merged rows — the dashboard
+    "alert on groups past a threshold" shape without re-scanning raws."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, HAVING_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows,
+            "lang string, n_docs bigint, total_chars bigint, "
+            "avg_chars double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ROLLUP_HAVING_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars
+FROM documents
+GROUP BY lang
+HAVING CAST(sum(n_chars) AS DOUBLE) / count(n_chars) > 300
+   AND count(*) >= 50
+ORDER BY lang
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_routed_aggregate": QuerySpec(
         rollup_routed_aggregate, ROLLUP_ROUTED_SQL,
@@ -670,6 +730,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="avg() finalized from the grid's sum+strict-count partials "
             "(not a stored column — avg is not a monoid); one IEEE "
             "division of exact integer sums; oracle recomputes from raw",
+    ),
+    "rollup_routed_having": QuerySpec(
+        rollup_routed_having, ROLLUP_HAVING_SQL,
+        doc="HAVING routes: group-threshold conjuncts map through the "
+            "same agg/avg rewrite (SUM re-merge, finalized division) and "
+            "filter the re-aggregated grid; oracle recomputes from raw",
     ),
     "bloom_routed_lookup": QuerySpec(
         bloom_routed_lookup, BLOOM_ROUTED_SQL,

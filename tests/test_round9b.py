@@ -448,3 +448,100 @@ class TestBloomCompactionLifecycle:
         live = set(_live_files(base))
         assert set(sc["files"]) == live  # fully indexed AND vacuumed
         assert bloom_index_refresh(spark, base) == {}  # steady state
+
+
+class TestHavingRouting:
+    """r09: structural HAVING parses as AND-ed comparisons and routes
+    through the agg/avg rewrite; anything richer falls back to raw."""
+
+    def test_parser_having_shapes(self):
+        from hepop_spark.plans.api import parse_simple_aggregate
+
+        p = parse_simple_aggregate(
+            "SELECT k, count(*) AS n FROM t GROUP BY k "
+            "HAVING count(*) >= 5 AND avg(v) > 1.5 ORDER BY k LIMIT 3")
+        assert p[5] == [("count(*)", ">= 5"), ("avg(v)", "> 1.5")]
+        assert p[3] == "ORDER BY k LIMIT 3"
+        # OR inside HAVING: un-splittable -> whole clause fails the
+        # comparison parse -> None
+        assert parse_simple_aggregate(
+            "SELECT k, count(*) AS n FROM t GROUP BY k "
+            "HAVING count(*) > 5 OR count(*) < 2") is None
+        # forbidden tokens OUTSIDE the having clause still reject
+        assert parse_simple_aggregate(
+            "SELECT DISTINCT k, count(*) AS n FROM t GROUP BY k "
+            "HAVING count(*) > 5") is None
+        # no having: empty list rides along
+        assert parse_simple_aggregate(
+            "SELECT k, count(*) AS n FROM t GROUP BY k")[5] == []
+
+    def _tree(self, spark, tmp_path):
+        from hepop_spark.storage.rollup import projection_append
+
+        data = str(tmp_path / "data")
+        raw = spark.createDataFrame(
+            [(i, ["a", "b", "c"][i % 3], 10 + (i * 13) % 97)
+             for i in range(60)],
+            "doc_id long, k string, v long",
+        )
+        raw.write.mode("overwrite").parquet(
+            os.path.join(data, "w1", "dbs", "hdocs"))
+        projection_append(
+            spark, os.path.join(data, "w1", "rollups", "h_grid"),
+            raw.groupBy("k").agg(F.count("*").alias("n"),
+                                 F.sum("v").alias("sv"),
+                                 F.count("v").alias("cv")),
+            "b0", keys=["k"], sums=["n", "sv", "cv"],
+            source={"table": "hdocs", "keys": {"k": "k"},
+                    "sums": {"n": "count(*)", "sv": "sum(v)",
+                             "cv": "count(v)"}},
+        )
+        return data, raw
+
+    def test_having_routes_and_matches_raw(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, raw = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        sql = ("SELECT k, count(*) AS n, sum(v) AS sv FROM hdocs "
+               "GROUP BY k HAVING sum(v) > 1170 ORDER BY k")
+        df = api.sql(sql)
+        assert api.last_routed_rollup == "h_grid"
+        got = [(r.k, r.n, r.sv) for r in df.collect()]
+        want = [
+            (k, n, sv) for k, n, sv in (
+                (r.k, r.n, r.sv)
+                for r in raw.groupBy("k")
+                .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+                .orderBy("k").collect())
+            if sv > 1170
+        ]
+        assert got == want and 0 < len(got) < 3
+        # exact grid match (GROUP BY k == grid keys): HAVING becomes a
+        # row filter on the grid
+        df = api.sql("SELECT k, count(*) AS n FROM hdocs GROUP BY k "
+                     "HAVING count(*) >= 20 ORDER BY k")
+        assert api.last_routed_rollup == "h_grid"
+        assert [(r.k, r.n) for r in df.collect()] == [("a", 20), ("b", 20),
+                                                      ("c", 20)]
+        # avg in HAVING finalizes from sum+count partials
+        df = api.sql("SELECT k, avg(v) AS av FROM hdocs GROUP BY k "
+                     "HAVING avg(v) > 58 ORDER BY k")
+        assert api.last_routed_rollup == "h_grid"
+        avs = {r.k: r.av for r in df.collect()}
+        raw_avs = {
+            r.k: r.av for r in raw.groupBy("k")
+            .agg(F.avg("v").alias("av")).collect() if r.av > 58
+        }
+        assert avs == raw_avs and avs
+
+    def test_unmappable_having_falls_back(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data, _raw = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        # max(v) is not in the grid: must fall back to raw (and still run)
+        df = api.sql("SELECT k, count(*) AS n FROM hdocs GROUP BY k "
+                     "HAVING max(v) > 0 ORDER BY k")
+        assert api.last_routed_rollup is None
+        assert df.count() == 3

@@ -147,6 +147,8 @@ AUDITS: dict[str, set[str]] = {
     "rollup_routed_timerange": {"rollup_scan", "partial", "pushdown"},
     # exact count(distinct key) as a grid row count (r09)
     "rollup_routed_count_distinct": {"rollup_scan", "partial"},
+    # HAVING on re-merged grid aggregates (r09)
+    "rollup_routed_having": {"rollup_scan", "partial"},
     # skewed-band dedup (r08): the reps join must carry the salt in its
     # join keys (hot bucket spread over SKEW_SALT partitions) and the
     # min-per-bucket agg must be map-side partial (hot key absorbed
@@ -665,6 +667,7 @@ def main() -> None:
         routed_avg_plan_text,
         routed_cntd_plan_text,
         routed_filtered_plan_text,
+        routed_having_plan_text,
         routed_minmax_plan_text,
         routed_plan_text,
         routed_timegrid_plan_text,
@@ -679,6 +682,7 @@ def main() -> None:
         "rollup_routed_timegrid": routed_timegrid_plan_text,
         "rollup_routed_timerange": routed_timerange_plan_text,
         "rollup_routed_count_distinct": routed_cntd_plan_text,
+        "rollup_routed_having": routed_having_plan_text,
     }
     for name, flags in AUDITS.items():
         if name in special_plans:
