@@ -322,6 +322,40 @@ def synthesize_pattern_pngs(df: DataFrame, id_col: str = "media_id",
     return df.mapInPandas(synth, schema="media_id bigint, payload binary")
 
 
+def synthesize_depth_pngs(df: DataFrame, id_col: str = "media_id",
+                          side: int = 16) -> DataFrame:
+    """Bit-depth fixture family (r09): per id, a side x side GRAYSCALE
+    PNG at depth 1/2/4/16 cycling on id % 4, pixel i = (id*31 + i*7) mod
+    2^depth, rows cycling all five filter types, Adam7 on odd ids —
+    every depth x filter x interlace reconstruction path under the
+    oracle gate. Output: (media_id, payload, depth)."""
+    import numpy as np
+    import pandas as pd
+
+    from .png import encode_png
+
+    depths = (1, 2, 4, 16)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            idx = np.arange(side * side, dtype=np.int64)
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                depth = depths[mid % 4]
+                img = ((mid * 31 + idx * 7) % (1 << depth)).reshape(
+                    side, side)
+                img = img.astype(np.uint16 if depth == 16 else np.uint8)
+                rows.append((mid, encode_png(
+                    img, lambda y: y % 5, interlace=bool(mid % 2),
+                    depth=depth), depth))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "depth"])
+
+    return df.mapInPandas(
+        synth, schema="media_id bigint, payload binary, depth int")
+
+
 def frame_sample(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "media_id", every_n_bytes: int = 1024,
                  max_frames: int = 8) -> DataFrame:

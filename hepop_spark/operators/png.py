@@ -7,11 +7,17 @@ baseline JPEG (r08) as a REAL decode: chunk framing with CRC-32
 verification (zlib.crc32), IHDR validation, IDAT concatenation + inflate,
 per-scanline filter reconstruction (None/Sub/Up/Average/Paeth — the full
 filter set of the spec), and color-type assembly for grayscale (0),
-truecolor (2), palette (3, via PLTE), gray+alpha (4) and RGBA (6) at bit
-depth 8, and (r09) Adam7 interlacing — each of the seven passes is an
+truecolor (2), palette (3, via PLTE), gray+alpha (4) and RGBA (6),
+(r09) Adam7 interlacing — each of the seven passes is an
 independently-filtered sub-image scattered back on the 8x8 pixel
-lattice. Rejected loudly: bit depths != 8 — an honest gate, never wrong
-answers.
+lattice — and (r09, closing the decoder's last refusal) EVERY legal bit
+depth: 1/2/4-bit packed samples (MSB-first within a byte, rows padded to
+a byte boundary), 8-bit, and big-endian 16-bit. Filters operate on the
+BYTE stream with bpp = max(1, channels*depth/8) exactly as the spec
+prescribes; sub-byte samples are unpacked AFTER reconstruction. Decoded
+values are the raw sample codes (no display scaling), so
+decode(encode(x)) == x exactly at every depth. Only illegal
+(depth, color-type) combinations raise.
 
 PNG is LOSSLESS, so decode(encode(img)) == img exactly — the oracle for
 the judged entry is simply the fixture generator itself, with the real
@@ -33,6 +39,34 @@ import numpy as np
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # samples per pixel by color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths by color type (PNG spec 11.2.2)
+_ALLOWED_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                   4: (8, 16), 6: (8, 16)}
+
+
+def _pack_row(samples: np.ndarray, depth: int) -> bytes:
+    """One scanline of samples -> the spec's byte layout: big-endian
+    16-bit, straight bytes at 8, MSB-first bit packing below 8 (the row
+    pads to a byte boundary with zero bits)."""
+    if depth == 16:
+        return samples.astype(">u2").tobytes()
+    if depth == 8:
+        return samples.astype(np.uint8).tobytes()
+    bits = ((samples.astype(np.uint8)[:, None]
+             >> np.arange(depth - 1, -1, -1, dtype=np.uint8)) & 1).ravel()
+    return np.packbits(bits).tobytes()
+
+
+def _unpack_row(buf: np.ndarray, n: int, depth: int) -> np.ndarray:
+    """Inverse of _pack_row over a reconstructed scanline's bytes."""
+    if depth == 16:
+        return np.frombuffer(
+            buf.tobytes(), dtype=">u2", count=n).astype(np.uint16)
+    if depth == 8:
+        return buf[:n]
+    bits = np.unpackbits(buf)[: n * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits.reshape(n, depth) * weights).sum(axis=1).astype(np.uint8)
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -113,30 +147,40 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def _filter_image(pix: np.ndarray, chans: int, pick) -> bytes:
-    """Filter one (sub-)image: pix is (ph, pw, chans) pixels; the Prior
-    row resets at the image top (per-pass independence in Adam7)."""
+def _filter_image(pix: np.ndarray, chans: int, pick,
+                  depth: int = 8) -> bytes:
+    """Filter one (sub-)image: pix is (ph, pw, chans) SAMPLES; rows are
+    packed to the spec's byte layout first, and the filters run on BYTES
+    with bpp = max(1, chans*depth/8) (spec 4.5.2). The Prior row resets
+    at the image top (per-pass independence in Adam7)."""
     ph, pw = pix.shape[:2]
-    raw = pix.reshape(ph, pw * chans)
+    samples = pix.reshape(ph, pw * chans)
+    bpp = max(1, chans * depth // 8)
+    packed = [
+        np.frombuffer(_pack_row(samples[y], depth), dtype=np.uint8)
+        for y in range(ph)
+    ]
     lines = bytearray()
-    prev = np.zeros(pw * chans, dtype=np.uint8)
+    prev = np.zeros(len(packed[0]) if packed else 0, dtype=np.uint8)
     for y in range(ph):
         ft = int(pick(y))
         lines.append(ft)
-        lines += _filter_row(ft, raw[y], prev, chans).tobytes()
-        prev = raw[y]
+        lines += _filter_row(ft, packed[y], prev, bpp).tobytes()
+        prev = packed[y]
     return bytes(lines)
 
 
 def encode_png(img: np.ndarray, filter_type=0,
                palette: np.ndarray | None = None,
-               interlace: bool = False) -> bytes:
-    """Encode a uint8 array as PNG: (H, W) gray, (H, W) + palette ->
+               interlace: bool = False, depth: int = 8) -> bytes:
+    """Encode a sample array as PNG: (H, W) gray, (H, W) + palette ->
     color type 3 (values are palette indices), (H, W, 2) gray+alpha,
     (H, W, 3) RGB, (H, W, 4) RGBA. ``filter_type`` is an int applied to
     every row or a callable row_index -> int, so fixtures can exercise
     every reconstruction path deterministically. ``interlace`` emits the
-    Adam7 seven-pass layout (r09)."""
+    Adam7 seven-pass layout (r09). ``depth`` is any bit depth legal for
+    the derived color type (1/2/4/8 gray+palette, 8/16 everything);
+    sample values must fit the depth."""
     if img.ndim == 2:
         ctype = 3 if palette is not None else 0
         chans = 1
@@ -145,20 +189,24 @@ def encode_png(img: np.ndarray, filter_type=0,
         chans = img.shape[2]
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
+    if depth not in _ALLOWED_DEPTHS[ctype]:
+        raise ValueError(
+            f"bit depth {depth} illegal for color type {ctype}")
     h, w = img.shape[:2]
-    pix = img.reshape(h, w, chans).astype(np.uint8)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    pix = img.reshape(h, w, chans).astype(dtype)
     pick = filter_type if callable(filter_type) else (lambda _y: filter_type)
     if interlace:
         lines = b"".join(
-            _filter_image(pix[y0::dy, x0::dx], chans, pick)
+            _filter_image(pix[y0::dy, x0::dx], chans, pick, depth)
             for x0, y0, dx, dy in _ADAM7
             if pix[y0::dy, x0::dx].size
         )
     else:
-        lines = _filter_image(pix, chans, pick)
+        lines = _filter_image(pix, chans, pick, depth)
     out = bytearray(_SIGNATURE)
     out += _chunk(b"IHDR", struct.pack(
-        ">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0))
+        ">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0))
     if ctype == 3:
         out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
     out += _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
@@ -191,15 +239,16 @@ def decode_png(data: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body)
-            if depth != 8:
-                raise ValueError(f"bit depth {depth} unsupported (8 only)")
             if color not in _CHANNELS:
                 raise ValueError(f"color type {color} invalid")
+            if depth not in _ALLOWED_DEPTHS[color]:
+                raise ValueError(
+                    f"bit depth {depth} illegal for color type {color}")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
             if interlace not in (0, 1):
                 raise ValueError(f"unknown interlace method {interlace}")
-            ihdr = (w, h, color, interlace)
+            ihdr = (w, h, depth, color, interlace)
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -209,8 +258,10 @@ def decode_png(data: bytes) -> np.ndarray:
         # ancillary chunks skipped (CRC still verified above)
     if ihdr is None:
         raise ValueError("missing IHDR")
-    w, h, color, interlace = ihdr
+    w, h, depth, color, interlace = ihdr
     chans = _CHANNELS[color]
+    sdtype = np.uint16 if depth == 16 else np.uint8
+    bpp = max(1, chans * depth // 8)
     if not idat:
         raise ValueError("missing IDAT")
     try:
@@ -219,8 +270,9 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt IDAT deflate stream: {e}") from None
 
     def unfilter(pw: int, ph: int, offset: int) -> tuple[np.ndarray, int]:
-        stride = pw * chans
-        sub = np.zeros((ph, stride), dtype=np.uint8)
+        nsamp = pw * chans
+        stride = (nsamp * depth + 7) // 8  # rows pad to a byte boundary
+        sub = np.zeros((ph, nsamp), dtype=sdtype)
         prev = np.zeros(stride, dtype=np.uint8)
         pos = offset
         for y in range(ph):
@@ -229,15 +281,16 @@ def decode_png(data: bytes) -> np.ndarray:
             ft = raw[pos]
             row = np.frombuffer(raw, dtype=np.uint8, count=stride,
                                 offset=pos + 1)
-            sub[y] = _unfilter_row(ft, row, prev, chans)
-            prev = sub[y]
+            rec = _unfilter_row(ft, row, prev, bpp)
+            sub[y] = _unpack_row(rec, nsamp, depth)
+            prev = rec
             pos += stride + 1
         return sub.reshape(ph, pw, chans), pos
 
     if interlace:
         # Adam7 (r09): seven independently-filtered sub-images scattered
         # back on the 8x8 pixel lattice; empty passes contribute nothing
-        img = np.zeros((h, w, chans), dtype=np.uint8)
+        img = np.zeros((h, w, chans), dtype=sdtype)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
@@ -250,11 +303,12 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("IDAT length does not match Adam7 passes")
         out = img.reshape(h, w * chans)
     else:
-        stride = w * chans
+        nsamp = w * chans
+        stride = (nsamp * depth + 7) // 8
         if len(raw) != h * (stride + 1):
             raise ValueError("IDAT length does not match dimensions")
         out, _pos = unfilter(w, h, 0)
-        out = out.reshape(h, stride)
+        out = out.reshape(h, nsamp)
     if color == 0:
         return out
     if color == 3:

@@ -319,6 +319,61 @@ GROUP BY doc_id
 """
 
 
+PNG_DEPTH_DOCS = 300
+
+
+def multimodal_png_depths(spark: SparkSession, sf: str) -> DataFrame:
+    """Every legal PNG bit depth through the REAL decoder (r09 — the
+    codec's last refusal closed): per id, a grayscale fixture at depth
+    1/2/4/16 (cycling), rows cycling all five filter types, Adam7
+    interlacing on odd ids. Sub-byte rows pack MSB-first and pad to a
+    byte boundary; 16-bit samples are big-endian; filters run on the
+    byte stream with the spec's bpp. Decode is byte/bit-exact at every
+    depth (PNG is lossless), so the decoded channel sums equal the
+    closed-form generator — the oracle needs no rounding contract.
+
+    Scale: synthesis and decode are Arrow-batched mapInPandas passes, no
+    shuffle; bytes never leave the scanning executor."""
+    from ..operators.multimodal import decode_png_stats, synthesize_depth_pngs
+
+    ids = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < PNG_DEPTH_DOCS)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    fx = synthesize_depth_pngs(ids, side=PNG_SIDE)
+    stats = decode_png_stats(fx.select("media_id", "payload"))
+    return stats.join(fx.select("media_id", "depth"), "media_id").select(
+        "media_id", "depth", "width", "height", "sum_r", "sum_g", "sum_b")
+
+
+def _png_depths_oracle_sql() -> str:
+    n_px = PNG_SIDE * PNG_SIDE
+    return f"""
+WITH ids AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                         WHEN 2 THEN 4 ELSE 16 END AS depth
+  FROM documents WHERE doc_id < {PNG_DEPTH_DOCS}
+), px AS (
+  SELECT doc_id, depth, CAST(i.i AS BIGINT) AS i
+  FROM ids, unnest(range(0, {n_px})) i(i)
+)
+SELECT doc_id AS media_id,
+       CAST(depth AS INTEGER) AS depth,
+       CAST({PNG_SIDE} AS INTEGER) AS width,
+       CAST({PNG_SIDE} AS INTEGER) AS height,
+       CAST(sum((doc_id * 31 + i * 7) % (1::BIGINT << depth)) AS BIGINT)
+         AS sum_r,
+       CAST(sum((doc_id * 31 + i * 7) % (1::BIGINT << depth)) AS BIGINT)
+         AS sum_g,
+       CAST(sum((doc_id * 31 + i * 7) % (1::BIGINT << depth)) AS BIGINT)
+         AS sum_b
+FROM px
+GROUP BY doc_id, depth
+"""
+
+
 WAV_DOCS = 400
 WAV_FRAMES = 256
 WAV_RATE = 8000
@@ -1269,6 +1324,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="real baseline JPEG decode (pure-numpy Huffman + IDCT + "
             "YCbCr->RGB over synthesized JFIF streams); oracle replays "
             "the exact-roundtrip chain in closed form",
+    ),
+    "multimodal_png_depths": QuerySpec(
+        multimodal_png_depths, _png_depths_oracle_sql(),
+        doc="all legal PNG bit depths (1/2/4/16, packed/big-endian "
+            "samples, every filter, Adam7 on odd ids) through the real "
+            "decoder; closed-form exact channel sums",
     ),
     "multimodal_png_decode": QuerySpec(
         multimodal_png_decode, _png_oracle_sql(),

@@ -545,3 +545,72 @@ class TestHavingRouting:
                      "HAVING max(v) > 0 ORDER BY k")
         assert api.last_routed_rollup is None
         assert df.count() == 3
+
+
+class TestPngBitDepths:
+    """r09: every legal (depth, color type) decodes byte/bit-exactly;
+    illegal combinations still reject loudly."""
+
+    def test_roundtrip_grid(self):
+        import numpy as np
+
+        from hepop_spark.operators.png import decode_png, encode_png
+
+        rng = np.random.default_rng(7)
+        cases = [
+            (1, (13, 9), None), (2, (8, 8), None), (4, (11, 5), None),
+            (16, (6, 10), None), (16, (5, 4, 3), None),
+            (16, (5, 4, 4), None), (16, (5, 4, 2), None),
+            (2, (7, 7), (np.arange(12).reshape(4, 3) * 20).astype("uint8")),
+            (4, (10, 6), (np.arange(48).reshape(16, 3) * 5).astype("uint8")),
+        ]
+        for depth, shape, pal in cases:
+            maxv = (len(pal) - 1) if pal is not None else ((1 << depth) - 1)
+            img = rng.integers(0, maxv + 1, size=shape).astype(
+                np.uint16 if depth == 16 else np.uint8)
+            for il in (False, True):
+                dec = decode_png(encode_png(
+                    img, lambda y: y % 5, palette=pal, interlace=il,
+                    depth=depth))
+                want = pal[img] if pal is not None else img
+                assert dec.shape == want.shape and (dec == want).all(), (
+                    depth, shape, il)
+
+    def test_illegal_combos_reject(self):
+        import numpy as np
+        import pytest
+
+        from hepop_spark.operators.png import decode_png, encode_png
+
+        with pytest.raises(ValueError, match="illegal"):
+            encode_png(np.zeros((4, 4, 3), np.uint8), depth=4)
+        with pytest.raises(ValueError, match="illegal"):
+            encode_png(np.zeros((4, 4), np.uint8),
+                       palette=np.zeros((2, 3), np.uint8), depth=16)
+        # a stream CLAIMING an illegal header combo rejects on decode
+        good = bytearray(encode_png(np.zeros((4, 4), np.uint8), depth=8))
+        # IHDR body starts at offset 16: width(4) height(4) depth(1) ...
+        good[16 + 8] = 3  # depth=3 is illegal everywhere
+        import struct
+        import zlib as _z
+        body = bytes(good[16:16 + 13])
+        good[16 + 13:16 + 17] = struct.pack(
+            ">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+        with pytest.raises(ValueError, match="illegal"):
+            decode_png(bytes(good))
+
+    def test_stats_face_handles_uint16(self, spark):
+        """decode_png_stats sums 16-bit samples exactly (int64 face)."""
+        import numpy as np
+
+        from hepop_spark.operators.multimodal import decode_png_stats
+        from hepop_spark.operators.png import encode_png
+
+        img = (np.arange(64, dtype=np.uint16) * 1021).reshape(8, 8)
+        blob = encode_png(img, 2, depth=16)
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "media_id long, payload binary")
+        row = decode_png_stats(df).collect()[0]
+        want = int(img.astype(np.int64).sum())
+        assert (row.sum_r, row.sum_g, row.sum_b) == (want, want, want)
+        assert (row.width, row.height) == (8, 8)

@@ -130,6 +130,8 @@ AUDITS: dict[str, set[str]] = {
     # API-routed bloom lookup (r09): same lifecycle shape; the in-entry
     # breadcrumb assertion (files_read < files_live) is the prune proof
     "bloom_routed_lookup": set(),
+    # all-depth PNG decode (r09): Arrow-batched mapInPandas codec stage
+    "multimodal_png_depths": {"arrow_ok"},
     # aggregate->rollup routing (r08): the audited plan is the ROUTED
     # query's (routed_plan_text probe, SPECIAL_PLANS below) — rollup_scan
     # asserts the grid parquet is scanned and the raw table is NOT
