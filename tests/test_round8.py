@@ -728,12 +728,13 @@ class TestPngCodec:
             decode_png(bytes(data))
         with pytest.raises(ValueError, match="signature"):
             decode_png(b"\xff\xd8\xff\xe0 not a png")
-        # 16-bit depth and unknown interlace methods rejected, not
-        # mis-decoded (Adam7 itself DECODES for real since r09 —
-        # tests/test_round9.py::TestAdam7Png)
+        # ILLEGAL depth/color combos and unknown interlace methods
+        # rejected, not mis-decoded (Adam7 decodes for real since r09;
+        # ALL legal bit depths decode for real since late r09 —
+        # tests/test_round9b.py::TestPngBitDepths)
         sig = b"\x89PNG\r\n\x1a\n"
         deep = sig + _chunk(
-            b"IHDR", struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0))
+            b"IHDR", struct.pack(">IIBBBBB", 8, 8, 4, 2, 0, 0, 0))
         with pytest.raises(ValueError, match="bit depth"):
             decode_png(deep)
         bad_im = sig + _chunk(
