@@ -184,9 +184,10 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True,
                 from .storage.bloom_index import (
                     bloom_index_refresh,
                     sidecar_cols,
+                    zone_cols,
                 )
 
-                if sidecar_cols(tdir):
+                if sidecar_cols(tdir) or zone_cols(tdir):
                     try:
                         r = bloom_index_refresh(spark, tdir)
                         if r:

@@ -138,7 +138,8 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
                    merge_schema: bool = True,
                    cache: dict[str, str] | None = None,
                    bloom_probe: tuple[str, list] | None = None,
-                   view_name: str | None = None) -> bool:
+                   view_name: str | None = None,
+                   file_filter=None) -> bool:
     """Serve-mode FRESH-METADATA table resolution (reference query.js:22-63:
     the table's file set is re-listed on EVERY query, re-read at :36-38, so
     a measurement first written milliseconds ago is immediately queryable).
@@ -164,10 +165,13 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
     intersected with its Bloom sidecar's admitted files for the probe
     values (storage/bloom_index.bloom_candidates — dirs without a
     sidecar keep their full list, so pruning is result-invisible for
-    any query whose WHERE implies col ∈ values). The pruned view is
-    registered under ``view_name`` (required with bloom_probe; pruned
-    views are per-query, so the fingerprint cache is bypassed and the
-    CALLER owns dropping the view).
+    any query whose WHERE implies col ∈ values). ``file_filter`` is the
+    general form: a callable (writer_dir) -> kept relative files
+    (already intersected with whatever sidecars apply) or None for "no
+    pruning in this dir". The pruned view is registered under
+    ``view_name`` (required with either; pruned views are per-query, so
+    the fingerprint cache is bypassed and the CALLER owns dropping the
+    view).
     """
     import glob as _glob
 
@@ -200,14 +204,19 @@ def discover_table(spark: SparkSession, data_dir: str, name: str,
             # between enable_manifest's mkdir and its first publish):
             # listing stays truth rather than hiding live data (r08 ADVICE)
             dirs.append((d, None, None))
-    if bloom_probe is not None:
+    if bloom_probe is not None or file_filter is not None:
         from .storage.bloom_index import bloom_candidates
 
-        assert view_name is not None, "bloom_probe requires view_name"
-        col, values = bloom_probe
+        assert view_name is not None, "pruned reads require view_name"
+        if file_filter is None:
+            col, values = bloom_probe
+            file_filter = lambda d: bloom_candidates(d, col, values)[0]  # noqa: E731
         pruned_dirs: list[tuple[str, list[str] | None, str | None]] = []
         for d, pinned, _t in dirs:
-            kept, _live, _np = bloom_candidates(d, col, values)
+            kept = file_filter(d)
+            if kept is None:
+                pruned_dirs.append((d, pinned, None))
+                continue
             if pinned is not None:
                 kept = [f for f in kept if f in set(pinned)]
             if kept:

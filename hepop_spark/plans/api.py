@@ -368,16 +368,17 @@ class HepopQueryAPI:
         return self.spark.sql(q)
 
     def _try_bloom_sql(self, q: str) -> DataFrame | None:
-        """Answer `q` from a Bloom-pruned file set when its WHERE contains
-        an equality/IN conjunct on a sidecar-indexed column
-        (storage/bloom_index.py). The rewrite is result-invisible by the
-        no-false-negative property: every file that can hold a matching
-        row is admitted, the predicate itself still runs, and dirs
-        without a sidecar keep their full file list — so this path can
-        only ever REMOVE scan work. Anything un-analyzable returns None
-        and the raw view answers. The pruned view is per-query (unique
-        name, dropped after analysis): concurrent HTTP threads never
-        share one."""
+        """Answer `q` from a sidecar-pruned file set when its WHERE
+        carries conjuncts a per-file index can serve
+        (storage/bloom_index.py): equality/IN against a Bloom-bitmapped
+        column, range/BETWEEN/equality against a min-max ZONE column.
+        All applicable probes INTERSECT (every conjunct must hold, so a
+        file any probe excludes cannot hold a matching row); the
+        predicate itself still runs; dirs without a sidecar keep their
+        full file list — this path can only ever REMOVE scan work.
+        Anything un-analyzable returns None and the raw view answers.
+        The pruned view is per-query (unique name, dropped after
+        analysis): concurrent HTTP threads never share one."""
         import glob as _glob
         import os
         import uuid as _uuid
@@ -401,68 +402,112 @@ class HepopQueryAPI:
             dtypes = dict(self.spark.table(table).dtypes)
         except Exception:
             return None
-        probe: tuple[str, list] | None = None
+
+        def _lit_value(lit: str, col: str, *, for_zone: bool):
+            lit = lit.strip()
+            if lit.startswith("'"):
+                return lit[1:-1] if dtypes.get(col) == "string" else None
+            integral = ("bigint", "int", "smallint", "tinyint")
+            if re.fullmatch(r"-?\d+", lit):
+                # bloom bitmaps hash CAST(col AS STRING): only exact
+                # integral matches reproduce; zone compares numerically,
+                # so numeric columns of any type are fine
+                if for_zone:
+                    return (int(lit) if dtypes.get(col) in integral
+                            + ("double", "float") else None)
+                return int(lit) if dtypes.get(col) in integral else None
+            if for_zone and re.fullmatch(r"-?\d+\.\d+", lit):
+                return (float(lit) if dtypes.get(col) in ("double", "float")
+                        else None)
+            return None
+
+        dir_glob = os.path.join(self.data_dir, "*", "dbs", table)
+
+        def _has(sub: str, col: str) -> bool:
+            return bool(_glob.glob(
+                os.path.join(dir_glob, sub, f"{col}.json")))
+
+        probes = []   # list of (kind, col, payload) for the breadcrumb
+        fns = []      # per-dir candidate functions
+        from ..storage.bloom_index import bloom_candidates, zone_candidates
+
         for c in conjs:
             m = re.fullmatch(
-                r"\s*(?P<col>[A-Za-z_]\w*)\s*(?:=\s*(?P<lit>" + _LIT + r")"
+                r"\s*(?P<col>[A-Za-z_]\w*)\s*(?:(?P<op>>=|<=|>|<|=)\s*"
+                r"(?P<lit>" + _LIT + r")"
+                r"|BETWEEN\s+(?P<lo>" + _LIT + r")\s+AND\s+(?P<hi>"
+                + _LIT + r")"
                 r"|IN\s*\(\s*(?P<ins>(" + _LIT + r")(\s*,\s*(" + _LIT
                 + r"))*)\s*\))\s*",
                 c, re.IGNORECASE | re.DOTALL)
             if not m:
                 continue
             col = m.group("col")
-            lits = ([m.group("lit")] if m.group("lit")
-                    else _split_top_level(m.group("ins")))
-            vals: list = []
-            for lit in lits:
-                lit = lit.strip()
-                if lit.startswith("'"):
-                    if dtypes.get(col) != "string":
-                        vals = []
-                        break
-                    vals.append(lit[1:-1])
-                elif re.fullmatch(r"-?\d+", lit):
-                    # integral literal on an integral column: the bitmap
-                    # was built over CAST(col AS STRING), and str(int)
-                    # reproduces it exactly; doubles do NOT (1 vs 1.0)
-                    if dtypes.get(col) not in ("bigint", "int", "smallint",
-                                               "tinyint"):
-                        vals = []
-                        break
-                    vals.append(int(lit))
-                else:
-                    vals = []
-                    break
-            if not vals:
-                continue
-            if _glob.glob(os.path.join(
-                    self.data_dir, "*", "dbs", table, "_bloom",
-                    f"{col}.json")):
-                probe = (col, vals)
-                break
-        if probe is None:
+            op = m.group("op")
+            if op == "=" or m.group("ins") is not None:
+                lits = ([m.group("lit")] if op == "="
+                        else _split_top_level(m.group("ins")))
+                vals = [_lit_value(v, col, for_zone=False) for v in lits]
+                if all(v is not None for v in vals) and _has("_bloom", col):
+                    probes.append(("bloom", col))
+                    fns.append(
+                        lambda d, col=col, vals=vals:
+                        bloom_candidates(d, col, vals)[0])
+                    continue
+            lo = hi = None
+            if op in (">", ">="):
+                lo = _lit_value(m.group("lit"), col, for_zone=True)
+                ok_range = lo is not None
+            elif op in ("<", "<="):
+                hi = _lit_value(m.group("lit"), col, for_zone=True)
+                ok_range = hi is not None
+            elif op == "=":
+                lo = hi = _lit_value(m.group("lit"), col, for_zone=True)
+                ok_range = lo is not None
+            elif m.group("lo") is not None:
+                lo = _lit_value(m.group("lo"), col, for_zone=True)
+                hi = _lit_value(m.group("hi"), col, for_zone=True)
+                ok_range = lo is not None and hi is not None
+            else:
+                ok_range = False
+            # strict bounds keep zone semantics: pruning by the CLOSED
+            # interval is a superset of the open one — never wrong
+            if ok_range and _has("_zone", col):
+                probes.append(("zone", col))
+                fns.append(
+                    lambda d, col=col, lo=lo, hi=hi:
+                    zone_candidates(d, col, lo, hi)[0])
+        if not fns:
             return None
+
+        def file_filter(d: str) -> list[str]:
+            kept = None
+            for fn in fns:
+                got = set(fn(d))
+                kept = got if kept is None else (kept & got)
+            return sorted(kept)
+
         from ..catalog import discover_table
 
-        view = f"{table}__bloom_{_uuid.uuid4().hex[:8]}"
+        view = f"{table}__pruned_{_uuid.uuid4().hex[:8]}"
         try:
             if not discover_table(self.spark, self.data_dir, table,
-                                  self.last_hep_type, bloom_probe=probe,
+                                  self.last_hep_type,
+                                  file_filter=file_filter,
                                   view_name=view):
                 return None
             q2 = _FROM_RE.sub(f"FROM {view}", q, count=1)
             df = self.spark.sql(q2)  # analyzed eagerly: view resolved here
-            from ..storage.bloom_index import bloom_candidates
+            from ..storage.bloom_index import _live_files
 
-            stats = [
-                bloom_candidates(d, probe[0], probe[1])
-                for d in sorted(_glob.glob(
-                    os.path.join(self.data_dir, "*", "dbs", table)))
-            ]
+            dirs = sorted(_glob.glob(dir_glob))
+            n_live = sum(len(_live_files(d)) for d in dirs)
+            n_read = sum(len(file_filter(d)) for d in dirs)
             self.last_bloom_pruned = {
-                "col": probe[0],
-                "files_live": sum(s[1] for s in stats),
-                "files_read": sum(len(s[0]) for s in stats),
+                "probes": probes,
+                "col": probes[0][1],
+                "files_live": n_live,
+                "files_read": n_read,
             }
             return df
         except Exception:

@@ -693,6 +693,59 @@ ORDER BY lang
 
 
 
+
+
+ZONE_ROUTED_SQL_TEXT = (
+    "SELECT count(*) AS n, sum(value) AS sv FROM evranges "
+    "WHERE value BETWEEN 50 AND 60"
+)
+
+
+def zone_routed_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-predicate file skipping through the query API (r09): the
+    serve table is laid out range-partitioned on `value`
+    (repartitionByRange — the zone map's natural companion, same story
+    as z-order), a per-file min/max ZONE sidecar is built
+    (storage/bloom_index.zone_index_update), and the user's BETWEEN
+    routes onto a pruned view whose file list keeps only zones
+    intersecting [50, 60]. Absence-means-scan keeps it result-invisible;
+    the entry hard-fails unless pruning engaged. The oracle recomputes
+    from the raw events table.
+
+    Scale: min/max zones + range layout are THE first-line pruning axis
+    for non-time dimensions at 100 TB (the reference's metadata.json
+    time index generalized to any column)."""
+    from ..plans.api import HepopQueryAPI
+    from ..storage.bloom_index import zone_index_update
+
+    ev = load_table(spark, sf, "events").select("event_id", "value")
+    root = tempfile.mkdtemp(prefix="zone_route_")
+    data = os.path.join(root, "data")
+    try:
+        tbl = os.path.join(data, "w1", "dbs", "evranges")
+        ev.repartitionByRange(8, "value").write.parquet(tbl)
+        zone_index_update(spark, tbl, "value")
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        df = api.sql(ZONE_ROUTED_SQL_TEXT)
+        rows = df.collect()
+        bp = api.last_bloom_pruned
+        if not bp or ("zone", "value") not in bp["probes"]:
+            raise AssertionError(f"zone probe did not engage: {bp}")
+        if bp["files_read"] >= bp["files_live"]:
+            raise AssertionError(f"zone pruning removed nothing: {bp}")
+        out = [(rows[0]["n"], round(rows[0]["sv"], 2))]
+        return spark.createDataFrame(out, "n bigint, sv double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ZONE_ROUTED_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sv
+FROM events WHERE value BETWEEN 50 AND 60
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_routed_aggregate": QuerySpec(
         rollup_routed_aggregate, ROLLUP_ROUTED_SQL,
@@ -736,6 +789,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="HAVING routes: group-threshold conjuncts map through the "
             "same agg/avg rewrite (SUM re-merge, finalized division) and "
             "filter the re-aggregated grid; oracle recomputes from raw",
+    ),
+    "zone_routed_range": QuerySpec(
+        zone_routed_range, ZONE_ROUTED_SQL,
+        doc="per-file min/max zone sidecar + range layout: a BETWEEN "
+            "routes onto a pruned view reading only intersecting files "
+            "(pruning asserted in-entry); oracle recomputes from raw",
     ),
     "bloom_routed_lookup": QuerySpec(
         bloom_routed_lookup, BLOOM_ROUTED_SQL,

@@ -248,16 +248,31 @@ def sidecar_cols(base_path: str) -> list[str]:
         return []
 
 
+def zone_cols(base_path: str) -> list[str]:
+    """Columns with a min/max zone sidecar on this table."""
+    d = os.path.join(base_path, "_zone")
+    try:
+        return sorted(
+            f[:-len(".json")] for f in os.listdir(d)
+            if f.endswith(".json") and ".tmp." not in f
+        )
+    except OSError:
+        return []
+
+
 def bloom_reindex_files(spark: SparkSession, base_path: str,
                         files: list[str]) -> int:
-    """Index `files` (relative paths) in EVERY sidecar the table carries —
-    the compaction hook: replacement files must enter the index in the
-    same step that retires their inputs, or point lookups degrade to
-    scanning every compacted file (absence = must scan). Returns the
-    number of (file, col) pairs indexed."""
+    """Index `files` (relative paths) in EVERY sidecar the table carries
+    (bloom bitmaps AND min/max zones) — the compaction hook: replacement
+    files must enter the index in the same step that retires their
+    inputs, or point lookups degrade to scanning every compacted file
+    (absence = must scan). Returns the number of (file, col) pairs
+    indexed."""
     n = 0
     for col in sidecar_cols(base_path):
         n += bloom_index_update(spark, base_path, col, files=files)
+    for col in zone_cols(base_path):
+        n += zone_index_update(spark, base_path, col, files=files)
     return n
 
 
@@ -283,4 +298,105 @@ def bloom_index_refresh(spark: SparkSession, base_path: str) -> dict:
                 _merge_sidecar(base_path, col, doc, {})
             if n or dead:
                 out[col] = {"indexed": n, "vacuumed": len(dead)}
+        for col in zone_cols(base_path):
+            n = zone_index_update(spark, base_path, col)
+            doc = load_zone(base_path, col)
+            dead = [f for f in doc["files"] if f not in live]
+            if dead:
+                for f in dead:
+                    del doc["files"][f]
+                path = _zone_path(base_path, col)
+                tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(doc, fh)
+                os.rename(tmp, path)
+            if n or dead:
+                out[f"zone:{col}"] = {"indexed": n, "vacuumed": len(dead)}
     return out
+
+
+# --- min/max zone sidecar: the RANGE sibling of the bloom bitmaps ----------
+# Parquet footers already carry row-group min/max, but reading footers at
+# plan time still opens every file; the zone sidecar lifts per-FILE min/max
+# into the same _bloom/-style metadata dir so a range predicate prunes
+# files driver-side with zero file opens — the generalization of the
+# reference's metadata.json time index (query.js:22-63) to ANY column.
+
+
+def _zone_path(base_path: str, col: str) -> str:
+    return os.path.join(base_path, "_zone", f"{col}.json")
+
+
+def load_zone(base_path: str, col: str) -> dict | None:
+    try:
+        with open(_zone_path(base_path, col)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def zone_index_update(spark: SparkSession, base_path: str, col: str,
+                      files: list[str] | None = None) -> int:
+    """Record per-file [min, max] for `col` (None default: live files not
+    yet indexed). Same atomic-merge contract as the bloom sidecar."""
+    from .writer import table_lock
+
+    base_path = os.path.abspath(base_path)
+    with table_lock(base_path):
+        doc = load_zone(base_path, col) or {"col": col, "files": {}}
+        if files is None:
+            files = [f for f in _live_files(base_path)
+                     if f not in doc["files"]]
+        files = [f for f in files
+                 if os.path.isfile(os.path.join(base_path, f))]
+        if not files:
+            return 0
+        df = (
+            spark.read.option("basePath", base_path)
+            .parquet(*[os.path.join(base_path, f) for f in files])
+            .select(
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+                .alias("f"),
+                F.col(col).alias("v"),
+            )
+        )
+        agg = df.groupBy("f").agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"))
+        entries = {}
+        for r in agg.collect():
+            rel = os.path.relpath(r["f"], base_path)
+            entries[rel] = {"lo": r["lo"], "hi": r["hi"]}
+        for f in files:  # empty files: nothing can match any range
+            entries.setdefault(f, {"lo": None, "hi": None})
+        doc["files"].update(entries)
+        path = _zone_path(base_path, col)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.rename(tmp, path)
+        return len(files)
+
+
+def zone_candidates(base_path: str, col: str, lo, hi) -> tuple[list[str], int, int]:
+    """Live files whose [min, max] intersects [lo, hi] (None = open end).
+    Files without an entry are kept (absence = must scan); all-null files
+    carry (None, None) and are pruned — no value can satisfy a range."""
+    base_path = os.path.abspath(base_path)
+    live = _live_files(base_path)
+    doc = load_zone(base_path, col)
+    if doc is None:
+        return live, len(live), 0
+    entries = doc["files"]
+    kept = []
+    for f in live:
+        e = entries.get(f)
+        if e is None:
+            kept.append(f)
+            continue
+        flo, fhi = e["lo"], e["hi"]
+        if flo is None:  # all-null or empty
+            continue
+        if (lo is None or fhi >= lo) and (hi is None or flo <= hi):
+            kept.append(f)
+    return kept, len(live), len(live) - len(kept)

@@ -217,9 +217,9 @@ def compact_partition(spark: SparkSession, base_path: str, rel: str,
         # replacement files enter every bloom sidecar in the same step
         # that retired their inputs (absence = must-scan, so skipping
         # this would silently degrade point lookups, never break them)
-        from .bloom_index import bloom_reindex_files, sidecar_cols
+        from .bloom_index import bloom_reindex_files, sidecar_cols, zone_cols
 
-        if sidecar_cols(base_path):
+        if sidecar_cols(base_path) or zone_cols(base_path):
             new_rels = [
                 os.path.join(rel, f) for f in os.listdir(full)
                 if f.endswith(".parquet") and not f.startswith((".", "_"))
@@ -264,9 +264,9 @@ def _compact_partition_manifest(spark: SparkSession, base_path: str,
         ]
         replace_files(base_path, moves, old_rels)
         shutil.rmtree(tmp, ignore_errors=True)
-        from .bloom_index import bloom_reindex_files, sidecar_cols
+        from .bloom_index import bloom_reindex_files, sidecar_cols, zone_cols
 
-        if sidecar_cols(base_path):
+        if sidecar_cols(base_path) or zone_cols(base_path):
             bloom_reindex_files(
                 spark, base_path,
                 [os.path.relpath(dst, base_path) for _src, dst in moves])
@@ -368,9 +368,9 @@ def compact_ladder(spark: SparkSession, base_path: str, level: str = "hour",
         marker = os.path.join(base_path, target, "_SUCCESS")
         if os.path.exists(marker):
             os.remove(marker)
-        from .bloom_index import bloom_reindex_files, sidecar_cols
+        from .bloom_index import bloom_reindex_files, sidecar_cols, zone_cols
 
-        if sidecar_cols(base_path):
+        if sidecar_cols(base_path) or zone_cols(base_path):
             bloom_reindex_files(spark, base_path, [
                 os.path.join(target, f)
                 for f in os.listdir(full_target)
@@ -429,9 +429,9 @@ def _compact_ladder_manifest(spark: SparkSession, base_path: str,
             ]
             replace_files(base_path, moves, old_rels)
             shutil.rmtree(tmp, ignore_errors=True)
-            from .bloom_index import bloom_reindex_files, sidecar_cols
+            from .bloom_index import bloom_reindex_files, sidecar_cols, zone_cols
 
-            if sidecar_cols(base_path):
+            if sidecar_cols(base_path) or zone_cols(base_path):
                 bloom_reindex_files(
                     spark, base_path,
                     [os.path.relpath(dst, base_path) for _s, dst in moves])

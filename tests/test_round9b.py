@@ -614,3 +614,113 @@ class TestPngBitDepths:
         want = int(img.astype(np.int64).sum())
         assert (row.sum_r, row.sum_g, row.sum_b) == (want, want, want)
         assert (row.width, row.height) == (8, 8)
+
+
+class TestZoneSidecarIndex:
+    """r09: per-file min/max zone sidecar — range-predicate file skipping
+    (the bloom index's ordered sibling), including combined probes."""
+
+    def _write(self, spark, base, shards=8, n=400):
+        # values correlate with shard so ranges are file-localized
+        df = spark.range(0, n).select(
+            (F.col("id") % shards).alias("shard"),
+            (F.col("id") % shards * 1000 + F.col("id")).alias("v"),
+            F.concat(F.lit("k-"), F.col("id")).alias("key"),
+        )
+        df.repartition("shard").write.mode("append").partitionBy(
+            "shard").parquet(base)
+
+    def test_range_prune_never_loses_rows(self, spark, tmp_path):
+        from hepop_spark.storage.bloom_index import (
+            zone_candidates,
+            zone_index_update,
+        )
+
+        base = str(tmp_path / "tbl")
+        self._write(spark, base)
+        assert zone_index_update(spark, base, "v") > 0
+        kept, live, pruned = zone_candidates(base, "v", 3000, 4500)
+        assert pruned > 0 and kept
+        got = sorted(
+            r.v for r in spark.read.option("basePath", base)
+            .parquet(*[os.path.join(base, f) for f in kept])
+            .filter("v BETWEEN 3000 AND 4500").collect())
+        want = sorted(
+            r.v for r in spark.read.parquet(base)
+            .filter("v BETWEEN 3000 AND 4500").collect())
+        assert got == want and got
+        # open-ended ranges
+        kept, live, pruned = zone_candidates(base, "v", 7000, None)
+        assert pruned > 0
+        kept_all, _, p0 = zone_candidates(base, "v", None, None)
+        assert p0 == 0 and len(kept_all) == live
+
+    def test_api_routes_ranges_and_combined_probes(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.bloom_index import (
+            bloom_index_update,
+            zone_index_update,
+        )
+
+        data = tmp_path / "data"
+        base = str(data / "w1" / "dbs" / "mx")
+        self._write(spark, base)
+        zone_index_update(spark, base, "v")
+        bloom_index_update(spark, base, "key")
+        api = HepopQueryAPI(spark, default_window=False, data_dir=str(data))
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n FROM mx WHERE v >= 7000")
+        raw = spark.read.parquet(base).filter("v >= 7000").count()
+        assert rows == [{"n": raw}] and raw > 0
+        bp = api.last_bloom_pruned
+        assert bp and ("zone", "v") in bp["probes"]
+        assert bp["files_read"] < bp["files_live"]
+        # equality on a zone column uses the zone too
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n FROM mx WHERE v = 3003")
+        assert rows == [{"n": 1}]
+        assert ("zone", "v") in api.last_bloom_pruned["probes"]
+        # combined: bloom(key) AND zone(v) intersect; key k-3003 has
+        # v = 3*1000 + 3003... compute a real row: id=99 -> shard 3,
+        # v = 3*1000+99 = 3099, key k-99
+        rows, _ = api.query_json(
+            "SELECT v FROM mx WHERE key = 'k-99' AND v BETWEEN 3000 AND 3200")
+        assert rows == [{"v": 3099}]
+        bp = api.last_bloom_pruned
+        assert {p[0] for p in bp["probes"]} == {"bloom", "zone"}
+        assert bp["files_read"] <= 1
+        # BETWEEN fully outside any file's range: zero files read
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n FROM mx WHERE v BETWEEN 90000 AND 99000")
+        assert rows == [{"n": 0}]
+        assert api.last_bloom_pruned["files_read"] == 0
+
+    def test_zone_rides_compaction_and_refresh(self, spark, tmp_path):
+        from hepop_spark.storage.bloom_index import (
+            bloom_index_refresh,
+            load_zone,
+            zone_candidates,
+            zone_index_update,
+            _live_files,
+        )
+        from hepop_spark.storage.compaction import compact
+        from hepop_spark.storage.writer import write_partitioned
+
+        base = str(tmp_path / "tbl")
+        rows = spark.range(0, 240).select(
+            F.timestamp_micros(
+                (F.lit(1_709_280_000_000_000)
+                 + F.col("id") * 18_000_000).cast("long")).alias("timestamp"),
+            F.col("id").alias("v"),
+        )
+        write_partitioned(rows, base)
+        write_partitioned(rows, base)
+        zone_index_update(spark, base, "v")
+        assert compact(spark, base, min_files=2)
+        live = set(_live_files(base))
+        zc = load_zone(base, "v")
+        assert live <= set(zc["files"])  # replacements indexed by compact
+        kept, lv, pruned = zone_candidates(base, "v", 0, 30)
+        assert pruned > 0 and kept
+        bloom_index_refresh(spark, base)
+        assert set(load_zone(base, "v")["files"]) == live  # vacuumed

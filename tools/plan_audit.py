@@ -132,6 +132,8 @@ AUDITS: dict[str, set[str]] = {
     "bloom_routed_lookup": set(),
     # all-depth PNG decode (r09): Arrow-batched mapInPandas codec stage
     "multimodal_png_depths": {"arrow_ok"},
+    # zone-sidecar range routing (r09): lifecycle entry, pinned result
+    "zone_routed_range": set(),
     # aggregate->rollup routing (r08): the audited plan is the ROUTED
     # query's (routed_plan_text probe, SPECIAL_PLANS below) — rollup_scan
     # asserts the grid parquet is scanned and the raw table is NOT
