@@ -198,14 +198,19 @@ GATE_WINDOW_50 = (
     # r09 continuous-aggregation flagship: KMV sketch column class
     "kmv_distinct_maintained",
     # ANN / similarity family
-    "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_cosine_topk", "ann_ivfpq_topk",
     "lsh_range_search", "embedding_neardup",
+    # r09b: sidecar file skipping (bloom point lookup + min/max zone
+    # range, both through the SAME user SQL) and routed HAVING
+    "bloom_routed_lookup", "zone_routed_range", "rollup_routed_having",
     # multimodal (real decodes; y4m = real VIDEO decode, r09)
     "multimodal_jpeg_decode", "multimodal_y4m_frames",
     # text analysis
     "text_lang_id", "text_quality_score", "text_bpe_token_count",
     # bounded-state sketches + curation + SQL-surface heavies
-    "theta_sketch_setops", "ddsketch_quantiles", "curation_funnel",
+    "theta_sketch_setops", "curation_funnel",
+    # r09b: DDSketch histogram column class (continuous quantiles)
+    "ddsketch_maintained",
     "rollup_routed_aggregate",
 )
 
