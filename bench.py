@@ -95,6 +95,12 @@ EXTRA_R2 = [
     "dedup_skewed_band",
     "rollup_routed_aggregate",
     "multimodal_jpeg_decode",
+    # round-9 flagships: sidecar file skipping (bloom point lookup, zone
+    # range) and the DDSketch histogram column class — each timing spans
+    # build + probe on the bounded serve-tree fixture
+    "bloom_routed_lookup",
+    "zone_routed_range",
+    "ddsketch_maintained",
 ]
 
 

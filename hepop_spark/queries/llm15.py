@@ -33,6 +33,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+
 from ..catalog import load_table
 from . import QuerySpec
 from .llm14 import DD_SUB
@@ -229,6 +233,88 @@ ORDER BY 1
 """
 
 
+
+
+# --- dedup_unicode_nfc: normalization-aware exact dedup ---------------------
+
+_COMBINING_ACUTE = "\u0301"   # a + U+0301 == NFC => U+00E1 (á)
+_A_ACUTE = "\u00e1"
+
+
+def _nfc_udf():
+    """Unicode NFC via the stdlib (UAX #15) — vectorized Arrow batches;
+    the one legitimate Python stage (Spark has no normalization
+    builtin). Built lazily: pandas_udf registration needs an active
+    SparkSession, which does not exist at import time."""
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(lambda t: unicodedata.normalize("NFC", t)
+                         if t is not None else None)
+
+    return nfc
+
+
+def dedup_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-aware exact dedup (the pass every multilingual
+    corpus needs BEFORE hashing): canonically-equivalent strings with
+    different codepoint sequences — here composed U+00E1 vs decomposed
+    a+U+0301 variants planted per document — hash apart raw and collapse
+    under Unicode NFC. Per lang: variant rows, distinct raw hashes,
+    distinct NFC hashes; docs containing no 'a' produce byte-identical
+    variants (the raw distinct count already collapses those), so the
+    three counts pin both the normalization and the planting.
+
+    Oracle: DuckDB's utf8proc nfc_normalize vs Python's unicodedata —
+    two independent UAX #15 implementations must agree on every
+    document, or the hash mismatches.
+
+    Scale: one narrow map (JVM replace + one Arrow-batched NFC stage) +
+    one hash agg; no shuffle beyond the count-distincts."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    composed = docs.select(
+        "doc_id", "lang",
+        F.regexp_replace("text", "a", _A_ACUTE).alias("t"))
+    decomposed = docs.select(
+        "doc_id", "lang",
+        F.regexp_replace("text", "a", "a" + _COMBINING_ACUTE).alias("t"))
+    variants = composed.unionByName(decomposed)
+    nfc = _nfc_udf()
+    hashed = variants.select(
+        "lang",
+        F.md5("t").alias("h_raw"),
+        F.md5(nfc(F.col("t"))).alias("h_nfc"),
+    )
+    return (
+        hashed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.countDistinct("h_raw").alias("distinct_raw"),
+            F.countDistinct("h_nfc").alias("distinct_nfc"),
+        )
+        .orderBy("lang")
+    )
+
+
+NFC_SQL = """
+WITH v AS (
+  SELECT lang, replace(text, 'a', chr(225)) AS t FROM documents
+  UNION ALL
+  SELECT lang, replace(text, 'a', 'a' || chr(769)) AS t FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(count(DISTINCT md5(t)) AS BIGINT) AS distinct_raw,
+       CAST(count(DISTINCT md5(nfc_normalize(t))) AS BIGINT) AS distinct_nfc
+FROM v
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ddsketch_maintained": QuerySpec(
         ddsketch_maintained, DDM_SQL,
@@ -237,5 +323,12 @@ QUERIES: dict[str, QuerySpec] = {
             "addition monoid) in the maintained projection store; "
             "fold-invariant, redelivery-idempotent; per-key + merged-"
             "global p50/p95/p99 with integer-exact bucket math",
+    ),
+    "dedup_unicode_nfc": QuerySpec(
+        dedup_unicode_nfc, NFC_SQL,
+        doc="normalization-aware dedup: composed vs decomposed variants "
+            "hash apart raw and collapse under NFC (stdlib unicodedata "
+            "vs DuckDB utf8proc — two independent UAX#15 impls must "
+            "agree per document)",
     ),
 }

@@ -134,6 +134,9 @@ AUDITS: dict[str, set[str]] = {
     "multimodal_png_depths": {"arrow_ok"},
     # zone-sidecar range routing (r09): lifecycle entry, pinned result
     "zone_routed_range": set(),
+    # NFC dedup (r09): the Arrow NFC stage is the one legitimate Python
+    # step (no Spark normalization builtin); count-distincts are partial
+    "dedup_unicode_nfc": {"arrow_ok", "partial"},
     # aggregate->rollup routing (r08): the audited plan is the ROUTED
     # query's (routed_plan_text probe, SPECIAL_PLANS below) — rollup_scan
     # asserts the grid parquet is scanned and the raw table is NOT

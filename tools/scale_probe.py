@@ -157,6 +157,16 @@ def main() -> int:
             # must stay linear in the bucket, never quadratic
             "dedup_skewed_band",
             "streaming_lsh_maintain_replay",
+            # round-9: sidecar file skipping at 20x — the fixture tables
+            # inside each entry scale with the corpus (24 shards / 8
+            # range files over 20x events), the probe itself must stay
+            # driver-side bitmap/interval math + a few-file read
+            "bloom_routed_lookup",
+            "zone_routed_range",
+            # round-9: the DDSketch histogram class — per-batch partials
+            # scale with the batch, the stored grid with
+            # O(keys x log(max) x DD_SUB) buckets, never with rows
+            "ddsketch_maintained",
         ]
         timings: dict[str, dict] = {}
         for name in probes:
