@@ -177,23 +177,35 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True,
                     continue  # a mid-append listing race; next sweep retries
                 if res:
                     out[t] = res
-                # bloom sidecars: index files landed since the last sweep
-                # and drop entries compaction retired (correctness never
-                # depends on this — unindexed files always scan — it only
-                # keeps point lookups FAST as the table churns)
+                # sidecar indexes: bootstrap any DECLARED (BLOOM_COLS /
+                # ZONE_COLS) sidecar this table is missing, then index
+                # files landed since the last sweep and drop entries
+                # compaction retired (correctness never depends on this —
+                # unindexed files always scan — it only keeps point/range
+                # lookups FAST as the table churns)
                 from .storage.bloom_index import (
                     bloom_index_refresh,
+                    bloom_index_update,
+                    load_sidecar,
+                    load_zone,
                     sidecar_cols,
                     zone_cols,
+                    zone_index_update,
                 )
 
-                if sidecar_cols(tdir) or zone_cols(tdir):
-                    try:
+                try:
+                    for bt, bc in cfg.bloom_cols:
+                        if bt == t and load_sidecar(tdir, bc) is None:
+                            bloom_index_update(spark, tdir, bc)
+                    for zt, zc in cfg.zone_cols:
+                        if zt == t and load_zone(tdir, zc) is None:
+                            zone_index_update(spark, tdir, zc)
+                    if sidecar_cols(tdir) or zone_cols(tdir):
                         r = bloom_index_refresh(spark, tdir)
                         if r:
-                            out[f"bloom/{t}"] = r
-                    except Exception:
-                        continue
+                            out[f"sidecars/{t}"] = r
+                except Exception:
+                    continue
         # maintained aggregate projections this writer owns: fold their
         # per-batch segments into base/ on the same cadence (results are
         # invariant across the fold; this only bounds the live segment

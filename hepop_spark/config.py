@@ -12,6 +12,24 @@ import socket
 from dataclasses import dataclass
 
 
+def _parse_cols(spec) -> tuple[tuple[str, str], ...]:
+    """"table:col,table:col" -> ((table, col), ...); tuples pass through
+    (embedding API)."""
+    if not spec:
+        return ()
+    if not isinstance(spec, str):
+        return tuple(tuple(x) for x in spec)
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        t, _, c = part.partition(":")
+        if t and c:
+            out.append((t, c))
+    return tuple(out)
+
+
 @dataclass(frozen=True)
 class ServerConfig:
     port: int = 9069
@@ -36,6 +54,15 @@ class ServerConfig:
     # plans/api.py default (100k). Oversized results answer 413 with the
     # truncated prefix.
     max_rows: int | None = None
+    # sidecar index declarations, "table:col,table:col" — BLOOM_COLS
+    # builds/maintains per-file bloom bitmaps (point lookups), ZONE_COLS
+    # per-file min/max zones (range pruning). The compaction sweep
+    # bootstraps missing sidecars and keeps them fresh; the query API
+    # prunes automatically on matching WHERE conjuncts. The counterpart
+    # of the reference's writer bloom option (hepop.js:26-34), lifted to
+    # FILE-level skipping.
+    bloom_cols: tuple[tuple[str, str], ...] = ()
+    zone_cols: tuple[tuple[str, str], ...] = ()
 
     @classmethod
     def from_env(cls, env: dict | None = None, **overrides) -> "ServerConfig":
@@ -68,6 +95,10 @@ class ServerConfig:
                     "max_rows", e.get("MAX_ROWS", 0))) and int(m) > 0
                 else None
             ),
+            bloom_cols=_parse_cols(
+                overrides.get("bloom_cols", e.get("BLOOM_COLS", ""))),
+            zone_cols=_parse_cols(
+                overrides.get("zone_cols", e.get("ZONE_COLS", ""))),
         )
 
     def table_root(self) -> str:

@@ -406,7 +406,11 @@ class HepopQueryAPI:
         def _lit_value(lit: str, col: str, *, for_zone: bool):
             lit = lit.strip()
             if lit.startswith("'"):
-                return lit[1:-1] if dtypes.get(col) == "string" else None
+                # `map.key` sidecar columns are string-valued by the
+                # map<string,string> gate above
+                if "." in col or dtypes.get(col) == "string":
+                    return lit[1:-1]
+                return None
             integral = ("bigint", "int", "smallint", "tinyint")
             if re.fullmatch(r"-?\d+", lit):
                 # bloom bitmaps hash CAST(col AS STRING): only exact
@@ -433,7 +437,10 @@ class HepopQueryAPI:
 
         for c in conjs:
             m = re.fullmatch(
-                r"\s*(?P<col>[A-Za-z_]\w*)\s*(?:(?P<op>>=|<=|>|<|=)\s*"
+                r"\s*(?P<col>[A-Za-z_]\w*(?:\[\s*'[A-Za-z0-9_.-]+'\s*\])?"
+                r"|get_json_object\s*\(\s*[A-Za-z_]\w*\s*,\s*"
+                r"'\$\.[A-Za-z0-9_.-]+'\s*\))"
+                r"\s*(?:(?P<op>>=|<=|>|<|=)\s*"
                 r"(?P<lit>" + _LIT + r")"
                 r"|BETWEEN\s+(?P<lo>" + _LIT + r")\s+AND\s+(?P<hi>"
                 + _LIT + r")"
@@ -443,6 +450,25 @@ class HepopQueryAPI:
             if not m:
                 continue
             col = m.group("col")
+            km = re.fullmatch(
+                r"([A-Za-z_]\w*)\[\s*'([A-Za-z0-9_.-]+)'\s*\]", col)
+            jm = re.fullmatch(
+                r"get_json_object\s*\(\s*([A-Za-z_]\w*)\s*,\s*"
+                r"'\$\.([A-Za-z0-9_.-]+)'\s*\)", col, re.IGNORECASE)
+            if km:
+                # map access: sidecar spec is `map.key`, and
+                # string-valued maps give string semantics for both
+                # probe kinds
+                base, key = km.group(1), km.group(2)
+                if not str(dtypes.get(base, "")).startswith("map<string,string"):
+                    continue
+                col = f"{base}.{key}"
+            elif jm:
+                # JSON extraction (the LP tags storage): string semantics
+                base, key = jm.group(1), jm.group(2)
+                if dtypes.get(base) != "string":
+                    continue
+                col = f"{base}.{key}"
             op = m.group("op")
             if op == "=" or m.group("ins") is not None:
                 lits = ([m.group("lit")] if op == "="

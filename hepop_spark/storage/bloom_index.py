@@ -75,6 +75,21 @@ def _positions_py(value, m: int) -> list[int]:
     return [(h1 + j * h2) % m for j in range(BLOOM_K)]
 
 
+def _col_expr(df: DataFrame, col: str):
+    """Column reference for a sidecar spec: a flat name, or `base.key`
+    (dotted) for one key inside a nested column — map access when `base`
+    is a map, JSON extraction when it is a string (the Line-Protocol
+    tags storage, JSON-stringified per the reference's buffer rows:
+    `tags.host` indexes the host tag either way)."""
+    if "." in col:
+        base, _, key = col.partition(".")
+        t = dict(df.dtypes).get(base, "")
+        if t.startswith("map<"):
+            return F.col(base)[key]
+        return F.get_json_object(F.col(base), f"$.{key}")
+    return F.col(col)
+
+
 def _sidecar_path(base_path: str, col: str) -> str:
     return os.path.join(base_path, "_bloom", f"{col}.json")
 
@@ -127,14 +142,14 @@ def bloom_index_update(spark: SparkSession, base_path: str, col: str,
         if not files:
             return 0
         paths = [os.path.join(base_path, f) for f in files]
+        src = spark.read.option("basePath", base_path).parquet(*paths)
         df = (
-            spark.read.option("basePath", base_path).parquet(*paths)
-            .select(
+            src.select(
                 # canonical absolute path: strip the file: scheme however
                 # many slashes the runtime emits (file:/x vs file:///x)
                 F.regexp_replace(F.input_file_name(), "^file:/+", "/")
                 .alias("f"),
-                F.col(col).alias("v"),
+                _col_expr(src, col).alias("v"),
             )
             .filter(F.col("v").isNotNull())
         )
@@ -351,14 +366,14 @@ def zone_index_update(spark: SparkSession, base_path: str, col: str,
                  if os.path.isfile(os.path.join(base_path, f))]
         if not files:
             return 0
-        df = (
+        src = (
             spark.read.option("basePath", base_path)
             .parquet(*[os.path.join(base_path, f) for f in files])
-            .select(
-                F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-                .alias("f"),
-                F.col(col).alias("v"),
-            )
+        )
+        df = src.select(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+            .alias("f"),
+            _col_expr(src, col).alias("v"),
         )
         agg = df.groupBy("f").agg(
             F.min("v").alias("lo"), F.max("v").alias("hi"))

@@ -724,3 +724,84 @@ class TestZoneSidecarIndex:
         assert pruned > 0 and kept
         bloom_index_refresh(spark, base)
         assert set(load_zone(base, "v")["files"]) == live  # vacuumed
+
+
+class TestServeSidecarBootstrap:
+    """r09: BLOOM_COLS/ZONE_COLS declarations — the serve sweep bootstraps
+    missing sidecars and the query API prunes the declared columns with
+    no manual indexing step."""
+
+    def test_declared_sidecars_bootstrap_and_prune(self, spark, tmp_path):
+        import json as _json
+        import urllib.parse
+        import urllib.request
+
+        from hepop_spark.__main__ import serve
+        from hepop_spark.config import ServerConfig
+        from hepop_spark.storage.bloom_index import load_sidecar, load_zone
+
+        cfg = ServerConfig.from_env(
+            env={"BLOOM_COLS": "cpu:tags.host", "ZONE_COLS": "cpu:usage"},
+            host="127.0.0.1", port=0, http_port=0,
+            data_dir=str(tmp_path / "data"), writer_id="w1",
+            compact_interval=0,  # sweep driven manually via the handle
+        )
+        assert cfg.bloom_cols == (("cpu", "tags.host"),)
+        assert cfg.zone_cols == (("cpu", "usage"),)
+        h = serve(cfg, spark=spark, block=False)
+        try:
+            body = "\n".join(
+                f"cpu,host=h{i % 6} usage={i}.0 "
+                f"{1709290800000000000 + i * 60_000_000_000}"
+                for i in range(24)
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{h['http_port']}/write", data=body,
+                method="POST")
+            with urllib.request.urlopen(req, timeout=10) as r:
+                assert r.status == 201
+            import time as _time
+
+            from hepop_spark.storage.writer import read_table
+
+            tdir = os.path.join(cfg.table_root(), "cpu")
+            deadline = _time.time() + 240
+            while _time.time() < deadline:
+                try:
+                    if read_table(spark, tdir).count() >= 24:
+                        break
+                except Exception:
+                    pass
+                _time.sleep(1)
+            h["compact_once"]()  # bootstraps + indexes the declared cols
+            assert load_sidecar(tdir, "tags.host") is not None
+            assert load_zone(tdir, "usage") is not None
+
+            def _q(sql):
+                url = (f"http://127.0.0.1:{h['http_port']}/query?q="
+                       + urllib.parse.quote(sql))
+                with urllib.request.urlopen(url, timeout=60) as r:
+                    return _json.load(r)
+
+            rows = _q("SELECT count() AS n FROM cpu WHERE "
+                      "get_json_object(tags, '$.host') = 'h3' "
+                      "AND time >= '2024-01-01'")
+            assert rows == [{"n": 4}]
+            rows = _q("SELECT count() AS n FROM cpu "
+                      "WHERE usage >= 20 AND time >= '2024-01-01'")
+            assert rows == [{"n": 4}]
+            # in-process: the probes actually engage on the declared cols
+            from hepop_spark.plans.api import HepopQueryAPI
+
+            api = HepopQueryAPI(spark, default_window=False,
+                                data_dir=cfg.data_dir)
+            api.sql("SELECT count(*) AS n FROM cpu "
+                    "WHERE get_json_object(tags, '$.host') = 'h3'").collect()
+            bp = api.last_bloom_pruned
+            assert bp and ("bloom", "tags.host") in bp["probes"]
+            api.sql("SELECT count(*) AS n FROM cpu "
+                    "WHERE usage >= 20").collect()
+            bp = api.last_bloom_pruned
+            assert bp and ("zone", "usage") in bp["probes"]
+        finally:
+            h["stop"]()
