@@ -1,0 +1,118 @@
+"""Sidecar A/B at replication k: the SAME point/range query through the
+query API with sidecars present vs absent — the direct measurement of what
+file skipping buys (the 100 TB claim, reduced to wall-clock).
+
+Builds ONE 20x (default) events-derived serve table laid out as 48 call
+shards + 16 value-range files, indexes call_id (bloom) and value (zone),
+then times each query both ways, N passes each, reporting medians and the
+file accounting. Usage: python tools/sidecar_ab.py [k] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hepop_spark.session import get_spark
+
+N_PASSES = 5
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("sidecar-ab")
+    d = tempfile.mkdtemp(prefix="sidecar_ab_")
+    try:
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.bloom_index import (
+            bloom_index_update,
+            zone_index_update,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        big = (
+            ev.crossJoin(reps)
+            .select(
+                (F.col("event_id") + F.col("rep") * 10_000_000)
+                .alias("event_id"),
+                "value",
+            )
+            .withColumn("call_id", F.concat(F.lit("call-"), F.col("event_id")))
+        )
+        data = os.path.join(d, "data")
+        tbl = os.path.join(data, "w1", "dbs", "calls")
+        (
+            big.withColumn("shard", F.pmod(F.col("event_id"), F.lit(48)))
+            .repartition("shard")
+            .write.partitionBy("shard").parquet(tbl)
+        )
+        n_rows = spark.read.parquet(tbl).count()
+        bloom_index_update(spark, tbl, "call_id")
+        zone_index_update(spark, tbl, "value")
+
+        queries = {
+            "point": ("SELECT event_id, value FROM calls "
+                      "WHERE call_id = 'call-170000123'"),
+            "in3": ("SELECT count(*) AS n FROM calls WHERE call_id IN "
+                    "('call-7', 'call-50000011', 'call-190000222')"),
+            "range": ("SELECT count(*) AS n, sum(value) AS sv FROM calls "
+                      "WHERE value BETWEEN 50 AND 51"),
+        }
+        out: dict = {"replication": k, "rows": n_rows}
+        bloom_dir = os.path.join(tbl, "_bloom")
+        zone_dir = os.path.join(tbl, "_zone")
+        hidden = os.path.join(d, "hidden")
+        for name, sql in queries.items():
+            rec: dict = {}
+            for mode in ("pruned", "raw"):
+                if mode == "raw":
+                    # hide the sidecars: the API falls back to full scans
+                    os.makedirs(hidden, exist_ok=True)
+                    for sd in (bloom_dir, zone_dir):
+                        if os.path.isdir(sd):
+                            shutil.move(sd, os.path.join(
+                                hidden, os.path.basename(sd) + name))
+                api = HepopQueryAPI(spark, default_window=False,
+                                    data_dir=data)
+                times = []
+                rows = None
+                for _ in range(N_PASSES):
+                    t0 = time.perf_counter()
+                    rows = api.sql(sql).collect()
+                    times.append(time.perf_counter() - t0)
+                rec[mode] = {
+                    "median_s": round(statistics.median(times), 3),
+                    "best_s": round(min(times), 3),
+                    "rows": len(rows),
+                }
+                if mode == "pruned":
+                    rec["files"] = api.last_bloom_pruned
+                else:
+                    assert api.last_bloom_pruned is None
+                    for sd in (bloom_dir, zone_dir):
+                        h = os.path.join(hidden, os.path.basename(sd) + name)
+                        if os.path.isdir(h):
+                            shutil.move(h, sd)
+            rec["speedup_median"] = round(
+                rec["raw"]["median_s"] / max(rec["pruned"]["median_s"], 1e-9),
+                2)
+            out[name] = rec
+        print(json.dumps(out))
+        return 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
