@@ -506,12 +506,16 @@ class HepopQueryAPI:
         if not fns:
             return None
 
+        ff_cache: dict[str, list[str]] = {}
+
         def file_filter(d: str) -> list[str]:
-            kept = None
-            for fn in fns:
-                got = set(fn(d))
-                kept = got if kept is None else (kept & got)
-            return sorted(kept)
+            if d not in ff_cache:
+                kept = None
+                for fn in fns:
+                    got = set(fn(d))
+                    kept = got if kept is None else (kept & got)
+                ff_cache[d] = sorted(kept)
+            return ff_cache[d]
 
         from ..catalog import discover_table
 
@@ -528,6 +532,8 @@ class HepopQueryAPI:
 
             dirs = sorted(_glob.glob(dir_glob))
             n_live = sum(len(_live_files(d)) for d in dirs)
+            # file_filter results are memoized from the view build — the
+            # breadcrumb never re-probes
             n_read = sum(len(file_filter(d)) for d in dirs)
             self.last_bloom_pruned = {
                 "probes": probes,

@@ -94,12 +94,50 @@ def _sidecar_path(base_path: str, col: str) -> str:
     return os.path.join(base_path, "_bloom", f"{col}.json")
 
 
-def load_sidecar(base_path: str, col: str) -> dict | None:
+# parsed-sidecar cache keyed by (path, mtime, size): a serve process
+# probes the same sidecar on every point lookup, and re-json.load-ing a
+# multi-MB document per query was the measured scaling term of the probe
+# (tools/sidecar_ab.py) — publishes are atomic renames, so (mtime, size)
+# is a sound freshness key
+_DOC_CACHE: dict[str, tuple[tuple, dict]] = {}
+
+
+def _load_cached(path: str) -> dict | None:
     try:
-        with open(_sidecar_path(base_path, col)) as fh:
-            return json.load(fh)
+        st = os.stat(path)
+        key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        _DOC_CACHE.pop(path, None)
+        return None
+    hit = _DOC_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
     except (OSError, ValueError):
         return None
+    _DOC_CACHE[path] = (key, doc)
+    return doc
+
+
+def load_sidecar(base_path: str, col: str) -> dict | None:
+    return _load_cached(_sidecar_path(base_path, col))
+
+
+def _test_bits(hexstr: str, positions: list[int]) -> bool:
+    """All `positions` set in the hex-encoded bitmap — WITHOUT parsing
+    the whole string (a compacted file's bitmap is hundreds of KB of
+    hex; int(hex, 16) per probe per file was the other measured scaling
+    term). Hex digit i from the right holds bits [4i, 4i+4)."""
+    n = len(hexstr)
+    for p in positions:
+        i = p >> 2
+        if i >= n:
+            return False
+        if not (int(hexstr[n - 1 - i], 16) >> (p & 3)) & 1:
+            return False
+    return True
 
 
 def _live_files(base_path: str) -> list[str]:
@@ -234,15 +272,20 @@ def bloom_candidates(base_path: str, col: str,
     if doc is None:
         return live, len(live), 0
     entries = doc["files"]
+    # probe hashes are per-m; memoize across files sharing one m
+    pos_by_m: dict[int, list[list[int]]] = {}
     kept: list[str] = []
     for f in live:
         e = entries.get(f)
         if e is None:
             kept.append(f)
             continue
-        m, bits = int(e["m"]), int(e["bits"], 16)
-        for v in values:
-            if all((bits >> p) & 1 for p in _positions_py(v, m)):
+        m = int(e["m"])
+        if m not in pos_by_m:
+            pos_by_m[m] = [_positions_py(v, m) for v in values]
+        bits = e["bits"]
+        for ps in pos_by_m[m]:
+            if _test_bits(bits, ps):
                 kept.append(f)
                 break
     return kept, len(live), len(live) - len(kept)
@@ -359,11 +402,7 @@ def _zone_path(base_path: str, col: str) -> str:
 
 
 def load_zone(base_path: str, col: str) -> dict | None:
-    try:
-        with open(_zone_path(base_path, col)) as fh:
-            return json.load(fh)
-    except (OSError, ValueError):
-        return None
+    return _load_cached(_zone_path(base_path, col))
 
 
 def zone_index_update(spark: SparkSession, base_path: str, col: str,

@@ -52,26 +52,32 @@ def main() -> int:
         )
         data = os.path.join(d, "data")
         tbl = os.path.join(data, "w1", "dbs", "calls")
+        # years-of-capture file count: 384 shard files, so the raw path
+        # pays real file-open/task overhead and the pruned path opens ~1
         (
-            big.withColumn("shard", F.pmod(F.col("event_id"), F.lit(48)))
+            big.withColumn("shard", F.pmod(F.col("event_id"), F.lit(384)))
             .repartition("shard")
             .write.partitionBy("shard").parquet(tbl)
         )
         n_rows = spark.read.parquet(tbl).count()
         bloom_index_update(spark, tbl, "call_id")
-        zone_index_update(spark, tbl, "value")
+        # the range table is RANGE-LAID-OUT on value (zone maps prune
+        # nothing on an uncorrelated layout — that is the point of them)
+        rtbl = os.path.join(data, "w1", "dbs", "ranges")
+        big.repartitionByRange(96, "value").write.parquet(rtbl)
+        zone_index_update(spark, rtbl, "value")
 
         queries = {
             "point": ("SELECT event_id, value FROM calls "
                       "WHERE call_id = 'call-170000123'"),
             "in3": ("SELECT count(*) AS n FROM calls WHERE call_id IN "
                     "('call-7', 'call-50000011', 'call-190000222')"),
-            "range": ("SELECT count(*) AS n, sum(value) AS sv FROM calls "
+            "range": ("SELECT count(*) AS n, sum(value) AS sv FROM ranges "
                       "WHERE value BETWEEN 50 AND 51"),
         }
         out: dict = {"replication": k, "rows": n_rows}
         bloom_dir = os.path.join(tbl, "_bloom")
-        zone_dir = os.path.join(tbl, "_zone")
+        zone_dir = os.path.join(rtbl, "_zone")
         hidden = os.path.join(d, "hidden")
         for name, sql in queries.items():
             rec: dict = {}
