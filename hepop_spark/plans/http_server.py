@@ -11,6 +11,11 @@ Endpoints (status-code mapping mirrors the reference):
   POST /query {"query":..} -> same
   POST /write  <LP body>   -> 201 | 400 parse error
   GET  /health             -> 200 {"status":"ok"}   (hepop.js:1102-1105)
+  GET  /stats              -> 200 storage inventory (beyond the reference,
+                              which keeps this in metadata.json but never
+                              serves it): per writer/table partition+file+
+                              byte counts, manifest version, sidecar
+                              indexes, maintained rollups
 
 Writes spool LP lines to the landing dir consumed by the streaming job
 (streaming/ingest.lp_sink) — the HTTP layer never touches parquet itself,
@@ -29,6 +34,66 @@ from .api import DEFAULT_MAX_ROWS, HepopQueryAPI
 
 def _json_default(o):
     return str(o)
+
+
+def collect_stats(data_dir: str) -> dict:
+    """Storage inventory for GET /stats — pure filesystem/metadata reads
+    (no Spark job): the observability face of the layout the reference
+    kept in metadata.json (hepop.js:96-106)."""
+    import glob as _glob
+    import os
+
+    from ..storage.bloom_index import sidecar_cols, zone_cols
+    from ..storage.compaction import table_stats
+    from ..storage.manifest import latest as _manifest_latest
+    from ..storage.manifest import manifest_enabled
+    from ..storage.rollup import projection_meta
+
+    out: dict = {"writers": {}}
+    for wdir in sorted(_glob.glob(os.path.join(data_dir, "*"))):
+        w = os.path.basename(wdir)
+        if w.startswith(("_", ".")) or not os.path.isdir(wdir):
+            continue
+        tables: dict = {}
+        dbs = os.path.join(wdir, "dbs")
+        if os.path.isdir(dbs):
+            for t in sorted(os.listdir(dbs)):
+                tdir = os.path.join(dbs, t)
+                if not os.path.isdir(tdir) or t.startswith(("_", ".")):
+                    continue
+                st = table_stats(tdir)
+                rec = {
+                    "partitions": len(st["partitions"]),
+                    "files": st["total_files"],
+                    "bytes": st["total_bytes"],
+                }
+                if manifest_enabled(tdir):
+                    got = _manifest_latest(tdir)
+                    if got is not None:
+                        rec["manifest_version"] = got[0]
+                        rec["live_files"] = len(got[1]["files"])
+                bl, zn = sidecar_cols(tdir), zone_cols(tdir)
+                if bl:
+                    rec["bloom_cols"] = bl
+                if zn:
+                    rec["zone_cols"] = zn
+                tables[t] = rec
+        rollups: dict = {}
+        rroot = os.path.join(wdir, "rollups")
+        if os.path.isdir(rroot):
+            for r in sorted(os.listdir(rroot)):
+                meta = projection_meta(os.path.join(rroot, r))
+                if meta is not None:
+                    rollups[r] = {
+                        "keys": meta.get("keys", []),
+                        "sums": meta.get("sums", []),
+                        **{k: meta[k] for k in
+                           ("mins", "maxs", "kmvs", "hists")
+                           if meta.get(k)},
+                        "routable": "source" in meta,
+                    }
+        out["writers"][w] = {"tables": tables, "rollups": rollups}
+    return out
 
 
 class HepopHttpServer:
@@ -117,6 +182,18 @@ class HepopHttpServer:
                 url = urllib.parse.urlparse(self.path)
                 if url.path == "/health":
                     self._send(200, b'{"status":"ok"}')
+                elif url.path == "/stats":
+                    if data_dir is None:
+                        self._send(200, b'{"writers":{}}')
+                    else:
+                        try:
+                            body = json.dumps(
+                                collect_stats(data_dir),
+                                default=_json_default).encode()
+                            self._send(200, body)
+                        except Exception as e:
+                            self._send(500, json.dumps(
+                                {"error": str(e).split("\n")[0]}).encode())
                 elif url.path == "/query":
                     q = urllib.parse.parse_qs(url.query).get("q", [None])[0]
                     if not q:

@@ -803,5 +803,15 @@ class TestServeSidecarBootstrap:
                     "WHERE usage >= 20").collect()
             bp = api.last_bloom_pruned
             assert bp and ("zone", "usage") in bp["probes"]
+            # GET /stats: storage inventory reflects the declared indexes
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{h['http_port']}/stats",
+                    timeout=30) as r:
+                st = _json.load(r)
+            cpu = st["writers"]["w1"]["tables"]["cpu"]
+            assert cpu["files"] >= 1 and cpu["bytes"] > 0
+            assert cpu["bloom_cols"] == ["tags.host"]
+            assert cpu["zone_cols"] == ["usage"]
+            assert "manifest_version" in cpu
         finally:
             h["stop"]()
