@@ -424,6 +424,8 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/analytics17.py:sup": "TPC-H supplier dim (SF/100 of lineitem)",
     "hepop_spark/queries/analytics17.py:nat": "fixed 25-row nation dim",
     "hepop_spark/queries/analytics2.py:dim_keys": "keys-only projection of the declared dim table (API contract)",
+    "hepop_spark/queries/llm15.py:tot": "per-key bucket-weight totals: one row per grid key (+1 global) — bounded by the key domain, never by rows",
+    "hepop_spark/storage/bloom_index.py:mdf": "one (file, m) row per file being indexed in THIS update call — bounded by the update's file list",
     "hepop_spark/queries/analytics3.py:stats": "1-row corpus stats (N, avgdl)",
     "hepop_spark/queries/analytics3.py:idf": "token vocab (Heaps-law sublinear; df>=2 floor)",
     "hepop_spark/queries/analytics3.py:avgdl": "1-row avg doc length",
