@@ -101,6 +101,10 @@ EXTRA_R2 = [
     "bloom_routed_lookup",
     "zone_routed_range",
     "ddsketch_maintained",
+    # round-9c flagships: trigram-sidecar substring search (LIKE routing)
+    # and the star-join aggregate rewrite through the maintained grid
+    "trigram_routed_like",
+    "rollup_routed_join",
 ]
 
 

@@ -192,6 +192,11 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True,
                     zone_cols,
                     zone_index_update,
                 )
+                from .storage.trigram_index import (
+                    load_trigram,
+                    trigram_cols,
+                    trigram_index_update,
+                )
 
                 try:
                     for bt, bc in cfg.bloom_cols:
@@ -200,7 +205,11 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True,
                     for zt, zc in cfg.zone_cols:
                         if zt == t and load_zone(tdir, zc) is None:
                             zone_index_update(spark, tdir, zc)
-                    if sidecar_cols(tdir) or zone_cols(tdir):
+                    for gt, gc in cfg.trigram_cols:
+                        if gt == t and load_trigram(tdir, gc) is None:
+                            trigram_index_update(spark, tdir, gc)
+                    if (sidecar_cols(tdir) or zone_cols(tdir)
+                            or trigram_cols(tdir)):
                         r = bloom_index_refresh(spark, tdir)
                         if r:
                             out[f"sidecars/{t}"] = r

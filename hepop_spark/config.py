@@ -63,6 +63,10 @@ class ServerConfig:
     # FILE-level skipping.
     bloom_cols: tuple[tuple[str, str], ...] = ()
     zone_cols: tuple[tuple[str, str], ...] = ()
+    # TRIGRAM_COLS: per-file trigram-bloom bitmaps (storage/
+    # trigram_index.py) — LIKE '%substring%' file skipping over text
+    # columns (SIP payload search, the capture store's headline lookup).
+    trigram_cols: tuple[tuple[str, str], ...] = ()
 
     @classmethod
     def from_env(cls, env: dict | None = None, **overrides) -> "ServerConfig":
@@ -99,6 +103,8 @@ class ServerConfig:
                 overrides.get("bloom_cols", e.get("BLOOM_COLS", ""))),
             zone_cols=_parse_cols(
                 overrides.get("zone_cols", e.get("ZONE_COLS", ""))),
+            trigram_cols=_parse_cols(
+                overrides.get("trigram_cols", e.get("TRIGRAM_COLS", ""))),
         )
 
     def table_root(self) -> str:

@@ -85,6 +85,20 @@ _SIMPLE_AGG_RE = re.compile(
     r"GROUP\s+BY\s+(?P<rest>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# the routable star shape (r09c): fact JOIN dim on one equality, grouped —
+# aliases are REQUIRED on both tables so column ownership is unambiguous
+_JOIN_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
+    r"(?P<t1>[A-Za-z_]\w*)\s+(?:AS\s+)?"
+    r"(?P<a1>(?!JOIN\b|WHERE\b|GROUP\b|AS\b)[A-Za-z_]\w*)\s+"
+    r"JOIN\s+(?P<t2>[A-Za-z_]\w*)\s+(?:AS\s+)?"
+    r"(?P<a2>(?!ON\b|AS\b)[A-Za-z_]\w*)\s+"
+    r"ON\s+(?P<ja>[A-Za-z_]\w*)\s*\.\s*(?P<jac>[A-Za-z_]\w*)\s*=\s*"
+    r"(?P<jb>[A-Za-z_]\w*)\s*\.\s*(?P<jbc>[A-Za-z_]\w*)\s+"
+    r"(?:WHERE\s+(?P<where>.+?)\s+)?"
+    r"GROUP\s+BY\s+(?P<rest>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _TAIL_SPLIT_RE = re.compile(r"\b(HAVING|ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
 _HAVING_RE = re.compile(
     r"^HAVING\s+(?P<body>.+?)\s*(?=\bORDER\s+BY\b|\bLIMIT\b|$)",
@@ -347,6 +361,8 @@ class HepopQueryAPI:
     def sql(self, query: str, now: datetime | None = None) -> DataFrame:
         q = normalize_count(query)
         routed = self._try_rollup_route(q) if self.data_dir else None
+        if routed is None and self.data_dir:
+            routed = self._try_join_route(q)
         if routed is not None:
             self.last_sql = routed
             return self.spark.sql(routed)
@@ -434,12 +450,58 @@ class HepopQueryAPI:
         probes = []   # list of (kind, col, payload) for the breadcrumb
         fns = []      # per-dir candidate functions
         from ..storage.bloom_index import bloom_candidates, zone_candidates
+        from ..storage.trigram_index import like_runs, trigram_candidates
+
+        _COL_GRAMMAR = (
+            r"(?P<col>[A-Za-z_]\w*(?:\[\s*'[A-Za-z0-9_.-]+'\s*\])?"
+            r"|get_json_object\s*\(\s*[A-Za-z_]\w*\s*,\s*"
+            r"'\$\.[A-Za-z0-9_.-]+'\s*\))"
+        )
+
+        def _resolve_col(raw: str) -> str | None:
+            """Sidecar column spec for a conjunct's LHS: a bare name, or
+            `base.key` for map access / JSON extraction (string-valued by
+            the dtype gates). None = shape a sidecar cannot serve."""
+            km = re.fullmatch(
+                r"([A-Za-z_]\w*)\[\s*'([A-Za-z0-9_.-]+)'\s*\]", raw)
+            jm = re.fullmatch(
+                r"get_json_object\s*\(\s*([A-Za-z_]\w*)\s*,\s*"
+                r"'\$\.([A-Za-z0-9_.-]+)'\s*\)", raw, re.IGNORECASE)
+            if km:
+                base, key = km.group(1), km.group(2)
+                if not str(dtypes.get(base, "")).startswith(
+                        "map<string,string"):
+                    return None
+                return f"{base}.{key}"
+            if jm:
+                base, key = jm.group(1), jm.group(2)
+                if dtypes.get(base) != "string":
+                    return None
+                return f"{base}.{key}"
+            return raw
 
         for c in conjs:
+            lm = re.fullmatch(
+                r"\s*" + _COL_GRAMMAR + r"\s+LIKE\s+'(?P<pat>[^']*)'\s*",
+                c, re.IGNORECASE | re.DOTALL)
+            if lm:
+                # substring search: LIKE '%needle%' prunes by the trigram
+                # sidecar — a matching row contains every literal run of
+                # the pattern, hence every trigram of each run
+                col = _resolve_col(lm.group("col"))
+                if col is None:
+                    continue
+                if "." not in col and dtypes.get(col) != "string":
+                    continue
+                runs = like_runs(lm.group("pat"))
+                if runs and _has("_trigram", col):
+                    probes.append(("trigram", col))
+                    fns.append(
+                        lambda d, col=col, runs=runs:
+                        trigram_candidates(d, col, runs)[0])
+                continue
             m = re.fullmatch(
-                r"\s*(?P<col>[A-Za-z_]\w*(?:\[\s*'[A-Za-z0-9_.-]+'\s*\])?"
-                r"|get_json_object\s*\(\s*[A-Za-z_]\w*\s*,\s*"
-                r"'\$\.[A-Za-z0-9_.-]+'\s*\))"
+                r"\s*" + _COL_GRAMMAR +
                 r"\s*(?:(?P<op>>=|<=|>|<|=)\s*"
                 r"(?P<lit>" + _LIT + r")"
                 r"|BETWEEN\s+(?P<lo>" + _LIT + r")\s+AND\s+(?P<hi>"
@@ -449,26 +511,9 @@ class HepopQueryAPI:
                 c, re.IGNORECASE | re.DOTALL)
             if not m:
                 continue
-            col = m.group("col")
-            km = re.fullmatch(
-                r"([A-Za-z_]\w*)\[\s*'([A-Za-z0-9_.-]+)'\s*\]", col)
-            jm = re.fullmatch(
-                r"get_json_object\s*\(\s*([A-Za-z_]\w*)\s*,\s*"
-                r"'\$\.([A-Za-z0-9_.-]+)'\s*\)", col, re.IGNORECASE)
-            if km:
-                # map access: sidecar spec is `map.key`, and
-                # string-valued maps give string semantics for both
-                # probe kinds
-                base, key = km.group(1), km.group(2)
-                if not str(dtypes.get(base, "")).startswith("map<string,string"):
-                    continue
-                col = f"{base}.{key}"
-            elif jm:
-                # JSON extraction (the LP tags storage): string semantics
-                base, key = jm.group(1), jm.group(2)
-                if dtypes.get(base) != "string":
-                    continue
-                col = f"{base}.{key}"
+            col = _resolve_col(m.group("col"))
+            if col is None:
+                continue
             op = m.group("op")
             if op == "=" or m.group("ins") is not None:
                 lits = ([m.group("lit")] if op == "="
@@ -750,6 +795,232 @@ class HepopQueryAPI:
             return (f"SELECT {', '.join(sel)} FROM {name}"
                     f"{where_clause}{group_clause}{having_clause} "
                     f"{tail}").rstrip()
+        self.last_routed_rollup = None
+        return None
+
+    def _try_join_route(self, q: str) -> str | None:
+        """Rewrite a star-join aggregate — `fact JOIN dim ON fact.k =
+        dim.dk ... GROUP BY dim.attr` — onto a maintained rollup grid
+        keyed by the join key: the classic aggregate-BEFORE-join
+        materialized-view rewrite. Exact for the monoid aggregates
+        (sum/count/min/max, avg finalized from sum+strict-count): every
+        raw fact row maps to the same dim matches as its grid cell, so
+        re-merging grid partials through the join and grouping by the
+        dim attribute equals aggregating raw joined rows — duplicate dim
+        join keys multiply both sides identically, and the inner join
+        drops unmatched keys on both sides alike. Anything un-analyzable
+        returns None and the raw scan answers.
+
+        Scale: THE reason to maintain the grid — the aggregate runs over
+        O(|grid|) rows, then a broadcast join to the small dim, instead
+        of shuffling 100 TB of fact rows into the join."""
+        import glob as _glob
+        import os
+
+        from ..storage.rollup import projection_meta
+
+        m = _JOIN_AGG_RE.match(q)
+        if m is None:
+            return None
+        t1, a1 = m.group("t1"), m.group("a1")
+        t2, a2 = m.group("t2"), m.group("a2")
+        on = {m.group("ja"): m.group("jac"), m.group("jb"): m.group("jbc")}
+        if set(on) != {a1, a2} or a1 == a2:
+            return None
+        # the structural JOIN..ON is excused from the forbidden scan; the
+        # select list, WHERE and GROUP BY/tail are scanned in full
+        scan_text = " ".join(filter(None, (
+            m.group("sel"), m.group("where"), m.group("rest"))))
+        if _FORBIDDEN_RE.search(scan_text):
+            return None
+        rest = m.group("rest")
+        tm = _TAIL_SPLIT_RE.search(rest)
+        gb, tail = (rest[: tm.start()], rest[tm.start():]) if tm else (
+            rest, "")
+        tail = tail.strip()
+        if tail[:6].upper() == "HAVING":
+            return None
+        preds: list[tuple[str, str]] = []
+        if m.group("where"):
+            conjuncts = _split_conjuncts(m.group("where"))
+            if not conjuncts:
+                return None
+            for c in conjuncts:
+                pm = _PRED_RE.match(c)
+                if not pm:
+                    return None
+                if pm.group("lit") is not None:
+                    preds.append((pm.group("e").strip(),
+                                  f"{pm.group('op')} {pm.group('lit')}"))
+                elif pm.group("lo") is not None:
+                    preds.append((pm.group("e").strip(),
+                                  f"BETWEEN {pm.group('lo')} "
+                                  f"AND {pm.group('hi')}"))
+                else:
+                    preds.append((pm.group("e").strip(),
+                                  f"IN ({pm.group('ins')})"))
+        items = []
+        for it in _split_top_level(m.group("sel")):
+            am = _AS_RE.match(it)
+            if am:
+                items.append((am.group("expr").strip(), am.group("alias")))
+            else:
+                items.append((it, None))
+        group_exprs = [g for g in _split_top_level(gb)]
+
+        from ..catalog import discover_table
+
+        # serve-mode join queries need BOTH tables registered whichever
+        # path answers (the caller discovers only the first FROM target)
+        for t in (t1, t2):
+            try:
+                discover_table(self.spark, self.data_dir, t,
+                               cache=self._view_fingerprints)
+            except Exception:
+                pass
+
+        for raw_tbl, raw_alias, dim_tbl, dim_alias in (
+                (t1, a1, t2, a2), (t2, a2, t1, a1)):
+            jk_raw, jk_dim = on[raw_alias], on[dim_alias]
+            if self.default_window:
+                # same gate as _try_rollup_route: the grid has no time
+                # dimension, so a time-faced fact table under the
+                # implicit window must not route
+                try:
+                    if ("time" in self.spark.table(raw_tbl).columns):
+                        continue
+                except Exception:
+                    continue
+
+            def _strip_raw(e: str) -> str | None:
+                """Normalize a raw-side expression: drop the fact alias
+                qualifier; any surviving dim-alias reference means the
+                expression mixes sides — not grid-answerable."""
+                s = re.sub(rf"\b{re.escape(raw_alias)}\s*\.\s*", "", e)
+                if re.search(rf"\b{re.escape(dim_alias)}\s*\.", s):
+                    return None
+                return _norm_expr(s)
+
+            dim_col = re.compile(
+                rf"^{re.escape(dim_alias)}\s*\.\s*([A-Za-z_]\w*)$")
+            for store in sorted(_glob.glob(
+                    os.path.join(self.data_dir, "*", "rollups", "*"))):
+                meta = projection_meta(store)
+                if not meta or "source" not in meta:
+                    continue
+                src = meta["source"]
+                if src.get("table", "").lower() != raw_tbl.lower():
+                    continue
+                key_map = {_norm_expr(e): c
+                           for c, e in src.get("keys", {}).items()}
+                agg_map = {
+                    _norm_expr(e): (c, fn)
+                    for field, fn in (("sums", "SUM"), ("mins", "MIN"),
+                                      ("maxs", "MAX"))
+                    for c, e in src.get(field, {}).items()
+                }
+                if _norm_expr(jk_raw) not in key_map:
+                    continue
+                gname = os.path.basename(store)
+                jcol = key_map[_norm_expr(jk_raw)]
+                # group keys: dim-qualified columns pass verbatim; fact
+                # columns must be grid keys (rewritten to grid columns)
+                gb_parts, gset_dim, gset_raw, ok = [], set(), set(), True
+                for g in group_exprs:
+                    dm = dim_col.match(g.strip())
+                    if dm:
+                        gb_parts.append(g.strip())
+                        gset_dim.add(_norm_expr(g))
+                        continue
+                    n = _strip_raw(g)
+                    if n is not None and n in key_map:
+                        gb_parts.append(f"{gname}.{key_map[n]}")
+                        gset_raw.add(n)
+                    else:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                where_parts = []
+                for pexpr, op_sql in preds:
+                    if dim_col.match(pexpr):
+                        where_parts.append(f"{pexpr} {op_sql}")
+                        continue
+                    n = _strip_raw(pexpr)
+                    if n is not None and n in key_map:
+                        where_parts.append(f"{gname}.{key_map[n]} {op_sql}")
+                    else:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                sel, aliases = [], set()
+                for expr, alias in items:
+                    dm = dim_col.match(expr)
+                    if dm:
+                        if _norm_expr(expr) not in gset_dim:
+                            ok = False
+                            break
+                        sel.append(f"{expr} AS {alias}" if alias else expr)
+                        aliases.add((alias or dm.group(1)).lower())
+                        continue
+                    n = _strip_raw(expr)
+                    if n is None:
+                        ok = False
+                        break
+                    if n in key_map and n in gset_raw:
+                        out = alias or (
+                            expr.rsplit(".", 1)[-1].strip()
+                            if re.fullmatch(
+                                rf"{re.escape(raw_alias)}\s*\.\s*"
+                                r"[A-Za-z_]\w*|[A-Za-z_]\w*", expr)
+                            else None)
+                        if out is None:
+                            ok = False
+                            break
+                        sel.append(f"{gname}.{key_map[n]} AS {out}")
+                        aliases.add(out.lower())
+                    elif n in agg_map and alias is not None:
+                        col, fn = agg_map[n]
+                        sel.append(f"{fn}({gname}.{col}) AS {alias}")
+                        aliases.add(alias.lower())
+                    elif alias is not None and re.fullmatch(
+                            r"avg\([^()]+\)", n):
+                        inner = n[4:-1]
+                        num = agg_map.get(f"sum({inner})")
+                        den = agg_map.get(f"count({inner})")
+                        if not (num and den
+                                and num[1] == den[1] == "SUM"):
+                            ok = False
+                            break
+                        sel.append(f"(SUM({gname}.{num[0]}) / "
+                                   f"SUM({gname}.{den[0]})) AS {alias}")
+                        aliases.add(alias.lower())
+                    else:
+                        ok = False
+                        break
+                if not ok or not sel:
+                    continue
+                if tail and not _tail_routable(tail, aliases):
+                    continue
+                if not discover_table(self.spark, self.data_dir, gname,
+                                      cache=self._view_fingerprints):
+                    continue
+                try:
+                    self.spark.table(dim_tbl)
+                except Exception:
+                    continue
+                where_clause = (" WHERE " + " AND ".join(where_parts)
+                                if where_parts else "")
+                self.last_routed_rollup = gname
+                self.last_table, self.last_hep_type = gname, None
+                return (
+                    f"SELECT {', '.join(sel)} FROM {gname} "
+                    f"JOIN {dim_tbl} {dim_alias} "
+                    f"ON {gname}.{jcol} = {dim_alias}.{jk_dim}"
+                    f"{where_clause} GROUP BY {', '.join(gb_parts)} "
+                    f"{tail}"
+                ).rstrip()
         self.last_routed_rollup = None
         return None
 

@@ -191,18 +191,21 @@ GATE_WINDOW_50 = (
     # streaming, incl. the r07 streaming-maintained stores
     "streaming_window_replay", "streaming_index_maintain_replay",
     "streaming_ann_maintain_replay", "weighted_percentile_maintained",
-    # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    # dedup family (simhash rotated out r09c for the new flagships; it
+    # stays oracle-checked in the full sweeps)
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_incremental_indexed", "semantic_dedup_cc",
     "streaming_lsh_maintain_replay",
     # r09 continuous-aggregation flagship: KMV sketch column class
     "kmv_distinct_maintained",
-    # ANN / similarity family
-    "ann_cosine_topk", "ann_ivfpq_topk",
+    # ANN / similarity family (cosine baseline rotated out r09c)
+    "ann_ivfpq_topk",
     "lsh_range_search", "embedding_neardup",
     # r09b: sidecar file skipping (bloom point lookup + min/max zone
     # range, both through the SAME user SQL) and routed HAVING
     "bloom_routed_lookup", "zone_routed_range", "rollup_routed_having",
+    # r09c: trigram-sidecar substring search + star-join aggregate routing
+    "trigram_routed_like", "rollup_routed_join",
     # multimodal (real decodes; y4m = real VIDEO decode, r09)
     "multimodal_jpeg_decode", "multimodal_y4m_frames",
     # text analysis
@@ -211,7 +214,6 @@ GATE_WINDOW_50 = (
     "theta_sketch_setops", "curation_funnel",
     # r09b: DDSketch histogram column class (continuous quantiles)
     "ddsketch_maintained",
-    "rollup_routed_aggregate",
 )
 
 

@@ -745,6 +745,300 @@ FROM events WHERE value BETWEEN 50 AND 60
 """
 
 
+# --- r09c: star-join aggregate routing ---------------------------------------
+
+JOIN_ROUTED_SQL_TEXT = (
+    "SELECT n.n_name AS name, count(*) AS n_rows, sum(e.value) AS sv, "
+    "avg(e.value) AS av, min(e.value) AS mnv, max(e.value) AS mxv "
+    "FROM evstar e JOIN natdim n ON e.nk = n.n_nationkey "
+    "WHERE n.n_regionkey = 2 GROUP BY n.n_name ORDER BY name"
+)
+
+
+def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Star-join aggregate routing (plans/api._try_join_route): the
+    classic aggregate-BEFORE-join materialized-view rewrite. The user's
+    `fact JOIN dim ON fact.k = dim.dk ... GROUP BY dim.attr` rewrites to
+    re-merging the maintained grid's monoid partials THROUGH the join —
+    exact because every fact row maps to the same dim matches as its
+    grid cell (duplicate dim keys multiply both sides identically; the
+    inner join drops unmatched keys alike). count(*)/sum re-merge as
+    SUM, min/max as themselves, avg finalizes from sum+strict-count. The
+    entry hard-fails unless the plan scans the grid (never the raw
+    fact) and broadcasts the dim. The oracle recomputes from raw events
+    joined to nation.
+
+    Scale: THE reason the grid exists — the aggregate runs over
+    O(|grid|) rows then broadcast-joins the small dim, instead of
+    shuffling the 100 TB fact table into the join."""
+    from ..plans.api import HepopQueryAPI
+    from ..storage.rollup import projection_append, projection_compact
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "value", (F.col("event_id") % 25).alias("nk"))
+    nat = load_table(spark, sf, "nation")
+    root = tempfile.mkdtemp(prefix="join_route_")
+    data = os.path.join(root, "data")
+    try:
+        ev.write.parquet(os.path.join(data, "w1", "dbs", "evstar"))
+        nat.write.parquet(os.path.join(data, "w1", "dbs", "natdim"))
+        store = os.path.join(data, "w1", "rollups", "ev_nk_rollup")
+        keys, sums = ["nk"], ["n_rows", "sv", "cv"]
+        mins, maxs = ["mnv"], ["mxv"]
+        for b in range(ROLLUP_ROUTE_BATCHES):
+            part = (
+                ev.filter(F.col("event_id") % ROLLUP_ROUTE_BATCHES == b)
+                .groupBy("nk")
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum("value").alias("sv"),
+                     F.count("value").alias("cv"),
+                     F.min("value").alias("mnv"),
+                     F.max("value").alias("mxv"))
+            )
+            projection_append(
+                spark, store, part, f"b{b}", keys=keys, sums=sums,
+                mins=mins, maxs=maxs,
+                source={
+                    "table": "evstar",
+                    "keys": {"nk": "nk"},
+                    "sums": {"n_rows": "count(*)", "sv": "sum(value)",
+                             "cv": "count(value)"},
+                    "mins": {"mnv": "min(value)"},
+                    "maxs": {"mxv": "max(value)"},
+                },
+            )
+        projection_compact(spark, store, keys, sums, mins, maxs)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        df = api.sql(JOIN_ROUTED_SQL_TEXT)
+        if api.last_routed_rollup != "ev_nk_rollup":
+            raise AssertionError(
+                f"join aggregate was not routed "
+                f"(last_routed_rollup={api.last_routed_rollup!r})")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the grid")
+        if f"{os.sep}dbs{os.sep}evstar" in plan:
+            raise AssertionError("routed plan still scans the raw fact")
+        if "BroadcastHashJoin" not in plan:
+            raise AssertionError("dim join is not broadcast")
+        # re-merged float sums differ from raw sums only by addition
+        # order; round to the entry's published precision
+        rows = [(r["name"], r["n_rows"], round(r["sv"], 2),
+                 round(r["av"], 6), r["mnv"], r["mxv"])
+                for r in df.collect()]
+        return spark.createDataFrame(
+            rows, "name string, n_rows bigint, sv double, av double, "
+                  "mnv double, mxv double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+JOIN_ROUTED_SQL = """
+SELECT n.n_name AS name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(e.value), 2) AS sv,
+       round(avg(e.value), 6) AS av,
+       min(e.value) AS mnv,
+       max(e.value) AS mxv
+FROM (SELECT event_id, value, event_id % 25 AS nk FROM events) e
+JOIN nation n ON e.nk = n.n_nationkey
+WHERE n.n_regionkey = 2
+GROUP BY n.n_name
+ORDER BY name
+"""
+
+
+# --- r09c: trigram-Bloom substring-search routing ----------------------------
+
+TRIGRAM_SQL_TEXT = (
+    "SELECT doc_id, lang FROM corpus "
+    "WHERE body LIKE '%marker-%' ORDER BY doc_id"
+)
+
+
+def trigram_routed_like(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-search file skipping (storage/trigram_index.py): the SAME
+    /query SQL a user runs to find a needle in a text corpus — the
+    reference's headline troubleshooting lookup, `payload LIKE '%frag%'`
+    over raw SIP messages — answered from a trigram-Bloom-pruned file
+    set. A matching row must CONTAIN every trigram of the pattern's
+    literal runs (the pg_trgm / Code-Search posting trick), so any file
+    whose per-file trigram bitmap misses one required trigram cannot hold
+    a match and is skipped driver-side; the LIKE still runs on survivors
+    (no false negatives => result-invisible). Markers are planted on
+    doc_id % 997 == 0, so matches land in a handful of the 24 hash
+    shards; the entry hard-fails unless pruning engaged. The oracle
+    recomputes the LIKE from the raw documents table.
+
+    Scale: point blooms cannot serve a substring probe and zones have no
+    ordering to offer — without this sidecar a LIKE '%x%' scans every
+    file the time predicate leaves. The probe is driver-side bitmap math;
+    the pruned read opens only trigram-admitted files out of the table's
+    thousands."""
+    from ..plans.api import HepopQueryAPI
+    from ..storage.trigram_index import trigram_index_update
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 997 == 0,
+                F.concat(F.lit(" marker-"),
+                         F.col("doc_id").cast("string"), F.lit("#")),
+            ).otherwise(F.lit("")),
+        ).alias("body"),
+        F.pmod(F.col("doc_id"), F.lit(24)).alias("shard"),
+    )
+    root = tempfile.mkdtemp(prefix="trigram_route_")
+    data = os.path.join(root, "data")
+    try:
+        tbl = os.path.join(data, "w1", "dbs", "corpus")
+        docs.repartition("shard").write.partitionBy("shard").parquet(tbl)
+        trigram_index_update(spark, tbl, "body")
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        df = api.sql(TRIGRAM_SQL_TEXT)
+        rows = df.collect()
+        bp = api.last_bloom_pruned
+        if not bp or ("trigram", "body") not in bp["probes"]:
+            raise AssertionError(f"trigram probe did not engage: {bp}")
+        if bp["files_read"] >= bp["files_live"]:
+            raise AssertionError(f"trigram pruning removed nothing: {bp}")
+        return spark.createDataFrame(rows, "doc_id bigint, lang string")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TRIGRAM_ROUTED_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         text || CASE WHEN doc_id % 997 = 0
+                      THEN ' marker-' || CAST(doc_id AS VARCHAR) || '#'
+                      ELSE '' END AS body
+  FROM documents
+)
+WHERE body LIKE '%marker-%'
+ORDER BY doc_id
+"""
+
+
+
+# --- r09c: sidecars maintained BY the streaming ingest path ------------------
+
+SIDECAR_MAINT_BATCHES = 4
+
+
+def streaming_sidecar_maintain_replay(spark: SparkSession,
+                                      sf: str) -> DataFrame:
+    """Bloom + trigram sidecars maintained in LOCK-STEP with ingest: the
+    documents corpus arrives as SIDECAR_MAINT_BATCHES micro-batches
+    through a real Structured Streaming sink
+    (streaming/index_maint.table_sink) carrying BOTH maintenance hooks —
+    every committed batch's files enter the point-bloom (skey) and
+    trigram (body) sidecars before the next trigger. Both lookup paths
+    then answer WARM from the maintained sidecars: a point lookup
+    (skey = 'doc-137') and a substring search (LIKE '%marker-422#%'),
+    each asserted to have pruned files. The oracle re-derives both
+    answers from the raw documents table — a sink that lost rows, an
+    unfired hook, or a stale bitmap all fail the gate.
+
+    Scale: hook work is one narrow pass over each arriving batch's files
+    (never a rescan); the warm probes are driver-side bitmap math. This
+    is the serve-mode shape where ingest OWNS the sidecars — the same
+    contract the minhash/IVF-PQ/LSH/rollup maintenance hooks pinned in
+    r07, extended to the file-skipping indexes."""
+    from ..storage.bloom_index import bloom_point_read, load_sidecar
+    from ..storage.trigram_index import load_trigram, trigram_candidates
+    from ..streaming.index_maint import (
+        bloom_maintenance,
+        stage_batch_files,
+        table_sink,
+        trigram_maintenance,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("skey"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 211 == 0,
+                F.concat(F.lit(" marker-"),
+                         F.col("doc_id").cast("string"), F.lit("#")),
+            ).otherwise(F.lit("")),
+        ).alias("body"),
+    )
+    root = tempfile.mkdtemp(prefix="sidecar_maint_")
+    base = os.path.join(root, "tables")
+    try:
+        landing = os.path.join(root, "landing")
+        stage_batch_files(
+            docs, landing, F.col("doc_id") % SIDECAR_MAINT_BATCHES,
+            SIDECAR_MAINT_BATCHES,
+        )
+        stream = (
+            spark.readStream
+            .schema("doc_id long, skey string, body string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = table_sink(
+            stream, base, os.path.join(root, "ckpt"), "docs",
+            index_hooks=[
+                bloom_maintenance(base, table="docs", col="skey"),
+                trigram_maintenance(base, table="docs", col="body"),
+            ],
+        ).start()
+        q.awaitTermination()
+
+        tbl = os.path.join(base, "docs")
+        # lock-step proof: every committed batch's files are indexed in
+        # BOTH sidecars
+        n_bloom = len(load_sidecar(tbl, "skey")["files"])
+        n_tri = len(load_trigram(tbl, "body")["files"])
+        if n_bloom < SIDECAR_MAINT_BATCHES or n_tri != n_bloom:
+            raise AssertionError(
+                f"sidecars not in lock-step with ingest: "
+                f"bloom={n_bloom} trigram={n_tri}")
+        out_rows: list[tuple[int, str]] = []
+        bdf, stats = bloom_point_read(spark, tbl, "skey", ["doc-137"])
+        if stats["files_pruned"] <= 0:
+            raise AssertionError(f"bloom pruning removed nothing: {stats}")
+        out_rows += [(r["doc_id"], "bloom") for r in
+                     bdf.select("doc_id").collect()]
+        kept, live, pruned = trigram_candidates(tbl, "body",
+                                                ["marker-422#"])
+        if pruned <= 0:
+            raise AssertionError(
+                f"trigram pruning removed nothing: {live} live")
+        tdf = spark.read.option("basePath", tbl).parquet(
+            *[os.path.join(tbl, f) for f in kept])
+        out_rows += [(r["doc_id"], "trigram") for r in
+                     tdf.filter(F.col("body").like("%marker-422#%"))
+                     .select("doc_id").collect()]
+        out_rows.sort(key=lambda t: (t[1], t[0]))
+        return spark.createDataFrame(out_rows, "doc_id bigint, path string")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SIDECAR_MAINT_SQL = """
+SELECT doc_id, path FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, 'bloom' AS path
+  FROM documents WHERE doc_id = 137
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, 'trigram' AS path
+  FROM documents
+  WHERE (text || CASE WHEN doc_id % 211 = 0
+                      THEN ' marker-' || CAST(doc_id AS VARCHAR) || '#'
+                      ELSE '' END) LIKE '%marker-422#%'
+)
+ORDER BY path, doc_id
+"""
+
 
 QUERIES: dict[str, QuerySpec] = {
     "rollup_routed_aggregate": QuerySpec(
@@ -801,6 +1095,26 @@ QUERIES: dict[str, QuerySpec] = {
         doc="the SAME /query SQL answered from a Bloom-pruned file set "
             "(sidecar-admitted files only, pruning asserted in-entry); "
             "oracle recomputes from the raw table",
+    ),
+    "trigram_routed_like": QuerySpec(
+        trigram_routed_like, TRIGRAM_ROUTED_SQL,
+        doc="LIKE '%needle%' answered from a trigram-Bloom-pruned file "
+            "set (pg_trgm posting trick per file; pruning asserted "
+            "in-entry); oracle recomputes the LIKE from raw documents",
+    ),
+    "rollup_routed_join": QuerySpec(
+        rollup_routed_join, JOIN_ROUTED_SQL,
+        doc="star-join aggregate rewritten to re-merge the maintained "
+            "grid THROUGH the dim join (aggregate-before-join MV "
+            "rewrite; grid scan + broadcast dim asserted in-entry); "
+            "oracle recomputes from raw events joined to nation",
+    ),
+    "streaming_sidecar_maintain_replay": QuerySpec(
+        streaming_sidecar_maintain_replay, SIDECAR_MAINT_SQL,
+        doc="bloom + trigram sidecars maintained by the streaming sink's "
+            "hooks in lock-step with committed batches; point + substring "
+            "lookups answered warm (pruning asserted in-entry); oracle "
+            "re-derives both from raw documents",
     ),
     "rollup_routed_minmax": QuerySpec(
         rollup_routed_minmax, ROLLUP_MINMAX_SQL,

@@ -342,11 +342,15 @@ def bloom_reindex_files(spark: SparkSession, base_path: str,
     inputs, or point lookups degrade to scanning every compacted file
     (absence = must scan). Returns the number of (file, col) pairs
     indexed."""
+    from .trigram_index import trigram_cols, trigram_index_update
+
     n = 0
     for col in sidecar_cols(base_path):
         n += bloom_index_update(spark, base_path, col, files=files)
     for col in zone_cols(base_path):
         n += zone_index_update(spark, base_path, col, files=files)
+    for col in trigram_cols(base_path):
+        n += trigram_index_update(spark, base_path, col, files=files)
     return n
 
 
@@ -386,6 +390,23 @@ def bloom_index_refresh(spark: SparkSession, base_path: str) -> dict:
                 os.rename(tmp, path)
             if n or dead:
                 out[f"zone:{col}"] = {"indexed": n, "vacuumed": len(dead)}
+        from .trigram_index import (
+            _publish as _tri_publish,
+            load_trigram,
+            trigram_cols,
+            trigram_index_update,
+        )
+
+        for col in trigram_cols(base_path):
+            n = trigram_index_update(spark, base_path, col)
+            doc = load_trigram(base_path, col)
+            dead = [f for f in doc["files"] if f not in live]
+            if dead:
+                for f in dead:
+                    del doc["files"][f]
+                _tri_publish(base_path, col, doc)
+            if n or dead:
+                out[f"trigram:{col}"] = {"indexed": n, "vacuumed": len(dead)}
     return out
 
 

@@ -184,6 +184,39 @@ def bloom_maintenance(
     return hook
 
 
+def trigram_maintenance(
+    base_dir: str,
+    *,
+    table: str,
+    col: str,
+) -> IndexHook:
+    """Hook that keeps a trigram-Bloom sidecar (storage/trigram_index.py)
+    fresh under a table_sink ingest stream — the LIKE '%x%' sibling of
+    bloom_maintenance, same idempotent batch-id contract: re-indexing a
+    redelivered batch's identical files recomputes identical bitmaps.
+    Hook work is one narrow trigram pass over the arriving batch's files;
+    old entries are never rewritten."""
+    from ..storage.trigram_index import trigram_index_update
+
+    def hook(table_name: str, rows: DataFrame, batch_id: int) -> None:
+        if table_name != table:
+            return
+        tbl = os.path.join(base_dir, table)
+        bdir = os.path.join(tbl, f"batch_id={batch_id}")
+        try:
+            files = sorted(
+                os.path.join(f"batch_id={batch_id}", e)
+                for e in os.listdir(bdir)
+                if e.endswith(".parquet") and not e.startswith(("_", "."))
+            )
+        except OSError:
+            return
+        if files:
+            trigram_index_update(rows.sparkSession, tbl, col, files=files)
+
+    return hook
+
+
 def projection_maintenance(
     store_path: str,
     *,

@@ -130,6 +130,15 @@ AUDITS: dict[str, set[str]] = {
     # API-routed bloom lookup (r09): same lifecycle shape; the in-entry
     # breadcrumb assertion (files_read < files_live) is the prune proof
     "bloom_routed_lookup": set(),
+    # trigram-sidecar LIKE routing (r09c): same lifecycle shape; the
+    # in-entry breadcrumb assertion is the prune proof
+    "trigram_routed_like": set(),
+    # star-join aggregate routing (r09c): lifecycle entry (pinned
+    # result); grid-scan/no-raw-scan/broadcast asserted in-entry
+    "rollup_routed_join": set(),
+    # streaming-maintained sidecars (r09c): replay lifecycle entry,
+    # pinned result; lock-step + pruning asserted in-entry
+    "streaming_sidecar_maintain_replay": set(),
     # all-depth PNG decode (r09): Arrow-batched mapInPandas codec stage
     "multimodal_png_depths": {"arrow_ok"},
     # zone-sidecar range routing (r09): lifecycle entry, pinned result

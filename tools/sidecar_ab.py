@@ -4,8 +4,9 @@ file skipping buys (the 100 TB claim, reduced to wall-clock).
 
 Builds ONE 20x (default) events-derived serve table laid out as 48 call
 shards + 16 value-range files, indexes call_id (bloom) and value (zone),
-then times each query both ways, N passes each, reporting medians and the
-file accounting. Usage: python tools/sidecar_ab.py [k] [sf_dir]
+plus a documents-derived text corpus (128 shards) with a trigram sidecar
+on body (r09c), then times each query both ways, N passes each, reporting
+medians and the file accounting. Usage: python tools/sidecar_ab.py [k] [sf_dir]
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ def main() -> int:
             bloom_index_update,
             zone_index_update,
         )
+        from hepop_spark.storage.trigram_index import trigram_index_update
 
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         reps = spark.range(k).select(F.col("id").alias("rep"))
@@ -66,6 +68,34 @@ def main() -> int:
         rtbl = os.path.join(data, "w1", "dbs", "ranges")
         big.repartitionByRange(96, "value").write.parquet(rtbl)
         zone_index_update(spark, rtbl, "value")
+        # r09c: text corpus with a trigram sidecar — the LIKE '%x%' probe
+        # no point bloom or zone can serve (substring, unordered)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000)
+                .alias("doc_id"),
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        (F.col("doc_id") + F.col("rep") * 10_000_000)
+                        % 99991 == 0,
+                        F.concat(F.lit(" marker-"),
+                                 (F.col("doc_id")
+                                  + F.col("rep") * 10_000_000)
+                                 .cast("string"), F.lit("#")),
+                    ).otherwise(F.lit("")),
+                ).alias("body"),
+            )
+        )
+        ttbl = os.path.join(data, "w1", "dbs", "corpus")
+        (
+            corpus.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(128)))
+            .repartition("shard").write.partitionBy("shard").parquet(ttbl)
+        )
+        n_docs = spark.read.parquet(ttbl).count()
+        trigram_index_update(spark, ttbl, "body")
 
         queries = {
             "point": ("SELECT event_id, value FROM calls "
@@ -74,10 +104,13 @@ def main() -> int:
                     "('call-7', 'call-50000011', 'call-190000222')"),
             "range": ("SELECT count(*) AS n, sum(value) AS sv FROM ranges "
                       "WHERE value BETWEEN 50 AND 51"),
+            "like": ("SELECT doc_id FROM corpus "
+                     "WHERE body LIKE '%marker-0#%'"),
         }
-        out: dict = {"replication": k, "rows": n_rows}
+        out: dict = {"replication": k, "rows": n_rows, "docs": n_docs}
         bloom_dir = os.path.join(tbl, "_bloom")
         zone_dir = os.path.join(rtbl, "_zone")
+        tri_dir = os.path.join(ttbl, "_trigram")
         hidden = os.path.join(d, "hidden")
         for name, sql in queries.items():
             rec: dict = {}
@@ -85,7 +118,7 @@ def main() -> int:
                 if mode == "raw":
                     # hide the sidecars: the API falls back to full scans
                     os.makedirs(hidden, exist_ok=True)
-                    for sd in (bloom_dir, zone_dir):
+                    for sd in (bloom_dir, zone_dir, tri_dir):
                         if os.path.isdir(sd):
                             shutil.move(sd, os.path.join(
                                 hidden, os.path.basename(sd) + name))
@@ -106,7 +139,7 @@ def main() -> int:
                     rec["files"] = api.last_bloom_pruned
                 else:
                     assert api.last_bloom_pruned is None
-                    for sd in (bloom_dir, zone_dir):
+                    for sd in (bloom_dir, zone_dir, tri_dir):
                         h = os.path.join(hidden, os.path.basename(sd) + name)
                         if os.path.isdir(h):
                             shutil.move(h, sd)
