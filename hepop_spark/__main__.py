@@ -171,6 +171,23 @@ def serve(cfg: ServerConfig, spark=None, block: bool = True,
                 tdir = os.path.join(root, t)
                 if not os.path.isdir(tdir):
                     continue
+                if cfg.retention_days is not None:
+                    # age-out BEFORE compaction: expired partitions must
+                    # not be compacted into survivors first
+                    from datetime import datetime, timedelta, timezone
+
+                    from .storage.retention import apply_retention
+
+                    cutoff = (
+                        datetime.now(timezone.utc)
+                        - timedelta(days=cfg.retention_days)
+                    ).strftime("%Y-%m-%d")
+                    try:
+                        r = apply_retention(tdir, cutoff)
+                        if r["dates_dropped"]:
+                            out[f"retention/{t}"] = r
+                    except Exception:
+                        pass  # a concurrent writer won; next sweep retries
                 try:
                     res = compact(spark, tdir, min_files=2)
                 except Exception:

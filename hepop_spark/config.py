@@ -67,6 +67,11 @@ class ServerConfig:
     # trigram_index.py) — LIKE '%substring%' file skipping over text
     # columns (SIP payload search, the capture store's headline lookup).
     trigram_cols: tuple[tuple[str, str], ...] = ()
+    # RETENTION_DAYS: age-out — the sweep drops date partitions older
+    # than now - N days (storage/retention.py; manifest retire + vacuum
+    # grace, so pinned readers never race an expiry). None = keep forever
+    # (the reference's behavior: rotation is left to the operator).
+    retention_days: float | None = None
 
     @classmethod
     def from_env(cls, env: dict | None = None, **overrides) -> "ServerConfig":
@@ -105,6 +110,12 @@ class ServerConfig:
                 overrides.get("zone_cols", e.get("ZONE_COLS", ""))),
             trigram_cols=_parse_cols(
                 overrides.get("trigram_cols", e.get("TRIGRAM_COLS", ""))),
+            retention_days=(
+                float(r) if (r := overrides.get(
+                    "retention_days",
+                    e.get("RETENTION_DAYS", 0))) and float(r) > 0
+                else None
+            ),
         )
 
     def table_root(self) -> str:

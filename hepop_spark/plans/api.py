@@ -493,12 +493,30 @@ class HepopQueryAPI:
                     continue
                 if "." not in col and dtypes.get(col) != "string":
                     continue
-                runs = like_runs(lm.group("pat"))
+                pat = lm.group("pat")
+                runs = like_runs(pat)
                 if runs and _has("_trigram", col):
                     probes.append(("trigram", col))
                     fns.append(
                         lambda d, col=col, runs=runs:
                         trigram_candidates(d, col, runs)[0])
+                # a literal PREFIX additionally prunes by the string ZONE:
+                # every match lies in [prefix, prefix+￿...] and file
+                # min/max compare lexicographically in parquet stats and
+                # Python alike (escape syntax already refused above)
+                if runs is not None:
+                    prefix = re.split(r"[%_]", pat, maxsplit=1)[0]
+                    if prefix and ord(prefix[-1]) < 0x10FFFF \
+                            and _has("_zone", col):
+                        # closed superset [prefix, prefix[:-1]+succ]:
+                        # every prefix-match sorts inside it (UTF-8 byte
+                        # order == code-point order, so Spark's file
+                        # min/max and this Python compare agree)
+                        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+                        probes.append(("zone", col))
+                        fns.append(
+                            lambda d, col=col, lo=prefix, hi=hi:
+                            zone_candidates(d, col, lo, hi)[0])
                 continue
             m = re.fullmatch(
                 r"\s*" + _COL_GRAMMAR +
@@ -573,6 +591,7 @@ class HepopQueryAPI:
                 return None
             q2 = _FROM_RE.sub(f"FROM {view}", q, count=1)
             df = self.spark.sql(q2)  # analyzed eagerly: view resolved here
+            self.last_sql = q2  # debug breadcrumb (/explain shows it)
             from ..storage.bloom_index import _live_files
 
             dirs = sorted(_glob.glob(dir_glob))

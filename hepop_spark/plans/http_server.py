@@ -16,6 +16,12 @@ Endpoints (status-code mapping mirrors the reference):
                               serves it): per writer/table partition+file+
                               byte counts, manifest version, sidecar
                               indexes, maintained rollups
+  GET  /explain?q=<sql>    -> 200 query introspection WITHOUT execution:
+                              which rollup grid (if any) the aggregate
+                              routed to, the rewritten SQL, the sidecar
+                              pruning accounting (files_live/files_read
+                              per probe), and the physical plan — "why
+                              was my query fast/slow" as an API
 
 Writes spool LP lines to the landing dir consumed by the streaming job
 (streaming/ingest.lp_sink) — the HTTP layer never touches parquet itself,
@@ -178,6 +184,35 @@ class HepopHttpServer:
                     return
                 self._send(200, json.dumps(rows, default=_json_default).encode())
 
+            def _explain(self, sql: str):
+                # a FRESH api per request: the breadcrumbs this endpoint
+                # exists to expose (last_routed_rollup/last_bloom_pruned)
+                # are per-instance debug state that concurrent handler
+                # threads would race on the shared api
+                api2 = HepopQueryAPI(
+                    spark, default_window=default_window,
+                    data_dir=data_dir, max_rows=max_rows)
+                try:
+                    df = api2.sql(sql)  # plans + analyzes; never collects
+                    try:
+                        mode = spark._jvm.org.apache.spark.sql.execution \
+                            .ExplainMode.fromString("formatted")
+                        plan = df._jdf.queryExecution().explainString(mode)
+                    except Exception:
+                        plan = df._jdf.queryExecution() \
+                            .executedPlan().toString()
+                    body = json.dumps({
+                        "query": sql,
+                        "executed_sql": api2.last_sql,
+                        "routed_rollup": api2.last_routed_rollup,
+                        "pruning": api2.last_bloom_pruned,
+                        "plan": plan,
+                    }, default=_json_default).encode()
+                    self._send(200, body)
+                except Exception as e:
+                    self._send(500, json.dumps(
+                        {"error": str(e).split("\n")[0]}).encode())
+
             def do_GET(self):
                 url = urllib.parse.urlparse(self.path)
                 if url.path == "/health":
@@ -200,6 +235,12 @@ class HepopHttpServer:
                         self._send(400, b'{"error":"missing query parameter q"}')
                     else:
                         self._run_query(q)
+                elif url.path == "/explain":
+                    q = urllib.parse.parse_qs(url.query).get("q", [None])[0]
+                    if not q:
+                        self._send(400, b'{"error":"missing query parameter q"}')
+                    else:
+                        self._explain(q)
                 else:
                     self._send(404, b'{"error":"not found"}')
 

@@ -421,12 +421,76 @@ ORDER BY event_id
 
 
 
+def retention_expiry(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention as a first-class storage mutation (storage/retention.py,
+    r09c): events written to the reference's date/bucket layout under a
+    manifest, then `apply_retention(cutoff=2024-01-15)` RETIRES the 14
+    expired date partitions in one manifest publish — their bytes persist
+    through the vacuum grace (pinned in-flight readers keep working), but
+    every read from this moment on sees only surviving dates. The entry
+    asserts exactly 14 dates dropped, that a second sweep is a no-op
+    (idempotent), and returns the per-date rollup of the survivors; the
+    oracle recomputes it from the raw events table filtered at the
+    cutoff — a retention that dropped too much/little or double-applied
+    fails the hash.
+
+    Scale: expiry cost ~ dropped partitions (one CAS publish + deferred
+    deletes), never surviving data; the serve sweep runs it before
+    compaction (RETENTION_DAYS) so expired data is never compacted into
+    survivors first."""
+    from ..storage.retention import apply_retention
+    from ..storage.writer import read_table, write_partitioned
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "value", F.col("ts").alias("timestamp"))
+    d = tempfile.mkdtemp(prefix="retention_")
+    try:
+        tbl = os.path.join(d, "ev")
+        write_partitioned(ev, tbl, manifest=True)
+        res = apply_retention(tbl, "2024-01-15")
+        if len(res["dates_dropped"]) != 14 or res["files_retired"] <= 0:
+            raise AssertionError(
+                f"retention dropped the wrong partitions: {res}")
+        res2 = apply_retention(tbl, "2024-01-15")
+        if res2["dates_dropped"] or res2["files_retired"]:
+            raise AssertionError(f"retention re-applied: {res2}")
+        back = read_table(spark, tbl)  # manifest-pinned live files
+        rows = (
+            back.groupBy(F.col("date").cast("string").alias("d"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_v"),
+            )
+            .orderBy("d")
+            .collect()
+        )
+        return spark.createDataFrame(rows, "d string, n bigint, sum_v double")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_RETENTION_ORACLE = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_v
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+GROUP BY 1
+ORDER BY d
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "source_csv_roundtrip": QuerySpec(source_csv_roundtrip, _AGG_ORACLE),
     "source_jsonl_roundtrip": QuerySpec(source_jsonl_roundtrip, _AGG_ORACLE),
     "source_orc_roundtrip": QuerySpec(source_orc_roundtrip, _AGG_ORACLE),
     "source_lineproto_roundtrip": QuerySpec(source_lineproto_roundtrip, _AGG_ORACLE),
     "source_partitioned_prune": QuerySpec(source_partitioned_prune, _PART_PRUNE_ORACLE),
+    "retention_expiry": QuerySpec(
+        retention_expiry, _RETENTION_ORACLE,
+        doc="age-out as a manifest mutation: 14 expired date partitions "
+            "retired in one CAS publish (idempotence asserted in-entry); "
+            "oracle recomputes the surviving rollup from raw events",
+    ),
     "lp_schema_evolution": QuerySpec(
         lp_schema_evolution, _LP_EVOLUTION_ORACLE,
         "measurement gains a field mid-stream: registry evolve + mergeSchema read",

@@ -308,6 +308,37 @@ def replace_files(table_dir: str, moves: list[tuple[str, str]],
             return v
 
 
+def retire_files(table_dir: str, old_rels: list[str]) -> int:
+    """Retire-only publish (no replacements) — the retention/expiry
+    commit: publish a version WITHOUT ``old_rels``, marking them retired
+    so their bytes persist through the vacuum grace (in-flight pinned
+    reads keep working), then vacuum deletes them. CAS like the other
+    mutations; unlike replace_files there is no double-apply hazard — a
+    concurrent writer having already retired some of the inputs just
+    shrinks this publish's work (retiring is idempotent), so conflicts
+    re-derive and never roll back. Returns the published version, or 0
+    when nothing was live to retire."""
+    with _table_lock(table_dir):
+        recover(table_dir)
+        for attempt in range(CAS_RETRIES):
+            got = latest(table_dir)
+            prev_v, prev = (got if got else (0, {"files": [],
+                                                 "retired": {}}))
+            doomed = set(old_rels) & set(prev.get("files", ()))
+            if not doomed:
+                return 0
+            now = time.time()
+            retired = dict(prev.get("retired", {}))
+            retired.update({r: now for r in doomed})
+            files = sorted(set(prev["files"]) - doomed)
+            try:
+                return _publish(table_dir, files, retired, prev_v)
+            except ManifestConflict:
+                if attempt == CAS_RETRIES - 1:
+                    raise
+                time.sleep(0.002 * (attempt + 1))
+
+
 def vacuum(table_dir: str, grace_s: float | None = None) -> list[str]:
     """Physically delete retired files whose grace expired, prune emptied
     partition directories and manifest versions past KEEP_VERSIONS.

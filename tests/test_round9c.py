@@ -165,6 +165,47 @@ class TestTrigramApiRouting:
         api.sql("SELECT count() AS n FROM corpus WHERE doc_id LIKE '%12%'")
         assert api.last_bloom_pruned is None
 
+    def test_two_like_conjuncts_intersect(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data = self._serve_tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        sql = ("SELECT doc_id FROM corpus WHERE body LIKE '%needle-%' "
+               "AND body LIKE '%row 97 %' ORDER BY doc_id")
+        got = [r.doc_id for r in api.sql(sql).collect()]
+        bp = api.last_bloom_pruned
+        assert bp and bp["probes"].count(("trigram", "body")) == 2
+        raw = [r.doc_id for r in spark.sql(sql).collect()]
+        assert got == raw == [97]
+
+    def test_prefix_like_prunes_via_string_zone(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.bloom_index import zone_index_update
+
+        data = str(tmp_path / "data")
+        tbl = os.path.join(data, "w1", "dbs", "logs")
+        df = spark.range(0, 400).select(
+            F.col("id").alias("rid"),
+            F.concat(
+                F.element_at(
+                    F.array(F.lit("alpha"), F.lit("bravo"),
+                            F.lit("charlie"), F.lit("delta")),
+                    (F.col("id") % 4 + 1).cast("int")),
+                F.lit("-line-"), F.col("id").cast("string"),
+            ).alias("line"),
+        )
+        # range layout on the string column: the zone map's companion
+        df.repartitionByRange(8, "line").write.parquet(tbl)
+        zone_index_update(spark, tbl, "line")
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        sql = ("SELECT count(*) AS n FROM logs "
+               "WHERE line LIKE 'charlie-%' ")
+        n = api.sql(sql).collect()[0].n
+        bp = api.last_bloom_pruned
+        assert bp and ("zone", "line") in bp["probes"]
+        assert bp["files_read"] < bp["files_live"]
+        assert n == 100
+
     def test_composes_with_zone_probe(self, spark, tmp_path):
         from hepop_spark.plans.api import HepopQueryAPI
         from hepop_spark.storage.bloom_index import zone_index_update
@@ -278,6 +319,159 @@ class TestTrigramLifecycle:
         cfg = ServerConfig.from_env(
             {"TRIGRAM_COLS": "sip:payload,logs:line"})
         assert cfg.trigram_cols == (("sip", "payload"), ("logs", "line"))
+
+
+class TestRetention:
+    """r09c: age-out as a storage mutation (storage/retention.py)."""
+
+    def _write(self, spark, base, manifest):
+        from hepop_spark.storage.writer import write_partitioned
+
+        df = spark.range(0, 300).select(
+            F.col("id").alias("v"),
+            F.expr("timestamp'2024-03-01 00:00:00' + "
+                   "make_interval(0, 0, 0, CAST(id % 6 AS INT), 0, 0, 0)")
+            .alias("timestamp"),
+        )
+        write_partitioned(df, base, manifest=manifest)
+
+    def test_manifest_retire_is_graceful_and_idempotent(
+            self, spark, tmp_path):
+        from hepop_spark.storage.retention import apply_retention
+        from hepop_spark.storage.writer import read_table
+
+        base = str(tmp_path / "tbl")
+        self._write(spark, base, manifest=True)
+        res = apply_retention(base, "2024-03-04")
+        assert res["dates_dropped"] == [
+            "date=2024-03-01", "date=2024-03-02", "date=2024-03-03"]
+        assert res["files_retired"] > 0
+        # pinned reads exclude retired files immediately...
+        back = read_table(spark, base)
+        dates = sorted(r.d for r in back.select(
+            F.col("date").cast("string").alias("d")).distinct().collect())
+        assert dates == ["2024-03-04", "2024-03-05", "2024-03-06"]
+        assert back.count() == 150
+        # ...while the bytes persist through the default grace
+        assert any(d.startswith("date=2024-03-01")
+                   for d in os.listdir(base))
+        # re-application is a reported no-op
+        res2 = apply_retention(base, "2024-03-04")
+        assert res2 == {"dates_dropped": [], "files_retired": 0}
+        # zero-grace vacuum reclaims the bytes (hadoop .crc siblings may
+        # keep the emptied dirs themselves from rmdir — that's fine, the
+        # walk skips them and no parquet remains)
+        from hepop_spark.storage.manifest import vacuum
+        vacuum(base, grace_s=0)
+        old = os.path.join(base, "date=2024-03-01")
+        left = [f for _r, _d, fs in os.walk(old) for f in fs
+                if f.endswith(".parquet")] if os.path.isdir(old) else []
+        assert left == []
+
+    def test_listing_mode_removes_dirs(self, spark, tmp_path):
+        from hepop_spark.storage.retention import apply_retention
+        from hepop_spark.storage.writer import read_table
+
+        base = str(tmp_path / "tbl")
+        self._write(spark, base, manifest=False)
+        res = apply_retention(base, "2024-03-06")
+        assert len(res["dates_dropped"]) == 5
+        assert res["files_retired"] > 0
+        assert read_table(spark, base).count() == 50
+        left = [d for d in os.listdir(base) if d.startswith("date=")]
+        assert left == ["date=2024-03-06"]
+
+    def test_cutoff_beyond_data_is_noop(self, spark, tmp_path):
+        from hepop_spark.storage.retention import apply_retention
+
+        base = str(tmp_path / "tbl")
+        self._write(spark, base, manifest=True)
+        assert apply_retention(base, "2024-01-01") == {
+            "dates_dropped": [], "files_retired": 0}
+
+    def test_serve_config_parses_retention(self):
+        from hepop_spark.config import ServerConfig
+
+        assert ServerConfig.from_env({}).retention_days is None
+        assert ServerConfig.from_env(
+            {"RETENTION_DAYS": "30"}).retention_days == 30.0
+        assert ServerConfig.from_env(
+            {"RETENTION_DAYS": "0"}).retention_days is None
+
+
+class TestExplainEndpoint:
+    """r09c: GET /explain — routing decision, pruning accounting, the
+    rewritten SQL and the physical plan, without executing the query."""
+
+    def _fetch(self, port, path):
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}", timeout=120) as r:
+                return r.status, _json.load(r)
+        except urllib.error.HTTPError as e:
+            return e.code, _json.load(e)
+
+    def test_explain_reports_pruning_and_plan(self, spark, tmp_path):
+        import urllib.parse
+
+        from hepop_spark.plans.http_server import HepopHttpServer
+        from hepop_spark.storage.trigram_index import trigram_index_update
+
+        data = str(tmp_path / "data")
+        tbl = os.path.join(data, "w1", "dbs", "corpus")
+        _write_corpus(spark, tbl, 0, 200)
+        trigram_index_update(spark, tbl, "body")
+        srv = HepopHttpServer(spark, default_window=False,
+                              data_dir=data).start()
+        try:
+            q = urllib.parse.quote(
+                "SELECT doc_id FROM corpus WHERE body LIKE '%needle-97#%'")
+            code, body = self._fetch(srv.port, f"/explain?q={q}")
+            assert code == 200
+            assert body["routed_rollup"] is None
+            bp = body["pruning"]
+            assert bp and bp["files_read"] < bp["files_live"]
+            assert ["trigram", "body"] in bp["probes"]
+            assert "FROM corpus__pruned_" in body["executed_sql"]
+            assert "Scan parquet" in body["plan"] or "FileScan" in body["plan"]
+            # missing q -> 400; broken SQL -> 500
+            assert self._fetch(srv.port, "/explain")[0] == 400
+            bad = urllib.parse.quote("SELECT nope FROM missing_table")
+            assert self._fetch(srv.port, f"/explain?q={bad}")[0] == 500
+        finally:
+            srv.stop()
+
+    def test_explain_reports_rollup_route(self, spark, tmp_path):
+        import urllib.parse
+
+        from hepop_spark.plans.http_server import HepopHttpServer
+        from hepop_spark.storage.rollup import projection_append
+
+        data = str(tmp_path / "data")
+        raw = spark.range(0, 300).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+        raw.write.parquet(os.path.join(data, "w1", "dbs", "mtable"))
+        store = os.path.join(data, "w1", "rollups", "m_grid")
+        part = raw.groupBy("k").agg(F.sum("v").alias("sv"))
+        projection_append(
+            spark, store, part, "b0", keys=["k"], sums=["sv"],
+            source={"table": "mtable", "keys": {"k": "k"},
+                    "sums": {"sv": "sum(v)"}})
+        srv = HepopHttpServer(spark, default_window=False,
+                              data_dir=data).start()
+        try:
+            q = urllib.parse.quote(
+                "SELECT k, sum(v) AS sv FROM mtable GROUP BY k")
+            code, body = self._fetch(srv.port, f"/explain?q={q}")
+            assert code == 200
+            assert body["routed_rollup"] == "m_grid"
+            assert "FROM m_grid" in body["executed_sql"]
+        finally:
+            srv.stop()
 
 
 class TestJoinRouting:

@@ -139,6 +139,9 @@ AUDITS: dict[str, set[str]] = {
     # streaming-maintained sidecars (r09c): replay lifecycle entry,
     # pinned result; lock-step + pruning asserted in-entry
     "streaming_sidecar_maintain_replay": set(),
+    # retention expiry (r09c): storage-mutation lifecycle entry, pinned
+    # result; drop count + idempotence asserted in-entry
+    "retention_expiry": set(),
     # all-depth PNG decode (r09): Arrow-batched mapInPandas codec stage
     "multimodal_png_depths": {"arrow_ok"},
     # zone-sidecar range routing (r09): lifecycle entry, pinned result
@@ -435,6 +438,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/analytics2.py:dim_keys": "keys-only projection of the declared dim table (API contract)",
     "hepop_spark/queries/llm15.py:tot": "per-key bucket-weight totals: one row per grid key (+1 global) — bounded by the key domain, never by rows",
     "hepop_spark/storage/bloom_index.py:mdf": "one (file, m) row per file being indexed in THIS update call — bounded by the update's file list",
+    "hepop_spark/storage/trigram_index.py:mdf": "one (file, m) row per file being indexed in THIS update call — bounded by the update's file list",
     "hepop_spark/queries/analytics3.py:stats": "1-row corpus stats (N, avgdl)",
     "hepop_spark/queries/analytics3.py:idf": "token vocab (Heaps-law sublinear; df>=2 floor)",
     "hepop_spark/queries/analytics3.py:avgdl": "1-row avg doc length",
