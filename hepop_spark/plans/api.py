@@ -90,7 +90,8 @@ _SIMPLE_AGG_RE = re.compile(
 _JOIN_AGG_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
     r"(?P<t1>[A-Za-z_]\w*)\s+(?:AS\s+)?"
-    r"(?P<a1>(?!JOIN\b|WHERE\b|GROUP\b|AS\b)[A-Za-z_]\w*)\s+"
+    r"(?P<a1>(?!JOIN\b|WHERE\b|GROUP\b|AS\b|LEFT\b)[A-Za-z_]\w*)\s+"
+    r"(?P<jtype>LEFT\s+(?:OUTER\s+)?)?"
     r"JOIN\s+(?P<t2>[A-Za-z_]\w*)\s+(?:AS\s+)?"
     r"(?P<a2>(?!ON\b|AS\b)[A-Za-z_]\w*)\s+"
     r"ON\s+(?P<ja>[A-Za-z_]\w*)\s*\.\s*(?P<jac>[A-Za-z_]\w*)\s*=\s*"
@@ -374,6 +375,25 @@ class HepopQueryAPI:
                 self.spark, self.data_dir, self.last_table, self.last_hep_type,
                 cache=self._view_fingerprints,
             )
+            # multi-table SQL (joins, self-joins via aliases): discover
+            # EVERY FROM/JOIN target best-effort, not just the first —
+            # the reference plans only the first (query.js:71-84) but
+            # executes the full SQL through DuckDB, which sees all its
+            # tables; our serve equivalent of "DuckDB sees it" is a
+            # registered view per discovered dir (fingerprint-cached, so
+            # the steady-state cost is a stat per table per query)
+            for name in {m.group(1) for m in re.finditer(
+                    r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)", q,
+                    re.IGNORECASE)} - {self.last_table}:
+                hep = re.fullmatch(r"hep_(\d+)", name)
+                try:
+                    discover_table(
+                        self.spark, self.data_dir, name,
+                        int(hep.group(1)) if hep else None,
+                        cache=self._view_fingerprints,
+                    )
+                except Exception:
+                    pass  # not a serve table; a registered view may resolve
         if self.default_window and self._view_has_time(self.last_table):
             q = inject_default_window(q, now=now)
         self.last_sql = q
@@ -898,15 +918,26 @@ class HepopQueryAPI:
             except Exception:
                 pass
 
+        jtype = "LEFT JOIN" if m.group("jtype") else "JOIN"
         for raw_tbl, raw_alias, dim_tbl, dim_alias in (
                 (t1, a1, t2, a2), (t2, a2, t1, a1)):
+            if jtype != "JOIN" and raw_alias != a1:
+                # fact LEFT JOIN dim is exact (unmatched FACT rows ride
+                # their grid cells); dim LEFT JOIN fact preserves
+                # unmatched DIM rows, which the grid cannot reproduce
+                # for count(*) — only the fact-on-the-left orientation
+                # routes
+                continue
             jk_raw, jk_dim = on[raw_alias], on[dim_alias]
             if self.default_window:
                 # same gate as _try_rollup_route: the grid has no time
-                # dimension, so a time-faced fact table under the
-                # implicit window must not route
+                # dimension, so a time-faced table under the implicit
+                # window must not route — EITHER side (the unqualified
+                # injected `time` predicate binds to whichever table
+                # exposes it on the raw path)
                 try:
-                    if ("time" in self.spark.table(raw_tbl).columns):
+                    if ("time" in self.spark.table(raw_tbl).columns
+                            or "time" in self.spark.table(dim_tbl).columns):
                         continue
                 except Exception:
                     continue
@@ -1035,7 +1066,7 @@ class HepopQueryAPI:
                 self.last_table, self.last_hep_type = gname, None
                 return (
                     f"SELECT {', '.join(sel)} FROM {gname} "
-                    f"JOIN {dim_tbl} {dim_alias} "
+                    f"{jtype} {dim_tbl} {dim_alias} "
                     f"ON {gname}.{jcol} = {dim_alias}.{jk_dim}"
                     f"{where_clause} GROUP BY {', '.join(gb_parts)} "
                     f"{tail}"

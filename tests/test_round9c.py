@@ -206,6 +206,33 @@ class TestTrigramApiRouting:
         assert bp["files_read"] < bp["files_live"]
         assert n == 100
 
+    def test_map_key_like_routes(self, spark, tmp_path):
+        """LIKE over one key of a map column (the LP tags storage):
+        sidecar spec `tags.host`, conjunct `tags['host'] LIKE '%...%'`."""
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.trigram_index import trigram_index_update
+
+        data = str(tmp_path / "data")
+        tbl = os.path.join(data, "w1", "dbs", "lp")
+        df = spark.range(0, 200).select(
+            (F.col("id") % 8).alias("shard"),
+            F.col("id").alias("rid"),
+            F.create_map(
+                F.lit("host"),
+                F.concat(F.lit("node-"), (F.col("id") % 50).cast("string"),
+                         F.lit(".example.invalid")),
+            ).alias("tags"),
+        )
+        df.repartition("shard").write.partitionBy("shard").parquet(tbl)
+        trigram_index_update(spark, tbl, "tags.host")
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        sql = ("SELECT rid FROM lp WHERE tags['host'] LIKE '%node-37.%' "
+               "ORDER BY rid")
+        got = [r.rid for r in api.sql(sql).collect()]
+        bp = api.last_bloom_pruned
+        assert bp and ("trigram", "tags.host") in bp["probes"]
+        assert got == [37, 87, 137, 187]
+
     def test_composes_with_zone_probe(self, spark, tmp_path):
         from hepop_spark.plans.api import HepopQueryAPI
         from hepop_spark.storage.bloom_index import zone_index_update
@@ -607,6 +634,61 @@ class TestJoinRouting:
             assert api.last_routed_rollup is None, sql
             # the raw answer is still produced (both views discovered)
             assert df.count() >= 0, sql
+
+    def test_serve_discovers_every_from_join_target(self, spark, tmp_path):
+        """Raw multi-table SQL (shapes the join-route grammar does NOT
+        parse) still answers in serve mode: every FROM/JOIN target is
+        discovered, not just the first (r09c)."""
+        data = self._tree(spark, tmp_path)
+        api = self._api(spark, data)
+        for v in ("facts", "dims"):
+            spark.catalog.dropTempView(v)  # force discovery through sql()
+        sql = ("SELECT d.label AS label, count(*) AS n "
+               "FROM facts f RIGHT JOIN dims d ON f.k = d.dk "
+               "GROUP BY d.label ORDER BY label")
+        got = [tuple(r) for r in api.sql(sql).collect()]
+        assert api.last_routed_rollup is None  # RIGHT JOIN never routes
+        assert len(got) == 3 and sum(n for _, n in got) == 600
+
+    def test_left_join_routes_fact_side_only(self, spark, tmp_path):
+        """fact LEFT JOIN dim routes (unmatched fact rows ride their grid
+        cells into the NULL-label group); dim LEFT JOIN fact does not."""
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.storage.rollup import projection_append
+
+        data = str(tmp_path / "data")
+        fact = spark.range(0, 210).select(
+            (F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+        dim = spark.createDataFrame(  # key 6 missing: LEFT keeps its rows
+            [(i, f"g{i % 2}") for i in range(6)], "dk int, label string")
+        fact.write.parquet(os.path.join(data, "w1", "dbs", "lfacts"))
+        dim.write.parquet(os.path.join(data, "w1", "dbs", "ldims"))
+        store = os.path.join(data, "w1", "rollups", "lf_grid")
+        part = fact.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv"))
+        projection_append(
+            spark, store, part, "b0", keys=["k"], sums=["n", "sv"],
+            source={"table": "lfacts", "keys": {"k": "k"},
+                    "sums": {"n": "count(*)", "sv": "sum(v)"}})
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        sql = ("SELECT d.label AS label, count(*) AS n, sum(f.v) AS sv "
+               "FROM lfacts f LEFT JOIN ldims d ON f.k = d.dk "
+               "GROUP BY d.label ORDER BY label")
+        df = api.sql(sql)
+        assert api.last_routed_rollup == "lf_grid"
+        assert "LEFT JOIN ldims" in api.last_sql
+        got = [tuple(r) for r in df.collect()]
+        raw = [tuple(r) for r in spark.sql(sql).collect()]
+        assert got == raw
+        assert any(label is None for label, _n, _sv in got)
+        # the dim-on-the-left orientation must NOT route
+        sql2 = ("SELECT d.label AS label, count(*) AS n "
+                "FROM ldims d LEFT JOIN lfacts f ON d.dk = f.k "
+                "GROUP BY d.label ORDER BY label")
+        df2 = api.sql(sql2)
+        assert api.last_routed_rollup is None
+        assert [tuple(r) for r in df2.collect()] == \
+            [tuple(r) for r in spark.sql(sql2).collect()]
 
     def test_time_faced_fact_never_routes_under_default_window(
             self, spark, tmp_path):
