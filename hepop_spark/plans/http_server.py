@@ -50,6 +50,7 @@ def collect_stats(data_dir: str) -> dict:
     import os
 
     from ..storage.bloom_index import sidecar_cols, zone_cols
+    from ..storage.trigram_index import trigram_cols
     from ..storage.compaction import table_stats
     from ..storage.manifest import latest as _manifest_latest
     from ..storage.manifest import manifest_enabled
@@ -79,10 +80,13 @@ def collect_stats(data_dir: str) -> dict:
                         rec["manifest_version"] = got[0]
                         rec["live_files"] = len(got[1]["files"])
                 bl, zn = sidecar_cols(tdir), zone_cols(tdir)
+                tg = trigram_cols(tdir)
                 if bl:
                     rec["bloom_cols"] = bl
                 if zn:
                     rec["zone_cols"] = zn
+                if tg:
+                    rec["trigram_cols"] = tg
                 tables[t] = rec
         rollups: dict = {}
         rroot = os.path.join(wdir, "rollups")

@@ -741,17 +741,19 @@ class TestServeSidecarBootstrap:
         from hepop_spark.storage.bloom_index import load_sidecar, load_zone
 
         cfg = ServerConfig.from_env(
-            env={"BLOOM_COLS": "cpu:tags.host", "ZONE_COLS": "cpu:usage"},
+            env={"BLOOM_COLS": "cpu:tags.host", "ZONE_COLS": "cpu:usage",
+                 "TRIGRAM_COLS": "cpu:tags.host"},
             host="127.0.0.1", port=0, http_port=0,
             data_dir=str(tmp_path / "data"), writer_id="w1",
             compact_interval=0,  # sweep driven manually via the handle
         )
         assert cfg.bloom_cols == (("cpu", "tags.host"),)
         assert cfg.zone_cols == (("cpu", "usage"),)
+        assert cfg.trigram_cols == (("cpu", "tags.host"),)
         h = serve(cfg, spark=spark, block=False)
         try:
             body = "\n".join(
-                f"cpu,host=h{i % 6} usage={i}.0 "
+                f"cpu,host=node{i % 6} usage={i}.0 "
                 f"{1709290800000000000 + i * 60_000_000_000}"
                 for i in range(24)
             ).encode()
@@ -774,8 +776,11 @@ class TestServeSidecarBootstrap:
                     pass
                 _time.sleep(1)
             h["compact_once"]()  # bootstraps + indexes the declared cols
+            from hepop_spark.storage.trigram_index import load_trigram
+
             assert load_sidecar(tdir, "tags.host") is not None
             assert load_zone(tdir, "usage") is not None
+            assert load_trigram(tdir, "tags.host") is not None
 
             def _q(sql):
                 url = (f"http://127.0.0.1:{h['http_port']}/query?q="
@@ -784,7 +789,7 @@ class TestServeSidecarBootstrap:
                     return _json.load(r)
 
             rows = _q("SELECT count() AS n FROM cpu WHERE "
-                      "get_json_object(tags, '$.host') = 'h3' "
+                      "get_json_object(tags, '$.host') = 'node3' "
                       "AND time >= '2024-01-01'")
             assert rows == [{"n": 4}]
             rows = _q("SELECT count() AS n FROM cpu "
@@ -796,13 +801,19 @@ class TestServeSidecarBootstrap:
             api = HepopQueryAPI(spark, default_window=False,
                                 data_dir=cfg.data_dir)
             api.sql("SELECT count(*) AS n FROM cpu "
-                    "WHERE get_json_object(tags, '$.host') = 'h3'").collect()
+                    "WHERE get_json_object(tags, '$.host') = 'node3'"
+                    ).collect()
             bp = api.last_bloom_pruned
             assert bp and ("bloom", "tags.host") in bp["probes"]
             api.sql("SELECT count(*) AS n FROM cpu "
                     "WHERE usage >= 20").collect()
             bp = api.last_bloom_pruned
             assert bp and ("zone", "usage") in bp["probes"]
+            api.sql("SELECT count(*) AS n FROM cpu WHERE "
+                    "get_json_object(tags, '$.host') LIKE '%ode3%'"
+                    ).collect()
+            bp = api.last_bloom_pruned
+            assert bp and ("trigram", "tags.host") in bp["probes"]
             # GET /stats: storage inventory reflects the declared indexes
             with urllib.request.urlopen(
                     f"http://127.0.0.1:{h['http_port']}/stats",
@@ -812,6 +823,7 @@ class TestServeSidecarBootstrap:
             assert cpu["files"] >= 1 and cpu["bytes"] > 0
             assert cpu["bloom_cols"] == ["tags.host"]
             assert cpu["zone_cols"] == ["usage"]
+            assert cpu["trigram_cols"] == ["tags.host"]
             assert "manifest_version" in cpu
         finally:
             h["stop"]()
