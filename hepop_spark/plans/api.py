@@ -501,6 +501,25 @@ class HepopQueryAPI:
             return raw
 
         for c in conjs:
+            cm = re.fullmatch(
+                r"\s*contains\s*\(\s*" + _COL_GRAMMAR +
+                r"\s*,\s*'(?P<lit>[^']*)'\s*\)\s*",
+                c, re.IGNORECASE | re.DOTALL)
+            if cm:
+                # contains(col, 'needle') — the function spelling of
+                # LIKE '%needle%' (no wildcards, so the literal IS the
+                # single run)
+                col = _resolve_col(cm.group("col"))
+                if col is None or (
+                        "." not in col and dtypes.get(col) != "string"):
+                    continue
+                lit = cm.group("lit")
+                if len(lit) >= 3 and _has("_trigram", col):
+                    probes.append(("trigram", col))
+                    fns.append(
+                        lambda d, col=col, lit=lit:
+                        trigram_candidates(d, col, [lit])[0])
+                continue
             lm = re.fullmatch(
                 r"\s*" + _COL_GRAMMAR + r"\s+LIKE\s+'(?P<pat>[^']*)'\s*",
                 c, re.IGNORECASE | re.DOTALL)

@@ -748,8 +748,8 @@ FROM events WHERE value BETWEEN 50 AND 60
 # --- r09c: star-join aggregate routing ---------------------------------------
 
 JOIN_ROUTED_SQL_TEXT = (
-    "SELECT n.n_name AS name, count(*) AS n_rows, sum(e.value) AS sv, "
-    "avg(e.value) AS av, min(e.value) AS mnv, max(e.value) AS mxv "
+    "SELECT n.n_name AS name, count(*) AS n_rows, sum(e.cents) AS sv, "
+    "avg(e.cents) AS av, min(e.cents) AS mnv, max(e.cents) AS mxv "
     "FROM evstar e JOIN natdim n ON e.nk = n.n_nationkey "
     "WHERE n.n_regionkey = 2 GROUP BY n.n_name ORDER BY name"
 )
@@ -766,7 +766,11 @@ def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
     SUM, min/max as themselves, avg finalizes from sum+strict-count. The
     entry hard-fails unless the plan scans the grid (never the raw
     fact) and broadcasts the dim. The oracle recomputes from raw events
-    joined to nation.
+    joined to nation. Measures ride an exact integer cent grid
+    (round(value*100) — values sit near integers, never near .5), so
+    sums are BIGINT-exact across engines and the avg is ONE IEEE
+    division of exact integers (the verify-skill float rule; round(avg)
+    flipped a 6th decimal at sf0.1).
 
     Scale: THE reason the grid exists — the aggregate runs over
     O(|grid|) rows then broadcast-joins the small dim, instead of
@@ -775,7 +779,9 @@ def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
     from ..storage.rollup import projection_append, projection_compact
 
     ev = load_table(spark, sf, "events").select(
-        "event_id", "value", (F.col("event_id") % 25).alias("nk"))
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("event_id") % 25).alias("nk"))
     nat = load_table(spark, sf, "nation")
     root = tempfile.mkdtemp(prefix="join_route_")
     data = os.path.join(root, "data")
@@ -790,10 +796,10 @@ def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
                 ev.filter(F.col("event_id") % ROLLUP_ROUTE_BATCHES == b)
                 .groupBy("nk")
                 .agg(F.count("*").alias("n_rows"),
-                     F.sum("value").alias("sv"),
-                     F.count("value").alias("cv"),
-                     F.min("value").alias("mnv"),
-                     F.max("value").alias("mxv"))
+                     F.sum("cents").alias("sv"),
+                     F.count("cents").alias("cv"),
+                     F.min("cents").alias("mnv"),
+                     F.max("cents").alias("mxv"))
             )
             projection_append(
                 spark, store, part, f"b{b}", keys=keys, sums=sums,
@@ -801,10 +807,10 @@ def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
                 source={
                     "table": "evstar",
                     "keys": {"nk": "nk"},
-                    "sums": {"n_rows": "count(*)", "sv": "sum(value)",
-                             "cv": "count(value)"},
-                    "mins": {"mnv": "min(value)"},
-                    "maxs": {"mxv": "max(value)"},
+                    "sums": {"n_rows": "count(*)", "sv": "sum(cents)",
+                             "cv": "count(cents)"},
+                    "mins": {"mnv": "min(cents)"},
+                    "maxs": {"mxv": "max(cents)"},
                 },
             )
         projection_compact(spark, store, keys, sums, mins, maxs)
@@ -821,14 +827,13 @@ def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
             raise AssertionError("routed plan still scans the raw fact")
         if "BroadcastHashJoin" not in plan:
             raise AssertionError("dim join is not broadcast")
-        # re-merged float sums differ from raw sums only by addition
-        # order; round to the entry's published precision
-        rows = [(r["name"], r["n_rows"], round(r["sv"], 2),
-                 round(r["av"], 6), r["mnv"], r["mxv"])
-                for r in df.collect()]
+        # integer-exact measures: no rounding anywhere — sums are BIGINT
+        # and the avg is one IEEE division of exact integers
+        rows = [(r["name"], r["n_rows"], r["sv"], r["av"],
+                 r["mnv"], r["mxv"]) for r in df.collect()]
         return spark.createDataFrame(
-            rows, "name string, n_rows bigint, sv double, av double, "
-                  "mnv double, mxv double")
+            rows, "name string, n_rows bigint, sv bigint, av double, "
+                  "mnv bigint, mxv bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -836,11 +841,12 @@ def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
 JOIN_ROUTED_SQL = """
 SELECT n.n_name AS name,
        CAST(count(*) AS BIGINT) AS n_rows,
-       round(sum(e.value), 2) AS sv,
-       round(avg(e.value), 6) AS av,
-       min(e.value) AS mnv,
-       max(e.value) AS mxv
-FROM (SELECT event_id, value, event_id % 25 AS nk FROM events) e
+       CAST(sum(e.cents) AS BIGINT) AS sv,
+       CAST(sum(e.cents) AS DOUBLE) / count(e.cents) AS av,
+       CAST(min(e.cents) AS BIGINT) AS mnv,
+       CAST(max(e.cents) AS BIGINT) AS mxv
+FROM (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id % 25 AS nk FROM events) e
 JOIN nation n ON e.nk = n.n_nationkey
 WHERE n.n_regionkey = 2
 GROUP BY n.n_name

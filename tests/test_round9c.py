@@ -206,6 +206,23 @@ class TestTrigramApiRouting:
         assert bp["files_read"] < bp["files_live"]
         assert n == 100
 
+    def test_contains_routes_like_a_like(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data = self._serve_tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        sql = ("SELECT doc_id FROM corpus "
+               "WHERE contains(body, 'needle-194#') ORDER BY doc_id")
+        got = [r.doc_id for r in api.sql(sql).collect()]
+        bp = api.last_bloom_pruned
+        assert bp and ("trigram", "body") in bp["probes"]
+        assert bp["files_read"] < bp["files_live"]
+        assert got == [194]
+        # a short literal carries no trigram: falls back, still correct
+        api.sql("SELECT count(*) AS n FROM corpus "
+                "WHERE contains(body, 'ab')")
+        assert api.last_bloom_pruned is None
+
     def test_map_key_like_routes(self, spark, tmp_path):
         """LIKE over one key of a map column (the LP tags storage):
         sidecar spec `tags.host`, conjunct `tags['host'] LIKE '%...%'`."""
