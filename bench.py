@@ -101,10 +101,12 @@ EXTRA_R2 = [
     "bloom_routed_lookup",
     "zone_routed_range",
     "ddsketch_maintained",
-    # round-9c flagships: trigram-sidecar substring search (LIKE routing)
-    # and the star-join aggregate rewrite through the maintained grid
+    # round-9c flagships: trigram-sidecar substring search (LIKE routing),
+    # the star-join aggregate rewrite through the maintained grid, and
+    # 2-D file skipping (z-order layout x per-dimension zone sidecars)
     "trigram_routed_like",
     "rollup_routed_join",
+    "zone_zorder_prune",
 ]
 
 

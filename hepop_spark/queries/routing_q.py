@@ -931,6 +931,67 @@ ORDER BY doc_id
 
 
 
+# --- r09c: z-order layout x zone sidecars — 2-D file skipping ----------------
+
+ZORDER_ZONE_SQL_TEXT = (
+    "SELECT count(*) AS n, sum(cents) AS sv FROM evz "
+    "WHERE user_id BETWEEN 10 AND 19 AND cents BETWEEN 2000 AND 2999"
+)
+
+
+def zone_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-dimensional file skipping: the serve table is laid out on
+    the Morton curve over (user_id, cents) (storage/zorder.py), zone
+    sidecars are built for BOTH dimensions, and the user's 2-D box
+    predicate routes onto a pruned view whose file list is the
+    INTERSECTION of both zone probes — tight per-file min/max on both
+    axes is exactly what z-ordering buys, and the sidecar composition
+    turns it into plan-time pruning with zero file opens. The entry
+    hard-fails unless BOTH probes engaged and the intersection pruned;
+    the oracle recomputes the box aggregate from the raw events table
+    (integer cent grid, so sums replay exactly).
+
+    Scale: a 1-D range layout can serve one dimension; the z-order +
+    per-dimension-zone composition is the first-line answer for 2-D
+    dashboards at 100 TB (Delta/Iceberg Z-ORDER, done with the repo's
+    own layout writer and driver-side probes)."""
+    from ..plans.api import HepopQueryAPI
+    from ..storage.bloom_index import zone_index_update
+    from ..storage.zorder import zorder_write
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    root = tempfile.mkdtemp(prefix="zorder_zone_")
+    data = os.path.join(root, "data")
+    try:
+        tbl = os.path.join(data, "w1", "dbs", "evz")
+        zorder_write(ev, tbl, ["user_id", "cents"], n_files=32)
+        zone_index_update(spark, tbl, "user_id")
+        zone_index_update(spark, tbl, "cents")
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        df = api.sql(ZORDER_ZONE_SQL_TEXT)
+        rows = df.collect()
+        bp = api.last_bloom_pruned
+        if not bp or ("zone", "user_id") not in bp["probes"] \
+                or ("zone", "cents") not in bp["probes"]:
+            raise AssertionError(f"both zone probes must engage: {bp}")
+        if bp["files_read"] >= bp["files_live"]:
+            raise AssertionError(f"2-D pruning removed nothing: {bp}")
+        out = [(rows[0]["n"], rows[0]["sv"])]
+        return spark.createDataFrame(out, "n bigint, sv bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ZORDER_ZONE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sv
+FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+WHERE user_id BETWEEN 10 AND 19 AND cents BETWEEN 2000 AND 2999
+"""
+
+
 # --- r09c: sidecars maintained BY the streaming ingest path ------------------
 
 SIDECAR_MAINT_BATCHES = 4
@@ -1114,6 +1175,13 @@ QUERIES: dict[str, QuerySpec] = {
             "grid THROUGH the dim join (aggregate-before-join MV "
             "rewrite; grid scan + broadcast dim asserted in-entry); "
             "oracle recomputes from raw events joined to nation",
+    ),
+    "zone_zorder_prune": QuerySpec(
+        zone_zorder_prune, ZORDER_ZONE_SQL,
+        doc="Morton layout + per-dimension zone sidecars: a 2-D box "
+            "predicate prunes by the INTERSECTION of both zone probes "
+            "(both engagements asserted in-entry); oracle recomputes "
+            "from raw events on the integer cent grid",
     ),
     "streaming_sidecar_maintain_replay": QuerySpec(
         streaming_sidecar_maintain_replay, SIDECAR_MAINT_SQL,

@@ -433,6 +433,65 @@ class TestRetention:
         assert apply_retention(base, "2024-01-01") == {
             "dates_dropped": [], "files_retired": 0}
 
+    def test_serve_sweep_ages_out_under_ingest(self, spark, tmp_path):
+        """RETENTION_DAYS live: a serve process ingests points 10 days
+        old and points from now; the sweep expires the old date
+        partitions while the fresh ones keep answering — the capture
+        store's rotation loop, end-to-end."""
+        import json as _json
+        import time as _time
+        import urllib.parse
+        import urllib.request
+
+        from hepop_spark.__main__ import serve
+        from hepop_spark.config import ServerConfig
+        from hepop_spark.storage.writer import read_table
+
+        cfg = ServerConfig.from_env(
+            env={"RETENTION_DAYS": "5"},
+            host="127.0.0.1", port=0, http_port=0,
+            data_dir=str(tmp_path / "data"), writer_id="w1",
+            compact_interval=0,
+        )
+        assert cfg.retention_days == 5.0
+        h = serve(cfg, spark=spark, block=False)
+        try:
+            now_ns = _time.time_ns()
+            old_ns = now_ns - 10 * 86400 * 10**9
+            body = "\n".join(
+                [f"mem,host=old-h{i} usage={i}.0 {old_ns + i * 1000}"
+                 for i in range(12)]
+                + [f"mem,host=new-h{i} usage={i}.0 {now_ns + i * 1000}"
+                   for i in range(12)]
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{h['http_port']}/write", data=body,
+                method="POST")
+            with urllib.request.urlopen(req, timeout=10) as r:
+                assert r.status == 201
+            tdir = os.path.join(cfg.table_root(), "mem")
+            deadline = _time.time() + 240
+            while _time.time() < deadline:
+                try:
+                    if read_table(spark, tdir).count() >= 24:
+                        break
+                except Exception:
+                    pass
+                _time.sleep(1)
+            assert read_table(spark, tdir).count() == 24
+            h["compact_once"]()  # sweep: retention BEFORE compaction
+            assert read_table(spark, tdir).count() == 12
+            url = (f"http://127.0.0.1:{h['http_port']}/query?q="
+                   + urllib.parse.quote(
+                       "SELECT count() AS n FROM mem "
+                       "WHERE time >= '2000-01-01'"))
+            with urllib.request.urlopen(url, timeout=60) as r:
+                assert _json.load(r) == [{"n": 12}]
+            h["compact_once"]()  # stable on re-application
+            assert read_table(spark, tdir).count() == 12
+        finally:
+            h["stop"]()
+
     def test_serve_config_parses_retention(self):
         from hepop_spark.config import ServerConfig
 

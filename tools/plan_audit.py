@@ -142,6 +142,9 @@ AUDITS: dict[str, set[str]] = {
     # retention expiry (r09c): storage-mutation lifecycle entry, pinned
     # result; drop count + idempotence asserted in-entry
     "retention_expiry": set(),
+    # z-order x zone 2-D pruning (r09c): lifecycle entry, pinned result;
+    # dual-probe engagement + intersection pruning asserted in-entry
+    "zone_zorder_prune": set(),
     # all-depth PNG decode (r09): Arrow-batched mapInPandas codec stage
     "multimodal_png_depths": {"arrow_ok"},
     # zone-sidecar range routing (r09): lifecycle entry, pinned result
