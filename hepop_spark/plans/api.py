@@ -90,8 +90,9 @@ _SIMPLE_AGG_RE = re.compile(
 _JOIN_AGG_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
     r"(?P<t1>[A-Za-z_]\w*)\s+(?:AS\s+)?"
-    r"(?P<a1>(?!JOIN\b|WHERE\b|GROUP\b|AS\b|LEFT\b)[A-Za-z_]\w*)\s+"
-    r"(?P<jtype>LEFT\s+(?:OUTER\s+)?)?"
+    r"(?P<a1>(?!JOIN\b|WHERE\b|GROUP\b|AS\b|LEFT\b|INNER\b)"
+    r"[A-Za-z_]\w*)\s+"
+    r"(?P<jtype>LEFT\s+(?:OUTER\s+)?|INNER\s+)?"
     r"JOIN\s+(?P<t2>[A-Za-z_]\w*)\s+(?:AS\s+)?"
     r"(?P<a2>(?!ON\b|AS\b)[A-Za-z_]\w*)\s+"
     r"ON\s+(?P<ja>[A-Za-z_]\w*)\s*\.\s*(?P<jac>[A-Za-z_]\w*)\s*=\s*"
@@ -937,7 +938,9 @@ class HepopQueryAPI:
             except Exception:
                 pass
 
-        jtype = "LEFT JOIN" if m.group("jtype") else "JOIN"
+        jtype = ("LEFT JOIN"
+                 if (m.group("jtype") or "").upper().startswith("LEFT")
+                 else "JOIN")  # INNER JOIN == JOIN
         for raw_tbl, raw_alias, dim_tbl, dim_alias in (
                 (t1, a1, t2, a2), (t2, a2, t1, a1)):
             if jtype != "JOIN" and raw_alias != a1:

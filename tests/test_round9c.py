@@ -654,6 +654,17 @@ class TestJoinRouting:
         raw = [tuple(r) for r in spark.sql(sql).collect()]
         assert got == raw
 
+    def test_inner_join_spelling_routes(self, spark, tmp_path):
+        data = self._tree(spark, tmp_path)
+        api = self._api(spark, data)
+        sql = ("SELECT d.label AS label, sum(f.v) AS sv "
+               "FROM facts f INNER JOIN dims d ON f.k = d.dk "
+               "GROUP BY d.label ORDER BY label")
+        df = api.sql(sql)
+        assert api.last_routed_rollup == "fact_k_grid"
+        assert [tuple(r) for r in df.collect()] == \
+            [tuple(r) for r in spark.sql(sql).collect()]
+
     def test_sides_swap(self, spark, tmp_path):
         """dim JOIN fact (reversed order) routes too."""
         data = self._tree(spark, tmp_path)
