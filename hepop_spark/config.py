@@ -30,6 +30,17 @@ def _parse_cols(spec) -> tuple[tuple[str, str], ...]:
     return tuple(out)
 
 
+def _parse_pos_float(v) -> float | None:
+    """Positive float or None — tolerant of malformed env values
+    (r09 ADVICE: a non-numeric RETENTION_DAYS crashed from_env with an
+    uncaught ValueError, unlike the neighboring fields' parsing)."""
+    try:
+        f = float(str(v).strip())
+    except (TypeError, ValueError):
+        return None
+    return f if f > 0 else None
+
+
 @dataclass(frozen=True)
 class ServerConfig:
     port: int = 9069
@@ -110,12 +121,9 @@ class ServerConfig:
                 overrides.get("zone_cols", e.get("ZONE_COLS", ""))),
             trigram_cols=_parse_cols(
                 overrides.get("trigram_cols", e.get("TRIGRAM_COLS", ""))),
-            retention_days=(
-                float(r) if (r := overrides.get(
-                    "retention_days",
-                    e.get("RETENTION_DAYS", 0))) and float(r) > 0
-                else None
-            ),
+            retention_days=_parse_pos_float(
+                overrides.get("retention_days",
+                              e.get("RETENTION_DAYS", 0))),
         )
 
     def table_root(self) -> str:

@@ -161,6 +161,120 @@ def _split_conjuncts(where: str) -> list[str] | None:
     return [c for c in out if c] or None
 
 
+def _strip_parens(s: str) -> str:
+    """Remove balanced OUTER parentheses: `((a OR b))` -> `a OR b`.
+    Only strips when the opening paren matches the final char."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # the opener closes early: not an outer pair
+        s = s[1:-1].strip()
+    return s
+
+
+def _split_disjuncts(s: str) -> list[str]:
+    """OR-ed disjuncts at paren depth 0."""
+    out, depth, cur = [], 0, []
+    for t in re.split(r"(\bOR\b)", s, flags=re.IGNORECASE):
+        if t.upper() == "OR" and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            depth += t.count("(") - t.count(")")
+            cur.append(t)
+    out.append("".join(cur).strip())
+    return [c for c in out if c]
+
+
+def _or_in_canonical(conjunct: str) -> tuple[str, list[str]] | None:
+    """(expr, [literals]) when `conjunct` is an OR of equality/IN tests
+    that ALL target the same expression — `k = 'a' OR k = 'b' OR
+    k IN ('c','d')` is semantically `k IN ('a','b','c','d')` (r09
+    verdict item 6: the most common dashboard shape that used to fall
+    back). Anything else — mixed columns, ranges, nested AND — returns
+    None and the caller keeps its conservative fallback."""
+    parts = _split_disjuncts(_strip_parens(conjunct))
+    if len(parts) < 2:
+        return None
+    expr, lits = None, []
+    for p in parts:
+        pm = _PRED_RE.match(_strip_parens(p))
+        if not pm or re.search(r"\b(OR|AND|NOT)\b", pm.group("e"),
+                               re.IGNORECASE):
+            return None  # nested boolean structure: not a flat OR
+        if pm.group("op") == "=" and pm.group("lit") is not None:
+            got = [pm.group("lit")]
+        elif pm.group("ins") is not None:
+            got = _split_top_level(pm.group("ins"))
+        else:
+            return None  # ranges/BETWEEN do not merge into an IN
+        e = _norm_expr(pm.group("e"))
+        if expr is None:
+            expr, raw_expr = e, pm.group("e").strip()
+        elif e != expr:
+            return None
+        lits.extend(got)
+    return raw_expr, lits
+
+
+def _parse_where_conjuncts(where: str) -> list[tuple[str, str]] | None:
+    """The routable WHERE grammar: AND-ed conjuncts, each either a
+    `expr op literal` / BETWEEN / IN comparison (r09), a PARENTHESIZED
+    AND-group of the same (recursively unwrapped, r10), or an
+    OR-of-equalities on a single expression (canonicalized to IN, r10).
+    Returns [(expr, op_sql)] or None — anything richer falls back to the
+    raw scan, so a miss costs nothing."""
+    conjuncts = _split_conjuncts(where)
+    if not conjuncts:
+        return None
+    preds: list[tuple[str, str]] = []
+    for c in conjuncts:
+        # OR-of-equalities first: _PRED_RE's non-greedy expr would
+        # otherwise backtrack across the ORs and swallow them into a
+        # garbage expression
+        got = _or_in_canonical(c)
+        if got is not None:
+            expr, lits = got
+            preds.append((expr, f"IN ({', '.join(lits)})"))
+            continue
+        stripped = _strip_parens(c)
+        if stripped != c.strip():
+            # a parenthesized group may hold further top-level ANDs
+            inner = _parse_where_conjuncts(stripped)
+            if inner is None:
+                return None
+            preds.extend(inner)
+            continue
+        pm = _PRED_RE.match(c)
+        if pm and re.search(r"\b(OR|AND|NOT)\b", pm.group("e"),
+                            re.IGNORECASE):
+            return None  # un-canonicalizable boolean structure
+        if pm:
+            if pm.group("lit") is not None:
+                preds.append((pm.group("e").strip(),
+                              f"{pm.group('op')} {pm.group('lit')}"))
+            elif pm.group("lo") is not None:
+                preds.append((pm.group("e").strip(),
+                              f"BETWEEN {pm.group('lo')} "
+                              f"AND {pm.group('hi')}"))
+            else:
+                preds.append((pm.group("e").strip(),
+                              f"IN ({pm.group('ins')})"))
+            continue
+        got = _or_in_canonical(c)
+        if got is None:
+            return None
+        expr, lits = got
+        preds.append((expr, f"IN ({', '.join(lits)})"))
+    return preds
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split on commas outside parentheses."""
     out, depth, cur = [], 0, []
@@ -221,30 +335,25 @@ def parse_simple_aggregate(sql: str):
     if not m:
         return None
     preds: list[tuple[str, str]] = []
+    scan_text = sql
     if m.group("where"):
-        conjuncts = _split_conjuncts(m.group("where"))
-        if not conjuncts:
+        got = _parse_where_conjuncts(m.group("where"))
+        if got is None:
             return None
-        for c in conjuncts:
-            pm = _PRED_RE.match(c)
-            if not pm:
-                return None
-            if pm.group("lit") is not None:
-                preds.append((pm.group("e").strip(),
-                              f"{pm.group('op')} {pm.group('lit')}"))
-            elif pm.group("lo") is not None:
-                preds.append((pm.group("e").strip(),
-                              f"BETWEEN {pm.group('lo')} "
-                              f"AND {pm.group('hi')}"))
-            else:
-                preds.append((pm.group("e").strip(),
-                              f"IN ({pm.group('ins')})"))
+        preds = got
+        # the WHERE body is now PROVEN routable — including r10's
+        # OR-of-equality groups canonicalized to IN and unwrapped
+        # parenthesized AND groups — so excuse it from the forbidden
+        # scan by substituting its canonical AND-of-preds form (the
+        # same excusal discipline HAVING uses below); select items,
+        # group keys and the tail are still scanned in full
+        canon = " AND ".join(f"{e} {op}" for e, op in preds) or "1 = 1"
+        scan_text = sql.replace(m.group("where"), canon, 1)
     rest = m.group("rest")
     tm = _TAIL_SPLIT_RE.search(rest)
     gb, tail = (rest[: tm.start()], rest[tm.start():]) if tm else (rest, "")
     tail = tail.strip()
     havings: list[tuple[str, str]] = []
-    scan_text = sql
     if tail[:6].upper() == "HAVING":
         hm = _HAVING_RE.match(tail)
         if not hm:
@@ -264,7 +373,7 @@ def parse_simple_aggregate(sql: str):
         # a having conjunct must reject) — only the structural keyword is
         # excused; a whitespace-normalization miss leaves sql unchanged,
         # which is strictly MORE conservative (body still scanned)
-        scan_text = sql.replace(hm.group(0), hm.group("body"), 1)
+        scan_text = scan_text.replace(hm.group(0), hm.group("body"), 1)
         tail = tail[hm.end():].strip()
     if _FORBIDDEN_RE.search(_COUNT_DISTINCT_RE.sub("cnt()", scan_text)):
         return None
@@ -465,8 +574,11 @@ class HepopQueryAPI:
         dir_glob = os.path.join(self.data_dir, "*", "dbs", table)
 
         def _has(sub: str, col: str) -> bool:
-            return bool(_glob.glob(
-                os.path.join(dir_glob, sub, f"{col}.json")))
+            # either sidecar layout: the r10 sharded `{col}.d/` store or
+            # a legacy r09 monolithic `{col}.json`
+            return bool(
+                _glob.glob(os.path.join(dir_glob, sub, f"{col}.d"))
+                or _glob.glob(os.path.join(dir_glob, sub, f"{col}.json")))
 
         probes = []   # list of (kind, col, payload) for the breadcrumb
         fns = []      # per-dir candidate functions
@@ -502,6 +614,10 @@ class HepopQueryAPI:
             return raw
 
         for c in conjs:
+            oc = _or_in_canonical(c)
+            if oc is not None:
+                # `k = 'a' OR k = 'b'` probes exactly like `k IN (...)`
+                c = f"{oc[0]} IN ({', '.join(oc[1])})"
             cm = re.fullmatch(
                 r"\s*contains\s*\(\s*" + _COL_GRAMMAR +
                 r"\s*,\s*'(?P<lit>[^']*)'\s*\)\s*",
@@ -518,8 +634,9 @@ class HepopQueryAPI:
                 if len(lit) >= 3 and _has("_trigram", col):
                     probes.append(("trigram", col))
                     fns.append(
-                        lambda d, col=col, lit=lit:
-                        trigram_candidates(d, col, [lit])[0])
+                        lambda d, within=None, col=col, lit=lit:
+                        trigram_candidates(d, col, [lit],
+                                           within=within)[0])
                 continue
             lm = re.fullmatch(
                 r"\s*" + _COL_GRAMMAR + r"\s+LIKE\s+'(?P<pat>[^']*)'\s*",
@@ -538,8 +655,9 @@ class HepopQueryAPI:
                 if runs and _has("_trigram", col):
                     probes.append(("trigram", col))
                     fns.append(
-                        lambda d, col=col, runs=runs:
-                        trigram_candidates(d, col, runs)[0])
+                        lambda d, within=None, col=col, runs=runs:
+                        trigram_candidates(d, col, runs,
+                                           within=within)[0])
                 # a literal PREFIX additionally prunes by the string ZONE:
                 # every match lies in [prefix, prefix+￿...] and file
                 # min/max compare lexicographically in parquet stats and
@@ -555,8 +673,10 @@ class HepopQueryAPI:
                         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
                         probes.append(("zone", col))
                         fns.append(
-                            lambda d, col=col, lo=prefix, hi=hi:
-                            zone_candidates(d, col, lo, hi)[0])
+                            lambda d, within=None, col=col, lo=prefix,
+                            hi=hi:
+                            zone_candidates(d, col, lo, hi,
+                                            within=within)[0])
                 continue
             m = re.fullmatch(
                 r"\s*" + _COL_GRAMMAR +
@@ -580,8 +700,9 @@ class HepopQueryAPI:
                 if all(v is not None for v in vals) and _has("_bloom", col):
                     probes.append(("bloom", col))
                     fns.append(
-                        lambda d, col=col, vals=vals:
-                        bloom_candidates(d, col, vals)[0])
+                        lambda d, within=None, col=col, vals=vals:
+                        bloom_candidates(d, col, vals,
+                                         within=within)[0])
                     continue
             lo = hi = None
             if op in (">", ">="):
@@ -604,20 +725,24 @@ class HepopQueryAPI:
             if ok_range and _has("_zone", col):
                 probes.append(("zone", col))
                 fns.append(
-                    lambda d, col=col, lo=lo, hi=hi:
-                    zone_candidates(d, col, lo, hi)[0])
+                    lambda d, within=None, col=col, lo=lo, hi=hi:
+                    zone_candidates(d, col, lo, hi, within=within)[0])
         if not fns:
             return None
 
         ff_cache: dict[str, list[str]] = {}
 
         def file_filter(d: str) -> list[str]:
+            # probes CHAIN rather than intersect independent full passes:
+            # each later probe receives the survivors of the previous one
+            # (`within`), so it opens only the sidecar segments for the
+            # partitions still in play — probe memory tracks the query's
+            # pruned footprint, not the table's file count
             if d not in ff_cache:
-                kept = None
+                kept: list[str] | None = None
                 for fn in fns:
-                    got = set(fn(d))
-                    kept = got if kept is None else (kept & got)
-                ff_cache[d] = sorted(kept)
+                    kept = sorted(fn(d, within=kept))
+                ff_cache[d] = kept
             return ff_cache[d]
 
         from ..catalog import discover_table

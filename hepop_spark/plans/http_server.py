@@ -189,6 +189,21 @@ class HepopHttpServer:
                 self._send(200, json.dumps(rows, default=_json_default).encode())
 
             def _explain(self, sql: str):
+                # SELECT-only guard (r09 ADVICE): api2.sql() passes the
+                # text to spark.sql(), which executes DDL/DML (DROP
+                # VIEW, INSERT ...) EAGERLY — an "explain" endpoint must
+                # never have side effects, so anything but a
+                # SELECT/WITH/VALUES statement is a 400. (/query keeps
+                # the reference's permissive surface, where statements
+                # execute — documented, not hidden behind "explain".)
+                head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() \
+                    else ""
+                if head not in ("SELECT", "WITH", "VALUES", "TABLE"):
+                    self._send(400, json.dumps({
+                        "error": "/explain accepts SELECT statements only "
+                                 f"(got {head or 'empty'}); DDL/DML would "
+                                 "execute, not explain"}).encode())
+                    return
                 # a FRESH api per request: the breadcrumbs this endpoint
                 # exists to expose (last_routed_rollup/last_bloom_pruned)
                 # are per-instance debug state that concurrent handler

@@ -1107,6 +1107,107 @@ ORDER BY path, doc_id
 """
 
 
+# r10 (verdict item 6): OR-of-equalities on a single grid key is the IN
+# it denotes — the most common dashboard WHERE shape that used to fall
+# back to a raw scan — and parenthesized AND groups unwrap. The routed
+# text exercises BOTH: an OR group over lang plus a paren-wrapped
+# equality on source.
+OR_IN_SQL_TEXT = (
+    "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "FROM documents "
+    "WHERE (lang = 'en' OR lang = 'de' OR lang IN ('fr')) "
+    "AND (source IN ('src1', 'src2') OR source = 'src3') "
+    "GROUP BY source ORDER BY source"
+)
+
+ROLLUP_OR_IN_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE (lang = 'en' OR lang = 'de' OR lang IN ('fr'))
+  AND (source IN ('src1', 'src2') OR source = 'src3')
+GROUP BY source
+ORDER BY source
+"""
+
+
+def rollup_routed_or_in(spark: SparkSession, sf: str) -> DataFrame:
+    """An OR-of-equalities WHERE routed onto the rollup grid: the parser
+    proves every disjunct targets the SAME grid key and canonicalizes
+    the group to `lang IN ('en','de','fr')` — selecting grid rows stays
+    exact — while `(source = 'web')` unwraps its parentheses into an
+    ordinary conjunct. Prove-or-fall-back is preserved: mixed-column ORs
+    and OR-of-ranges still reject (pinned by tests/test_round10b).
+
+    Scale: same O(|grid|) routed scan as rollup_routed_filtered — this
+    entry is about GRAMMAR reach, not a new physical plan."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        from ..plans.api import HepopQueryAPI
+
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        df = api.sql(OR_IN_SQL_TEXT)
+        if api.last_routed_rollup != "doc_lang_rollup":
+            raise AssertionError(
+                f"OR/IN aggregate was not routed "
+                f"(last_routed_rollup={api.last_routed_rollup!r})")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "source string, n_docs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_or_in_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, OR_IN_SQL_TEXT)
+
+
+def sql_routed_entrypoint(spark: SparkSession, sf: str) -> DataFrame:
+    """The NON-HTTP routed surface (r09 verdict item 3): notebooks and BI
+    tools call `hepop_spark.sql(spark, text, data_dir=...)` and get the
+    same rollup routing / sidecar pruning the HTTP endpoint applies —
+    previously only `HepopQueryAPI` (behind the server) routed, so any
+    `spark.sql()` consumer silently paid raw scans. The entry runs the
+    flagship routed aggregate through the PUBLIC function and asserts
+    the plan reads the grid, never the raw table; the second call proves
+    the per-(session, data_dir) API cache is reused (fingerprint-cached
+    discovery, one stat per table per call)."""
+    import hepop_spark as hs
+
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = hs.sql(spark, ROUTED_SQL_TEXT, data_dir=data)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError(
+                "public sql() plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("public sql() plan still scans raw")
+        api = hs._SQL_APIS[(spark, data, False)]
+        df2 = hs.sql(spark, ROUTED_SQL_TEXT, data_dir=data)
+        if hs._SQL_APIS[(spark, data, False)] is not api:
+            raise AssertionError("sql() rebuilt its API between calls")
+        rows = df2.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_docs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        import hepop_spark as hs2
+
+        hs2._SQL_APIS.pop((spark, data, False), None)
+
+
+# same result contract as the flagship routed aggregate — the surface
+# under test is the public entry point, not a new aggregate
+SQL_ENTRYPOINT_SQL = ROLLUP_ROUTED_SQL
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_routed_aggregate": QuerySpec(
         rollup_routed_aggregate, ROLLUP_ROUTED_SQL,
@@ -1119,6 +1220,18 @@ QUERIES: dict[str, QuerySpec] = {
         doc="WHERE on a grid key routes too: the conjunct rewrites onto "
             "the grid column (IN over lang, grouped by source); oracle "
             "recomputes from raw",
+    ),
+    "rollup_routed_or_in": QuerySpec(
+        rollup_routed_or_in, ROLLUP_OR_IN_SQL,
+        doc="r10 grammar notch: OR-of-equalities on one grid key "
+            "canonicalizes to IN and routes; parenthesized AND groups "
+            "unwrap; everything richer still falls back (pinned)",
+    ),
+    "sql_routed_entrypoint": QuerySpec(
+        sql_routed_entrypoint, SQL_ENTRYPOINT_SQL,
+        doc="the public hepop_spark.sql() surface routes like the HTTP "
+            "endpoint (grid scan asserted in-entry, API cache reused); "
+            "oracle recomputes the aggregate from raw documents",
     ),
     "rollup_routed_timegrid": QuerySpec(
         rollup_routed_timegrid, ROLLUP_TIMEGRID_SQL,

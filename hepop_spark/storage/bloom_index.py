@@ -4,31 +4,43 @@ The reference writes parquet ROW-GROUP bloom filters (hepop.js:26-34 writer
 option) — useful only after a file is already opened. At 100 TB the win is
 skipping whole FILES at plan time: a `call_id = 'X'` lookup over years of
 HEP traffic should open the handful of files whose bloom admits X, not
-every file the time predicate leaves. This module maintains a per-table
-sidecar (`{base}/_bloom/{col}.json`) holding one bloom bitmap per data
-file; the query path intersects the table's live file list with the
-bitmaps and reads only the survivors (plus any not-yet-indexed files —
-absence means "must scan", so the index can only ever REMOVE work and
-never changes results: blooms have no false negatives).
+every file the time predicate leaves. This module maintains per-file bloom
+bitmaps in the SHARDED sidecar store (storage/sidecar.py — r10: per-
+partition segment files + CAS head pointer, replacing the r09 monolithic
+`_bloom/{col}.json`); the query path intersects the table's live file
+list with the bitmaps and reads only the survivors (plus any
+not-yet-indexed files — absence means "must scan", so the index can only
+ever REMOVE work and never changes results: blooms have no false
+negatives).
 
 Design:
 - Bitmaps are sized per file: m = next power of two >= BITS_PER_ROW * rows
   (>= M_MIN), so a 5M-row compacted file and a 1k-row flush segment both
   land near the same false-positive rate instead of saturating a fixed m.
+- r10 cap: m never exceeds M_MAX (1 MiB of bits). A file whose rows would
+  demand more is split into L LAYERS by value hash (layer = h1 mod L, so
+  every distinct value lives in exactly ONE layer); each layer gets its
+  own bitmap at the target bits-per-row, the probe tests only the value's
+  layer, and no false negatives are introduced — a 100M-row compacted
+  file carries L bounded bitmaps instead of one 200 MB monolith, and the
+  per-probe cost stays O(k) bit tests.
 - Hash positions are integer md5 math — h1 = first 48 bits, h2 = next 48
   bits, pos_j = (h1 + j*h2) mod m (Kirsch-Mitzenmacher double hashing,
   j < BLOOM_K) — computable identically JVM-side (build, vectorized
   conv/md5), driver-side (probe, hashlib) and in ANSI SQL (oracles).
-- The build is ONE distributed pass: explode each row's k positions,
-  distinct, collect_set per file — the driver receives at most
-  files x m positions, never rows.
-- Sidecar writes are atomic (tmp + rename) under the table lock; readers
-  never see a partial index. Indexed-but-retired files are ignored by
-  construction (candidates intersect the LIVE list); live-but-unindexed
-  files are always scanned.
+- The build is ONE distributed pass: explode each row's k positions and
+  OR-aggregate 61-bit words per (file, layer) — map-side combinable, the
+  shuffle carries at most files x ceil(m/61) rows regardless of row count.
+- Publishes go through the sidecar store's CAS head (put-if-absent), so
+  two OS processes indexing one tree converge without lost updates —
+  the same discipline the manifest got in r09. Indexed-but-retired files
+  are ignored by construction (candidates intersect the LIVE list);
+  live-but-unindexed files are always scanned.
 
-Scale: the sidecar is O(files x m bits). A 1000-executor deployment shards
-it per partition directory exactly like the manifest; the probe stays a
+Scale: probe memory is bounded by the partitions that survive earlier
+pruning (`within` threads the already-pruned candidate list into
+`sidecar.load_entries`, which opens only intersecting segments); update
+cost is proportional to the touched partitions. The probe stays a
 driver-side bitmap test per candidate file — no Spark job until the
 pruned read.
 """
@@ -38,14 +50,16 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import sidecar
+
 BLOOM_K = 4           # hash functions
 BITS_PER_ROW = 16     # m/n ratio; ~0.24% FPR at k=4
 M_MIN = 1024          # floor so tiny flush files still get a real bitmap
+M_MAX = 1 << 23       # 1 MiB-of-bits cap per bitmap; beyond -> layers
 _H48 = 1 << 48
 
 
@@ -54,6 +68,15 @@ def _next_pow2(n: int) -> int:
     while m < n:
         m <<= 1
     return m
+
+
+def _size_for(rows: int, bits_per_row: int) -> tuple[int, int]:
+    """(m, L): bitmap bits and layer count for a file of `rows` values.
+    L chosen so next_pow2 of the per-layer demand stays <= M_MAX."""
+    want = bits_per_row * max(rows, 1)
+    L = max(1, -(-want // (M_MAX // 2)))  # ceil-div against the half-cap
+    m = _next_pow2(max(-(-want // L), 1))
+    return m, L
 
 
 def _hash_pair_cols(col):
@@ -75,6 +98,15 @@ def _positions_py(value, m: int) -> list[int]:
     return [(h1 + j * h2) % m for j in range(BLOOM_K)]
 
 
+def _entry_layers(e: dict) -> tuple[int, list[str]]:
+    """(L, [hex bitmap per layer]) for either entry shape — the r09
+    single-bitmap {"m","bits"} or the r10 layered {"m","L","bits":[..]}."""
+    bits = e["bits"]
+    if isinstance(bits, list):
+        return int(e.get("L", len(bits))), bits
+    return 1, [bits]
+
+
 def _col_expr(df: DataFrame, col: str):
     """Column reference for a sidecar spec: a flat name, or `base.key`
     (dotted) for one key inside a nested column — map access when `base`
@@ -90,15 +122,9 @@ def _col_expr(df: DataFrame, col: str):
     return F.col(col)
 
 
-def _sidecar_path(base_path: str, col: str) -> str:
-    return os.path.join(base_path, "_bloom", f"{col}.json")
-
-
-# parsed-sidecar cache keyed by (path, mtime, size): a serve process
-# probes the same sidecar on every point lookup, and re-json.load-ing a
-# multi-MB document per query was the measured scaling term of the probe
-# (tools/sidecar_ab.py) — publishes are atomic renames, so (mtime, size)
-# is a sound freshness key
+# parsed-document cache keyed by (path, mtime, size): used for LEGACY
+# monolithic sidecars (r09 layout) and any other rewrite-in-place JSON;
+# the sharded store caches its immutable segments by name instead.
 _DOC_CACHE: dict[str, tuple[tuple, dict]] = {}
 
 
@@ -122,7 +148,9 @@ def _load_cached(path: str) -> dict | None:
 
 
 def load_sidecar(base_path: str, col: str) -> dict | None:
-    return _load_cached(_sidecar_path(base_path, col))
+    """Merged monolith-shaped view of the bloom sidecar (back-compat read
+    face; probes use sidecar.load_entries with a candidate list)."""
+    return sidecar.load_doc(base_path, "bloom", col)
 
 
 def _test_bits(hexstr: str, positions: list[int]) -> bool:
@@ -159,22 +187,77 @@ def _live_files(base_path: str) -> list[str]:
     return sorted(out)
 
 
+def _or_aggregate_bitmaps(spark: SparkSession, hashed: DataFrame,
+                          base_path: str, sizes: dict[str, tuple[int, int]],
+                          k: int) -> dict[str, dict]:
+    """The shared distributed build: OR-aggregate per-(file, layer)
+    bitmaps as 61-bit words (the repo's bigint-safe bit convention).
+    `hashed` carries one row per value occurrence: (f abs-path, h1, h2);
+    `sizes` maps rel path -> (m, L). Shipping (file, layer, word, bits)
+    rows to the driver is 61x less transfer than raw positions, and
+    bit_or is map-side combinable — the shuffle carries at most
+    files x ceil(m/61) rows regardless of row count. (The first cut
+    collect_set positions; at 20x that was ~8M driver-side ints and the
+    dominant cost of the whole build.)"""
+    if not sizes:
+        return {}
+    mdf = spark.createDataFrame(
+        [(os.path.abspath(os.path.join(base_path, f)), m, L)
+         for f, (m, L) in sizes.items()],
+        "f string, m long, L long")
+    words = (
+        hashed.join(F.broadcast(mdf), "f")
+        .select(
+            "f",
+            F.pmod(F.col("h1"), F.col("L")).alias("lay"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda j: (F.col("h1") + j.cast("long") * F.col("h2"))
+                    % F.col("m"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "f", "lay",
+            (F.col("p") / 61).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(p % 61 as int))"
+            ).alias("b"),
+        )
+        .groupBy("f", "lay", "w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    acc: dict[tuple[str, int], int] = {}
+    for r in words.collect():
+        rel = os.path.relpath(r["f"], base_path)
+        key = (rel, int(r["lay"]))
+        acc[key] = acc.get(key, 0) | (int(r["bits"]) << (61 * int(r["w"])))
+    seen = {rel for rel, _lay in acc}
+    entries: dict[str, dict] = {}
+    for rel, (m, L) in sizes.items():
+        if rel not in seen:
+            continue
+        layers = [format(acc.get((rel, lay), 0), "x") for lay in range(L)]
+        entries[rel] = ({"m": m, "L": L, "bits": layers} if L > 1
+                        else {"m": m, "bits": layers[0]})
+    return entries
+
+
 def bloom_index_update(spark: SparkSession, base_path: str, col: str,
                        files: list[str] | None = None) -> int:
     """Index `files` (relative paths; default: all live files not yet in
-    the sidecar) and merge the bitmaps into the sidecar atomically.
-    Returns the number of files indexed. Incremental by design: ingest
-    hooks pass just-landed files; compaction passes replacement files;
-    a full rebuild passes files=_live_files(...)."""
+    the sidecar) and merge the bitmaps into the sharded store via its CAS
+    publish. Returns the number of files indexed. Incremental by design:
+    ingest hooks pass just-landed files; compaction passes replacement
+    files; a full rebuild passes files=_live_files(...)."""
     from .writer import table_lock
 
     base_path = os.path.abspath(base_path)
     with table_lock(base_path):
-        doc = load_sidecar(base_path, col) or {
-            "col": col, "k": BLOOM_K, "files": {}}
         if files is None:
-            files = [f for f in _live_files(base_path)
-                     if f not in doc["files"]]
+            known = sidecar.load_entries(base_path, "bloom", col)
+            files = [f for f in _live_files(base_path) if f not in known]
         files = [f for f in files
                  if os.path.isfile(os.path.join(base_path, f))]
         if not files:
@@ -193,86 +276,35 @@ def bloom_index_update(spark: SparkSession, base_path: str, col: str,
         )
         counts = {os.path.relpath(r["f"], base_path): r["n"]
                   for r in df.groupBy("f").agg(F.count("*").alias("n")).collect()}
-        ms = {f: _next_pow2(BITS_PER_ROW * n) for f, n in counts.items()}
-        m_rows = [(os.path.abspath(os.path.join(base_path, f)), m)
-                  for f, m in ms.items()]
-        if not m_rows:
-            # all-null or empty files: record empty bitmaps so they are
-            # PRUNED for every probe (nothing can match)
-            _merge_sidecar(base_path, col, doc,
-                           {f: {"m": M_MIN, "bits": "0"} for f in files})
-            return len(files)
-        mdf = spark.createDataFrame(m_rows, "f string, m long")
+        sizes = {f: _size_for(n, BITS_PER_ROW) for f, n in counts.items()}
         h1, h2 = _hash_pair_cols(F.col("v"))
-        # OR-aggregate the bitmap DISTRIBUTEDLY as 61-bit words (the
-        # repo's bigint-safe bit convention): shipping (word, bits) rows
-        # to the driver is 61x less transfer than raw positions, and
-        # bit_or is map-side combinable — the shuffle carries at most
-        # files x ceil(m/61) rows regardless of row count. (The first
-        # cut collect_set positions; at 20x that was ~8M driver-side
-        # ints and the dominant cost of the whole build.)
-        pos = (
-            df.join(F.broadcast(mdf), "f")
-            .select(
-                "f",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
-                        lambda j: (h1 + j.cast("long") * h2) % F.col("m"),
-                    )
-                ).alias("p"),
-            )
-        )
-        words = (
-            pos.select(
-                "f",
-                (F.col("p") / 61).cast("long").alias("w"),
-                F.expr(
-                    "shiftleft(cast(1 as bigint), cast(p % 61 as int))"
-                ).alias("b"),
-            )
-            .groupBy("f", "w")
-            .agg(F.expr("bit_or(b)").alias("bits"))
-        )
-        acc: dict[str, int] = {}
-        for r in words.collect():
-            rel = os.path.relpath(r["f"], base_path)
-            acc[rel] = acc.get(rel, 0) | (int(r["bits"]) << (61 * int(r["w"])))
-        bitmaps: dict[str, dict] = {
-            rel: {"m": ms[rel], "bits": format(v, "x")}
-            for rel, v in acc.items()
-        }
-        for f in files:  # files whose rows were all NULL in col
-            if f not in bitmaps:
-                bitmaps[f] = {"m": M_MIN, "bits": "0"}
-        _merge_sidecar(base_path, col, doc, bitmaps)
+        hashed = df.select("f", h1.alias("h1"), h2.alias("h2"))
+        bitmaps = _or_aggregate_bitmaps(spark, hashed, base_path, sizes,
+                                        BLOOM_K)
+        for f in files:  # all-null or empty files: record empty bitmaps
+            # so they are PRUNED for every probe (nothing can match)
+            bitmaps.setdefault(f, {"m": M_MIN, "bits": "0"})
+        sidecar.update_entries(base_path, "bloom", col, bitmaps,
+                               meta={"k": BLOOM_K})
         return len(files)
 
 
-def _merge_sidecar(base_path: str, col: str, doc: dict,
-                   new_entries: dict) -> None:
-    doc["files"].update(new_entries)
-    path = _sidecar_path(base_path, col)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh)
-    os.rename(tmp, path)
-
-
-def bloom_candidates(base_path: str, col: str,
-                     values: list) -> tuple[list[str], int, int]:
+def bloom_candidates(base_path: str, col: str, values: list,
+                     within: list[str] | None = None
+                     ) -> tuple[list[str], int, int]:
     """Live files that may contain ANY of `values` in `col`:
     (candidates, n_live, n_pruned). Files without a bitmap are kept
     (absence = must scan); a file survives if its bitmap admits at least
-    one probe value. Pure driver-side bitmap math — no Spark job."""
+    one probe value. `within` restricts the probe to an already-pruned
+    candidate list — only sidecar segments for those files' partitions
+    are opened. Pure driver-side bitmap math — no Spark job."""
     base_path = os.path.abspath(base_path)
-    live = _live_files(base_path)
-    doc = load_sidecar(base_path, col)
-    if doc is None:
-        return live, len(live), 0
-    entries = doc["files"]
-    # probe hashes are per-m; memoize across files sharing one m
+    live = within if within is not None else _live_files(base_path)
+    if not sidecar.exists(base_path, "bloom", col):
+        return list(live), len(live), 0
+    entries = sidecar.load_entries(base_path, "bloom", col, files=live)
+    pairs = [_hash_pair_py(v) for v in values]
+    # probe positions are per-m; memoize across files sharing one m
     pos_by_m: dict[int, list[list[int]]] = {}
     kept: list[str] = []
     for f in live:
@@ -282,10 +314,13 @@ def bloom_candidates(base_path: str, col: str,
             continue
         m = int(e["m"])
         if m not in pos_by_m:
-            pos_by_m[m] = [_positions_py(v, m) for v in values]
-        bits = e["bits"]
-        for ps in pos_by_m[m]:
-            if _test_bits(bits, ps):
+            pos_by_m[m] = [
+                [(h1 + j * h2) % m for j in range(BLOOM_K)]
+                for h1, h2 in pairs
+            ]
+        L, layers = _entry_layers(e)
+        for (h1, _h2), ps in zip(pairs, pos_by_m[m]):
+            if _test_bits(layers[h1 % L], ps):
                 kept.append(f)
                 break
     return kept, len(live), len(live) - len(kept)
@@ -312,26 +347,12 @@ def bloom_point_read(spark: SparkSession, base_path: str, col: str,
 
 def sidecar_cols(base_path: str) -> list[str]:
     """Columns with a bloom sidecar on this table."""
-    d = os.path.join(base_path, "_bloom")
-    try:
-        return sorted(
-            f[:-len(".json")] for f in os.listdir(d)
-            if f.endswith(".json") and ".tmp." not in f
-        )
-    except OSError:
-        return []
+    return sidecar.list_cols(base_path, "bloom")
 
 
 def zone_cols(base_path: str) -> list[str]:
     """Columns with a min/max zone sidecar on this table."""
-    d = os.path.join(base_path, "_zone")
-    try:
-        return sorted(
-            f[:-len(".json")] for f in os.listdir(d)
-            if f.endswith(".json") and ".tmp." not in f
-        )
-    except OSError:
-        return []
+    return sidecar.list_cols(base_path, "zone")
 
 
 def bloom_reindex_files(spark: SparkSession, base_path: str,
@@ -360,84 +381,55 @@ def bloom_index_refresh(spark: SparkSession, base_path: str) -> dict:
     compaction — inert for correctness since candidates intersect the
     live list, but dead weight in the sidecar). Returns
     {col: files_indexed}."""
+    from .trigram_index import trigram_cols, trigram_index_update
     from .writer import table_lock
 
     base_path = os.path.abspath(base_path)
     out: dict = {}
     with table_lock(base_path):
         live = set(_live_files(base_path))
-        for col in sidecar_cols(base_path):
-            n = bloom_index_update(spark, base_path, col)
-            doc = load_sidecar(base_path, col)
-            dead = [f for f in doc["files"] if f not in live]
-            if dead:
-                for f in dead:
-                    del doc["files"][f]
-                _merge_sidecar(base_path, col, doc, {})
-            if n or dead:
-                out[col] = {"indexed": n, "vacuumed": len(dead)}
-        for col in zone_cols(base_path):
-            n = zone_index_update(spark, base_path, col)
-            doc = load_zone(base_path, col)
-            dead = [f for f in doc["files"] if f not in live]
-            if dead:
-                for f in dead:
-                    del doc["files"][f]
-                path = _zone_path(base_path, col)
-                tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
-                with open(tmp, "w") as fh:
-                    json.dump(doc, fh)
-                os.rename(tmp, path)
-            if n or dead:
-                out[f"zone:{col}"] = {"indexed": n, "vacuumed": len(dead)}
-        from .trigram_index import (
-            _publish as _tri_publish,
-            load_trigram,
-            trigram_cols,
-            trigram_index_update,
+        plans = (
+            [(c, "bloom", bloom_index_update, c) for c in sidecar_cols(base_path)]
+            + [(c, "zone", zone_index_update, f"zone:{c}")
+               for c in zone_cols(base_path)]
+            + [(c, "trigram", trigram_index_update, f"trigram:{c}")
+               for c in trigram_cols(base_path)]
         )
-
-        for col in trigram_cols(base_path):
-            n = trigram_index_update(spark, base_path, col)
-            doc = load_trigram(base_path, col)
-            dead = [f for f in doc["files"] if f not in live]
+        for col, kind, update_fn, label in plans:
+            n = update_fn(spark, base_path, col)
+            entries = sidecar.load_entries(base_path, kind, col)
+            dead = [f for f in entries if f not in live]
             if dead:
-                for f in dead:
-                    del doc["files"][f]
-                _tri_publish(base_path, col, doc)
+                sidecar.update_entries(base_path, kind, col, {},
+                                       drop=set(dead))
             if n or dead:
-                out[f"trigram:{col}"] = {"indexed": n, "vacuumed": len(dead)}
+                out[label] = {"indexed": n, "vacuumed": len(dead)}
     return out
 
 
 # --- min/max zone sidecar: the RANGE sibling of the bloom bitmaps ----------
 # Parquet footers already carry row-group min/max, but reading footers at
 # plan time still opens every file; the zone sidecar lifts per-FILE min/max
-# into the same _bloom/-style metadata dir so a range predicate prunes
-# files driver-side with zero file opens — the generalization of the
-# reference's metadata.json time index (query.js:22-63) to ANY column.
-
-
-def _zone_path(base_path: str, col: str) -> str:
-    return os.path.join(base_path, "_zone", f"{col}.json")
+# into the same sharded metadata store so a range predicate prunes files
+# driver-side with zero file opens — the generalization of the reference's
+# metadata.json time index (query.js:22-63) to ANY column.
 
 
 def load_zone(base_path: str, col: str) -> dict | None:
-    return _load_cached(_zone_path(base_path, col))
+    return sidecar.load_doc(base_path, "zone", col)
 
 
 def zone_index_update(spark: SparkSession, base_path: str, col: str,
                       files: list[str] | None = None) -> int:
     """Record per-file [min, max] for `col` (None default: live files not
-    yet indexed). Same atomic-merge contract as the bloom sidecar."""
+    yet indexed). Same CAS-publish contract as the bloom sidecar."""
     from .writer import table_lock
 
     base_path = os.path.abspath(base_path)
     with table_lock(base_path):
-        doc = load_zone(base_path, col) or {"col": col, "files": {}}
         if files is None:
-            files = [f for f in _live_files(base_path)
-                     if f not in doc["files"]]
+            known = sidecar.load_entries(base_path, "zone", col)
+            files = [f for f in _live_files(base_path) if f not in known]
         files = [f for f in files
                  if os.path.isfile(os.path.join(base_path, f))]
         if not files:
@@ -459,26 +451,23 @@ def zone_index_update(spark: SparkSession, base_path: str, col: str,
             entries[rel] = {"lo": r["lo"], "hi": r["hi"]}
         for f in files:  # empty files: nothing can match any range
             entries.setdefault(f, {"lo": None, "hi": None})
-        doc["files"].update(entries)
-        path = _zone_path(base_path, col)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        os.rename(tmp, path)
+        sidecar.update_entries(base_path, "zone", col, entries)
         return len(files)
 
 
-def zone_candidates(base_path: str, col: str, lo, hi) -> tuple[list[str], int, int]:
+def zone_candidates(base_path: str, col: str, lo, hi,
+                    within: list[str] | None = None
+                    ) -> tuple[list[str], int, int]:
     """Live files whose [min, max] intersects [lo, hi] (None = open end).
     Files without an entry are kept (absence = must scan); all-null files
-    carry (None, None) and are pruned — no value can satisfy a range."""
+    carry (None, None) and are pruned — no value can satisfy a range.
+    `within` restricts to an already-pruned candidate list (lazy segment
+    loads, same as bloom_candidates)."""
     base_path = os.path.abspath(base_path)
-    live = _live_files(base_path)
-    doc = load_zone(base_path, col)
-    if doc is None:
-        return live, len(live), 0
-    entries = doc["files"]
+    live = within if within is not None else _live_files(base_path)
+    if not sidecar.exists(base_path, "zone", col):
+        return list(live), len(live), 0
+    entries = sidecar.load_entries(base_path, "zone", col, files=live)
     kept = []
     for f in live:
         e = entries.get(f)

@@ -78,16 +78,23 @@ def apply_retention(base_path: str, cutoff_date: str,
                 n_files = len(doomed)
             vacuum(base_path, grace_s=grace_s)
         else:
+            # count and report ONLY partitions whose rename actually
+            # landed: a concurrent writer/compactor winning the rename
+            # must not inflate files_retired/dates_dropped (r09 ADVICE)
+            renamed: list[str] = []
             for d in dropped:
                 src = os.path.join(base_path, d)
                 trash = os.path.join(
                     base_path, f".retired-{d}-{uuid.uuid4().hex[:8]}")
+                n_here = sum(
+                    len([f for f in fs if f.endswith(".parquet")])
+                    for _r, _d, fs in os.walk(src))
                 try:
-                    n_files += sum(
-                        len([f for f in fs if f.endswith(".parquet")])
-                        for _r, _d, fs in os.walk(src))
                     os.rename(src, trash)
                 except OSError:
                     continue  # a concurrent writer/compactor won; re-plan
+                n_files += n_here
+                renamed.append(d)
                 shutil.rmtree(trash, ignore_errors=True)
+            dropped = renamed
     return {"dates_dropped": dropped, "files_retired": n_files}

@@ -14,43 +14,46 @@ file whose bitmap misses one required trigram — no false negatives, the
 predicate still runs on the survivors, results are invisible to the index
 exactly like the point-bloom and zone sidecars it composes with.
 
-Design (shared conventions with storage/bloom_index.py):
-- Sidecar at `{base}/_trigram/{col}.json`, one bitmap per live data file;
-  atomic tmp+rename publishes under the table lock; absence = must scan.
+Design (shared machinery with storage/bloom_index.py + storage/sidecar.py):
+- Entries live in the sharded sidecar store (r10): per-partition segment
+  files under `{base}/_trigram/{col}.d/` with a CAS-published head —
+  update cost tracks the touched partitions, probes load only segments
+  intersecting the candidate list, and two OS processes indexing one
+  tree converge without lost updates.
 - Bitmaps sized per file from its DISTINCT-trigram count (text saturates:
   a multi-GB shard still has ~10-100k distinct trigrams, so sidecars stay
-  small while flush-sized segments round down to M_MIN).
+  small while flush-sized segments round down to M_MIN). The same M_MAX
+  layered cap as the value blooms guards adversarial high-entropy text.
 - Hash positions are the repo's 48-bit md5 split with Kirsch-Mitzenmacher
   double hashing — identical JVM-side (build) and driver-side (probe).
 - The build is one distributed pass: per-row `array_distinct` of the
   trigram window (cuts explode volume by the document's internal
   repetition), cross-row distinct per file, then the 61-bit-word
-  OR-aggregation from the bloom build — the shuffle carries at most
-  files x ceil(m/61) rows, never raw trigram occurrences.
+  OR-aggregation shared with the bloom build — the shuffle carries at
+  most files x ceil(m/61) rows, never raw trigram occurrences.
 
 Scale: the probe is driver-side bitmap math over the manifest-pinned live
 list (no Spark job); the pruned read opens only files that contain every
-needle trigram. On a 1000-executor deployment the sidecar shards per
-partition directory like the manifest; build cost is one narrow pass per
-newly landed file (ingest hook / compaction re-index), never a rescan.
+needle trigram. Build cost is one narrow pass per newly landed file
+(ingest hook / compaction re-index), never a rescan.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from . import sidecar
 from .bloom_index import (
     M_MIN,
     _col_expr,
+    _entry_layers,
     _hash_pair_py,
     _live_files,
-    _load_cached,
-    _next_pow2,
+    _or_aggregate_bitmaps,
+    _size_for,
     _test_bits,
 )
 
@@ -59,12 +62,8 @@ TRI_K = 2            # hash functions: probes AND many trigrams, so a
 BITS_PER_TRIGRAM = 12
 
 
-def _trigram_path(base_path: str, col: str) -> str:
-    return os.path.join(base_path, "_trigram", f"{col}.json")
-
-
 def load_trigram(base_path: str, col: str) -> dict | None:
-    return _load_cached(_trigram_path(base_path, col))
+    return sidecar.load_doc(base_path, "trigram", col)
 
 
 def trigrams_of(s: str) -> list[str]:
@@ -83,39 +82,22 @@ def _positions_py(trigram: str, m: int) -> list[int]:
 
 def trigram_cols(base_path: str) -> list[str]:
     """Columns with a trigram sidecar on this table."""
-    d = os.path.join(base_path, "_trigram")
-    try:
-        return sorted(
-            f[: -len(".json")] for f in os.listdir(d)
-            if f.endswith(".json") and ".tmp." not in f
-        )
-    except OSError:
-        return []
-
-
-def _publish(base_path: str, col: str, doc: dict) -> None:
-    path = _trigram_path(base_path, col)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh)
-    os.rename(tmp, path)
+    return sidecar.list_cols(base_path, "trigram")
 
 
 def trigram_index_update(spark: SparkSession, base_path: str, col: str,
                          files: list[str] | None = None) -> int:
     """Index `files` (relative paths; default: all live files not yet in
-    the sidecar) and merge atomically. Incremental by design: ingest
-    hooks pass just-landed files, compaction passes replacements."""
+    the sidecar) and merge via the store's CAS publish. Incremental by
+    design: ingest hooks pass just-landed files, compaction passes
+    replacements."""
     from .writer import table_lock
 
     base_path = os.path.abspath(base_path)
     with table_lock(base_path):
-        doc = load_trigram(base_path, col) or {
-            "col": col, "k": TRI_K, "files": {}}
         if files is None:
-            files = [f for f in _live_files(base_path)
-                     if f not in doc["files"]]
+            known = sidecar.load_entries(base_path, "trigram", col)
+            files = [f for f in _live_files(base_path) if f not in known]
         files = [f for f in files
                  if os.path.isfile(os.path.join(base_path, f))]
         if not files:
@@ -149,74 +131,47 @@ def trigram_index_update(spark: SparkSession, base_path: str, col: str,
             counts = {os.path.relpath(r["f"], base_path): r["n"]
                       for r in tgs.groupBy("f")
                       .agg(F.count("*").alias("n")).collect()}
-            ms = {f: _next_pow2(BITS_PER_TRIGRAM * n)
-                  for f, n in counts.items()}
-            bitmaps: dict[str, dict] = {}
-            if ms:
-                mdf = spark.createDataFrame(
-                    [(os.path.abspath(os.path.join(base_path, f)), m)
-                     for f, m in ms.items()],
-                    "f string, m long")
-                hx = F.md5(F.col("t"))
-                h1 = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
-                h2 = F.conv(F.substring(hx, 13, 12), 16, 10).cast("long")
-                words = (
-                    tgs.join(F.broadcast(mdf), "f")
-                    .select(
-                        "f",
-                        F.explode(
-                            F.transform(
-                                F.sequence(F.lit(0), F.lit(TRI_K - 1)),
-                                lambda j: (h1 + j.cast("long") * h2)
-                                % F.col("m"),
-                            )
-                        ).alias("p"),
-                    )
-                    .select(
-                        "f",
-                        (F.col("p") / 61).cast("long").alias("w"),
-                        F.expr("shiftleft(cast(1 as bigint),"
-                               " cast(p % 61 as int))").alias("b"),
-                    )
-                    .groupBy("f", "w")
-                    .agg(F.expr("bit_or(b)").alias("bits"))
-                )
-                acc: dict[str, int] = {}
-                for r in words.collect():
-                    rel = os.path.relpath(r["f"], base_path)
-                    acc[rel] = acc.get(rel, 0) | (
-                        int(r["bits"]) << (61 * int(r["w"])))
-                bitmaps = {rel: {"m": ms[rel], "bits": format(v, "x")}
-                           for rel, v in acc.items()}
+            sizes = {f: _size_for(n, BITS_PER_TRIGRAM)
+                     for f, n in counts.items()}
+            hx = F.md5(F.col("t"))
+            hashed = tgs.select(
+                "f",
+                F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+                .alias("h1"),
+                F.conv(F.substring(hx, 13, 12), 16, 10).cast("long")
+                .alias("h2"),
+            )
+            bitmaps = _or_aggregate_bitmaps(
+                spark, hashed, base_path, sizes, TRI_K)
         finally:
             tgs.unpersist()
         for f in files:  # empty / all-null / all-short: nothing matches
             bitmaps.setdefault(f, {"m": M_MIN, "bits": "0"})
-        doc["files"].update(bitmaps)
-        _publish(base_path, col, doc)
+        sidecar.update_entries(base_path, "trigram", col, bitmaps,
+                               meta={"k": TRI_K})
         return len(files)
 
 
-def trigram_candidates(base_path: str, col: str,
-                       needles: list[str]) -> tuple[list[str], int, int]:
+def trigram_candidates(base_path: str, col: str, needles: list[str],
+                       within: list[str] | None = None
+                       ) -> tuple[list[str], int, int]:
     """Live files that may contain rows where `col` contains EVERY needle
     as a substring: (candidates, n_live, n_pruned). A file survives only
     if its bitmap admits ALL trigrams of ALL needles (a matching row
     contains each needle, hence each of its trigrams). Needles shorter
     than 3 chars contribute nothing (no trigram to require). Files
-    without a bitmap are kept — absence means must-scan. Pure driver-side
-    bitmap math, no Spark job."""
+    without a bitmap are kept — absence means must-scan. `within`
+    restricts to an already-pruned candidate list (lazy segment loads).
+    Pure driver-side bitmap math, no Spark job."""
     base_path = os.path.abspath(base_path)
-    live = _live_files(base_path)
+    live = within if within is not None else _live_files(base_path)
     required: list[str] = []
     for n in needles:
         required.extend(trigrams_of(n))
-    if not required:
-        return live, len(live), 0
-    doc = load_trigram(base_path, col)
-    if doc is None:
-        return live, len(live), 0
-    entries = doc["files"]
+    if not required or not sidecar.exists(base_path, "trigram", col):
+        return list(live), len(live), 0
+    entries = sidecar.load_entries(base_path, "trigram", col, files=live)
+    pairs = [_hash_pair_py(t) for t in required]
     pos_by_m: dict[int, list[list[int]]] = {}
     kept: list[str] = []
     for f in live:
@@ -226,9 +181,13 @@ def trigram_candidates(base_path: str, col: str,
             continue
         m = int(e["m"])
         if m not in pos_by_m:
-            pos_by_m[m] = [_positions_py(t, m) for t in required]
-        bits = e["bits"]
-        if all(_test_bits(bits, ps) for ps in pos_by_m[m]):
+            pos_by_m[m] = [
+                [(h1 + j * h2) % m for j in range(TRI_K)]
+                for h1, h2 in pairs
+            ]
+        L, layers = _entry_layers(e)
+        if all(_test_bits(layers[h1 % L], ps)
+               for (h1, _h2), ps in zip(pairs, pos_by_m[m])):
             kept.append(f)
     return kept, len(live), len(live) - len(kept)
 

@@ -1,0 +1,190 @@
+"""Round 10: routable-WHERE grammar notch (OR-of-equalities -> IN,
+parenthesized AND groups) and the public hepop_spark.sql() entry point.
+
+The prove-or-fall-back discipline is the contract under test: everything
+the canonicalizer cannot PROVE routable must return None (raw scan), and
+the proven shapes must parse to the exact preds the router rewrites.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hepop_spark.plans.api import (
+    _or_in_canonical,
+    _parse_where_conjuncts,
+    parse_simple_aggregate,
+)
+
+
+class TestOrInCanonical:
+    def test_or_of_equalities_merges(self):
+        got = _or_in_canonical("k = 'a' OR k = 'b' OR k = 'c'")
+        assert got == ("k", ["'a'", "'b'", "'c'"])
+
+    def test_mixed_in_and_equality(self):
+        got = _or_in_canonical("(k IN ('a', 'b') OR k = 'c')")
+        assert got == ("k", ["'a'", "'b'", "'c'"])
+
+    def test_numeric_literals(self):
+        assert _or_in_canonical("n = 1 OR n = 2") == ("n", ["1", "2"])
+
+    @pytest.mark.parametrize("bad", [
+        "k = 'a' OR j = 'b'",          # mixed columns
+        "k = 'a' OR k > 'b'",          # range disjunct
+        "k = 'a' OR k BETWEEN 1 AND 2",  # BETWEEN disjunct
+        "k = 'a'",                     # single disjunct: not an OR group
+        "k = 'a' OR (k = 'b' AND j = 'c')",  # nested AND
+        "k = 'a' OR k LIKE 'b%'",      # LIKE disjunct
+    ])
+    def test_rejections(self, bad):
+        assert _or_in_canonical(bad) is None
+
+
+class TestParseWhereConjuncts:
+    def test_flat_conjuncts_unchanged(self):
+        got = _parse_where_conjuncts("a = 1 AND b BETWEEN 2 AND 3")
+        assert got == [("a", "= 1"), ("b", "BETWEEN 2 AND 3")]
+
+    def test_paren_and_group_unwraps(self):
+        got = _parse_where_conjuncts("(a = 1 AND b = 2) AND c = 3")
+        assert got == [("a", "= 1"), ("b", "= 2"), ("c", "= 3")]
+
+    def test_or_group_canonicalizes(self):
+        got = _parse_where_conjuncts(
+            "(k = 'x' OR k = 'y') AND (s IN ('p') OR s = 'q')")
+        assert got == [("k", "IN ('x', 'y')"), ("s", "IN ('p', 'q')")]
+
+    @pytest.mark.parametrize("bad", [
+        "a = 1 OR b = 2",              # top-level mixed-column OR
+        "(a = 1 OR b = 2) AND c = 3",  # grouped mixed-column OR
+        "NOT a = 1",                   # negation
+        "a = 1 AND (b = 2 OR c > 3)",  # OR-of-range in a group
+    ])
+    def test_rejections_fall_back(self, bad):
+        assert _parse_where_conjuncts(bad) is None
+
+
+class TestParseSimpleAggregateOrIn:
+    def test_or_group_routes_through_full_parse(self):
+        sql = ("SELECT s, count(*) AS n FROM t "
+               "WHERE (k = 'a' OR k = 'b') AND (s = 'w') "
+               "GROUP BY s")
+        got = parse_simple_aggregate(sql)
+        assert got is not None
+        table, _items, _gb, _tail, preds, _hav = got
+        assert table == "t"
+        assert preds == [("k", "IN ('a', 'b')"), ("s", "= 'w'")]
+
+    def test_mixed_or_still_rejects(self):
+        sql = ("SELECT s, count(*) AS n FROM t "
+               "WHERE k = 'a' OR s = 'w' GROUP BY s")
+        assert parse_simple_aggregate(sql) is None
+
+    def test_or_in_select_items_still_rejects(self):
+        # OR outside the proven WHERE must still hit the forbidden scan
+        sql = ("SELECT s OR q AS x, count(*) AS n FROM t "
+               "WHERE k = 'a' GROUP BY s OR q")
+        assert parse_simple_aggregate(sql) is None
+
+    def test_plain_shapes_unchanged(self):
+        sql = ("SELECT s, count(*) AS n FROM t "
+               "WHERE k IN ('a', 'b') AND v >= 3 GROUP BY s")
+        got = parse_simple_aggregate(sql)
+        assert got is not None
+        assert got[4] == [("k", "IN ('a', 'b')"), ("v", ">= 3")]
+
+
+class TestRotatedOutGateSmoke:
+    """r09 ADVICE: names rotated OUT of GATE_WINDOW_50 must not silently
+    regress between full sweeps — pin them with a cheap oracle run at
+    the smallest scale through the canonical parity harness."""
+
+    ROTATED_OUT = ("dedup_simhash", "ann_cosine_topk",
+                   "rollup_routed_aggregate")
+
+    def test_rotated_out_entries_stay_oracle_green(self):
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "check_parity.py"),
+             "/root/testdata/sf0.001", *self.ROTATED_OUT],
+            capture_output=True, text=True, timeout=600, cwd=repo,
+        )
+        want = f"{len(self.ROTATED_OUT)}/{len(self.ROTATED_OUT)} passed"
+        assert want in proc.stdout, proc.stdout[-2000:] + proc.stderr[-500:]
+
+
+class TestAdviceLowItems:
+    def test_retention_days_tolerant_parse(self, monkeypatch):
+        from hepop_spark.config import ServerConfig, _parse_pos_float
+
+        assert _parse_pos_float("7") == 7.0
+        assert _parse_pos_float(" 1.5 ") == 1.5
+        assert _parse_pos_float("banana") is None
+        assert _parse_pos_float("") is None
+        assert _parse_pos_float("-3") is None
+        monkeypatch.setenv("RETENTION_DAYS", "not-a-number")
+        cfg = ServerConfig.from_env()  # must not raise
+        assert cfg.retention_days is None
+
+    def test_retention_counts_only_renamed(self, tmp_path, monkeypatch):
+        """Legacy listing-mode retention: a failed rename must not count
+        toward files_retired/dates_dropped (r09 ADVICE)."""
+        import os
+
+        from hepop_spark.storage import retention
+
+        base = tmp_path / "t"
+        for d in ("date=2020-01-01", "date=2020-01-02"):
+            p = base / d / "bucket=00-00"
+            p.mkdir(parents=True)
+            (p / "x.parquet").write_bytes(b"PAR1")
+        real_rename = os.rename
+
+        def flaky(src, dst):
+            if "date=2020-01-01" in src:
+                raise OSError("concurrent writer won")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", flaky)
+        out = retention.apply_retention(str(base), "2021-01-01")
+        assert out["dates_dropped"] == ["date=2020-01-02"]
+        assert out["files_retired"] == 1
+
+
+class TestPublicSqlEntrypoint:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from hepop_spark.session import get_spark
+
+        return get_spark("test-round10b")
+
+    def test_no_data_dir_degrades_to_plain_sql(self, spark):
+        import hepop_spark as hs
+
+        df = hs.sql(spark, "SELECT 1 AS one")
+        assert df.collect()[0]["one"] == 1
+
+    def test_count_normalization_applies(self, spark):
+        import hepop_spark as hs
+
+        spark.range(5).createOrReplaceTempView("t10b")
+        try:
+            df = hs.sql(spark, "SELECT count() AS n FROM t10b")
+            assert df.collect()[0]["n"] == 5
+        finally:
+            spark.catalog.dropTempView("t10b")
+
+    def test_api_cache_reuse_and_key_isolation(self, spark):
+        import hepop_spark as hs
+
+        hs.sql(spark, "SELECT 1 AS one")
+        a = hs._SQL_APIS[(spark, None, False)]
+        hs.sql(spark, "SELECT 2 AS two")
+        assert hs._SQL_APIS[(spark, None, False)] is a
+        hs.sql(spark, "SELECT 3 AS three", default_window=False)
+        assert hs._SQL_APIS[(spark, None, False)] is a

@@ -301,12 +301,12 @@ class TestTrigramLifecycle:
         base = str(tmp_path / "tbl")
         _write_corpus(spark, base, 0, 80)
         trigram_index_update(spark, base, "body")
-        doc = load_trigram(base, "body")
-        # plant a dead entry (a file compaction retired)
-        doc["files"]["shard=0/retired-file.parquet"] = {"m": 1024,
-                                                        "bits": "0"}
-        from hepop_spark.storage.trigram_index import _publish
-        _publish(base, "body", doc)
+        # plant a dead entry (a file compaction retired) — via the r10
+        # sharded store, the only write face the sidecars have now
+        from hepop_spark.storage import sidecar
+        sidecar.update_entries(
+            base, "trigram", "body",
+            {"shard=0/retired-file.parquet": {"m": 1024, "bits": "0"}})
         _write_corpus(spark, base, 80, 120)  # new unindexed files
         out = bloom_index_refresh(spark, base)
         tri = out.get("trigram:body")

@@ -28,7 +28,105 @@ from hepop_spark.session import get_spark
 N_PASSES = 5
 
 
+def sweep() -> int:
+    """File-count sweep over the SHARDED store (r10): seed a sidecar with
+    N entries spread over N/16 partitions, then measure (a) the pure
+    store-publish cost of indexing ONE new file and (b) probe latency —
+    full-table and within one partition — at each N. The r09 monolith
+    rewrote the WHOLE document per update and parsed it whole per cold
+    probe, so both terms grew with N; the sharded store's update touches
+    one segment + a head and the within-probe opens one segment, so both
+    must stay flat. Pure metadata benchmark (no Spark): this isolates
+    exactly the term the monolith design coupled to table size.
+    Usage: python tools/sidecar_ab.py --sweep [counts...]"""
+    import statistics as _st
+    import tempfile as _tf
+    import time as _t
+
+    from hepop_spark.storage import sidecar
+    from hepop_spark.storage.bloom_index import bloom_candidates
+
+    counts = [int(a) for a in sys.argv[2:]] or [128, 384, 1280, 5120]
+    out: dict = {"sweep": {}}
+    for n in counts:
+        d = _tf.mkdtemp(prefix="sidecar_sweep_")
+        try:
+            base = os.path.join(d, "t")
+            os.makedirs(base)
+            per_part = 16
+            n_parts = max(1, n // per_part)
+            # a realistic flush-file bitmap: m=16384 -> 4096 hex chars
+            bits = format((1 << 16384) - 1, "x")
+            entries = {
+                f"date=2024-01-{1 + (i % n_parts):04d}/f{i}.parquet":
+                {"m": 16384, "bits": bits}
+                for i in range(n)
+            }
+            # plant data-file stubs so _live_files sees them
+            for rel in entries:
+                p = os.path.join(base, rel)
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                with open(p, "wb") as fh:
+                    fh.write(b"PAR1")
+            t0 = _t.perf_counter()
+            sidecar.update_entries(base, "bloom", "key", entries)
+            seed_s = _t.perf_counter() - t0
+            # (a) one-file incremental update: the monolith's O(N) term
+            upd = []
+            for i in range(7):
+                rel = f"date=2024-01-0001/new{i}.parquet"
+                with open(os.path.join(base, rel), "wb") as fh:
+                    fh.write(b"PAR1")
+                t0 = _t.perf_counter()
+                sidecar.update_entries(base, "bloom", "key",
+                                       {rel: {"m": 16384, "bits": bits}})
+                upd.append(_t.perf_counter() - t0)
+            # (b) probes: cold full (parses every segment once), warm
+            # full (segment cache), and within one partition (lazy)
+            sidecar._SEG_CACHE.clear()
+            t0 = _t.perf_counter()
+            bloom_candidates(base, "key", ["probe-x"])
+            cold_s = _t.perf_counter() - t0
+            warm = []
+            for _ in range(7):
+                t0 = _t.perf_counter()
+                bloom_candidates(base, "key", ["probe-x"])
+                warm.append(_t.perf_counter() - t0)
+            sidecar._SEG_CACHE.clear()
+            part_files = sorted(entries)[:per_part]
+            within = []
+            for _ in range(7):
+                t0 = _t.perf_counter()
+                bloom_candidates(base, "key", ["probe-x"],
+                                 within=part_files)
+                within.append(_t.perf_counter() - t0)
+            dd = sidecar.sidecar_dir(base, "bloom", "key")
+            seg_bytes = max(
+                os.path.getsize(os.path.join(dd, f))
+                for f in os.listdir(dd) if f.startswith("seg-"))
+            head_bytes = max(
+                os.path.getsize(os.path.join(dd, f))
+                for f in os.listdir(dd) if f.startswith("head_v"))
+            out["sweep"][str(n)] = {
+                "partitions": n_parts,
+                "seed_s": round(seed_s, 3),
+                "update_one_file_median_s": round(_st.median(upd), 4),
+                "probe_cold_full_s": round(cold_s, 4),
+                "probe_warm_full_median_s": round(_st.median(warm), 4),
+                "probe_within_partition_median_s":
+                    round(_st.median(within), 4),
+                "max_segment_bytes": seg_bytes,
+                "head_bytes": head_bytes,
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--sweep":
+        return sweep()
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark("sidecar-ab")
