@@ -107,6 +107,11 @@ EXTRA_R2 = [
     "trigram_routed_like",
     "rollup_routed_join",
     "zone_zorder_prune",
+    # round-10 flagships: OR-of-equalities routing (grammar notch) and
+    # the public non-HTTP routed surface — both fixture-dominated like
+    # the other routed entries (each builds its own serve tree per run)
+    "rollup_routed_or_in",
+    "sql_routed_entrypoint",
 ]
 
 

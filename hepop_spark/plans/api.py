@@ -275,6 +275,67 @@ def _parse_where_conjuncts(where: str) -> list[tuple[str, str]] | None:
     return preds
 
 
+class WhereTree:
+    """A PROVEN boolean tree of literal comparisons, produced when the
+    WHERE is analyzable but not a flat conjunct list (mixed-key OR — the
+    dashboard shape `k IN (...) OR k2 = ...`). Routing may rewrite it
+    onto grid columns: a predicate that reads ONLY key columns is
+    constant within each grid cell, so filtering cells equals filtering
+    raw rows for ANY boolean combination, not just conjuncts. Nodes:
+    ('and'|'or', [children]) and ('leaf', expr, op_sql)."""
+
+    __slots__ = ("tree",)
+
+    def __init__(self, tree):
+        self.tree = tree
+
+
+def _where_tree(s: str):
+    """Parse a WHERE body into WhereTree nodes, or None when any piece
+    is not a literal comparison (subqueries, NOT, LIKE, functions-of-
+    multiple-columns all fall back)."""
+    conj = _split_conjuncts(s)
+    if conj is None:
+        return None
+    if len(conj) > 1:
+        kids = [_where_tree(c) for c in conj]
+        return None if any(k is None for k in kids) else ("and", kids)
+    c = conj[0]
+    disj = _split_disjuncts(c)
+    if len(disj) > 1:
+        kids = [_where_tree(d) for d in disj]
+        return None if any(k is None for k in kids) else ("or", kids)
+    stripped = _strip_parens(c)
+    if stripped != c.strip():
+        return _where_tree(stripped)
+    pm = _PRED_RE.match(c)
+    if not pm or re.search(r"\b(OR|AND|NOT)\b", pm.group("e"),
+                           re.IGNORECASE):
+        return None
+    if pm.group("lit") is not None:
+        op_sql = f"{pm.group('op')} {pm.group('lit')}"
+    elif pm.group("lo") is not None:
+        op_sql = f"BETWEEN {pm.group('lo')} AND {pm.group('hi')}"
+    else:
+        op_sql = f"IN ({pm.group('ins')})"
+    return ("leaf", pm.group("e").strip(), op_sql)
+
+
+def _tree_rewrite_sql(t, key_map: dict) -> str | None:
+    """Reassemble a WhereTree as SQL over GRID columns — every leaf
+    expression must be a grid key (anything else returns None and the
+    raw scan answers)."""
+    if t[0] == "leaf":
+        n = _norm_expr(t[1])
+        if n not in key_map:
+            return None
+        return f"{key_map[n]} {t[2]}"
+    parts = [_tree_rewrite_sql(k, key_map) for k in t[1]]
+    if any(p is None for p in parts):
+        return None
+    return "(" + (" AND " if t[0] == "and" else " OR ").join(parts) + ")"
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split on commas outside parentheses."""
     out, depth, cur = [], 0, []
@@ -334,20 +395,26 @@ def parse_simple_aggregate(sql: str):
     m = _SIMPLE_AGG_RE.match(sql)
     if not m:
         return None
-    preds: list[tuple[str, str]] = []
+    preds: list[tuple[str, str]] | WhereTree = []
     scan_text = sql
     if m.group("where"):
         got = _parse_where_conjuncts(m.group("where"))
-        if got is None:
-            return None
-        preds = got
-        # the WHERE body is now PROVEN routable — including r10's
-        # OR-of-equality groups canonicalized to IN and unwrapped
-        # parenthesized AND groups — so excuse it from the forbidden
-        # scan by substituting its canonical AND-of-preds form (the
-        # same excusal discipline HAVING uses below); select items,
-        # group keys and the tail are still scanned in full
-        canon = " AND ".join(f"{e} {op}" for e, op in preds) or "1 = 1"
+        if got is not None:
+            preds = got
+            canon = " AND ".join(f"{e} {op}" for e, op in preds) or "1 = 1"
+        else:
+            # not a flat conjunct list: accept any PROVEN boolean tree
+            # of literal comparisons (mixed-key OR, r10) — the router
+            # then requires every leaf to be a grid key
+            tree = _where_tree(m.group("where"))
+            if tree is None:
+                return None
+            preds = WhereTree(tree)
+            canon = "1 = 1"
+        # the WHERE body is now PROVEN routable — excuse it from the
+        # forbidden scan by substituting a canonical form (the same
+        # excusal discipline HAVING uses below); select items, group
+        # keys and the tail are still scanned in full
         scan_text = sql.replace(m.group("where"), canon, 1)
     rest = m.group("rest")
     tm = _TAIL_SPLIT_RE.search(rest)
@@ -849,16 +916,26 @@ class HepopQueryAPI:
             }
             if not gset <= set(key_map):
                 continue
-            # WHERE conjuncts must each hit a grid KEY (a filter on a raw
-            # measure column cannot be answered by the aggregated grid)
+            # every WHERE comparison must hit a grid KEY (a filter on a
+            # raw measure column cannot be answered by the aggregated
+            # grid). A predicate reading only key columns is constant
+            # within each grid cell, so ANY boolean combination — flat
+            # conjuncts or an OR-bearing tree — selects cells exactly.
             where_parts, ok = [], True
-            for pexpr, op_sql in preds:
-                n = _norm_expr(pexpr)
-                if n in key_map:
-                    where_parts.append(f"{key_map[n]} {op_sql}")
-                else:
+            if isinstance(preds, WhereTree):
+                rewritten = _tree_rewrite_sql(preds.tree, key_map)
+                if rewritten is None:
                     ok = False
-                    break
+                else:
+                    where_parts = [rewritten]
+            else:
+                for pexpr, op_sql in preds:
+                    n = _norm_expr(pexpr)
+                    if n in key_map:
+                        where_parts.append(f"{key_map[n]} {op_sql}")
+                    else:
+                        ok = False
+                        break
             if not ok:
                 continue
             exact = gset == set(key_map) and not where_parts
@@ -1011,10 +1088,22 @@ class HepopQueryAPI:
         on = {m.group("ja"): m.group("jac"), m.group("jb"): m.group("jbc")}
         if set(on) != {a1, a2} or a1 == a2:
             return None
+        # WHERE parses through the shared routable grammar (r10: OR-of-
+        # equalities -> IN, paren AND groups unwrap); the PROVEN preds'
+        # canonical form replaces the raw WHERE in the forbidden scan,
+        # the same excusal discipline the simple-aggregate path uses
+        preds: list[tuple[str, str]] = []
+        if m.group("where"):
+            got = _parse_where_conjuncts(m.group("where"))
+            if got is None:
+                return None
+            preds = got
         # the structural JOIN..ON is excused from the forbidden scan; the
-        # select list, WHERE and GROUP BY/tail are scanned in full
+        # select list, canonical WHERE and GROUP BY/tail are scanned
         scan_text = " ".join(filter(None, (
-            m.group("sel"), m.group("where"), m.group("rest"))))
+            m.group("sel"),
+            " AND ".join(f"{e} {op}" for e, op in preds),
+            m.group("rest"))))
         if _FORBIDDEN_RE.search(scan_text):
             return None
         rest = m.group("rest")
@@ -1024,25 +1113,6 @@ class HepopQueryAPI:
         tail = tail.strip()
         if tail[:6].upper() == "HAVING":
             return None
-        preds: list[tuple[str, str]] = []
-        if m.group("where"):
-            conjuncts = _split_conjuncts(m.group("where"))
-            if not conjuncts:
-                return None
-            for c in conjuncts:
-                pm = _PRED_RE.match(c)
-                if not pm:
-                    return None
-                if pm.group("lit") is not None:
-                    preds.append((pm.group("e").strip(),
-                                  f"{pm.group('op')} {pm.group('lit')}"))
-                elif pm.group("lo") is not None:
-                    preds.append((pm.group("e").strip(),
-                                  f"BETWEEN {pm.group('lo')} "
-                                  f"AND {pm.group('hi')}"))
-                else:
-                    preds.append((pm.group("e").strip(),
-                                  f"IN ({pm.group('ins')})"))
         items = []
         for it in _split_top_level(m.group("sel")):
             am = _AS_RE.match(it)

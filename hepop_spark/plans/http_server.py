@@ -133,7 +133,7 @@ class HepopHttpServer:
                 # other in-flight requests — the serve process stays
                 # responsive behind one pathological client
                 gid = None
-                timer = None
+                req_done = None
                 watchdog_fired = threading.Event()
                 if query_timeout_s is not None:
                     import uuid as _uuid
@@ -142,18 +142,34 @@ class HepopHttpServer:
                     sc = spark.sparkContext
                     sc.setJobGroup(gid, f"http query (timeout {query_timeout_s}s)",
                                    interruptOnCancel=True)
+                    req_done = threading.Event()
 
-                    def _cancel():
+                    def _watchdog(done=req_done):
+                        if done.wait(query_timeout_s):
+                            return  # finished in time
                         # flag BEFORE cancelling: 408 is answered only when
                         # the watchdog demonstrably fired, never because an
                         # unrelated failure message happens to contain
                         # 'cancelled' (r07 ADVICE item 4)
                         watchdog_fired.set()
-                        sc.cancelJobGroup(gid)
-
-                    timer = threading.Timer(query_timeout_s, _cancel)
-                    timer.daemon = True
-                    timer.start()
+                        # cancel REPEATEDLY until the request ends (r10):
+                        # cancelJobGroup kills only jobs ACTIVE at that
+                        # instant — a query still in driver-side planning
+                        # when the deadline hits (heavily loaded box, or a
+                        # pathological plan) would otherwise launch its
+                        # jobs AFTER the one-shot cancel and run a
+                        # 10^16-row cross join to completion, wedging the
+                        # serve process's executors for every other
+                        # client. Diagnosed live: two uncancelled runaway
+                        # stages burning all 32 executor threads for 26
+                        # minutes under a 32-thread co-tenant load.
+                        while not done.wait(2.0):
+                            try:
+                                sc.cancelJobGroup(gid)
+                            except Exception:
+                                return  # context shutting down
+                    t = threading.Thread(target=_watchdog, daemon=True)
+                    t.start()
                 try:
                     # truncation arrives WITH the rows — never read
                     # api.last_truncated here: handlers run concurrently
@@ -171,8 +187,8 @@ class HepopHttpServer:
                     self._send(500, json.dumps({"error": msg.split("\n")[0]}).encode())
                     return
                 finally:
-                    if timer is not None:
-                        timer.cancel()
+                    if req_done is not None:
+                        req_done.set()  # stops the watchdog loop
                     if gid is not None:
                         spark.sparkContext.setJobGroup(None, None)
                 if truncated:

@@ -201,11 +201,15 @@ GATE_WINDOW_50 = (
     # ANN / similarity family (cosine baseline rotated out r09c)
     "ann_ivfpq_topk",
     "lsh_range_search", "embedding_neardup",
-    # r09b: sidecar file skipping (bloom point lookup + min/max zone
-    # range, both through the SAME user SQL) and routed HAVING
-    "bloom_routed_lookup", "zone_routed_range", "rollup_routed_having",
+    # r09b: sidecar file skipping through the SAME user SQL (zone_routed
+    # _range and rollup_routed_having rotated out r10 for the new
+    # flagships; the rotated-out smoke test in tests/test_round10b.py
+    # keeps them pinned between full sweeps)
+    "bloom_routed_lookup",
     # r09c: trigram-sidecar substring search + star-join aggregate routing
     "trigram_routed_like", "rollup_routed_join",
+    # r10: OR-of-equalities routing + the public non-HTTP routed surface
+    "rollup_routed_or_in", "sql_routed_entrypoint",
     # multimodal (real decodes; y4m = real VIDEO decode, r09)
     "multimodal_jpeg_decode", "multimodal_y4m_frames",
     # text analysis

@@ -1168,6 +1168,67 @@ def routed_or_in_plan_text(spark: SparkSession, sf: str) -> str:
     return routed_plan_text(spark, sf, OR_IN_SQL_TEXT)
 
 
+# r10 second notch: a MIXED-KEY disjunction — `k = ... OR k2 IN (...)` —
+# the dashboard shape the r09 verdict named as the common fallback. A
+# predicate reading ONLY grid key columns is constant within each grid
+# cell, so any boolean combination selects cells exactly; the router
+# rewrites the whole proven tree onto grid columns.
+MIXED_OR_SQL_TEXT = (
+    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "FROM documents "
+    "WHERE lang = 'de' OR source IN ('src1', 'src2') "
+    "GROUP BY lang ORDER BY lang"
+)
+
+ROLLUP_MIXED_OR_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang = 'de' OR source IN ('src1', 'src2')
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def rollup_routed_mixed_or(spark: SparkSession, sf: str) -> DataFrame:
+    """A disjunction ACROSS two grid keys routed onto the rollup grid:
+    the WHERE parses to a proven boolean tree of literal comparisons
+    (plans/api._where_tree) and every leaf lands on a key column, so the
+    tree rewrites verbatim onto grid columns — exact because key-only
+    predicates are constant within each cell. A leaf on a measure
+    column, or any NOT/LIKE/function leaf, still falls back to raw
+    (pinned by tests/test_round10b).
+
+    Scale: identical O(|grid|) routed scan; the win is GRAMMAR reach —
+    the `k IN (...) OR k2 = ...` dashboard shape no longer pays a raw
+    scan."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        from ..plans.api import HepopQueryAPI
+
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        df = api.sql(MIXED_OR_SQL_TEXT)
+        if api.last_routed_rollup != "doc_lang_rollup":
+            raise AssertionError(
+                f"mixed-key OR aggregate was not routed "
+                f"(last_routed_rollup={api.last_routed_rollup!r})")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_docs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_mixed_or_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, MIXED_OR_SQL_TEXT)
+
+
 def sql_routed_entrypoint(spark: SparkSession, sf: str) -> DataFrame:
     """The NON-HTTP routed surface (r09 verdict item 3): notebooks and BI
     tools call `hepop_spark.sql(spark, text, data_dir=...)` and get the
@@ -1226,6 +1287,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="r10 grammar notch: OR-of-equalities on one grid key "
             "canonicalizes to IN and routes; parenthesized AND groups "
             "unwrap; everything richer still falls back (pinned)",
+    ),
+    "rollup_routed_mixed_or": QuerySpec(
+        rollup_routed_mixed_or, ROLLUP_MIXED_OR_SQL,
+        doc="r10 tree routing: a disjunction ACROSS grid keys rewrites "
+            "as a proven boolean tree onto grid columns (key-only "
+            "predicates are constant per cell, hence exact); measure/"
+            "NOT/LIKE leaves still fall back (pinned)",
     ),
     "sql_routed_entrypoint": QuerySpec(
         sql_routed_entrypoint, SQL_ENTRYPOINT_SQL,

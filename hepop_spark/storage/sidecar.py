@@ -253,11 +253,22 @@ def _gc(d: str) -> None:
         names = os.listdir(d)
     except OSError:
         return
+    now = time.time()
     for f in names:
         if f.startswith("seg-") and f.endswith(".json") \
                 and f not in referenced:
+            p = os.path.join(d, f)
             try:
-                os.remove(os.path.join(d, f))
+                # age guard: a CONCURRENT writer's segment exists
+                # unreferenced for the ms between its write and its head
+                # publish — deleting it there would leave the winner's
+                # head pointing at nothing (correctness survives: a
+                # missing segment reads as "unindexed, must scan", but
+                # pruning would silently degrade). Only reap segments
+                # old enough that any owning publish has long finished.
+                if now - os.stat(p).st_mtime < 60.0:
+                    continue
+                os.remove(p)
             except OSError:
                 pass
 

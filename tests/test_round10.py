@@ -122,22 +122,46 @@ class TestShardedLayout:
         assert len(opened) == 1  # only shard=2's segment was parsed
 
     def test_gc_bounds_heads_and_segments(self, spark, tmp_path):
+        import time
+
         from hepop_spark.storage import sidecar
 
         base = str(tmp_path / "t")
         os.makedirs(base)
+        d = sidecar.sidecar_dir(base, "bloom", "key")
         for i in range(15):
             sidecar.update_entries(
                 base, "bloom", "key",
                 {f"shard=0/f{i}.parquet": {"m": 1024, "bits": "0"}})
-        d = sidecar.sidecar_dir(base, "bloom", "key")
+            # age the published files so the GC's 60 s concurrent-writer
+            # guard does not keep fresh orphans alive in this test
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f),
+                         (time.time() - 120, time.time() - 120))
+        sidecar._gc(d)
         heads = [f for f in os.listdir(d) if f.startswith("head_v")]
         segs = [f for f in os.listdir(d) if f.startswith("seg-")]
         assert len(heads) == sidecar.KEEP_HEADS
-        # every kept head references a live segment; orphans are gone
+        # every kept head references a live segment; aged orphans gone
         assert len(segs) <= sidecar.KEEP_HEADS
         got = sidecar.load_entries(base, "bloom", "key")
         assert len(got) == 15  # all entries visible through the latest
+
+    def test_gc_spares_fresh_unreferenced_segments(self, tmp_path):
+        """The concurrent-publish window: a just-written segment whose
+        head has not landed yet must survive GC."""
+        from hepop_spark.storage import sidecar
+
+        base = str(tmp_path / "t")
+        os.makedirs(base)
+        sidecar.update_entries(
+            base, "bloom", "key",
+            {"shard=0/a.parquet": {"m": 1024, "bits": "0"}})
+        d = sidecar.sidecar_dir(base, "bloom", "key")
+        fresh = sidecar._write_segment(
+            d, "shard=1", {"shard=1/b.parquet": {"m": 1024, "bits": "0"}})
+        sidecar._gc(d)
+        assert os.path.isfile(os.path.join(d, fresh))
 
 
 class TestLegacyMigration:

@@ -76,10 +76,16 @@ class TestParseSimpleAggregateOrIn:
         assert table == "t"
         assert preds == [("k", "IN ('a', 'b')"), ("s", "= 'w'")]
 
-    def test_mixed_or_still_rejects(self):
+    def test_mixed_or_parses_to_tree_not_preds(self):
+        # r10 second notch: a mixed-key OR is no longer a rejection —
+        # it parses to a WhereTree the router may rewrite IF every leaf
+        # is a grid key (rewrite gate pinned in TestWhereTree)
+        from hepop_spark.plans.api import WhereTree
+
         sql = ("SELECT s, count(*) AS n FROM t "
                "WHERE k = 'a' OR s = 'w' GROUP BY s")
-        assert parse_simple_aggregate(sql) is None
+        got = parse_simple_aggregate(sql)
+        assert got is not None and isinstance(got[4], WhereTree)
 
     def test_or_in_select_items_still_rejects(self):
         # OR outside the proven WHERE must still hit the forbidden scan
@@ -95,13 +101,58 @@ class TestParseSimpleAggregateOrIn:
         assert got[4] == [("k", "IN ('a', 'b')"), ("v", ">= 3")]
 
 
+class TestWhereTree:
+    def test_mixed_key_or_parses_to_tree(self):
+        from hepop_spark.plans.api import WhereTree
+
+        sql = ("SELECT k, count(*) AS n FROM t "
+               "WHERE k = 'a' OR s IN ('x', 'y') GROUP BY k")
+        got = parse_simple_aggregate(sql)
+        assert got is not None and isinstance(got[4], WhereTree)
+        assert got[4].tree == (
+            "or", [("leaf", "k", "= 'a'"), ("leaf", "s", "IN ('x', 'y')")])
+
+    def test_nested_tree(self):
+        from hepop_spark.plans.api import _where_tree
+
+        t = _where_tree("(a = 1 OR b = 2) AND (c >= 3 OR d BETWEEN 4 AND 5)")
+        assert t == ("and", [
+            ("or", [("leaf", "a", "= 1"), ("leaf", "b", "= 2")]),
+            ("or", [("leaf", "c", ">= 3"),
+                    ("leaf", "d", "BETWEEN 4 AND 5")]),
+        ])
+
+    @pytest.mark.parametrize("bad", [
+        "a = 1 OR NOT b = 2",
+        "a = 1 OR b LIKE 'x%'",
+        "a = 1 OR exists(SELECT 1)",
+        "a = 1 OR b = c",            # non-literal RHS
+    ])
+    def test_unprovable_trees_reject(self, bad):
+        from hepop_spark.plans.api import _where_tree
+
+        assert _where_tree(bad) is None
+
+    def test_rewrite_requires_every_leaf_on_a_key(self):
+        from hepop_spark.plans.api import _tree_rewrite_sql, _where_tree
+
+        key_map = {"k": "grid_k", "s": "grid_s"}
+        t = _where_tree("k = 'a' OR s = 'b'")
+        assert _tree_rewrite_sql(t, key_map) == \
+            "(grid_k = 'a' OR grid_s = 'b')"
+        t2 = _where_tree("k = 'a' OR measure = 3")
+        assert _tree_rewrite_sql(t2, key_map) is None  # falls back to raw
+
+
 class TestRotatedOutGateSmoke:
     """r09 ADVICE: names rotated OUT of GATE_WINDOW_50 must not silently
     regress between full sweeps — pin them with a cheap oracle run at
     the smallest scale through the canonical parity harness."""
 
     ROTATED_OUT = ("dedup_simhash", "ann_cosine_topk",
-                   "rollup_routed_aggregate")
+                   "rollup_routed_aggregate",
+                   # rotated out r10 for the or_in/sql-entrypoint flagships
+                   "zone_routed_range", "rollup_routed_having")
 
     def test_rotated_out_entries_stay_oracle_green(self):
         import os

@@ -578,10 +578,22 @@ class TestRollupRouting:
                 for r in raw.filter(F.col("n_chars") == 10)
                 .groupBy("lang").agg(F.count("*").alias("n")).collect()}
         assert {(r["lang"], r["n"]) for r in rows} == want
-        # OR is never routed
+        # r10: OR across GRID KEYS routes (key-only predicates are
+        # constant per grid cell, so the tree rewrite is exact) — and
+        # the routed result matches raw
         rows, _ = api.query_json(
             "SELECT lang, count(*) AS n FROM docs_t8 "
             "WHERE lang = 'en' OR source = 'web' GROUP BY lang")
+        assert api.last_routed_rollup == "docs_t8_grid"
+        want = {(r.lang, r.n)
+                for r in raw.filter((F.col("lang") == "en")
+                                    | (F.col("source") == "web"))
+                .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert {(r["lang"], r["n"]) for r in rows} == want
+        # an OR touching a MEASURE column still falls back to raw
+        rows, _ = api.query_json(
+            "SELECT lang, count(*) AS n FROM docs_t8 "
+            "WHERE lang = 'en' OR n_chars = 10 GROUP BY lang")
         assert api.last_routed_rollup is None
 
 

@@ -360,10 +360,18 @@ class TestBloomApiRouting:
         # no sidecar on v: plain path, no breadcrumb
         rows, _ = api.query_json("SELECT count(*) AS n FROM calls WHERE v = 9")
         assert rows == [{"n": 1}] and api.last_bloom_pruned is None
-        # OR disables conjunct analysis: falls back, still correct
+        # r10: OR-of-equalities on ONE column canonicalizes to IN and
+        # bloom-prunes (same-key disjuncts probe exactly like IN)
         rows, _ = api.query_json(
             "SELECT count(*) AS n FROM calls "
             "WHERE call_id = 'call-1' OR call_id = 'call-2'")
+        assert rows == [{"n": 2}]
+        assert api.last_bloom_pruned is not None
+        assert api.last_bloom_pruned["files_read"] <= 2
+        # a MIXED-column OR still disables conjunct probing: falls back
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n FROM calls "
+            "WHERE call_id = 'call-1' OR v = 9")
         assert rows == [{"n": 2}] and api.last_bloom_pruned is None
         # absent key: zero rows, full prune is fine
         rows, _ = api.query_json(

@@ -171,6 +171,15 @@ AUDITS: dict[str, set[str]] = {
     "rollup_routed_count_distinct": {"rollup_scan", "partial"},
     # HAVING on re-merged grid aggregates (r09)
     "rollup_routed_having": {"rollup_scan", "partial"},
+    # r10: OR-of-equalities canonicalized to IN routes onto the same grid
+    # scan with the key predicate pushed down
+    "rollup_routed_or_in": {"rollup_scan", "partial", "pushdown"},
+    # r10: mixed-key OR tree routed onto the grid (disjunction does not
+    # push down to parquet as a single filter; rollup_scan is the claim)
+    "rollup_routed_mixed_or": {"rollup_scan", "partial"},
+    # r10: the PUBLIC hepop_spark.sql() surface — in-entry plan asserts,
+    # collected rows returned, so only the lifecycle no-UDF rules apply
+    "sql_routed_entrypoint": set(),
     # skewed-band dedup (r08): the reps join must carry the salt in its
     # join keys (hot bucket spread over SKEW_SALT partitions) and the
     # min-per-bucket agg must be map-side partial (hot key absorbed
@@ -695,6 +704,8 @@ def main() -> None:
         routed_having_plan_text,
         routed_minmax_plan_text,
         routed_plan_text,
+        routed_or_in_plan_text,
+        routed_mixed_or_plan_text,
         routed_timegrid_plan_text,
         routed_timerange_plan_text,
     )
@@ -708,6 +719,8 @@ def main() -> None:
         "rollup_routed_timerange": routed_timerange_plan_text,
         "rollup_routed_count_distinct": routed_cntd_plan_text,
         "rollup_routed_having": routed_having_plan_text,
+        "rollup_routed_or_in": routed_or_in_plan_text,
+        "rollup_routed_mixed_or": routed_mixed_or_plan_text,
     }
     for name, flags in AUDITS.items():
         if name in special_plans:
