@@ -608,9 +608,6 @@ class HepopQueryAPI:
             return None
         tail_m = _TAIL_RE.search(q, wm.end())
         where_body = q[wm.end(): tail_m.start() if tail_m else len(q)]
-        conjs = _split_conjuncts(where_body)
-        if not conjs:
-            return None
         try:
             dtypes = dict(self.spark.table(table).dtypes)
         except Exception:
@@ -647,8 +644,6 @@ class HepopQueryAPI:
                 _glob.glob(os.path.join(dir_glob, sub, f"{col}.d"))
                 or _glob.glob(os.path.join(dir_glob, sub, f"{col}.json")))
 
-        probes = []   # list of (kind, col, payload) for the breadcrumb
-        fns = []      # per-dir candidate functions
         from ..storage.bloom_index import bloom_candidates, zone_candidates
         from ..storage.trigram_index import like_runs, trigram_candidates
 
@@ -680,11 +675,12 @@ class HepopQueryAPI:
                 return f"{base}.{key}"
             return raw
 
-        for c in conjs:
-            oc = _or_in_canonical(c)
-            if oc is not None:
-                # `k = 'a' OR k = 'b'` probes exactly like `k IN (...)`
-                c = f"{oc[0]} IN ({', '.join(oc[1])})"
+        def _leaf(c: str):
+            """Analyze ONE comparison: [(probe_tag, candidate_fn)] — an
+            empty list means this fragment cannot restrict files (no
+            sidecar / un-analyzable literal), which is fine under AND
+            (others restrict) and poisons an OR (see _node)."""
+            out = []
             cm = re.fullmatch(
                 r"\s*contains\s*\(\s*" + _COL_GRAMMAR +
                 r"\s*,\s*'(?P<lit>[^']*)'\s*\)\s*",
@@ -696,15 +692,14 @@ class HepopQueryAPI:
                 col = _resolve_col(cm.group("col"))
                 if col is None or (
                         "." not in col and dtypes.get(col) != "string"):
-                    continue
+                    return out
                 lit = cm.group("lit")
                 if len(lit) >= 3 and _has("_trigram", col):
-                    probes.append(("trigram", col))
-                    fns.append(
-                        lambda d, within=None, col=col, lit=lit:
-                        trigram_candidates(d, col, [lit],
-                                           within=within)[0])
-                continue
+                    out.append((("trigram", col),
+                                lambda d, within=None, col=col, lit=lit:
+                                trigram_candidates(d, col, [lit],
+                                                   within=within)[0]))
+                return out
             lm = re.fullmatch(
                 r"\s*" + _COL_GRAMMAR + r"\s+LIKE\s+'(?P<pat>[^']*)'\s*",
                 c, re.IGNORECASE | re.DOTALL)
@@ -714,17 +709,16 @@ class HepopQueryAPI:
                 # the pattern, hence every trigram of each run
                 col = _resolve_col(lm.group("col"))
                 if col is None:
-                    continue
+                    return out
                 if "." not in col and dtypes.get(col) != "string":
-                    continue
+                    return out
                 pat = lm.group("pat")
                 runs = like_runs(pat)
                 if runs and _has("_trigram", col):
-                    probes.append(("trigram", col))
-                    fns.append(
-                        lambda d, within=None, col=col, runs=runs:
-                        trigram_candidates(d, col, runs,
-                                           within=within)[0])
+                    out.append((("trigram", col),
+                                lambda d, within=None, col=col, runs=runs:
+                                trigram_candidates(d, col, runs,
+                                                   within=within)[0]))
                 # a literal PREFIX additionally prunes by the string ZONE:
                 # every match lies in [prefix, prefix+￿...] and file
                 # min/max compare lexicographically in parquet stats and
@@ -738,13 +732,12 @@ class HepopQueryAPI:
                         # order == code-point order, so Spark's file
                         # min/max and this Python compare agree)
                         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-                        probes.append(("zone", col))
-                        fns.append(
-                            lambda d, within=None, col=col, lo=prefix,
-                            hi=hi:
-                            zone_candidates(d, col, lo, hi,
-                                            within=within)[0])
-                continue
+                        out.append((("zone", col),
+                                    lambda d, within=None, col=col,
+                                    lo=prefix, hi=hi:
+                                    zone_candidates(d, col, lo, hi,
+                                                    within=within)[0]))
+                return out
             m = re.fullmatch(
                 r"\s*" + _COL_GRAMMAR +
                 r"\s*(?:(?P<op>>=|<=|>|<|=)\s*"
@@ -755,22 +748,21 @@ class HepopQueryAPI:
                 + r"))*)\s*\))\s*",
                 c, re.IGNORECASE | re.DOTALL)
             if not m:
-                continue
+                return out
             col = _resolve_col(m.group("col"))
             if col is None:
-                continue
+                return out
             op = m.group("op")
             if op == "=" or m.group("ins") is not None:
                 lits = ([m.group("lit")] if op == "="
                         else _split_top_level(m.group("ins")))
                 vals = [_lit_value(v, col, for_zone=False) for v in lits]
                 if all(v is not None for v in vals) and _has("_bloom", col):
-                    probes.append(("bloom", col))
-                    fns.append(
-                        lambda d, within=None, col=col, vals=vals:
-                        bloom_candidates(d, col, vals,
-                                         within=within)[0])
-                    continue
+                    out.append((("bloom", col),
+                                lambda d, within=None, col=col, vals=vals:
+                                bloom_candidates(d, col, vals,
+                                                 within=within)[0]))
+                    return out
             lo = hi = None
             if op in (">", ">="):
                 lo = _lit_value(m.group("lit"), col, for_zone=True)
@@ -790,26 +782,73 @@ class HepopQueryAPI:
             # strict bounds keep zone semantics: pruning by the CLOSED
             # interval is a superset of the open one — never wrong
             if ok_range and _has("_zone", col):
-                probes.append(("zone", col))
-                fns.append(
-                    lambda d, within=None, col=col, lo=lo, hi=hi:
-                    zone_candidates(d, col, lo, hi, within=within)[0])
-        if not fns:
+                out.append((("zone", col),
+                            lambda d, within=None, col=col, lo=lo, hi=hi:
+                            zone_candidates(d, col, lo, hi,
+                                            within=within)[0]))
+            return out
+
+        def _chain(tagged):
+            """AND-compose [(tag, fn)]: each probe receives the previous
+            survivors (`within`), so later probes open only segments for
+            partitions still in play."""
+            if not tagged:
+                return None
+            def f(d, within=None, tagged=tuple(tagged)):
+                cur = within
+                for _tag, k in tagged:
+                    cur = sorted(k(d, within=cur))
+                return cur
+            return [t for t, _k in tagged], f
+
+        def _node(text: str):
+            """Candidate-restriction for a WHERE fragment as a boolean
+            tree (r10): AND chains children (un-restrictive pieces are
+            simply skipped — the residual predicate still runs); OR
+            unions children's candidates and is usable ONLY when every
+            branch restricts (a file matching an un-analyzable branch
+            must be scanned). Returns ([probe_tags], fn) or None."""
+            parts = _split_conjuncts(text) or []
+            if len(parts) > 1:
+                kids = [k for k in (_node(p) for p in parts) if k]
+                if not kids:
+                    return None
+                tags = [t for ts, _f in kids for t in ts]
+                def f_and(d, within=None, kids=tuple(kids)):
+                    cur = within
+                    for _ts, k in kids:
+                        cur = sorted(k(d, within=cur))
+                    return cur
+                return tags, f_and
+            body = parts[0] if parts else text
+            disj = _split_disjuncts(body)
+            if len(disj) > 1:
+                kids = [_node(p) for p in disj]
+                if any(k is None for k in kids):
+                    return None
+                tags = [t for ts, _f in kids for t in ts]
+                def f_or(d, within=None, kids=tuple(kids)):
+                    base = within
+                    got: set = set()
+                    for _ts, k in kids:
+                        got |= set(k(d, within=base))
+                    return sorted(got)
+                return tags, f_or
+            stripped = _strip_parens(body)
+            if stripped != body.strip():
+                return _node(stripped)
+            return _chain(_leaf(body))
+
+        root = _node(where_body)
+        if root is None:
             return None
+        probes, root_fn = root
 
         ff_cache: dict[str, list[str]] = {}
 
         def file_filter(d: str) -> list[str]:
-            # probes CHAIN rather than intersect independent full passes:
-            # each later probe receives the survivors of the previous one
-            # (`within`), so it opens only the sidecar segments for the
-            # partitions still in play — probe memory tracks the query's
-            # pruned footprint, not the table's file count
             if d not in ff_cache:
-                kept: list[str] | None = None
-                for fn in fns:
-                    kept = sorted(fn(d, within=kept))
-                ff_cache[d] = kept
+                ff_cache[d] = sorted(root_fn(d, within=None))
             return ff_cache[d]
 
         from ..catalog import discover_table

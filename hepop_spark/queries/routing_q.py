@@ -745,6 +745,66 @@ FROM events WHERE value BETWEEN 50 AND 60
 """
 
 
+# --- r10: tree-structured sidecar pruning (OR = union of candidates) --------
+
+OR_UNION_SQL_TEXT = (
+    "SELECT count(*) AS n, round(sum(value), 2) AS sv FROM evmix "
+    "WHERE call_id = 'call-7' OR value BETWEEN 50.0 AND 51.0"
+)
+
+
+def sidecar_routed_or_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Disjunctive file skipping (r10): the probe planner walks the
+    WHERE as a boolean tree — AND chains candidate restrictions, OR
+    takes the UNION of its branches' candidates and engages only when
+    EVERY branch restricts (a file matching an un-analyzable branch
+    must be scanned; absence of an index keeps a file in every branch,
+    so no false negatives). Here one branch bloom-probes call_id and
+    the other zone-probes value over a range layout; the pruned view
+    reads the union — a handful of files instead of all 16 — and the
+    residual predicate still runs on the survivors. The entry
+    hard-fails unless BOTH probes engaged and pruning removed files;
+    the oracle recomputes from raw events.
+
+    Scale: dashboards OR filters constantly; without union math every
+    disjunction pays a full scan even when both branches are indexed."""
+    from ..plans.api import HepopQueryAPI
+    from ..storage.bloom_index import bloom_index_update, zone_index_update
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.concat(F.lit("call-"), F.col("event_id")).alias("call_id"),
+        "value")
+    root = tempfile.mkdtemp(prefix="or_union_")
+    data = os.path.join(root, "data")
+    try:
+        tbl = os.path.join(data, "w1", "dbs", "evmix")
+        # range layout on value: zone prunes the BETWEEN branch; blooms
+        # are layout-independent, so call_id still prunes to ~1 file
+        ev.repartitionByRange(16, "value").write.parquet(tbl)
+        bloom_index_update(spark, tbl, "call_id")
+        zone_index_update(spark, tbl, "value")
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        df = api.sql(OR_UNION_SQL_TEXT)
+        rows = df.collect()
+        bp = api.last_bloom_pruned
+        if not bp or ("bloom", "call_id") not in bp["probes"] \
+                or ("zone", "value") not in bp["probes"]:
+            raise AssertionError(f"union probes did not engage: {bp}")
+        if bp["files_read"] >= bp["files_live"]:
+            raise AssertionError(f"union pruning removed nothing: {bp}")
+        out = [(rows[0]["n"], round(rows[0]["sv"], 2))]
+        return spark.createDataFrame(out, "n bigint, sv double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+OR_UNION_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sv
+FROM events WHERE event_id = 7 OR value BETWEEN 50.0 AND 51.0
+"""
+
+
 # --- r09c: star-join aggregate routing ---------------------------------------
 
 JOIN_ROUTED_SQL_TEXT = (
@@ -1331,6 +1391,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="HAVING routes: group-threshold conjuncts map through the "
             "same agg/avg rewrite (SUM re-merge, finalized division) and "
             "filter the re-aggregated grid; oracle recomputes from raw",
+    ),
+    "sidecar_routed_or_union": QuerySpec(
+        sidecar_routed_or_union, OR_UNION_SQL,
+        doc="r10 disjunctive file skipping: OR unions each branch's "
+            "sidecar candidates (bloom on call_id | zone on value); "
+            "both probes + pruning asserted in-entry; oracle from raw",
     ),
     "zone_routed_range": QuerySpec(
         zone_routed_range, ZONE_ROUTED_SQL,

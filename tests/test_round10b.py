@@ -144,6 +144,85 @@ class TestWhereTree:
         assert _tree_rewrite_sql(t2, key_map) is None  # falls back to raw
 
 
+class TestSidecarOrUnion:
+    """r10: disjunctive file skipping — OR unions branch candidates and
+    engages only when every branch restricts."""
+
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from hepop_spark.session import get_spark
+
+        return get_spark("test-round10b-union")
+
+    def _tree(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from hepop_spark.storage.bloom_index import (
+            bloom_index_update,
+            zone_index_update,
+        )
+
+        data = str(tmp_path / "data")
+        tbl = f"{data}/w1/dbs/mix"
+        (
+            spark.range(1600)
+            .select(
+                F.col("id").alias("event_id"),
+                F.concat(F.lit("c-"), F.col("id")).alias("call_id"),
+                (F.col("id") % 400).cast("double").alias("v"),
+            )
+            .repartitionByRange(8, "v")
+            .write.parquet(tbl)
+        )
+        bloom_index_update(spark, tbl, "call_id")
+        zone_index_update(spark, tbl, "v")
+        return data
+
+    def test_or_union_prunes_and_is_exact(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n FROM mix "
+            "WHERE call_id = 'c-9' OR v BETWEEN 100.0 AND 101.0")
+        # c-9 (1 row) + v in {100, 101} (4 each of 1600/400... exact):
+        # v == id % 400; ids with v in [100,101] -> 8 rows; c-9 has v=9
+        assert rows == [{"n": 9}]
+        bp = api.last_bloom_pruned
+        assert bp and ("bloom", "call_id") in bp["probes"] \
+            and ("zone", "v") in bp["probes"]
+        assert bp["files_read"] < bp["files_live"]
+
+    def test_or_with_unindexed_branch_disables_pruning(self, spark,
+                                                       tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        # event_id has NO sidecar: a file matching that branch must be
+        # scanned, so the whole OR cannot restrict — falls back, exact
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n FROM mix "
+            "WHERE call_id = 'c-9' OR event_id = 12")
+        assert rows == [{"n": 2}]
+        assert api.last_bloom_pruned is None
+
+    def test_and_of_or_groups_composes(self, spark, tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n FROM mix "
+            "WHERE (call_id = 'c-9' OR v BETWEEN 100.0 AND 100.0) "
+            "AND v <= 200.0")
+        # c-9 has v=9 <= 200 -> 1; v==100 -> 4 rows, all <= 200
+        assert rows == [{"n": 5}]
+        bp = api.last_bloom_pruned
+        assert bp and bp["files_read"] < bp["files_live"]
+
+
 class TestRotatedOutGateSmoke:
     """r09 ADVICE: names rotated OUT of GATE_WINDOW_50 must not silently
     regress between full sweeps — pin them with a cheap oracle run at

@@ -130,6 +130,8 @@ AUDITS: dict[str, set[str]] = {
     # API-routed bloom lookup (r09): same lifecycle shape; the in-entry
     # breadcrumb assertion (files_read < files_live) is the prune proof
     "bloom_routed_lookup": set(),
+    # r10: OR-union of sidecar candidate sets (in-entry plan asserts)
+    "sidecar_routed_or_union": set(),
     # trigram-sidecar LIKE routing (r09c): same lifecycle shape; the
     # in-entry breadcrumb assertion is the prune proof
     "trigram_routed_like": set(),
@@ -449,8 +451,7 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/analytics17.py:nat": "fixed 25-row nation dim",
     "hepop_spark/queries/analytics2.py:dim_keys": "keys-only projection of the declared dim table (API contract)",
     "hepop_spark/queries/llm15.py:tot": "per-key bucket-weight totals: one row per grid key (+1 global) — bounded by the key domain, never by rows",
-    "hepop_spark/storage/bloom_index.py:mdf": "one (file, m) row per file being indexed in THIS update call — bounded by the update's file list",
-    "hepop_spark/storage/trigram_index.py:mdf": "one (file, m) row per file being indexed in THIS update call — bounded by the update's file list",
+    "hepop_spark/storage/bloom_index.py:mdf": "one (file, m, L) row per file being indexed in THIS update call — bounded by the update's file list (r10: shared by the bloom and trigram builds via _or_aggregate_bitmaps)",
     "hepop_spark/queries/analytics3.py:stats": "1-row corpus stats (N, avgdl)",
     "hepop_spark/queries/analytics3.py:idf": "token vocab (Heaps-law sublinear; df>=2 floor)",
     "hepop_spark/queries/analytics3.py:avgdl": "1-row avg doc length",
