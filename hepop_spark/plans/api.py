@@ -420,27 +420,44 @@ def parse_simple_aggregate(sql: str):
     tm = _TAIL_SPLIT_RE.search(rest)
     gb, tail = (rest[: tm.start()], rest[tm.start():]) if tm else (rest, "")
     tail = tail.strip()
-    havings: list[tuple[str, str]] = []
+    havings: list[tuple[str, str]] | WhereTree = []
     if tail[:6].upper() == "HAVING":
         hm = _HAVING_RE.match(tail)
         if not hm:
             return None
-        conjuncts = _split_conjuncts(hm.group("body"))
-        if not conjuncts:
-            return None
+        conjuncts = _split_conjuncts(hm.group("body")) or []
+        ok_flat = bool(conjuncts)
+        flat: list[tuple[str, str]] = []
         for c in conjuncts:
             pm = re.match(
                 r"^(?P<e>.+?)\s*(?P<op>>=|<=|<>|!=|>|<|=)\s*(?P<lit>"
                 + _LIT + r")\s*$", c, re.DOTALL)
-            if not pm:
+            if not pm or re.search(r"\b(OR|AND|NOT)\b", pm.group("e"),
+                                   re.IGNORECASE):
+                ok_flat = False
+                break
+            flat.append((pm.group("e").strip(),
+                         f"{pm.group('op')} {pm.group('lit')}"))
+        if ok_flat:
+            havings = flat
+            # keep the BODY visible to the forbidden scan (CASE/... inside
+            # a having conjunct must reject) — only the structural keyword
+            # is excused; a whitespace-normalization miss leaves sql
+            # unchanged, which is strictly MORE conservative
+            scan_text = scan_text.replace(hm.group(0), hm.group("body"), 1)
+        else:
+            # r10: not a flat conjunct list — accept any PROVEN boolean
+            # tree of literal comparisons (HAVING a > x OR b > y). HAVING
+            # filters re-aggregated GROUPS, so any boolean structure of
+            # mapped comparisons is exact; the router requires every leaf
+            # to map through the same key/agg/avg rewrite. The proven
+            # tree is excused from the forbidden scan entirely (leaves
+            # are bare comparisons by construction).
+            t = _where_tree(hm.group("body"))
+            if t is None:
                 return None
-            havings.append((pm.group("e").strip(),
-                            f"{pm.group('op')} {pm.group('lit')}"))
-        # keep the BODY visible to the forbidden scan (OR/CASE/... inside
-        # a having conjunct must reject) — only the structural keyword is
-        # excused; a whitespace-normalization miss leaves sql unchanged,
-        # which is strictly MORE conservative (body still scanned)
-        scan_text = scan_text.replace(hm.group(0), hm.group("body"), 1)
+            havings = WhereTree(t)
+            scan_text = scan_text.replace(hm.group(0), "1 = 1", 1)
         tail = tail[hm.end():].strip()
     if _FORBIDDEN_RE.search(_COUNT_DISTINCT_RE.sub("cnt()", scan_text)):
         return None
@@ -983,28 +1000,54 @@ class HepopQueryAPI:
             # no GROUP BY (exact grid match) a HAVING would be invalid
             # SQL — but there each grid ROW is one group, so the mapped
             # conditions are exactly row filters and join the WHERE.
-            having_parts: list[str] = []
-            for hexpr, op_sql in havings:
+            def _map_having(hexpr: str, op_sql: str) -> str | None:
+                """One HAVING comparison mapped onto the grid: aggregate
+                by normalized expression equality (re-merged unless the
+                grid matches exactly), grouped keys verbatim, avg
+                finalized from sum+strict-count. None = not
+                grid-answerable (falls back to raw)."""
                 n = _norm_expr(hexpr)
                 if n in agg_map:
                     col, fn = agg_map[n]
-                    having_parts.append(
-                        f"{col if exact else f'{fn}({col})'} {op_sql}")
-                elif n in key_map and n in gset:
-                    having_parts.append(f"{key_map[n]} {op_sql}")
-                elif re.fullmatch(r"avg\([^()]+\)", n):
+                    return f"{col if exact else f'{fn}({col})'} {op_sql}"
+                if n in key_map and n in gset:
+                    return f"{key_map[n]} {op_sql}"
+                if re.fullmatch(r"avg\([^()]+\)", n):
                     inner = n[4:-1]
                     num = agg_map.get(f"sum({inner})")
                     den = agg_map.get(f"count({inner})")
                     if not (num and den and num[1] == den[1] == "SUM"):
-                        ok = False
-                        break
+                        return None
                     nsql = num[0] if exact else f"SUM({num[0]})"
                     dsql = den[0] if exact else f"SUM({den[0]})"
-                    having_parts.append(f"({nsql} / {dsql}) {op_sql}")
-                else:
+                    return f"({nsql} / {dsql}) {op_sql}"
+                return None
+
+            def _having_tree_sql(t) -> str | None:
+                # HAVING filters re-aggregated GROUPS: any boolean tree
+                # of mapped comparisons is exact (r10)
+                if t[0] == "leaf":
+                    return _map_having(t[1], t[2])
+                parts = [_having_tree_sql(k) for k in t[1]]
+                if any(p is None for p in parts):
+                    return None
+                return "(" + (" AND " if t[0] == "and" else " OR ").join(
+                    parts) + ")"
+
+            having_parts: list[str] = []
+            if isinstance(havings, WhereTree):
+                mapped = _having_tree_sql(havings.tree)
+                if mapped is None:
                     ok = False
-                    break
+                else:
+                    having_parts = [mapped]
+            else:
+                for hexpr, op_sql in havings:
+                    part = _map_having(hexpr, op_sql)
+                    if part is None:
+                        ok = False
+                        break
+                    having_parts.append(part)
             if not ok:
                 continue
             sel, aliases = [], set()

@@ -144,6 +144,69 @@ class TestWhereTree:
         assert _tree_rewrite_sql(t2, key_map) is None  # falls back to raw
 
 
+class TestHavingTreeRouting:
+    """r10: HAVING boolean trees route — group-level filters of mapped
+    comparisons are exact for ANY boolean structure (HAVING runs on the
+    re-aggregated grid rows)."""
+
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from hepop_spark.session import get_spark
+
+        return get_spark("test-round10b-having")
+
+    def test_having_or_routes_and_matches_raw(self, spark):
+        import pyspark.sql.functions as F
+
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.queries.routing_q import _build_rollup_serve_tree
+
+        import shutil
+
+        root, data = _build_rollup_serve_tree(spark, "/root/testdata/sf0.001")
+        try:
+            api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+            sql = ("SELECT lang, count(*) AS n FROM documents "
+                   "GROUP BY lang "
+                   "HAVING count(*) >= 60 OR avg(n_chars) > 480 "
+                   "ORDER BY lang")
+            df = api.sql(sql)
+            assert api.last_routed_rollup == "doc_lang_rollup"
+            got = {(r["lang"], r["n"]) for r in df.collect()}
+            from hepop_spark.catalog import load_table
+
+            raw = load_table(spark, "/root/testdata/sf0.001", "documents")
+            want = {
+                (r["lang"], r["n"])
+                for r in raw.groupBy("lang")
+                .agg(F.count("*").alias("n"),
+                     F.avg("n_chars").alias("a"))
+                .filter((F.col("n") >= 60) | (F.col("a") > 480))
+                .collect()
+            }
+            assert got == want and got  # non-degenerate
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    def test_having_or_with_unmapped_leaf_falls_back(self, spark):
+        import shutil
+
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.queries.routing_q import _build_rollup_serve_tree
+
+        root, data = _build_rollup_serve_tree(spark, "/root/testdata/sf0.001")
+        try:
+            api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+            # sum(doc_id) is not a grid column: the tree cannot map -> raw
+            df = api.sql(
+                "SELECT lang, count(*) AS n FROM documents GROUP BY lang "
+                "HAVING count(*) >= 60 OR sum(doc_id) > 5")
+            assert api.last_routed_rollup is None
+            assert df.count() >= 1  # raw path still answers
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 class TestSidecarOrUnion:
     """r10: disjunctive file skipping — OR unions branch candidates and
     engages only when every branch restricts."""
