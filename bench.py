@@ -252,7 +252,26 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, f"BENCH_LOCAL_r{_current_round():02d}.json"), "w") as f:
             json.dump(out, f)
-    print(json.dumps(out))
+    # r10 verdict item 3: the driver keeps only the TAIL of stdout, and
+    # the full record (deltas + extras + regressions, ~10 KB) outgrew
+    # that capture three rounds running ("parsed": null). Stdout now
+    # carries ONE COMPACT line with exactly the driver-contract fields;
+    # the complete record (extras, deltas, regressions) persists to
+    # BENCH_LOCAL_r{N}.json above (sf0.1) and always prints on stderr
+    # for humans iterating at other scales.
+    print(json.dumps(out), file=sys.stderr)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "round": out["round"],
+        "best_total": out["best_total"],
+        "registry_size": out["registry_size"],
+        "load_avg_1m": out["load_avg_1m"],
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

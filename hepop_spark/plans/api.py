@@ -230,6 +230,17 @@ def _parse_where_conjuncts(where: str) -> list[tuple[str, str]] | None:
     OR-of-equalities on a single expression (canonicalized to IN, r10).
     Returns [(expr, op_sql)] or None — anything richer falls back to the
     raw scan, so a miss costs nothing."""
+    # SQL precedence: OR binds LOOSEST. A depth-0 OR means the whole
+    # body is one disjunction — it is a conjunct list ONLY if it
+    # canonicalizes as a single-expression OR-of-equalities (-> IN).
+    # Splitting ANDs first here mis-grouped `a = 1 OR b = 2 AND c = 3`
+    # as (a OR b) AND c (r10 ADVICE, high): wrong rows, silently.
+    if len(_split_disjuncts(where)) > 1:
+        got = _or_in_canonical(where)
+        if got is None:
+            return None  # caller may still prove it as a WhereTree
+        expr, lits = got
+        return [(expr, f"IN ({', '.join(lits)})")]
     conjuncts = _split_conjuncts(where)
     if not conjuncts:
         return None
@@ -293,18 +304,20 @@ class WhereTree:
 def _where_tree(s: str):
     """Parse a WHERE body into WhereTree nodes, or None when any piece
     is not a literal comparison (subqueries, NOT, LIKE, functions-of-
-    multiple-columns all fall back)."""
-    conj = _split_conjuncts(s)
+    multiple-columns all fall back). OR splits BEFORE AND — SQL gives
+    OR the loosest binding, so `a = 1 OR b = 2 AND c = 3` is
+    a OR (b AND c), not (a OR b) AND c (r10 ADVICE, high)."""
+    disj = _split_disjuncts(s)
+    if len(disj) > 1:
+        kids = [_where_tree(d) for d in disj]
+        return None if any(k is None for k in kids) else ("or", kids)
+    conj = _split_conjuncts(disj[0] if disj else s)
     if conj is None:
         return None
     if len(conj) > 1:
         kids = [_where_tree(c) for c in conj]
         return None if any(k is None for k in kids) else ("and", kids)
     c = conj[0]
-    disj = _split_disjuncts(c)
-    if len(disj) > 1:
-        kids = [_where_tree(d) for d in disj]
-        return None if any(k is None for k in kids) else ("or", kids)
     stripped = _strip_parens(c)
     if stripped != c.strip():
         return _where_tree(stripped)
@@ -426,7 +439,11 @@ def parse_simple_aggregate(sql: str):
         if not hm:
             return None
         conjuncts = _split_conjuncts(hm.group("body")) or []
-        ok_flat = bool(conjuncts)
+        # a depth-0 OR means the body is a DISJUNCTION (OR binds
+        # loosest) — never a flat conjunct list; go straight to the
+        # proven-tree path below
+        ok_flat = bool(conjuncts) and \
+            len(_split_disjuncts(hm.group("body"))) == 1
         flat: list[tuple[str, str]] = []
         for c in conjuncts:
             pm = re.match(
@@ -824,21 +841,13 @@ class HepopQueryAPI:
             simply skipped — the residual predicate still runs); OR
             unions children's candidates and is usable ONLY when every
             branch restricts (a file matching an un-analyzable branch
-            must be scanned). Returns ([probe_tags], fn) or None."""
-            parts = _split_conjuncts(text) or []
-            if len(parts) > 1:
-                kids = [k for k in (_node(p) for p in parts) if k]
-                if not kids:
-                    return None
-                tags = [t for ts, _f in kids for t in ts]
-                def f_and(d, within=None, kids=tuple(kids)):
-                    cur = within
-                    for _ts, k in kids:
-                        cur = sorted(k(d, within=cur))
-                    return cur
-                return tags, f_and
-            body = parts[0] if parts else text
-            disj = _split_disjuncts(body)
+            must be scanned). OR splits BEFORE AND — OR binds loosest
+            in SQL, so `a = 1 OR b = 2 AND c = 3` is a OR (b AND c);
+            the old AND-first order intersected the c-probe into the
+            union and FALSE-NEGATIVELY pruned files whose rows satisfy
+            only the a-branch (r10 ADVICE, high).
+            Returns ([probe_tags], fn) or None."""
+            disj = _split_disjuncts(text)
             if len(disj) > 1:
                 kids = [_node(p) for p in disj]
                 if any(k is None for k in kids):
@@ -851,6 +860,19 @@ class HepopQueryAPI:
                         got |= set(k(d, within=base))
                     return sorted(got)
                 return tags, f_or
+            body = disj[0] if disj else text
+            parts = _split_conjuncts(body) or []
+            if len(parts) > 1:
+                kids = [k for k in (_node(p) for p in parts) if k]
+                if not kids:
+                    return None
+                tags = [t for ts, _f in kids for t in ts]
+                def f_and(d, within=None, kids=tuple(kids)):
+                    cur = within
+                    for _ts, k in kids:
+                        cur = sorted(k(d, within=cur))
+                    return cur
+                return tags, f_and
             stripped = _strip_parens(body)
             if stripped != body.strip():
                 return _node(stripped)

@@ -31,6 +31,7 @@ exactly like the reference's buffer indirection.
 from __future__ import annotations
 
 import json
+import re
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -219,6 +220,23 @@ class HepopHttpServer:
                         "error": "/explain accepts SELECT statements only "
                                  f"(got {head or 'empty'}); DDL/DML would "
                                  "execute, not explain"}).encode())
+                    return
+                # the head token alone is not enough: Spark's grammar
+                # allows CTEs before DML ("WITH t AS (...) INSERT INTO
+                # ... SELECT ..."), so a WITH head can still smuggle a
+                # mutation (r10 ADVICE). Reject DML/DDL keywords
+                # anywhere OUTSIDE string literals.
+                stripped_lits = re.sub(r"'(?:[^'\\]|\\.)*'", "''", sql)
+                dml = re.search(
+                    r"\b(INSERT|UPDATE|DELETE|MERGE|DROP|CREATE|ALTER|"
+                    r"TRUNCATE)\b",
+                    stripped_lits, re.IGNORECASE)
+                if dml:
+                    self._send(400, json.dumps({
+                        "error": "/explain accepts SELECT statements only "
+                                 f"({dml.group(1).upper()} found in "
+                                 "statement body); DDL/DML would execute, "
+                                 "not explain"}).encode())
                     return
                 # a FRESH api per request: the breadcrumbs this endpoint
                 # exists to expose (last_routed_rollup/last_bloom_pruned)

@@ -202,14 +202,18 @@ GATE_WINDOW_50 = (
     "ann_ivfpq_topk",
     "lsh_range_search", "embedding_neardup",
     # r09b: sidecar file skipping through the SAME user SQL (zone_routed
-    # _range and rollup_routed_having rotated out r10 for the new
-    # flagships; the rotated-out smoke test in tests/test_round10b.py
-    # keeps them pinned between full sweeps)
-    "bloom_routed_lookup",
-    # r09c: trigram-sidecar substring search + star-join aggregate routing
-    "trigram_routed_like", "rollup_routed_join",
-    # r10: OR-of-equalities routing + the public non-HTTP routed surface
-    "rollup_routed_or_in", "sql_routed_entrypoint",
+    # _range and rollup_routed_having rotated out r10; bloom_routed_
+    # lookup, rollup_routed_or_in and sql_routed_entrypoint rotated out
+    # r11 for the precedence/HAVING-tree flagships — every rotated-out
+    # name stays pinned by the smoke test in tests/test_round10b.py)
+    # r09c: star-join aggregate routing (trigram_routed_like rotated out
+    # r11 — sidecar_routed_or_like below supersedes it: same trigram
+    # probe PLUS bloom PLUS the union algebra)
+    "rollup_routed_join",
+    # r11: boolean-tree HAVING + SQL-precedence routing/pruning (the r10
+    # ADVICE high items, oracle-gated) + LIKE branches in OR probe trees
+    "rollup_routed_having_or", "rollup_routed_where_precedence",
+    "sidecar_routed_precedence", "sidecar_routed_or_like",
     # multimodal (real decodes; y4m = real VIDEO decode, r09)
     "multimodal_jpeg_decode", "multimodal_y4m_frames",
     # text analysis

@@ -692,6 +692,195 @@ ORDER BY lang
 """
 
 
+# --- r11: boolean-tree HAVING routing (the r10 post-gate increment,
+# judged entry deferred to this round per SURVEY §13.9) -----------------------
+
+# deliberately UNPARENTHESIZED: OR binds loosest, so the tree is
+# count>=200 OR (count>=60 AND avg>300). The r10 AND-first parse grouped
+# it as (count>=200 OR count>=60) AND avg>300, which EXCLUDES 'en'
+# (avg ~295 at sf0.01) — this entry's oracle would catch that silently-
+# wrong aggregate, pinning both the boolean-tree rewrite and the
+# precedence fix in the hard gate.
+HAVING_OR_SQL_TEXT = (
+    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "FROM documents GROUP BY lang "
+    "HAVING count(*) >= 200 OR count(*) >= 60 AND avg(n_chars) > 300 "
+    "ORDER BY lang"
+)
+
+
+def rollup_routed_having_or(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean-tree HAVING routing (r10 item 9, judged in r11): a
+    disjunctive HAVING parses to a PROVEN tree (plans/api._where_tree,
+    OR splits before AND — SQL precedence) and routes when EVERY leaf
+    maps through the key/agg/avg rewrite: `count(*)` becomes
+    SUM(n_docs) over the re-merged grid, `avg(n_chars)` the finalized
+    SUM(sums)/SUM(cnts) division of exact integer partials. Group-level
+    filters of mapped comparisons are exact for ANY boolean structure
+    because HAVING runs on the re-aggregated grid rows. Unmapped leaves
+    (sum of a non-grid column) fall back to raw (pinned in
+    tests/test_round10b.py); mis-precedence is caught by this entry's
+    oracle (see HAVING_OR_SQL_TEXT note). The entry hard-fails unless
+    the plan scans the grid and never the raw table.
+
+    Scale: O(|grid|) re-merged rows answer the "alert on groups past
+    EITHER threshold" dashboard shape without re-scanning raws.
+    Reference parity: the reference has no HAVING at all (query.js
+    delegates verbatim) — north-star surface."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, HAVING_OR_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_docs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_having_or_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, HAVING_OR_SQL_TEXT)
+
+
+ROLLUP_HAVING_OR_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+HAVING count(*) >= 200
+    OR count(*) >= 60
+       AND CAST(sum(n_chars) AS DOUBLE) / count(n_chars) > 300
+ORDER BY lang
+"""
+
+
+# --- r11: WHERE precedence routing (the r10 ADVICE high fix, gated) ----------
+
+# unparenthesized mixed precedence: lang='en' OR (lang='de' AND
+# source='src1'). The r10 parse returned (en OR de) AND src1 — a
+# silently-wrong aggregate this oracle distinguishes at every scale
+# ('en' keeps ALL sources under correct precedence).
+WHERE_PRECEDENCE_SQL_TEXT = (
+    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "FROM documents "
+    "WHERE lang = 'en' OR lang = 'de' AND source = 'src1' "
+    "GROUP BY lang ORDER BY lang"
+)
+
+
+def rollup_routed_where_precedence(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL operator precedence through the routed WHERE (r11, closing
+    the r10 ADVICE high): `a OR b AND c` must parse as a OR (b AND c) —
+    OR binds loosest — before the proven tree rewrites onto grid
+    columns. The conjunct parser now refuses any depth-0 OR it cannot
+    canonicalize to a single-key IN, and _where_tree splits disjuncts
+    BEFORE conjuncts, so the routed grid filter is exactly the user's
+    predicate. The oracle (DuckDB applies standard precedence) makes a
+    mis-grouped parse a hard hash mismatch rather than a silent wrong
+    answer. Hard-fails unless routed to the grid, never the raw table.
+
+    Scale: same O(|grid|) routed scan — the win is that the dashboard's
+    most natural un-parenthesized filter text routes CORRECTLY, not
+    just routes."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, WHERE_PRECEDENCE_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_docs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_where_precedence_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, WHERE_PRECEDENCE_SQL_TEXT)
+
+
+ROLLUP_WHERE_PRECEDENCE_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang = 'en' OR lang = 'de' AND source = 'src1'
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- r11: precedence through sidecar file pruning ----------------------------
+
+# call-7 OR (call-900 AND value BETWEEN 50 AND 51): the r10 probe tree
+# intersected the zone probe across BOTH branches, false-negatively
+# pruning call-7's file whenever its value fell outside [50, 51] —
+# dropped rows, not just a slow plan. The oracle recomputes from raw.
+PRECEDENCE_PRUNE_SQL_TEXT = (
+    "SELECT count(*) AS n, round(sum(value), 2) AS sv FROM evmix11 "
+    "WHERE call_id = 'call-7' OR call_id = 'call-900' "
+    "AND value BETWEEN 50.0 AND 51.0"
+)
+
+
+def sidecar_routed_precedence(spark: SparkSession, sf: str) -> DataFrame:
+    """Disjunctive file skipping under SQL precedence (r11, closing the
+    r10 ADVICE high #2): the probe planner's boolean tree now splits
+    ORs before ANDs, so `a OR b AND c` unions probe(a) with
+    (probe(b) ∩ probe(c)) instead of intersecting probe(c) into both
+    branches. A file holding only a-branch rows therefore always
+    survives pruning — the false-negative class the old order created.
+    The entry hard-fails unless both probe kinds engaged AND pruning
+    removed files; exactness comes from the oracle recompute over raw
+    events.
+
+    Scale: the same union/intersection algebra is what makes indexed
+    OR-filters safe to enable by default at 10^6 files — a pruning
+    layer that can drop rows is worse than none."""
+    from ..plans.api import HepopQueryAPI
+    from ..storage.bloom_index import bloom_index_update, zone_index_update
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.concat(F.lit("call-"), F.col("event_id")).alias("call_id"),
+        "value")
+    root = tempfile.mkdtemp(prefix="prec_prune_")
+    data = os.path.join(root, "data")
+    try:
+        tbl = os.path.join(data, "w1", "dbs", "evmix11")
+        ev.repartitionByRange(16, "value").write.parquet(tbl)
+        bloom_index_update(spark, tbl, "call_id")
+        zone_index_update(spark, tbl, "value")
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        df = api.sql(PRECEDENCE_PRUNE_SQL_TEXT)
+        rows = df.collect()
+        bp = api.last_bloom_pruned
+        if not bp or ("bloom", "call_id") not in bp["probes"] \
+                or ("zone", "value") not in bp["probes"]:
+            raise AssertionError(f"precedence probes did not engage: {bp}")
+        if bp["files_read"] >= bp["files_live"]:
+            raise AssertionError(f"precedence pruning removed nothing: {bp}")
+        out = [(rows[0]["n"], round(rows[0]["sv"], 2) if rows[0]["sv"]
+                is not None else None)]
+        return spark.createDataFrame(out, "n bigint, sv double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+PRECEDENCE_PRUNE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sv
+FROM events
+WHERE event_id = 7 OR event_id = 900 AND value BETWEEN 50.0 AND 51.0
+"""
+
+
 
 
 
@@ -986,6 +1175,86 @@ FROM (
   FROM documents
 )
 WHERE body LIKE '%marker-%'
+ORDER BY doc_id
+"""
+
+
+# --- r11: LIKE branch inside a disjunctive probe tree ------------------------
+
+OR_LIKE_SQL_TEXT = (
+    "SELECT doc_id, lang FROM corpuslike "
+    "WHERE ckey = 'd-7' OR body LIKE '%marker-%' ORDER BY doc_id"
+)
+
+
+def sidecar_routed_or_like(spark: SparkSession, sf: str) -> DataFrame:
+    """A LIKE leaf restricting ITS OWN branch of an OR (r10 verdict item
+    5 — the reference's flagship predicate shape, README.md:158
+    `payload LIKE '%INVITE%'`, OR-combined with a point lookup): the
+    probe planner's boolean tree serves the equality branch from the
+    call-key BLOOM sidecar and the LIKE branch from the TRIGRAM sidecar
+    (a matching row contains every trigram of the pattern's literal
+    runs), then unions the two candidate sets. Both branches restrict,
+    so the union engages; a LIKE on an UN-indexed column poisons the OR
+    and disables pruning entirely — no false negatives (pinned in
+    tests/test_round11.py). The entry hard-fails unless BOTH probe
+    kinds engaged and files were skipped; the oracle recomputes from
+    raw documents.
+
+    Scale: troubleshooting dashboards pair "this call id OR any message
+    containing X" constantly; serving each branch from its own index
+    keeps the disjunction at a handful of files instead of a corpus
+    scan."""
+    from ..plans.api import HepopQueryAPI
+    from ..storage.bloom_index import bloom_index_update
+    from ..storage.trigram_index import trigram_index_update
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(F.lit("d-"), F.col("doc_id").cast("string")).alias("ckey"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 997 == 0,
+                F.concat(F.lit(" marker-"),
+                         F.col("doc_id").cast("string"), F.lit("#")),
+            ).otherwise(F.lit("")),
+        ).alias("body"),
+        F.pmod(F.col("doc_id"), F.lit(24)).alias("shard"),
+    )
+    root = tempfile.mkdtemp(prefix="or_like_")
+    data = os.path.join(root, "data")
+    try:
+        tbl = os.path.join(data, "w1", "dbs", "corpuslike")
+        docs.repartition("shard").write.partitionBy("shard").parquet(tbl)
+        bloom_index_update(spark, tbl, "ckey")
+        trigram_index_update(spark, tbl, "body")
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        df = api.sql(OR_LIKE_SQL_TEXT)
+        rows = df.collect()
+        bp = api.last_bloom_pruned
+        if not bp or ("bloom", "ckey") not in bp["probes"] \
+                or ("trigram", "body") not in bp["probes"]:
+            raise AssertionError(f"or-like probes did not engage: {bp}")
+        if bp["files_read"] >= bp["files_live"]:
+            raise AssertionError(f"or-like pruning removed nothing: {bp}")
+        return spark.createDataFrame(rows, "doc_id bigint, lang string")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+OR_LIKE_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         'd-' || CAST(doc_id AS VARCHAR) AS ckey,
+         text || CASE WHEN doc_id % 997 = 0
+                      THEN ' marker-' || CAST(doc_id AS VARCHAR) || '#'
+                      ELSE '' END AS body
+  FROM documents
+)
+WHERE ckey = 'd-7' OR body LIKE '%marker-%'
 ORDER BY doc_id
 """
 
@@ -1385,6 +1654,27 @@ QUERIES: dict[str, QuerySpec] = {
         doc="avg() finalized from the grid's sum+strict-count partials "
             "(not a stored column — avg is not a monoid); one IEEE "
             "division of exact integer sums; oracle recomputes from raw",
+    ),
+    "rollup_routed_having_or": QuerySpec(
+        rollup_routed_having_or, ROLLUP_HAVING_OR_SQL,
+        doc="boolean-tree HAVING routes with SQL precedence: "
+            "count>=200 OR (count>=60 AND avg>300) re-filters the "
+            "re-merged grid; OR splits before AND (r11)",
+    ),
+    "rollup_routed_where_precedence": QuerySpec(
+        rollup_routed_where_precedence, ROLLUP_WHERE_PRECEDENCE_SQL,
+        doc="unparenthesized a OR b AND c WHERE routes as a OR (b AND "
+            "c) — the r10 ADVICE precedence fix, oracle-gated (r11)",
+    ),
+    "sidecar_routed_precedence": QuerySpec(
+        sidecar_routed_precedence, PRECEDENCE_PRUNE_SQL,
+        doc="probe tree honors SQL precedence: OR unions probe(a) with "
+            "probe(b)∩probe(c) — no false-negative file skipping (r11)",
+    ),
+    "sidecar_routed_or_like": QuerySpec(
+        sidecar_routed_or_like, OR_LIKE_SQL,
+        doc="LIKE branch of an OR served by the trigram sidecar, "
+            "equality branch by bloom; union of candidates (r11)",
     ),
     "rollup_routed_having": QuerySpec(
         rollup_routed_having, ROLLUP_HAVING_SQL,

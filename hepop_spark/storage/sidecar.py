@@ -61,6 +61,10 @@ import uuid
 
 KEEP_HEADS = 10
 CAS_RETRIES = 16
+# how long a .pending in-flight marker protects an unreferenced segment
+# from _gc — generous vs the CAS worst case (16 retries x ms backoff);
+# a marker older than this belongs to a writer that died mid-publish
+PENDING_TTL = 900.0
 
 
 class SidecarConflict(RuntimeError):
@@ -226,11 +230,29 @@ def _publish_head(d: str, head: dict, prev_version: int) -> int:
 def _write_segment(d: str, part: str, files: dict) -> str:
     os.makedirs(d, exist_ok=True)
     name = f"seg-{uuid.uuid4().hex[:12]}.json"
+    # in-flight registration (r10 ADVICE): between this write and the
+    # owning head publish the segment is unreferenced, and a writer
+    # stalled past _gc's age bound (CAS retry storm, GC pause, slow
+    # NFS) would otherwise have it reaped out from under its published
+    # head — reads degrade to "unindexed, must scan" (correct but
+    # silently unpruned). The marker makes _gc skip it until the
+    # writer finishes (marker removed) or provably died (marker older
+    # than PENDING_TTL).
+    with open(os.path.join(d, name + ".pending"), "w"):
+        pass
     tmp = os.path.join(d, f".{name}.tmp")
     with open(tmp, "w") as fh:
         json.dump({"part": part, "files": files}, fh)
     os.rename(tmp, os.path.join(d, name))
     return name
+
+
+def _clear_pending(d: str, names) -> None:
+    for n in names:
+        try:
+            os.remove(os.path.join(d, n + ".pending"))
+        except OSError:
+            pass
 
 
 def _gc(d: str) -> None:
@@ -254,6 +276,7 @@ def _gc(d: str) -> None:
     except OSError:
         return
     now = time.time()
+    pending = {f for f in names if f.endswith(".pending")}
     for f in names:
         if f.startswith("seg-") and f.endswith(".json") \
                 and f not in referenced:
@@ -264,13 +287,27 @@ def _gc(d: str) -> None:
                 # publish — deleting it there would leave the winner's
                 # head pointing at nothing (correctness survives: a
                 # missing segment reads as "unindexed, must scan", but
-                # pruning would silently degrade). Only reap segments
-                # old enough that any owning publish has long finished.
-                if now - os.stat(p).st_mtime < 60.0:
+                # pruning would silently degrade). A writer REGISTERS
+                # in-flight segments with a .pending marker that is
+                # removed only after its head publishes (or it gives
+                # up), so a stall longer than the age bound can no
+                # longer lose the race (r10 ADVICE); the age guard
+                # stays as belt-and-braces for pre-marker segments.
+                if f + ".pending" in pending \
+                        or now - os.stat(p).st_mtime < 60.0:
                     continue
                 os.remove(p)
             except OSError:
                 pass
+    # reap markers of writers that provably died mid-publish (their
+    # segment is either referenced by now or will age out above)
+    for f in pending:
+        p = os.path.join(d, f)
+        try:
+            if now - os.stat(p).st_mtime > PENDING_TTL:
+                os.remove(p)
+        except OSError:
+            pass
 
 
 def update_entries(base_path: str, kind: str, col: str, new_entries: dict,
@@ -284,6 +321,7 @@ def update_entries(base_path: str, kind: str, col: str, new_entries: dict,
     d = sidecar_dir(base_path, kind, col)
     drop = set(drop or ())
     legacy = _load_legacy(base_path, kind, col)
+    written: list[str] = []  # segments this call wrote (all attempts)
     for attempt in range(CAS_RETRIES):
         got = load_head(base_path, kind, col)
         prev_v, head = got if got else (
@@ -306,15 +344,23 @@ def update_entries(base_path: str, kind: str, col: str, new_entries: dict,
             for f in drop:
                 merged.pop(f, None)
             if merged:
-                segments[part] = _write_segment(d, part, merged)
+                name = _write_segment(d, part, merged)
+                segments[part] = name
+                written.append(name)
             else:
                 segments.pop(part, None)
         try:
             _publish_head(d, {**head, "col": col, "segments": segments},
                           prev_v)
+            # head is live: drop the in-flight markers so _gc treats
+            # these segments by reference-count alone. Losing attempts'
+            # markers clear too — their segments are garbage and age
+            # out normally.
+            _clear_pending(d, written)
             break
         except SidecarConflict:
             if attempt == CAS_RETRIES - 1:
+                _clear_pending(d, written)
                 raise
             time.sleep(0.002 * (attempt + 1))
     if legacy:

@@ -309,7 +309,10 @@ class TestRotatedOutGateSmoke:
     ROTATED_OUT = ("dedup_simhash", "ann_cosine_topk",
                    "rollup_routed_aggregate",
                    # rotated out r10 for the or_in/sql-entrypoint flagships
-                   "zone_routed_range", "rollup_routed_having")
+                   "zone_routed_range", "rollup_routed_having",
+                   # rotated out r11 for the precedence/HAVING-tree trio
+                   "bloom_routed_lookup", "rollup_routed_or_in",
+                   "sql_routed_entrypoint", "trigram_routed_like")
 
     def test_rotated_out_entries_stay_oracle_green(self):
         import os

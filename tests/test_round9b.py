@@ -470,11 +470,17 @@ class TestHavingRouting:
             "HAVING count(*) >= 5 AND avg(v) > 1.5 ORDER BY k LIMIT 3")
         assert p[5] == [("count(*)", ">= 5"), ("avg(v)", "> 1.5")]
         assert p[3] == "ORDER BY k LIMIT 3"
-        # OR inside HAVING: un-splittable -> whole clause fails the
-        # comparison parse -> None
-        assert parse_simple_aggregate(
+        # OR inside HAVING: since r10 it parses as a PROVEN boolean
+        # tree (WhereTree) rather than rejecting — the router then
+        # requires every leaf to map through the key/agg/avg rewrite
+        # (end-to-end pin in test_round10b.py)
+        from hepop_spark.plans.api import WhereTree
+        p_or = parse_simple_aggregate(
             "SELECT k, count(*) AS n FROM t GROUP BY k "
-            "HAVING count(*) > 5 OR count(*) < 2") is None
+            "HAVING count(*) > 5 OR count(*) < 2")
+        assert isinstance(p_or[5], WhereTree)
+        assert p_or[5].tree == ("or", [("leaf", "count(*)", "> 5"),
+                                       ("leaf", "count(*)", "< 2")])
         # forbidden tokens OUTSIDE the having clause still reject
         assert parse_simple_aggregate(
             "SELECT DISTINCT k, count(*) AS n FROM t GROUP BY k "

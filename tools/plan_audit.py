@@ -176,6 +176,10 @@ AUDITS: dict[str, set[str]] = {
     # r10: OR-of-equalities canonicalized to IN routes onto the same grid
     # scan with the key predicate pushed down
     "rollup_routed_or_in": {"rollup_scan", "partial", "pushdown"},
+    # r11: boolean-tree HAVING / SQL-precedence routing — same routed
+    # grid-scan shape; the claim is WHICH store the plan reads
+    "rollup_routed_having_or": {"rollup_scan", "partial"},
+    "rollup_routed_where_precedence": {"rollup_scan", "partial"},
     # r10: mixed-key OR tree routed onto the grid (disjunction does not
     # push down to parquet as a single filter; rollup_scan is the claim)
     "rollup_routed_mixed_or": {"rollup_scan", "partial"},
@@ -707,6 +711,8 @@ def main() -> None:
         routed_plan_text,
         routed_or_in_plan_text,
         routed_mixed_or_plan_text,
+        routed_having_or_plan_text,
+        routed_where_precedence_plan_text,
         routed_timegrid_plan_text,
         routed_timerange_plan_text,
     )
@@ -722,6 +728,8 @@ def main() -> None:
         "rollup_routed_having": routed_having_plan_text,
         "rollup_routed_or_in": routed_or_in_plan_text,
         "rollup_routed_mixed_or": routed_mixed_or_plan_text,
+        "rollup_routed_having_or": routed_having_or_plan_text,
+        "rollup_routed_where_precedence": routed_where_precedence_plan_text,
     }
     for name, flags in AUDITS.items():
         if name in special_plans:
