@@ -182,9 +182,10 @@ GATE_WINDOW_50 = (
     "b9_virtual_fields", "b10_scalar_funcs",
     # TPC-H flagships
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    # joins / windows / set-ops / grouping
+    # joins / windows / set-ops / grouping (interval_overlap_join rotated
+    # out r11 — joins keep two representatives; smoke-pinned)
     "join_broadcast_dim", "asof_join", "win_topk_per_group",
-    "set_ops_all", "grouping_sets_agg", "interval_overlap_join",
+    "set_ops_all", "grouping_sets_agg",
     # HEP/LP domain + sources + storage lifecycle
     "hep_sip_call_stats", "source_lineproto_roundtrip",
     "source_partitioned_prune", "snapshot_time_travel", "merge_upsert",
@@ -214,6 +215,7 @@ GATE_WINDOW_50 = (
     # ADVICE high items, oracle-gated) + LIKE branches in OR probe trees
     "rollup_routed_having_or", "rollup_routed_where_precedence",
     "sidecar_routed_precedence", "sidecar_routed_or_like",
+    "rollup_routed_cte",
     # multimodal (real decodes; y4m = real VIDEO decode, r09)
     "multimodal_jpeg_decode", "multimodal_y4m_frames",
     # text analysis

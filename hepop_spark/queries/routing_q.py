@@ -759,6 +759,70 @@ ORDER BY lang
 """
 
 
+# --- r11: CTE-wrapped aggregate routing (r10 verdict item 6) ------------------
+
+CTE_ROUTED_SQL_TEXT = (
+    "WITH agg AS (SELECT lang, count(*) AS n_docs, "
+    "sum(n_chars) AS total_chars FROM documents GROUP BY lang) "
+    "SELECT lang, n_docs, total_chars FROM agg "
+    "WHERE n_docs >= 60 ORDER BY lang"
+)
+
+
+def rollup_routed_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """The generated-SQL wrapper BI tools emit — `WITH agg AS (SELECT
+    ... GROUP BY ...) SELECT ... FROM agg WHERE ...` — routed onto the
+    maintained grid (r10 verdict item 6, plans/api._try_cte_route): the
+    single-CTE body is proven routable by the SAME bare-SELECT router
+    and substituted in place; the outer query post-processes the
+    O(|grid|) routed rows verbatim. Proof obligations are conservative:
+    one CTE, outer references only the CTE exactly once, no nested
+    WITH, no joins back to undiscovered raw tables — each unmet
+    obligation falls back to the raw scan (rejection pins in
+    tests/test_round11.py). The entry hard-fails unless the plan scans
+    the grid and never the raw table.
+
+    Scale: the filter-over-aggregate wrapper is how Tableau/Metabase
+    spell HAVING; without the unwrap the most common generated shape
+    pays a full corpus scan the grid already answers."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        from ..plans.api import HepopQueryAPI
+
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        df = api.sql(CTE_ROUTED_SQL_TEXT)
+        if api.last_routed_rollup != "doc_lang_rollup":
+            raise AssertionError(
+                f"CTE aggregate was not routed "
+                f"(last_routed_rollup={api.last_routed_rollup!r})")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_docs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_cte_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, CTE_ROUTED_SQL_TEXT)
+
+
+ROLLUP_CTE_SQL = """
+WITH agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, total_chars FROM agg
+WHERE n_docs >= 60 ORDER BY lang
+"""
+
+
 # --- r11: WHERE precedence routing (the r10 ADVICE high fix, gated) ----------
 
 # unparenthesized mixed precedence: lang='en' OR (lang='de' AND
@@ -1675,6 +1739,11 @@ QUERIES: dict[str, QuerySpec] = {
         sidecar_routed_or_like, OR_LIKE_SQL,
         doc="LIKE branch of an OR served by the trigram sidecar, "
             "equality branch by bloom; union of candidates (r11)",
+    ),
+    "rollup_routed_cte": QuerySpec(
+        rollup_routed_cte, ROLLUP_CTE_SQL,
+        doc="single-CTE wrapper unwrapped and its aggregate body routed "
+            "onto the grid — the BI generated-SQL shape (r11)",
     ),
     "rollup_routed_having": QuerySpec(
         rollup_routed_having, ROLLUP_HAVING_SQL,

@@ -312,7 +312,8 @@ class TestRotatedOutGateSmoke:
                    "zone_routed_range", "rollup_routed_having",
                    # rotated out r11 for the precedence/HAVING-tree trio
                    "bloom_routed_lookup", "rollup_routed_or_in",
-                   "sql_routed_entrypoint", "trigram_routed_like")
+                   "sql_routed_entrypoint", "trigram_routed_like",
+                   "interval_overlap_join")
 
     def test_rotated_out_entries_stay_oracle_green(self):
         import os

@@ -220,6 +220,97 @@ class TestPrecedencePruning:
         assert rows == [{"n": 5}]
 
 
+class TestCteRouting:
+    """r10 verdict item 6: single-CTE wrappers route their aggregate
+    body onto the grid; every unproven shape falls back to raw."""
+
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from hepop_spark.session import get_spark
+
+        return get_spark("test-round11-cte")
+
+    def test_split_single_cte_shapes(self):
+        from hepop_spark.plans.api import split_single_cte
+
+        assert split_single_cte(
+            "WITH a AS (SELECT 1) SELECT * FROM a") == \
+            ("a", "SELECT 1", "SELECT * FROM a")
+        # nested parens and quoted ')' inside the body
+        assert split_single_cte(
+            "WITH a AS (SELECT count(*) FROM t WHERE x = ')') "
+            "SELECT * FROM a")[1] == \
+            "SELECT count(*) FROM t WHERE x = ')'"
+        # comma chain -> None
+        assert split_single_cte(
+            "WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM a") \
+            is None
+        # no WITH -> None
+        assert split_single_cte("SELECT 1") is None
+        # unbalanced -> None
+        assert split_single_cte("WITH a AS (SELECT 1 SELECT 2") is None
+
+    def test_cte_routes_and_matches_raw(self, spark):
+        import shutil
+
+        from hepop_spark.catalog import load_table
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.queries.routing_q import _build_rollup_serve_tree
+
+        root, data = _build_rollup_serve_tree(spark, "/root/testdata/sf0.001")
+        try:
+            api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+            df = api.sql(
+                "WITH agg AS (SELECT lang, count(*) AS n FROM documents "
+                "GROUP BY lang) "
+                "SELECT lang, n FROM agg WHERE n >= 74 ORDER BY lang")
+            assert api.last_routed_rollup == "doc_lang_rollup"
+            got = {(r["lang"], r["n"]) for r in df.collect()}
+            raw = load_table(spark, "/root/testdata/sf0.001", "documents")
+            want = {
+                (r["lang"], r["n"])
+                for r in raw.groupBy("lang")
+                .agg(F.count("*").alias("n")).filter(F.col("n") >= 74)
+                .collect()
+            }
+            assert got == want and got
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    @pytest.mark.parametrize("q", [
+        # comma-chained CTEs: a later CTE could read the first
+        "WITH agg AS (SELECT lang, count(*) AS n FROM documents GROUP BY "
+        "lang), x AS (SELECT 1 AS one) SELECT lang FROM agg",
+        # self-join of the CTE (referenced twice)
+        "WITH agg AS (SELECT lang, count(*) AS n FROM documents GROUP BY "
+        "lang) SELECT a.lang FROM agg a, agg b LIMIT 1",
+        # join back to a raw table the route never discovers
+        "WITH agg AS (SELECT lang, count(*) AS n FROM documents GROUP BY "
+        "lang) SELECT d.lang FROM agg JOIN documents d ON agg.lang = "
+        "d.lang LIMIT 1",
+        # nested WITH in the outer statement
+        "WITH agg AS (SELECT lang, count(*) AS n FROM documents GROUP BY "
+        "lang) SELECT lang FROM (WITH z AS (SELECT 1) SELECT lang FROM "
+        "agg) LIMIT 1",
+        # body not routable (raw measure column filter)
+        "WITH agg AS (SELECT lang, count(*) AS n FROM documents WHERE "
+        "n_chars > 100000000 GROUP BY lang) SELECT lang FROM agg",
+    ])
+    def test_unproven_cte_shapes_fall_back(self, spark, q):
+        import shutil
+
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.queries.routing_q import _build_rollup_serve_tree
+
+        root, data = _build_rollup_serve_tree(spark, "/root/testdata/sf0.001")
+        try:
+            api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+            api.sql(q).collect()  # raw path still answers
+            assert api.last_routed_rollup is None
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 class TestExplainCteDmlGuard:
     """r10 ADVICE (low): WITH-headed DML must 400 on /explain, not run."""
 

@@ -180,6 +180,7 @@ AUDITS: dict[str, set[str]] = {
     # grid-scan shape; the claim is WHICH store the plan reads
     "rollup_routed_having_or": {"rollup_scan", "partial"},
     "rollup_routed_where_precedence": {"rollup_scan", "partial"},
+    "rollup_routed_cte": {"rollup_scan", "partial"},
     # r10: mixed-key OR tree routed onto the grid (disjunction does not
     # push down to parquet as a single filter; rollup_scan is the claim)
     "rollup_routed_mixed_or": {"rollup_scan", "partial"},
@@ -713,6 +714,7 @@ def main() -> None:
         routed_mixed_or_plan_text,
         routed_having_or_plan_text,
         routed_where_precedence_plan_text,
+        routed_cte_plan_text,
         routed_timegrid_plan_text,
         routed_timerange_plan_text,
     )
@@ -730,6 +732,7 @@ def main() -> None:
         "rollup_routed_mixed_or": routed_mixed_or_plan_text,
         "rollup_routed_having_or": routed_having_or_plan_text,
         "rollup_routed_where_precedence": routed_where_precedence_plan_text,
+        "rollup_routed_cte": routed_cte_plan_text,
     }
     for name, flags in AUDITS.items():
         if name in special_plans:
