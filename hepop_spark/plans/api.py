@@ -323,6 +323,15 @@ def _where_tree(s: str):
     stripped = _strip_parens(c)
     if stripped != c.strip():
         return _where_tree(stripped)
+    nm = re.match(r"^\s*NOT\b(?P<rest>.+)$", c, re.IGNORECASE | re.DOTALL)
+    if nm:
+        # NOT binds tighter than AND/OR (both already split above), so
+        # it negates exactly the remaining single term. Negation of a
+        # key-only predicate is still key-only — routing stays exact;
+        # the sidecar planner never sees this node (its own parse skips
+        # NOT fragments: no restriction under AND, poison under OR).
+        kid = _where_tree(nm.group("rest"))
+        return None if kid is None else ("not", [kid])
     pm = _PRED_RE.match(c)
     if not pm or re.search(r"\b(OR|AND|NOT)\b", pm.group("e"),
                            re.IGNORECASE):
@@ -348,6 +357,8 @@ def _tree_rewrite_sql(t, key_map: dict) -> str | None:
     parts = [_tree_rewrite_sql(k, key_map) for k in t[1]]
     if any(p is None for p in parts):
         return None
+    if t[0] == "not":
+        return f"(NOT {parts[0]})"
     return "(" + (" AND " if t[0] == "and" else " OR ").join(parts) + ")"
 
 
@@ -1132,6 +1143,8 @@ class HepopQueryAPI:
                 parts = [_having_tree_sql(k) for k in t[1]]
                 if any(p is None for p in parts):
                     return None
+                if t[0] == "not":
+                    return f"(NOT {parts[0]})"
                 return "(" + (" AND " if t[0] == "and" else " OR ").join(
                     parts) + ")"
 

@@ -881,6 +881,61 @@ ORDER BY lang
 """
 
 
+# --- r11: NOT routing ---------------------------------------------------------
+
+NOT_ROUTED_SQL_TEXT = (
+    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "FROM documents "
+    "WHERE NOT (lang = 'en' OR source = 'src1') "
+    "GROUP BY lang ORDER BY lang"
+)
+
+
+def rollup_routed_not(spark: SparkSession, sf: str) -> DataFrame:
+    """Negated key predicates routed onto the grid (r11): NOT binds
+    tighter than AND/OR, so `_where_tree` attaches it to the single
+    following term; negation of a key-only predicate is still key-only
+    — constant within each grid cell — so the routed filter is exact
+    for any NOT placement (De Morgan falls out of the tree shape, not
+    special-casing). The sidecar probe planner deliberately NEVER
+    serves a NOT branch (a bloom/zone probe proves may-contain, whose
+    complement proves nothing): no restriction under AND, poison under
+    OR — pinned in tests/test_round11.py. Hard-fails unless the plan
+    scans the grid and never the raw table.
+
+    Scale: exclusion filters ("everything except the big language")
+    are the third most common dashboard shape after equality and OR —
+    O(|grid|) routed instead of a raw scan."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, NOT_ROUTED_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_docs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_not_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, NOT_ROUTED_SQL_TEXT)
+
+
+ROLLUP_NOT_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE NOT (lang = 'en' OR source = 'src1')
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --- r11: precedence through sidecar file pruning ----------------------------
 
 # call-7 OR (call-900 AND value BETWEEN 50 AND 51): the r10 probe tree
@@ -1744,6 +1799,11 @@ QUERIES: dict[str, QuerySpec] = {
         rollup_routed_cte, ROLLUP_CTE_SQL,
         doc="single-CTE wrapper unwrapped and its aggregate body routed "
             "onto the grid — the BI generated-SQL shape (r11)",
+    ),
+    "rollup_routed_not": QuerySpec(
+        rollup_routed_not, ROLLUP_NOT_SQL,
+        doc="NOT over key-only predicates routes exactly (negation is "
+            "constant within grid cells); probes never serve NOT (r11)",
     ),
     "rollup_routed_having": QuerySpec(
         rollup_routed_having, ROLLUP_HAVING_SQL,

@@ -16,6 +16,12 @@ Layout (per table, kind, column)::
     {base}/_{kind}/{col}.d/
         head_v{N}.json   # {"version", "col", "meta", "segments":
                          #  {partition_relpath: "seg-<hex>.json"}}
+                         # or, past FLAT_MAX_PARTS partitions (r11
+                         # two-level heads): {"version", "col", "meta",
+                         #  "groups": {group_key: "map-<hex>.json"}}
+        map-<hex>.json   # {"group": group_key, "segments":
+                         #  {partition_relpath: "seg-<hex>.json"}}
+                         # (immutable, one per hash bucket of partitions)
         seg-<hex>.json   # {"part": partition_relpath,
                          #  "files": {file_relpath: entry}}
 
@@ -65,6 +71,28 @@ CAS_RETRIES = 16
 # from _gc — generous vs the CAS worst case (16 retries x ms backoff);
 # a marker older than this belongs to a writer that died mid-publish
 PENDING_TTL = 900.0
+# Two-level heads (r10 verdict item 7): a FLAT head carries the
+# {partition: segment} map inline — perfect while partitions are few —
+# but the map itself is O(partitions) JSON rewritten per update, the
+# next monolith at ~500k partitions (10 years x 144 buckets/day). Past
+# FLAT_MAX_PARTS the head holds {group: map-file} instead, where a
+# group is a stable hash bucket of the partition relpath: an update
+# rewrites only the TOUCHED groups' map files plus a head bounded by
+# N_GROUPS entries, and a probe opens only the wanted partitions'
+# groups. Probes pay one extra small-JSON hop; updates drop from
+# O(partitions) to O(touched + N_GROUPS).
+N_GROUPS = 256
+FLAT_MAX_PARTS = 512
+# Segments/maps live under {col}.d/objs/ so the head directory holds
+# only O(KEEP_HEADS) entries — load_head's version listing must never
+# pay O(segments) listdir (profiled: 20-40 ms per probe at 50k
+# partitions before this split). Legacy r10 stores keep segments in the
+# top directory; reads fall back there by name.
+OBJS_SUBDIR = "objs"
+# Full _gc lists every object (O(table partitions)); run it every
+# GC_EVERY-th published version so the amortized update cost stays
+# O(touched), with a bounded-staleness garbage window in between.
+GC_EVERY = 16
 
 
 class SidecarConflict(RuntimeError):
@@ -113,8 +141,12 @@ _SEG_CACHE: dict[str, dict] = {}
 _SEG_CACHE_MAX = 4096
 
 
-def _load_segment(d: str, name: str) -> dict:
-    p = os.path.join(d, name)
+def _load_immutable(d: str, name: str, field: str) -> dict:
+    """Cached read of an immutable store file (segment or group map):
+    content is frozen at creation, so the path is a permanent key.
+    Looks under objs/ first, then the top directory (legacy r10 layout
+    kept segments beside the heads)."""
+    p = os.path.join(d, OBJS_SUBDIR, name)
     hit = _SEG_CACHE.get(p)
     if hit is not None:
         return hit
@@ -122,12 +154,61 @@ def _load_segment(d: str, name: str) -> dict:
         with open(p) as fh:
             doc = json.load(fh)
     except (OSError, ValueError):
-        return {}
-    files = doc.get("files", {})
+        p2 = os.path.join(d, name)
+        hit = _SEG_CACHE.get(p2)
+        if hit is not None:
+            return hit
+        try:
+            with open(p2) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            return {}
+        p = p2
+    got = doc.get(field, {})
     if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
         _SEG_CACHE.clear()  # simple full reset; refill cost is one probe
-    _SEG_CACHE[p] = files
-    return files
+    _SEG_CACHE[p] = got
+    return got
+
+
+def _load_segment(d: str, name: str) -> dict:
+    return _load_immutable(d, name, "files")
+
+
+def _load_map(d: str, name: str) -> dict:
+    return _load_immutable(d, name, "segments")
+
+
+def _group_of(part: str) -> str:
+    """Stable hash bucket for a partition relpath — layout-independent
+    (date dirs, shard=N dirs, anything) and insensitive to partition
+    count, so a partition never migrates between groups."""
+    import zlib
+
+    return f"g{zlib.crc32(part.encode('utf-8')) % N_GROUPS:03d}"
+
+
+def _head_segments(d: str, head: dict, parts=None) -> dict:
+    """{partition: segment_name} from either head shape. `parts` limits
+    the map-file loads to the wanted partitions' groups (probe paths
+    pass the query's surviving partitions, so driver I/O tracks the
+    query footprint, not the table)."""
+    groups = head.get("groups") or {}
+    if groups:
+        if parts is None:
+            want = set(groups)
+        else:
+            want = {_group_of(p) for p in parts} & groups.keys()
+        out: dict = {}
+        for gk in sorted(want):
+            out.update(_load_map(d, groups[gk]))
+        if parts is not None:
+            return {p: s for p, s in out.items() if p in parts}
+        return out
+    seg = head.get("segments", {})
+    if parts is not None:
+        return {p: s for p, s in seg.items() if p in parts}
+    return dict(seg)
 
 
 def _load_legacy(base_path: str, kind: str, col: str) -> dict | None:
@@ -175,12 +256,11 @@ def load_entries(base_path: str, kind: str, col: str,
         return out
     _v, head = got
     d = sidecar_dir(base_path, kind, col)
-    segments = head.get("segments", {})
-    if files is None:
-        parts = segments.keys()
-    else:
-        parts = {os.path.dirname(f) for f in files} & segments.keys()
-    for part in parts:
+    segments = _head_segments(
+        d, head,
+        parts=None if files is None else {os.path.dirname(f)
+                                          for f in files})
+    for part in segments:
         out.update(_load_segment(d, segments[part]))
     if files is not None:
         want = set(files)
@@ -228,6 +308,7 @@ def _publish_head(d: str, head: dict, prev_version: int) -> int:
 
 
 def _write_segment(d: str, part: str, files: dict) -> str:
+    d = os.path.join(d, OBJS_SUBDIR)
     os.makedirs(d, exist_ok=True)
     name = f"seg-{uuid.uuid4().hex[:12]}.json"
     # in-flight registration (r10 ADVICE): between this write and the
@@ -247,12 +328,30 @@ def _write_segment(d: str, part: str, files: dict) -> str:
     return name
 
 
+def _write_map(d: str, group: str, segments: dict) -> str:
+    """Immutable group-map file ({partition: segment_name}) for one hash
+    bucket of partitions — the second level of a two-level head. Same
+    in-flight .pending registration as segments."""
+    d = os.path.join(d, OBJS_SUBDIR)
+    os.makedirs(d, exist_ok=True)
+    name = f"map-{uuid.uuid4().hex[:12]}.json"
+    with open(os.path.join(d, name + ".pending"), "w"):
+        pass
+    tmp = os.path.join(d, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"group": group, "segments": segments}, fh)
+    os.rename(tmp, os.path.join(d, name))
+    return name
+
+
 def _clear_pending(d: str, names) -> None:
     for n in names:
-        try:
-            os.remove(os.path.join(d, n + ".pending"))
-        except OSError:
-            pass
+        for loc in (os.path.join(d, OBJS_SUBDIR), d):
+            try:
+                os.remove(os.path.join(loc, n + ".pending"))
+                break
+            except OSError:
+                continue
 
 
 def _gc(d: str) -> None:
@@ -265,49 +364,71 @@ def _gc(d: str) -> None:
         except OSError:
             pass
     referenced: set[str] = set()
+    ref_maps: set[str] = set()
     for v in _head_versions(d):
         try:
             with open(os.path.join(d, f"head_v{v}.json")) as fh:
-                referenced.update(json.load(fh).get("segments", {}).values())
+                head = json.load(fh)
         except (OSError, ValueError):
             continue
-    try:
-        names = os.listdir(d)
-    except OSError:
-        return
+        referenced.update(head.get("segments", {}).values())
+        ref_maps.update((head.get("groups") or {}).values())
+    # grouped heads reference segments INDIRECTLY through their map
+    # files; distinct maps across kept heads ≈ N_GROUPS + touched-per-
+    # version, each a small JSON (and cached), so this stays cheap
+    for m in ref_maps:
+        referenced.update(_load_map(d, m).values())
     now = time.time()
-    pending = {f for f in names if f.endswith(".pending")}
-    for f in names:
-        if f.startswith("seg-") and f.endswith(".json") \
-                and f not in referenced:
-            p = os.path.join(d, f)
+    # two object locations: objs/ (current) and the top directory
+    # (legacy r10 stores kept segments beside the heads)
+    for loc in (os.path.join(d, OBJS_SUBDIR), d):
+        try:
+            names = os.listdir(loc)
+        except OSError:
+            continue
+        pending = {f for f in names if f.endswith(".pending")}
+        for f in names:
+            if f.startswith("map-") and f.endswith(".json") \
+                    and f not in ref_maps:
+                p = os.path.join(loc, f)
+                try:
+                    if f + ".pending" in pending \
+                            or now - os.stat(p).st_mtime < 60.0:
+                        continue
+                    os.remove(p)
+                except OSError:
+                    pass
+            if f.startswith("seg-") and f.endswith(".json") \
+                    and f not in referenced:
+                p = os.path.join(loc, f)
+                try:
+                    # age guard: a CONCURRENT writer's segment exists
+                    # unreferenced for the ms between its write and its
+                    # head publish — deleting it there would leave the
+                    # winner's head pointing at nothing (correctness
+                    # survives: a missing segment reads as "unindexed,
+                    # must scan", but pruning would silently degrade).
+                    # A writer REGISTERS in-flight segments with a
+                    # .pending marker that is removed only after its
+                    # head publishes (or it gives up), so a stall
+                    # longer than the age bound can no longer lose the
+                    # race (r10 ADVICE); the age guard stays as
+                    # belt-and-braces for pre-marker segments.
+                    if f + ".pending" in pending \
+                            or now - os.stat(p).st_mtime < 60.0:
+                        continue
+                    os.remove(p)
+                except OSError:
+                    pass
+        # reap markers of writers that provably died mid-publish (their
+        # object is either referenced by now or will age out above)
+        for f in pending:
+            p = os.path.join(loc, f)
             try:
-                # age guard: a CONCURRENT writer's segment exists
-                # unreferenced for the ms between its write and its head
-                # publish — deleting it there would leave the winner's
-                # head pointing at nothing (correctness survives: a
-                # missing segment reads as "unindexed, must scan", but
-                # pruning would silently degrade). A writer REGISTERS
-                # in-flight segments with a .pending marker that is
-                # removed only after its head publishes (or it gives
-                # up), so a stall longer than the age bound can no
-                # longer lose the race (r10 ADVICE); the age guard
-                # stays as belt-and-braces for pre-marker segments.
-                if f + ".pending" in pending \
-                        or now - os.stat(p).st_mtime < 60.0:
-                    continue
-                os.remove(p)
+                if now - os.stat(p).st_mtime > PENDING_TTL:
+                    os.remove(p)
             except OSError:
                 pass
-    # reap markers of writers that provably died mid-publish (their
-    # segment is either referenced by now or will age out above)
-    for f in pending:
-        p = os.path.join(d, f)
-        try:
-            if now - os.stat(p).st_mtime > PENDING_TTL:
-                os.remove(p)
-        except OSError:
-            pass
 
 
 def update_entries(base_path: str, kind: str, col: str, new_entries: dict,
@@ -321,14 +442,15 @@ def update_entries(base_path: str, kind: str, col: str, new_entries: dict,
     d = sidecar_dir(base_path, kind, col)
     drop = set(drop or ())
     legacy = _load_legacy(base_path, kind, col)
-    written: list[str] = []  # segments this call wrote (all attempts)
+    written: list[str] = []  # segments+maps this call wrote (all attempts)
     for attempt in range(CAS_RETRIES):
         got = load_head(base_path, kind, col)
         prev_v, head = got if got else (
             0, {"col": col, "meta": dict(meta or {}), "segments": {}})
         if meta:
             head = {**head, "meta": {**head.get("meta", {}), **meta}}
-        segments = dict(head.get("segments", {}))
+        groups = dict(head.get("groups") or {})
+        grouped = bool(groups)
         by_part: dict[str, dict] = {}
         if legacy:  # one-time migration: fold monolith entries under ours
             for f, e in legacy.get("files", {}).items():
@@ -337,21 +459,68 @@ def update_entries(base_path: str, kind: str, col: str, new_entries: dict,
             by_part.setdefault(os.path.dirname(f), {})[f] = e
         for f in drop:
             by_part.setdefault(os.path.dirname(f), {})
+        # current segment names — TOUCHED partitions only in grouped
+        # mode (opens only their groups' maps), the whole inline map in
+        # flat mode
+        cur = _head_segments(d, head,
+                             parts=set(by_part) if grouped else None)
+        changes: dict[str, str | None] = {}  # part -> new seg | None=gone
         for part, ours in by_part.items():
-            current = (_load_segment(d, segments[part])
-                       if part in segments else {})
+            current = (_load_segment(d, cur[part])
+                       if part in cur else {})
             merged = {**current, **ours}
             for f in drop:
                 merged.pop(f, None)
             if merged:
                 name = _write_segment(d, part, merged)
-                segments[part] = name
+                changes[part] = name
                 written.append(name)
             else:
-                segments.pop(part, None)
+                changes[part] = None
+        if not grouped:
+            segments = dict(cur)
+            for part, name in changes.items():
+                if name is None:
+                    segments.pop(part, None)
+                else:
+                    segments[part] = name
+            if len(segments) > FLAT_MAX_PARTS:
+                # one-time promotion: bucket every partition into group
+                # maps; the head drops from O(partitions) to O(groups)
+                grouped, groups = True, {}
+                by_group: dict[str, dict] = {}
+                for part, name in segments.items():
+                    by_group.setdefault(_group_of(part), {})[part] = name
+                for gk, gm in by_group.items():
+                    mname = _write_map(d, gk, gm)
+                    groups[gk] = mname
+                    written.append(mname)
+                changes = {}  # promotion folded them in already
+        if grouped and changes:
+            by_group = {}
+            for part, name in changes.items():
+                by_group.setdefault(_group_of(part), {})[part] = name
+            for gk, chg in by_group.items():
+                gm = dict(_load_map(d, groups[gk])) if gk in groups else {}
+                for part, name in chg.items():
+                    if name is None:
+                        gm.pop(part, None)
+                    else:
+                        gm[part] = name
+                if gm:
+                    mname = _write_map(d, gk, gm)
+                    groups[gk] = mname
+                    written.append(mname)
+                else:
+                    groups.pop(gk, None)
+        new_head = {k: v for k, v in head.items() if k != "segments"}
+        if grouped:
+            new_head = {**new_head, "col": col, "groups": groups}
+        else:
+            new_head = {**new_head, "col": col, "segments": segments}
+            new_head.pop("groups", None)
         try:
-            _publish_head(d, {**head, "col": col, "segments": segments},
-                          prev_v)
+            published_v = _publish_head(d, new_head, prev_v)
             # head is live: drop the in-flight markers so _gc treats
             # these segments by reference-count alone. Losing attempts'
             # markers clear too — their segments are garbage and age
@@ -368,4 +537,9 @@ def update_entries(base_path: str, kind: str, col: str, new_entries: dict,
             os.remove(legacy_path(base_path, kind, col))
         except OSError:
             pass
-    _gc(d)
+    # full _gc lists every object file — O(partitions) — so it runs on
+    # every GC_EVERY-th version: amortized update cost stays O(touched),
+    # garbage lives at most GC_EVERY versions longer (bounded, and heads
+    # past KEEP_HEADS stop referencing it regardless)
+    if published_v % GC_EVERY == 0 or published_v <= 1:
+        _gc(d)

@@ -53,7 +53,9 @@ class TestShardedLayout:
         d = sidecar.sidecar_dir(base, "bloom", "key")
         assert os.path.isdir(d)
         heads = [f for f in os.listdir(d) if f.startswith("head_v")]
-        segs = [f for f in os.listdir(d) if f.startswith("seg-")]
+        # r11: segments live under objs/ so the head listing stays O(1)
+        segs = [f for f in os.listdir(os.path.join(d, sidecar.OBJS_SUBDIR))
+                if f.startswith("seg-")]
         assert len(heads) == 1 and len(segs) == 4  # one per partition
         # no monolithic json was written
         assert not os.path.isfile(
@@ -161,7 +163,8 @@ class TestShardedLayout:
         fresh = sidecar._write_segment(
             d, "shard=1", {"shard=1/b.parquet": {"m": 1024, "bits": "0"}})
         sidecar._gc(d)
-        assert os.path.isfile(os.path.join(d, fresh))
+        assert os.path.isfile(
+            os.path.join(d, sidecar.OBJS_SUBDIR, fresh))
 
 
 class TestLegacyMigration:

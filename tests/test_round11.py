@@ -65,6 +65,41 @@ class TestPrecedenceParsers:
                             ("leaf", "b", "BETWEEN 2 AND 3")]),
                    ("leaf", "c", "= 4")])
 
+    def test_not_leaves_parse_and_bind_tight(self):
+        from hepop_spark.plans.api import _where_tree
+
+        assert _where_tree("NOT lang = 'en'") == (
+            "not", [("leaf", "lang", "= 'en'")])
+        # NOT binds tighter than AND: (NOT a) AND b
+        assert _where_tree("NOT lang = 'en' AND source = 'x'") == (
+            "and", [("not", [("leaf", "lang", "= 'en'")]),
+                    ("leaf", "source", "= 'x'")])
+        # NOT over a parenthesized disjunction
+        assert _where_tree("NOT (lang = 'en' OR source = 'x')") == (
+            "not", [("or", [("leaf", "lang", "= 'en'"),
+                            ("leaf", "source", "= 'x'")])])
+        # rewrite onto grid columns handles the not node
+        from hepop_spark.plans.api import _tree_rewrite_sql
+
+        km = {"lang": "lang", "source": "source"}
+        assert _tree_rewrite_sql(
+            _where_tree("NOT (lang = 'en' OR source = 'x')"), km) == \
+            "(NOT (lang = 'en' OR source = 'x'))"
+        # a NOT over a non-key leaf still refuses
+        assert _tree_rewrite_sql(
+            _where_tree("NOT n_chars = 5"), km) is None
+
+    def test_not_branch_never_contributes_sidecar_restriction(self):
+        """A probe proves may-contain; its complement proves nothing —
+        NOT under AND is skipped, NOT under OR disables pruning."""
+        # covered end-to-end below via the pruning fixture; here pin the
+        # parser-side invariant that NOT never reaches a leaf probe
+        from hepop_spark.plans.api import _where_tree
+
+        t = _where_tree("call_id = 'c-1' OR NOT v = 2.0")
+        assert t == ("or", [("leaf", "call_id", "= 'c-1'"),
+                            ("not", [("leaf", "v", "= 2.0")])])
+
     def test_simple_aggregate_mixed_where_parses_to_correct_tree(self):
         from hepop_spark.plans.api import WhereTree, parse_simple_aggregate
 
@@ -188,6 +223,26 @@ class TestPrecedencePruning:
         bp = api.last_bloom_pruned
         # pruning still engages (both branches restrict) and still skips
         # files — just never the c-9 file
+        assert bp and bp["files_read"] < bp["files_live"]
+
+    def test_not_under_or_disables_pruning_under_and_skips(self, spark,
+                                                           tmp_path):
+        from hepop_spark.plans.api import HepopQueryAPI
+
+        data = self._tree(spark, tmp_path)
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        # NOT branch of an OR cannot restrict -> whole OR falls back
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n FROM mix11 "
+            "WHERE call_id = 'c-9' OR NOT v >= 1.0")
+        assert rows == [{"n": 5}]  # c-9 + ids {0,400,800,1200} (v=0)
+        assert api.last_bloom_pruned is None
+        # NOT conjunct under AND is skipped; the bloom conjunct prunes
+        rows, _ = api.query_json(
+            "SELECT count(*) AS n FROM mix11 "
+            "WHERE call_id = 'c-9' AND NOT v >= 100.0")
+        assert rows == [{"n": 1}]
+        bp = api.last_bloom_pruned
         assert bp and bp["files_read"] < bp["files_live"]
 
     def test_or_with_unindexed_like_branch_disables_pruning(self, spark,
@@ -367,6 +422,110 @@ class TestExplainCteDmlGuard:
             srv.stop()
 
 
+class TestTwoLevelHeads:
+    """r10 verdict item 7: past FLAT_MAX_PARTS partitions the head holds
+    {group: map-file} hash buckets instead of the O(partitions) inline
+    segments map — updates rewrite only touched groups."""
+
+    def _seed(self, base, n_parts, files_per_part=2):
+        from hepop_spark.storage import sidecar as sc
+
+        entries = {
+            f"date=2024-{1 + (p % 12):02d}-{1 + (p % 28):02d}/p{p}"
+            f"/f{i}.parquet": {"v": p * 100 + i}
+            for p in range(n_parts) for i in range(files_per_part)
+        }
+        sc.update_entries(base, "bloom", "k", entries)
+        return entries
+
+    def test_small_store_stays_flat(self, tmp_path):
+        from hepop_spark.storage import sidecar as sc
+
+        base = str(tmp_path / "t")
+        self._seed(base, 10)
+        _v, head = sc.load_head(base, "bloom", "k")
+        assert "groups" not in head and len(head["segments"]) == 10
+
+    def test_promotion_and_full_read_equivalence(self, tmp_path):
+        from hepop_spark.storage import sidecar as sc
+
+        base = str(tmp_path / "t")
+        entries = self._seed(base, sc.FLAT_MAX_PARTS + 40)
+        _v, head = sc.load_head(base, "bloom", "k")
+        assert "segments" not in head and head["groups"]
+        assert len(head["groups"]) <= sc.N_GROUPS
+        got = sc.load_entries(base, "bloom", "k")
+        assert got == entries
+
+    def test_grouped_update_touches_only_its_group(self, tmp_path):
+        from hepop_spark.storage import sidecar as sc
+
+        base = str(tmp_path / "t")
+        self._seed(base, sc.FLAT_MAX_PARTS + 40)
+        _v1, h1 = sc.load_head(base, "bloom", "k")
+        rel = "date=2024-01-01/p0/extra.parquet"
+        sc.update_entries(base, "bloom", "k", {rel: {"v": -1}})
+        _v2, h2 = sc.load_head(base, "bloom", "k")
+        changed = [g for g in h2["groups"]
+                   if h2["groups"][g] != h1["groups"].get(g)]
+        assert changed == [sc._group_of("date=2024-01-01/p0")]
+        # targeted read opens only the wanted group's map
+        got = sc.load_entries(base, "bloom", "k", files=[rel])
+        assert got == {rel: {"v": -1}}
+
+    def test_grouped_drop_and_empty_group_removal(self, tmp_path):
+        from hepop_spark.storage import sidecar as sc
+
+        base = str(tmp_path / "t")
+        entries = self._seed(base, sc.FLAT_MAX_PARTS + 40, files_per_part=1)
+        victim_part = "date=2024-01-01/p0"
+        victims = {f for f in entries if f.startswith(victim_part + "/")}
+        assert victims
+        sc.update_entries(base, "bloom", "k", {}, drop=victims)
+        got = sc.load_entries(base, "bloom", "k")
+        assert set(got) == set(entries) - victims
+        # the partition is gone from its group map
+        _v, head = sc.load_head(base, "bloom", "k")
+        d = sc.sidecar_dir(base, "bloom", "k")
+        gm = sc._load_map(d, head["groups"][sc._group_of(victim_part)])
+        assert victim_part not in gm
+
+    def test_gc_reaps_old_maps_keeps_referenced(self, tmp_path):
+        import os as _os
+
+        from hepop_spark.storage import sidecar as sc
+
+        base = str(tmp_path / "t")
+        self._seed(base, sc.FLAT_MAX_PARTS + 40)
+        d = sc.sidecar_dir(base, "bloom", "k")
+        objs = _os.path.join(d, sc.OBJS_SUBDIR)
+        # churn one partition many times -> many superseded map files
+        for i in range(3 + sc.KEEP_HEADS):
+            sc.update_entries(base, "bloom", "k",
+                              {f"date=2024-01-01/p0/c{i}.parquet":
+                               {"v": i}})
+        maps = [f for f in _os.listdir(objs) if f.startswith("map-")]
+        # age everything so the 60 s guard doesn't hide the logic
+        old = sc.time.time() - 120
+        for f in _os.listdir(objs):
+            if f.startswith(("map-", "seg-")):
+                _os.utime(_os.path.join(objs, f), (old, old))
+        sc._gc(d)
+        kept = {f for f in _os.listdir(objs) if f.startswith("map-")}
+        # every map referenced by a kept head survives; stale ones go
+        referenced = set()
+        for v in sc._head_versions(d):
+            import json as _json
+            with open(_os.path.join(d, f"head_v{v}.json")) as fh:
+                referenced.update(_json.load(fh).get("groups", {}).values())
+        assert kept == referenced and len(kept) < len(maps)
+        # reads still complete through the survivors
+        got = sc.load_entries(
+            base, "bloom", "k",
+            files=[f"date=2024-01-01/p0/c{3 + sc.KEEP_HEADS - 1}.parquet"])
+        assert got
+
+
 class TestSidecarPendingGc:
     """r10 ADVICE (low): in-flight segment registration vs _gc."""
 
@@ -375,7 +534,7 @@ class TestSidecarPendingGc:
 
         d = str(tmp_path / "_bloom" / "c.d")
         name = sc._write_segment(d, "p=1", {"f1": {"x": 1}})
-        seg = os.path.join(d, name)
+        seg = os.path.join(d, sc.OBJS_SUBDIR, name)
         marker = seg + ".pending"
         assert os.path.exists(marker)
         # age the SEGMENT past the 60 s bound (the stalled-writer case:
@@ -396,7 +555,7 @@ class TestSidecarPendingGc:
 
         d = str(tmp_path / "_zone" / "c.d")
         name = sc._write_segment(d, "p=1", {"f1": {"x": 1}})
-        seg = os.path.join(d, name)
+        seg = os.path.join(d, sc.OBJS_SUBDIR, name)
         marker = seg + ".pending"
         dead = sc.time.time() - (sc.PENDING_TTL + 60)
         os.utime(marker, (dead, dead))
@@ -415,7 +574,8 @@ class TestSidecarPendingGc:
         sc.update_entries(base, "bloom", "c",
                           {"2024-01-02/f2.parquet": {"bits": "AB=="}})
         d = sc.sidecar_dir(base, "bloom", "c")
-        leftover = [f for f in os.listdir(d) if f.endswith(".pending")]
+        leftover = [f for f in os.listdir(os.path.join(d, sc.OBJS_SUBDIR))
+                    if f.endswith(".pending")]
         assert leftover == []
         # both entries readable through the published head
         got = sc.load_entries(base, "bloom", "c")

@@ -53,7 +53,10 @@ def sweep() -> int:
         try:
             base = os.path.join(d, "t")
             os.makedirs(base)
-            per_part = 16
+            # small N: realistic 16 files/partition. Large N (r11
+            # two-level-head proof): 1 file/partition so the sweep
+            # reaches 50k PARTITIONS — the dimension the head scales in
+            per_part = 16 if n <= 8192 else 1
             n_parts = max(1, n // per_part)
             # a realistic flush-file bitmap: m=16384 -> 4096 hex chars
             bits = format((1 << 16384) - 1, "x")
@@ -101,14 +104,18 @@ def sweep() -> int:
                                  within=part_files)
                 within.append(_t.perf_counter() - t0)
             dd = sidecar.sidecar_dir(base, "bloom", "key")
+            objs = os.path.join(dd, sidecar.OBJS_SUBDIR)
             seg_bytes = max(
-                os.path.getsize(os.path.join(dd, f))
-                for f in os.listdir(dd) if f.startswith("seg-"))
+                os.path.getsize(os.path.join(objs, f))
+                for f in os.listdir(objs) if f.startswith("seg-"))
             head_bytes = max(
                 os.path.getsize(os.path.join(dd, f))
                 for f in os.listdir(dd) if f.startswith("head_v"))
+            from hepop_spark.storage.sidecar import load_head as _lh
+            _v, _head = _lh(base, "bloom", "key")
             out["sweep"][str(n)] = {
                 "partitions": n_parts,
+                "head_mode": "grouped" if _head.get("groups") else "flat",
                 "seed_s": round(seed_s, 3),
                 "update_one_file_median_s": round(_st.median(upd), 4),
                 "probe_cold_full_s": round(cold_s, 4),
