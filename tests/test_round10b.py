@@ -123,7 +123,6 @@ class TestWhereTree:
         ])
 
     @pytest.mark.parametrize("bad", [
-        "a = 1 OR NOT b = 2",
         "a = 1 OR b LIKE 'x%'",
         "a = 1 OR exists(SELECT 1)",
         "a = 1 OR b = c",            # non-literal RHS
@@ -132,6 +131,17 @@ class TestWhereTree:
         from hepop_spark.plans.api import _where_tree
 
         assert _where_tree(bad) is None
+
+    def test_not_now_parses_to_a_tree(self):
+        # r11 obsoleted the r10 "NOT rejects" pin: NOT over a literal
+        # comparison is a proven ('not', [child]) node (negation of a
+        # key-only predicate routes exactly; the probe planner still
+        # never serves it — tests/test_round11.py)
+        from hepop_spark.plans.api import _where_tree
+
+        assert _where_tree("a = 1 OR NOT b = 2") == (
+            "or", [("leaf", "a", "= 1"),
+                   ("not", [("leaf", "b", "= 2")])])
 
     def test_rewrite_requires_every_leaf_on_a_key(self):
         from hepop_spark.plans.api import _tree_rewrite_sql, _where_tree
