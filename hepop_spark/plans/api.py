@@ -327,9 +327,11 @@ def _where_tree(s: str):
     if nm:
         # NOT binds tighter than AND/OR (both already split above), so
         # it negates exactly the remaining single term. Negation of a
-        # key-only predicate is still key-only — routing stays exact;
-        # the sidecar planner never sees this node (its own parse skips
-        # NOT fragments: no restriction under AND, poison under OR).
+        # key-only predicate is still key-only — routing stays exact.
+        # The sidecar planner has its own parse: it serves ONLY the
+        # provable zone-complement shapes (NOT BETWEEN / NOT = / !=,
+        # r12) and treats every other NOT fragment as before — no
+        # restriction under AND, poison under OR.
         kid = _where_tree(nm.group("rest"))
         return None if kid is None else ("not", [kid])
     pm = _PRED_RE.match(c)
@@ -409,35 +411,214 @@ def _tail_routable(tail: str, aliases: set[str]) -> bool:
     return True
 
 
+def _skip_literal(q: str, i: int) -> int:
+    """q[i] is an opening `'`: index just PAST the literal's close,
+    honoring Spark's lexer — `\\x` backslash escapes AND `''` doubling
+    both continue the literal (the executing engine is spark.sql, so
+    matching its rules is what keeps every scanner here in sync with
+    what actually runs; the old single-toggle scan desynced on a literal
+    ending in a lone backslash, r11 ADVICE). Unterminated → len(q)."""
+    i += 1
+    n = len(q)
+    while i < n:
+        ch = q[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "'":
+            if i + 1 < n and q[i + 1] == "'":
+                i += 2  # doubled quote: escaped, literal continues
+                continue
+            return i + 1
+        i += 1
+    return n
+
+
+def _skip_comment(q: str, i: int) -> int | None:
+    """Index past a comment STARTING at i (`-- ...\\n` or `/* ... */`),
+    or None when i is not a comment start. An apostrophe inside a
+    comment must never open a literal — that desyncs every scanner
+    downstream of it (conservatively: routing falls back, /explain
+    rejects; this keeps both exact)."""
+    if q.startswith("--", i):
+        nl = q.find("\n", i)
+        return len(q) if nl < 0 else nl + 1
+    if q.startswith("/*", i):
+        end = q.find("*/", i + 2)
+        return len(q) if end < 0 else end + 2
+    return None
+
+
+def _scan_balanced(q: str, i: int) -> int | None:
+    """q[i] is just past an opening `(` at depth 1: index OF the
+    matching `)`, literal- and comment-aware. None if unbalanced."""
+    depth = 1
+    n = len(q)
+    while i < n:
+        ch = q[i]
+        if ch == "'":
+            i = _skip_literal(q, i)
+            continue
+        if ch in "-/":
+            skipped = _skip_comment(q, i)
+            if skipped is not None:
+                i = skipped
+                continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
+
+
+# matched with .match(q, pos): no ^ anchor (it would never match at
+# pos > 0 — match() already anchors at pos)
+_CTE_NEXT_RE = re.compile(r"\s*,\s*([A-Za-z_]\w*)\s+AS\s*\(",
+                          re.IGNORECASE)
+
+
+def split_cte_chain(q: str) -> tuple[list[tuple[str, str]], str] | None:
+    """([(name, body), ...], outer) for `WITH n1 AS (b1), n2 AS (b2),
+    ... outer` — the full comma-separated definition list with
+    balanced-paren, literal-aware bodies. None when the statement is not
+    a WITH or a body never closes."""
+    m = _CTE_HEAD_RE.match(q)
+    if not m:
+        return None
+    defs: list[tuple[str, str]] = []
+    name, i = m.group(1), m.end()
+    while True:
+        close = _scan_balanced(q, i)
+        if close is None:
+            return None
+        defs.append((name, q[i:close].strip()))
+        nm = _CTE_NEXT_RE.match(q, close + 1)
+        if nm is None:
+            return defs, q[close + 1:].strip()
+        name, i = nm.group(1), nm.end()
+
+
 def split_single_cte(q: str) -> tuple[str, str, str] | None:
     """(name, body, outer) for `WITH name AS ( body ) outer` — a SINGLE
     CTE definition with a balanced-paren body (quote-aware scan, so a
     `')'` inside a string literal never closes the body). Anything else
     (no WITH, unbalanced, a second comma-separated CTE) returns None."""
-    m = _CTE_HEAD_RE.match(q)
-    if not m:
+    got = split_cte_chain(q)
+    if got is None or len(got[0]) != 1:
         return None
-    depth, i, in_str = 1, m.end(), False
-    while i < len(q):
-        ch = q[i]
-        if in_str:
-            if ch == "'":
-                in_str = False
-        elif ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                break
-        i += 1
-    if depth != 0:
-        return None
-    outer = q[i + 1:].strip()
+    (name, body), outer = got[0][0], got[1]
     if outer.startswith(","):
-        return None  # WITH a AS (...), b AS (...): unproven chain
-    return m.group(1), q[m.end(): i].strip(), outer
+        return None  # `, 2 AS (...)`-style def the chain parser refused
+    return name, body, outer
+
+
+_FROM_CLAUSE_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_CLAUSE_END_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|WINDOW|UNION"
+    r"|INTERSECT|EXCEPT)\b", re.IGNORECASE)
+
+
+def _from_clause_has_comma(sel: str) -> bool:
+    """True when a FROM clause of `sel` carries a depth-0 comma — the
+    comma-style join `FROM a, b` that the JOIN-keyword check misses
+    (r11 ADVICE: such an outer routed, then died on the undiscovered
+    second table instead of falling back). Literal- and paren-aware;
+    unparseable text answers True (conservative: caller falls back)."""
+    fm = _FROM_CLAUSE_RE.search(sel)
+    if not fm:
+        return False
+    i, n = fm.end(), len(sel)
+    while i < n:
+        ch = sel[i]
+        if ch == "'":
+            i = _skip_literal(sel, i)
+            continue
+        if ch in "-/":
+            skipped = _skip_comment(sel, i)
+            if skipped is not None:
+                i = skipped
+                continue
+        if ch == "(":
+            close = _scan_balanced(sel, i + 1)
+            if close is None:
+                return True
+            i = close + 1
+            continue
+        if ch == ",":
+            return True
+        em = _CLAUSE_END_RE.match(sel, i)
+        if em and (i == 0 or not sel[i - 1].isalnum()):
+            return False
+        i += 1
+    return False
+
+
+_WORD_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _first_code_token(q: str, i: int = 0) -> str:
+    """First keyword-ish token at or after i, skipping whitespace,
+    comments and opening parens (a parenthesized SELECT is a SELECT).
+    Empty string when none."""
+    n = len(q)
+    while i < n:
+        ch = q[i]
+        if ch.isspace() or ch == "(":
+            i += 1
+            continue
+        if ch in "-/":
+            skipped = _skip_comment(q, i)
+            if skipped is not None:
+                i = skipped
+                continue
+        m = _WORD_RE.match(q, i)
+        return m.group(0).upper() if m else ""
+    return ""
+
+
+def statement_is_select_only(sql: str) -> tuple[bool, str]:
+    """(ok, offending_token) — anchored SELECT-only classification for
+    /explain (r11 ADVICE). The old guard stripped literals with a
+    backslash-only regex (desynced on `''`-doubled dialects) and then
+    rejected DML keywords ANYWHERE — false-400s on a column literally
+    named `update`. This walks the statement the way Spark's lexer does
+    (literals honor backslash escapes AND '' doubling, comments skip)
+    and checks only STATEMENT positions: the head token, and — for WITH
+    — the first token after the CTE definition list closes (the exact
+    spot Spark's grammar allows a smuggled INSERT/CREATE). A depth-0
+    out-of-literal `;` followed by more code rejects too: spark.sql()
+    is single-statement, so anything after one is at best a parse error
+    and at worst a future surprise."""
+    # statement-smuggling guard: code after a top-level semicolon
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i = _skip_literal(sql, i)
+            continue
+        if ch in "-/":
+            skipped = _skip_comment(sql, i)
+            if skipped is not None:
+                i = skipped
+                continue
+        if ch == ";" and _first_code_token(sql, i + 1):
+            return False, ";"
+        i += 1
+    head = _first_code_token(sql)
+    if head in ("SELECT", "VALUES", "TABLE"):
+        return True, ""
+    if head != "WITH":
+        return False, head or "empty"
+    got = split_cte_chain(sql)
+    if got is None:
+        return False, "WITH"  # unparseable definition list: conservative
+    tail_head = _first_code_token(got[1])
+    if tail_head in ("SELECT", "VALUES", "TABLE"):
+        return True, ""
+    return False, tail_head or "empty"
 
 
 def parse_simple_aggregate(sql: str):
@@ -868,6 +1049,55 @@ class HepopQueryAPI:
                                             within=within)[0]))
             return out
 
+        def _not_leaf(c: str):
+            """Negated comparison servable by the ZONE sidecar's
+            COMPLEMENT (r11 verdict item 2): `NOT (col BETWEEN lo AND
+            hi)`, `NOT col = lit`, `col != lit`, `col <> lit` skip files
+            whose zone proves every row inside the negated set.
+            Bloom/trigram never serve negation — may-contain proves
+            nothing about a complement — and every OTHER NOT shape
+            returns [] exactly as before: skipped under AND, poison
+            under OR (no false negatives)."""
+            body = c.strip()
+            lo_s = hi_s = m = None
+            nm = re.match(r"^\s*NOT\b(?P<rest>.+)$", body,
+                          re.IGNORECASE | re.DOTALL)
+            if nm:
+                inner = _strip_parens(nm.group("rest"))
+                m = re.fullmatch(
+                    r"\s*" + _COL_GRAMMAR + r"\s*=\s*(?P<lit>" + _LIT
+                    + r")\s*", inner, re.IGNORECASE | re.DOTALL)
+                if m:
+                    lo_s = hi_s = m.group("lit")
+                else:
+                    m = re.fullmatch(
+                        r"\s*" + _COL_GRAMMAR + r"\s+BETWEEN\s+(?P<lo>"
+                        + _LIT + r")\s+AND\s+(?P<hi>" + _LIT + r")\s*",
+                        inner, re.IGNORECASE | re.DOTALL)
+                    if m:
+                        lo_s, hi_s = m.group("lo"), m.group("hi")
+            else:
+                m = re.fullmatch(
+                    r"\s*" + _COL_GRAMMAR + r"\s*(?:!=|<>)\s*(?P<lit>"
+                    + _LIT + r")\s*", body, re.IGNORECASE | re.DOTALL)
+                if m:
+                    lo_s = hi_s = m.group("lit")
+            if m is None or lo_s is None:
+                return []
+            col = _resolve_col(m.group("col"))
+            if col is None:
+                return []
+            lo = _lit_value(lo_s, col, for_zone=True)
+            hi = _lit_value(hi_s, col, for_zone=True)
+            if lo is None or hi is None or not _has("_zone", col):
+                return []
+            from ..storage.bloom_index import zone_complement_candidates
+
+            return [(("zone_not", col),
+                     lambda d, within=None, col=col, lo=lo, hi=hi:
+                     zone_complement_candidates(d, col, lo, hi,
+                                                within=within)[0])]
+
         def _chain(tagged):
             """AND-compose [(tag, fn)]: each probe receives the previous
             survivors (`within`), so later probes open only segments for
@@ -922,6 +1152,9 @@ class HepopQueryAPI:
             stripped = _strip_parens(body)
             if stripped != body.strip():
                 return _node(stripped)
+            negated = _not_leaf(body)
+            if negated:
+                return _chain(negated)
             return _chain(_leaf(body))
 
         root = _node(where_body)
@@ -971,48 +1204,108 @@ class HepopQueryAPI:
                 pass
 
     def _try_cte_route(self, q: str) -> str | None:
-        """Route the body of a single-CTE wrapper onto a maintained grid
-        (r10 verdict item 6): BI tools emit `WITH agg AS (SELECT k,
-        count(*) FROM t GROUP BY k) SELECT ... FROM agg WHERE ...`, and
-        the bare-SELECT router never sees the inner aggregate. Body
-        substitution is semantics-preserving — the routed body computes
-        the SAME rows — so the outer query runs verbatim over the
-        rewritten CTE. Conservative proof obligations, each of which
-        falls back to the raw scan when unmet:
-        - exactly ONE CTE definition (no comma chains — a later CTE
-          could reference the first);
-        - the outer statement is a SELECT whose ONLY table reference is
-          the CTE name, referenced exactly once (no joins back to raw
-          tables, whose discovery this path skips; no self-joins, per
-          the rejection pins);
-        - no nested WITH in body or outer;
-        - the body itself routes via _try_rollup_route (which registers
-          the rollup view and sets the last_routed_rollup breadcrumb).
+        """Route the routable body of a CTE wrapper onto a maintained
+        grid (r10 verdict item 6; chains and outer joins r12): BI tools
+        emit `WITH agg AS (SELECT k, count(*) FROM t GROUP BY k)
+        SELECT ... FROM agg ...`, and the bare-SELECT router never sees
+        the inner aggregate. Body substitution is semantics-preserving —
+        the routed body computes the SAME rows — so everything around it
+        runs verbatim over the rewritten CTE. Three proven shapes, each
+        obligation falling back to the raw scan when unmet:
 
-        Scale: the outer query is a cheap post-processing of O(|grid|)
-        routed rows — without this unwrap the most common
-        generated-SQL wrapper pays the full raw scan."""
-        got = split_single_cte(q)
+        - single CTE, outer a SELECT over ONLY the CTE (r11);
+        - single CTE, outer a SELECT that JOINs the CTE to dimension
+          tables (r12): the joined raw tables are DISCOVERED here (the
+          routed fast path skips the main sql() discovery loop) and
+          must resolve; substitution leaves the join text verbatim, so
+          any join type/multiplicity is exact;
+        - a LINEAR chain `WITH a AS (<routable>), b AS (... FROM a)
+          ... outer` (r12): the FIRST body routes; every later body and
+          the outer must be a SELECT over exactly the PREVIOUS name —
+          single FROM, referenced once, no JOIN, no comma-join — so no
+          undiscovered raw table can hide downstream.
+
+        Shared obligations: no nested WITH anywhere; no depth-0 comma
+        in any consumer's FROM clause (the comma-style join the JOIN-
+        keyword check missed, r11 ADVICE); each CTE name referenced
+        exactly once by its consumer.
+
+        Scale: the outer/chain is cheap post-processing of O(|grid|)
+        routed rows — without the unwrap the most common generated-SQL
+        wrappers pay the full raw scan."""
+        got = split_cte_chain(q)
         if got is None:
             return None
-        name, body, outer = got
-        if not re.match(r"^\s*SELECT\b", outer, re.IGNORECASE):
+        defs, outer = got
+        if not defs or not re.match(r"^\s*SELECT\b", outer, re.IGNORECASE):
             return None
-        if re.search(r"\bWITH\b", body, re.IGNORECASE) or \
-                re.search(r"\bWITH\b", outer, re.IGNORECASE):
+        if any(re.search(r"\bWITH\b", b, re.IGNORECASE) for _n, b in defs) \
+                or re.search(r"\bWITH\b", outer, re.IGNORECASE):
             return None
-        if re.search(r"\bJOIN\b", outer, re.IGNORECASE):
-            return None
-        from_targets = _FROM_RE.findall(outer)
-        if len(from_targets) != 1 or from_targets[0].lower() != name.lower():
-            return None
-        if len(re.findall(rf"\b{re.escape(name)}\b", outer,
-                          re.IGNORECASE)) != 1:
-            return None
-        routed_body = self._try_rollup_route(body)
+        names = [n for n, _b in defs]
+        if len({n.lower() for n in names}) != len(names):
+            return None  # duplicate CTE names: shadowing, unproven
+        # every consumer (later bodies + outer) over exactly the
+        # previous CTE name — except the outer of a SINGLE-cte wrapper,
+        # which may also JOIN discovered dims (checked below)
+        consumers = [b for _n, b in defs[1:]] + [outer]
+        for idx, cons in enumerate(consumers):
+            prev = names[idx]
+            is_outer = idx == len(consumers) - 1
+            if _from_clause_has_comma(cons):
+                return None
+            from_targets = _FROM_RE.findall(cons)
+            has_join = re.search(r"\bJOIN\b", cons, re.IGNORECASE)
+            if is_outer and len(defs) == 1 and has_join:
+                # CTE + JOIN: the CTE anchors the FROM exactly once
+                # (qualified column refs `agg.x` are fine — they resolve
+                # against the substituted CTE); every JOIN target is a
+                # dim that must discover/resolve HERE, because the
+                # routed fast path skips the main sql() discovery loop
+                if len(from_targets) != 1 \
+                        or from_targets[0].lower() != prev.lower():
+                    return None
+                dims = {m.group(1) for m in re.finditer(
+                    r"\bJOIN\s+([A-Za-z_]\w*)", cons, re.IGNORECASE)}
+                if not dims or prev.lower() in {d.lower() for d in dims}:
+                    return None
+                from ..catalog import discover_table
+
+                for dim in sorted(dims):
+                    hep = re.fullmatch(r"hep_(\d+)", dim)
+                    try:
+                        found = discover_table(
+                            self.spark, self.data_dir, dim,
+                            int(hep.group(1)) if hep else None,
+                            cache=self._view_fingerprints)
+                        if not found and not self.spark.catalog.tableExists(
+                                dim):
+                            return None
+                    except Exception:
+                        return None
+            else:
+                if has_join:
+                    return None
+                if len(from_targets) != 1 \
+                        or from_targets[0].lower() != prev.lower():
+                    return None
+                if len(re.findall(rf"\b{re.escape(prev)}\b", cons,
+                                  re.IGNORECASE)) != 1:
+                    return None
+            # no OTHER CTE name may leak into this consumer (linear
+            # chain: each name is consumed exactly by its successor)
+            for other in names[:idx] + names[idx + 1:]:
+                if re.search(rf"\b{re.escape(other)}\b", cons,
+                             re.IGNORECASE):
+                    return None
+        routed_body = self._try_rollup_route(defs[0][1])
         if routed_body is None:
             return None
-        return f"WITH {name} AS ({routed_body}) {outer}"
+        rest = "".join(
+            f", {n} AS ({b}) " for n, b in defs[1:]
+        )
+        return (f"WITH {defs[0][0]} AS ({routed_body})"
+                f"{rest.rstrip() or ''} {outer}")
 
     def _try_rollup_route(self, q: str) -> str | None:
         """Rewrite a matching aggregate over a RAW table onto a maintained

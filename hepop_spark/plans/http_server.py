@@ -36,7 +36,7 @@ import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .api import DEFAULT_MAX_ROWS, HepopQueryAPI
+from .api import DEFAULT_MAX_ROWS, HepopQueryAPI, statement_is_select_only
 
 
 def _json_default(o):
@@ -213,30 +213,22 @@ class HepopHttpServer:
                 # SELECT/WITH/VALUES statement is a 400. (/query keeps
                 # the reference's permissive surface, where statements
                 # execute — documented, not hidden behind "explain".)
-                head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() \
-                    else ""
-                if head not in ("SELECT", "WITH", "VALUES", "TABLE"):
+                # Anchored classification (r11 ADVICE): the head token
+                # plus — for WITH — the first token after the CTE
+                # definition list closes (Spark's grammar allows "WITH t
+                # AS (...) INSERT INTO ..." there, r10 ADVICE), walked
+                # with Spark's own literal rules (backslash escapes AND
+                # '' doubling) and comment skipping. Statement-position
+                # checks mean identifiers merely NAMED update/delete no
+                # longer false-400, and no literal-strip regex can
+                # desync on mixed escape dialects.
+                ok, tok = statement_is_select_only(sql)
+                if not ok:
                     self._send(400, json.dumps({
                         "error": "/explain accepts SELECT statements only "
-                                 f"(got {head or 'empty'}); DDL/DML would "
-                                 "execute, not explain"}).encode())
-                    return
-                # the head token alone is not enough: Spark's grammar
-                # allows CTEs before DML ("WITH t AS (...) INSERT INTO
-                # ... SELECT ..."), so a WITH head can still smuggle a
-                # mutation (r10 ADVICE). Reject DML/DDL keywords
-                # anywhere OUTSIDE string literals.
-                stripped_lits = re.sub(r"'(?:[^'\\]|\\.)*'", "''", sql)
-                dml = re.search(
-                    r"\b(INSERT|UPDATE|DELETE|MERGE|DROP|CREATE|ALTER|"
-                    r"TRUNCATE)\b",
-                    stripped_lits, re.IGNORECASE)
-                if dml:
-                    self._send(400, json.dumps({
-                        "error": "/explain accepts SELECT statements only "
-                                 f"({dml.group(1).upper()} found in "
-                                 "statement body); DDL/DML would execute, "
-                                 "not explain"}).encode())
+                                 f"(got {tok} at a statement position); "
+                                 "DDL/DML would execute, not explain"}
+                                 ).encode())
                     return
                 # a FRESH api per request: the breadcrumbs this endpoint
                 # exists to expose (last_routed_rollup/last_bloom_pruned)

@@ -823,6 +823,178 @@ WHERE n_docs >= 60 ORDER BY lang
 """
 
 
+# --- r12: linear CTE chains routed (r11 verdict item 1a) ---------------------
+
+# the second most common generated shape after the single wrapper: an
+# aggregate CTE, a filtering CTE over it, a re-aggregating outer. Only
+# the FIRST body touches the raw table; it routes, the rest run verbatim.
+CTE_CHAIN_SQL_TEXT = (
+    "WITH agg AS (SELECT lang, source, count(*) AS n_docs, "
+    "sum(n_chars) AS total_chars FROM documents GROUP BY lang, source), "
+    "filt AS (SELECT lang, source, n_docs, total_chars FROM agg "
+    "WHERE n_docs >= 3) "
+    "SELECT lang, count(*) AS n_sources, sum(total_chars) AS sum_chars "
+    "FROM filt GROUP BY lang ORDER BY lang"
+)
+
+
+def rollup_routed_cte_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """A LINEAR CTE chain routed onto the maintained grid (r11 verdict
+    item 1a, plans/api._try_cte_route): `WITH agg AS (<aggregate>),
+    filt AS (... FROM agg) SELECT ... FROM filt` — only the first body
+    reads the raw table, so substituting its routed form is the same
+    semantics-preserving argument as the single-CTE proof; every later
+    body and the outer must be a SELECT over exactly the PREVIOUS name
+    (single FROM, referenced once, no JOIN, no depth-0 comma-join, no
+    nested WITH), so no undiscovered raw table can hide downstream.
+    Unmet obligations fall back to the raw scan (rejection pins in
+    tests/test_round12.py). Hard-fails unless the plan scans the grid
+    and never the raw table.
+
+    Scale: dashboard SQL generators stack aggregate -> filter ->
+    re-aggregate CTEs; the chain is O(|grid|) post-processing once the
+    first body routes — without the unwrap it pays the full corpus
+    scan."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, CTE_CHAIN_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_sources bigint, sum_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_cte_chain_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, CTE_CHAIN_SQL_TEXT)
+
+
+ROLLUP_CTE_CHAIN_SQL = """
+WITH agg AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang, source
+), filt AS (
+  SELECT lang, source, n_docs, total_chars FROM agg WHERE n_docs >= 3
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(total_chars) AS BIGINT) AS sum_chars
+FROM filt GROUP BY lang ORDER BY lang
+"""
+
+
+# --- r12: CTE + outer JOIN routed (r11 verdict item 1b) ----------------------
+
+# routed aggregate joined to a dimension in the OUTER query: the routed
+# body substitutes in place, the join text runs verbatim, and the dim is
+# DISCOVERED by the route (the routed fast path skips sql()'s discovery)
+CTE_JOIN_SQL_TEXT = (
+    "WITH agg AS (SELECT lang, count(*) AS n_docs, "
+    "sum(n_chars) AS total_chars FROM documents GROUP BY lang) "
+    "SELECT d.region AS region, sum(agg.n_docs) AS n_docs, "
+    "sum(agg.total_chars) AS total_chars "
+    "FROM agg JOIN langdim d ON agg.lang = d.lang "
+    "GROUP BY d.region ORDER BY region"
+)
+
+
+def rollup_routed_cte_join(spark: SparkSession, sf: str) -> DataFrame:
+    """`WITH agg AS (<routable>) SELECT ... FROM agg JOIN dim ...`
+    routed (r11 verdict item 1b): body substitution preserves the CTE's
+    rows exactly, so ANY outer join type/multiplicity over it stays
+    exact; the route's new obligation is operational — every JOIN
+    target must discover/resolve as a serve table or registered view
+    (an unresolvable dim falls back to the raw path rather than
+    erroring after the rewrite; comma-style joins are rejected outright
+    per the r11 ADVICE). Hard-fails unless the plan scans the grid,
+    never the raw FACT table, and broadcasts the dim.
+
+    Scale: aggregate-then-enrich is THE BI join shape — O(|grid|) rows
+    re-merged, then a broadcast join to the small dim, instead of
+    shuffling the 100 TB fact table into the join."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        from ..plans.api import HepopQueryAPI
+
+        # plant the dim INSIDE the serve tree: region per language,
+        # derived deterministically so the DuckDB oracle can rebuild it
+        docs = load_table(spark, sf, "documents")
+        dim = docs.select("lang").distinct().select(
+            "lang",
+            F.when(F.col("lang") == "zh", F.lit("asia"))
+            .otherwise(F.lit("europe")).alias("region"))
+        dim.write.parquet(os.path.join(data, "w1", "dbs", "langdim"))
+
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        df = api.sql(CTE_JOIN_SQL_TEXT)
+        if api.last_routed_rollup != "doc_lang_rollup":
+            raise AssertionError(
+                f"CTE+JOIN aggregate was not routed "
+                f"(last_routed_rollup={api.last_routed_rollup!r})")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}documents" in plan:
+            raise AssertionError("routed plan still scans the raw fact table")
+        if "Broadcast" not in plan:
+            raise AssertionError("dim join is not a broadcast join")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "region string, n_docs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_cte_join_plan_text(spark: SparkSession, sf: str) -> str:
+    """Formatted plan of the routed CTE+JOIN (tools/plan_audit.py)."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        from ..plans.api import HepopQueryAPI
+
+        docs = load_table(spark, sf, "documents")
+        dim = docs.select("lang").distinct().select(
+            "lang",
+            F.when(F.col("lang") == "zh", F.lit("asia"))
+            .otherwise(F.lit("europe")).alias("region"))
+        dim.write.parquet(os.path.join(data, "w1", "dbs", "langdim"))
+        api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+        df = api.sql(CTE_JOIN_SQL_TEXT)
+        if api.last_routed_rollup != "doc_lang_rollup":
+            raise AssertionError("CTE+JOIN did not route")
+        mode = (
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        return df._jdf.queryExecution().explainString(mode)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ROLLUP_CTE_JOIN_SQL = """
+WITH agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+), langdim AS (
+  SELECT DISTINCT lang,
+         CASE WHEN lang = 'zh' THEN 'asia' ELSE 'europe' END AS region
+  FROM documents
+)
+SELECT d.region AS region,
+       CAST(sum(agg.n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(agg.total_chars) AS BIGINT) AS total_chars
+FROM agg JOIN langdim d ON agg.lang = d.lang
+GROUP BY d.region ORDER BY region
+"""
+
+
 # --- r11: WHERE precedence routing (the r10 ADVICE high fix, gated) ----------
 
 # unparenthesized mixed precedence: lang='en' OR (lang='de' AND
@@ -897,11 +1069,13 @@ def rollup_routed_not(spark: SparkSession, sf: str) -> DataFrame:
     following term; negation of a key-only predicate is still key-only
     — constant within each grid cell — so the routed filter is exact
     for any NOT placement (De Morgan falls out of the tree shape, not
-    special-casing). The sidecar probe planner deliberately NEVER
-    serves a NOT branch (a bloom/zone probe proves may-contain, whose
-    complement proves nothing): no restriction under AND, poison under
-    OR — pinned in tests/test_round11.py. Hard-fails unless the plan
-    scans the grid and never the raw table.
+    special-casing). The sidecar probe planner serves only the PROVABLE
+    zone-complement shapes (NOT BETWEEN / NOT = / !=, r12,
+    zone_routed_not_range); bloom/trigram never serve a NOT branch (a
+    may-contain probe proves nothing about the complement): no
+    restriction under AND, poison under OR — pinned in
+    tests/test_round11.py and test_round12.py. Hard-fails unless the
+    plan scans the grid and never the raw table.
 
     Scale: exclusion filters ("everything except the big language")
     are the third most common dashboard shape after equality and OR —
@@ -1050,6 +1224,63 @@ def zone_routed_range(spark: SparkSession, sf: str) -> DataFrame:
 ZONE_ROUTED_SQL = """
 SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sv
 FROM events WHERE value BETWEEN 50 AND 60
+"""
+
+
+# --- r12: zone-COMPLEMENT pruning for negated ranges (r11 verdict item 2) ----
+
+NOT_RANGE_SQL_TEXT = (
+    "SELECT count(*) AS n, round(sum(value), 2) AS sv FROM evnot "
+    "WHERE NOT (value BETWEEN 10.0 AND 100.0)"
+)
+
+
+def zone_routed_not_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Negated-range file skipping (r12): `NOT (value BETWEEN a AND b)`
+    served from the min/max ZONE sidecar by its COMPLEMENT — a file is
+    skipped only when its zone is provably CONTAINED in [a, b] (every
+    non-null row fails the negation; all-null files fail it too, since
+    NOT(NULL) is NULL). On the range-partitioned layout the interval
+    covers several interior files outright, so exclusion predicates
+    ("everything but the normal band" — the outlier hunt) skip the bulk
+    of the table. Bloom/trigram stay excluded under negation
+    (may-contain proves nothing about a complement) and a file with
+    MIXED rows must survive — both pinned in tests/test_round12.py.
+    Hard-fails unless the complement probe engaged AND pruned; the
+    oracle recomputes from raw events.
+
+    Scale: at 100 TB the exclusion shape is what monitoring runs all
+    day (tail latencies, out-of-band sensors); serving it from the same
+    zone sidecar the positive range uses means no extra index, just the
+    complement test."""
+    from ..plans.api import HepopQueryAPI
+    from ..storage.bloom_index import zone_index_update
+
+    ev = load_table(spark, sf, "events").select("event_id", "value")
+    root = tempfile.mkdtemp(prefix="zone_not_")
+    data = os.path.join(root, "data")
+    try:
+        tbl = os.path.join(data, "w1", "dbs", "evnot")
+        ev.repartitionByRange(16, "value").write.parquet(tbl)
+        zone_index_update(spark, tbl, "value")
+        api = HepopQueryAPI(spark, default_window=True, data_dir=data)
+        df = api.sql(NOT_RANGE_SQL_TEXT)
+        rows = df.collect()
+        bp = api.last_bloom_pruned
+        if not bp or ("zone_not", "value") not in bp["probes"]:
+            raise AssertionError(f"zone-complement probe did not engage: {bp}")
+        if bp["files_read"] >= bp["files_live"]:
+            raise AssertionError(f"complement pruning removed nothing: {bp}")
+        out = [(rows[0]["n"], round(rows[0]["sv"], 2) if rows[0]["sv"]
+                is not None else None)]
+        return spark.createDataFrame(out, "n bigint, sv double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ZONE_NOT_RANGE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sv
+FROM events WHERE NOT (value BETWEEN 10.0 AND 100.0)
 """
 
 
@@ -1800,6 +2031,16 @@ QUERIES: dict[str, QuerySpec] = {
         doc="single-CTE wrapper unwrapped and its aggregate body routed "
             "onto the grid — the BI generated-SQL shape (r11)",
     ),
+    "rollup_routed_cte_chain": QuerySpec(
+        rollup_routed_cte_chain, ROLLUP_CTE_CHAIN_SQL,
+        doc="linear CTE chain: first body routes onto the grid, later "
+            "bodies/outer proven to read only the previous CTE (r12)",
+    ),
+    "rollup_routed_cte_join": QuerySpec(
+        rollup_routed_cte_join, ROLLUP_CTE_JOIN_SQL,
+        doc="routed CTE joined to a dim in the outer query: dim "
+            "discovered by the route, broadcast join asserted (r12)",
+    ),
     "rollup_routed_not": QuerySpec(
         rollup_routed_not, ROLLUP_NOT_SQL,
         doc="NOT over key-only predicates routes exactly (negation is "
@@ -1816,6 +2057,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="r10 disjunctive file skipping: OR unions each branch's "
             "sidecar candidates (bloom on call_id | zone on value); "
             "both probes + pruning asserted in-entry; oracle from raw",
+    ),
+    "zone_routed_not_range": QuerySpec(
+        zone_routed_not_range, ZONE_NOT_RANGE_SQL,
+        doc="NOT (x BETWEEN a AND b) served from the zone sidecar's "
+            "COMPLEMENT: files provably contained in [a,b] skip; mixed "
+            "files survive; bloom/trigram never serve negation (r12)",
     ),
     "zone_routed_range": QuerySpec(
         zone_routed_range, ZONE_ROUTED_SQL,

@@ -480,3 +480,39 @@ def zone_candidates(base_path: str, col: str, lo, hi,
         if (lo is None or fhi >= lo) and (hi is None or flo <= hi):
             kept.append(f)
     return kept, len(live), len(live) - len(kept)
+
+
+def zone_complement_candidates(base_path: str, col: str, lo, hi,
+                               within: list[str] | None = None
+                               ) -> tuple[list[str], int, int]:
+    """Live files that may hold a row OUTSIDE the closed interval
+    [lo, hi] — the zone probe for NEGATED leaves (r11 verdict item 2:
+    `NOT (x BETWEEN a AND b)`, `x != c`, `NOT x = c`). A file is
+    skipped only when its zone PROVES every row fails the negated
+    predicate: all non-null values inside [lo, hi] (zone containment),
+    or all values NULL (`NOT (NULL op ...)` is NULL — never true, so an
+    all-null file cannot contribute either). Files without an entry are
+    kept (absence = must scan). Bloom/trigram have no complement
+    analogue — may-contain proves nothing under negation — so this is
+    the ONLY sidecar kind the planner consults for NOT leaves. Both
+    bounds must be finite: an open end would make the complement
+    one-sided, which the planner expresses as a plain range instead."""
+    base_path = os.path.abspath(base_path)
+    live = within if within is not None else _live_files(base_path)
+    if lo is None or hi is None or not sidecar.exists(
+            base_path, "zone", col):
+        return list(live), len(live), 0
+    entries = sidecar.load_entries(base_path, "zone", col, files=live)
+    kept = []
+    for f in live:
+        e = entries.get(f)
+        if e is None:
+            kept.append(f)
+            continue
+        flo, fhi = e["lo"], e["hi"]
+        if flo is None:  # all-null or empty: NOT(NULL ...) is never true
+            continue
+        if flo >= lo and fhi <= hi:  # provably contained: no row escapes
+            continue
+        kept.append(f)
+    return kept, len(live), len(live) - len(kept)

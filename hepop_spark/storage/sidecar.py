@@ -93,6 +93,10 @@ OBJS_SUBDIR = "objs"
 # GC_EVERY-th published version so the amortized update cost stays
 # O(touched), with a bounded-staleness garbage window in between.
 GC_EVERY = 16
+# Low-churn backstop (r11 ADVICE): a store whose publishes stop between
+# GC_EVERY multiples also runs _gc once the head directory is overgrown
+# past this slack, so superseded heads never accumulate unboundedly.
+GC_SLACK = 4
 
 
 class SidecarConflict(RuntimeError):
@@ -540,6 +544,17 @@ def update_entries(base_path: str, kind: str, col: str, new_entries: dict,
     # full _gc lists every object file — O(partitions) — so it runs on
     # every GC_EVERY-th version: amortized update cost stays O(touched),
     # garbage lives at most GC_EVERY versions longer (bounded, and heads
-    # past KEEP_HEADS stop referencing it regardless)
-    if published_v % GC_EVERY == 0 or published_v <= 1:
+    # past KEEP_HEADS stop referencing it regardless). The modulo alone
+    # never fires again on a LOW-CHURN store whose last publish landed
+    # between multiples (r11 ADVICE): superseded heads past KEEP_HEADS —
+    # and the segments/maps only they reference — would persist until the
+    # next multiple that may never come. The overgrown backstop closes
+    # that: _head_versions is one listdir of the head directory (objects
+    # live under objs/), so the CHECK stays O(KEEP_HEADS + surplus).
+    # Under continuous churn it shortens the effective _gc period from
+    # GC_EVERY to GC_SLACK+1 publishes — acceptable at the 10 s ingest
+    # flush cadence, and what bounds a stalled store's garbage to
+    # GC_SLACK surplus heads instead of GC_EVERY.
+    if (published_v % GC_EVERY == 0 or published_v <= 1
+            or len(_head_versions(d)) > KEEP_HEADS + GC_SLACK):
         _gc(d)

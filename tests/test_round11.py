@@ -339,9 +339,12 @@ class TestCteRouting:
         # self-join of the CTE (referenced twice)
         "WITH agg AS (SELECT lang, count(*) AS n FROM documents GROUP BY "
         "lang) SELECT a.lang FROM agg a, agg b LIMIT 1",
-        # join back to a raw table the route never discovers
+        # comma-style join back to a raw table (r11 ADVICE): the JOIN-
+        # keyword check misses it, so the FROM-clause depth-0 comma
+        # check must reject it (r12 routes keyword JOINs by discovering
+        # the dim, so the comma spelling is the remaining unproven one)
         "WITH agg AS (SELECT lang, count(*) AS n FROM documents GROUP BY "
-        "lang) SELECT d.lang FROM agg JOIN documents d ON agg.lang = "
+        "lang) SELECT d.lang FROM agg, documents d WHERE agg.lang = "
         "d.lang LIMIT 1",
         # nested WITH in the outer statement
         "WITH agg AS (SELECT lang, count(*) AS n FROM documents GROUP BY "

@@ -181,6 +181,12 @@ AUDITS: dict[str, set[str]] = {
     "rollup_routed_having_or": {"rollup_scan", "partial"},
     "rollup_routed_where_precedence": {"rollup_scan", "partial"},
     "rollup_routed_cte": {"rollup_scan", "partial"},
+    # r12: linear chain — same routed grid-scan claim through two CTEs
+    "rollup_routed_cte_chain": {"rollup_scan", "partial"},
+    # r12: routed CTE joined to a dim in the outer — the dim legitimately
+    # lives under dbs/, so the claim is fact-only: grid scanned, raw FACT
+    # table not scanned, dim broadcast
+    "rollup_routed_cte_join": {"rollup_scan_fact", "partial", "bcast"},
     # r10: mixed-key OR tree routed onto the grid (disjunction does not
     # push down to parquet as a single filter; rollup_scan is the claim)
     "rollup_routed_mixed_or": {"rollup_scan", "partial"},
@@ -639,6 +645,14 @@ def audit(name: str, plan: str, flags: set[str]) -> list[str]:
         elif not all("salt" in ln for ln in key_lines):
             problems.append("band join keys missing the salt column "
                             "(hot bucket lands on one partition)")
+    if "rollup_scan_fact" in flags:
+        # routed CTE+JOIN: the grid must be scanned and the raw FACT
+        # table must not be — the dim is ALLOWED under dbs/ (that is the
+        # point of the join), so the plain rollup_scan rule cannot apply
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            problems.append("routed plan does not scan a rollups/ store")
+        if f"{os.sep}dbs{os.sep}documents" in plan:
+            problems.append("routed plan still scans the raw fact table")
     if "rollup_scan" in flags:
         # the routed aggregate must read the maintained grid, never the raw
         # table (r07 verdict item 3's done-criterion)
@@ -715,6 +729,8 @@ def main() -> None:
         routed_having_or_plan_text,
         routed_where_precedence_plan_text,
         routed_cte_plan_text,
+        routed_cte_chain_plan_text,
+        routed_cte_join_plan_text,
         routed_timegrid_plan_text,
         routed_timerange_plan_text,
     )
@@ -733,6 +749,8 @@ def main() -> None:
         "rollup_routed_having_or": routed_having_or_plan_text,
         "rollup_routed_where_precedence": routed_where_precedence_plan_text,
         "rollup_routed_cte": routed_cte_plan_text,
+        "rollup_routed_cte_chain": routed_cte_chain_plan_text,
+        "rollup_routed_cte_join": routed_cte_join_plan_text,
     }
     for name, flags in AUDITS.items():
         if name in special_plans:
