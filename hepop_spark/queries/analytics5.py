@@ -142,8 +142,9 @@ RECALL_K = 5
 
 
 def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality evaluation of ALL FOUR ANN sketch paths (LSH, IVF, SQ8,
-    PQ): per-query recall@5 against exact brute-force
+    """Quality evaluation of ALL SIX ANN paths (LSH, IVF, SQ8, PQ,
+    IVF-PQ, graph beam search): per-query recall@5 against exact
+    brute-force
     cosine — the harness that drives index choice at 100 TB, and the one
     that already drove a fix: single-table 8-bit multiprobe sign-LSH
     measured ~0.12 recall@5 here (top-5 neighbors are only moderately
@@ -206,6 +207,11 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     from .scale_paths import ann_ivfpq_topk
 
     ivfpq = ann_ivfpq_topk(spark, sf).select("q_id", "c_id")
+    from .llm7 import ann_graph_topk
+
+    # sixth path (r12): beam search over the kNN graph — same
+    # query/corpus split by construction (GRAPH_MIN_CORPUS_ID = 10)
+    graph = ann_graph_topk(spark, sf).select("q_id", "c_id")
 
     def hits(approx: DataFrame, name: str) -> DataFrame:
         return (
@@ -222,6 +228,7 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         .join(hits(sq8, "sq8_hits"), "q_id", "left")
         .join(hits(pq, "pq_hits"), "q_id", "left")
         .join(hits(ivfpq, "ivfpq_hits"), "q_id", "left")
+        .join(hits(graph, "graph_hits"), "q_id", "left")
         .select(
             "q_id",
             F.round(
@@ -239,6 +246,9 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
             F.round(
                 F.coalesce("ivfpq_hits", F.lit(0)) / F.col("n_exact"), 3
             ).alias("recall_ivfpq"),
+            F.round(
+                F.coalesce("graph_hits", F.lit(0)) / F.col("n_exact"), 3
+            ).alias("recall_graph"),
         )
     )
 
@@ -250,6 +260,7 @@ def _recall_oracle_sql() -> str:
     the sketch paths are deterministic functions of the data, so so is the
     recall table."""
     from .llm import ANN_TOPK_SQL
+    from .llm7 import _graph_search_sql
     from .scale_paths import (
         IVF_ORACLE_SQL,
         IVFPQ_ORACLE_SQL,
@@ -274,19 +285,22 @@ ivf5 AS ({body(IVF_ORACLE_SQL)}),
 sq85 AS ({body(SQ8_ORACLE_SQL)}),
 pq5 AS ({body(PQ_ORACLE_SQL)}),
 ivfpq5 AS ({body(IVFPQ_ORACLE_SQL)}),
+graph5 AS ({body(_graph_search_sql())}),
 base AS (SELECT q_id, count(*) AS n_exact FROM exact5 GROUP BY q_id)
 SELECT b.q_id,
        round(coalesce(l.h, 0) * 1.0 / b.n_exact, 3) AS recall_lsh,
        round(coalesce(i.h, 0) * 1.0 / b.n_exact, 3) AS recall_ivf,
        round(coalesce(s.h, 0) * 1.0 / b.n_exact, 3) AS recall_sq8,
        round(coalesce(p.h, 0) * 1.0 / b.n_exact, 3) AS recall_pq,
-       round(coalesce(cp.h, 0) * 1.0 / b.n_exact, 3) AS recall_ivfpq
+       round(coalesce(cp.h, 0) * 1.0 / b.n_exact, 3) AS recall_ivfpq,
+       round(coalesce(gr.h, 0) * 1.0 / b.n_exact, 3) AS recall_graph
 FROM base b
 LEFT JOIN ({hits('lsh5')}) l ON b.q_id = l.q_id
 LEFT JOIN ({hits('ivf5')}) i ON b.q_id = i.q_id
 LEFT JOIN ({hits('sq85')}) s ON b.q_id = s.q_id
 LEFT JOIN ({hits('pq5')}) p ON b.q_id = p.q_id
 LEFT JOIN ({hits('ivfpq5')}) cp ON b.q_id = cp.q_id
+LEFT JOIN ({hits('graph5')}) gr ON b.q_id = gr.q_id
 """
 
 
@@ -300,6 +314,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_recall_eval": QuerySpec(
         ann_recall_eval,
         _recall_oracle_sql(),
-        "recall@k evaluation of all five ANN sketch paths",
+        "recall@k evaluation of all six ANN paths (incl. graph beam "
+        "search, r12)",
     ),
 }

@@ -210,6 +210,239 @@ WHERE rk <= {KNN_K}
 
 
 # ---------------------------------------------------------------------------
+# ann_graph_topk — beam search over the kNN graph (graph-based ANN, r12)
+# ---------------------------------------------------------------------------
+
+# same query/corpus split as analytics5.ann_recall_eval so the graph
+# path slots into the recall harness as its sixth column
+GRAPH_MIN_CORPUS_ID = 10
+GRAPH_DEGREE = 12   # out-degree of the SEARCH graph (denser than the
+                    # judged knn_graph_build's K=5 — navigability needs
+                    # degree, measured 0.26 -> 0.54 recall at sf0.1)
+GRAPH_ENTRY_E = 8   # md5-seeded entry points (global, deterministic)
+GRAPH_BEAM = 24     # beam width per hop
+GRAPH_HOPS = 4      # unrolled hops (the SQL oracle unrolls the same 4)
+GRAPH_K = 5         # final top-k (matches the recall harness' k)
+
+
+def _cos4(va: str, vb: str):
+    """round(cosine, 4) from two array columns — the exact expression
+    knn_graph_build uses, shared so graph build and graph search score
+    identically."""
+    dot = F.aggregate(
+        F.zip_with(F.col(va), F.col(vb),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    return F.round(dot / (norm(va) * norm(vb)), 4)
+
+
+def ann_graph_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph-based ANN (r11 verdict item 3) — the HNSW-shaped capability
+    that completes the index family beyond quantization: a deterministic
+    BEAM SEARCH over the already-judged kNN graph (knn_graph_build's
+    LSH-candidates + exact-cosine + top-K_K edges, here built over the
+    recall harness' corpus split). Entry points are md5-seeded — the
+    GRAPH_ENTRY_E corpus nodes minimizing md5(vec_id) — so the whole
+    search is a deterministic function of the data and replays in SQL:
+    each hop expands the per-query top-GRAPH_BEAM frontier through the
+    graph's edges, scores new candidates with the same round(cos, 4),
+    and dedups into the visited set; after GRAPH_HOPS hops the per-query
+    top-GRAPH_K of everything visited is the answer.
+
+    Scale: per-hop work is O(queries x beam x degree) BROADCAST-side
+    lookups against the distributed graph/corpus — the graph (corpus x
+    K_K edges) and the vectors stay partitioned; only the frontier
+    (bounded by queries x beam) and the query set broadcast. Recall
+    beats the quantizers when the corpus clusters (recall floor pinned
+    in tests/test_round12.py via ann_recall_eval's recall_graph)."""
+    from ..operators.lsh_index import embeddings_lsh_buckets
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= GRAPH_MIN_CORPUS_ID)
+    buck = embeddings_lsh_buckets(spark, sf, emb).filter(
+        (F.col("tbl") < RANGE_TABLES)
+        & (F.col("vec_id") >= GRAPH_MIN_CORPUS_ID))
+    cand = (
+        buck.alias("x")
+        .join(buck.alias("y"), ["tbl", "bucket"])
+        .select(F.col("x.vec_id").alias("node"),
+                F.col("y.vec_id").alias("nbr"))
+        .filter(F.col("node") != F.col("nbr"))
+        .distinct()
+    )
+    vecs = corpus.select("vec_id", "embedding")
+    w = Window.partitionBy("node").orderBy(F.col("sim").desc(), F.col("nbr"))
+    knn = (
+        cand.join(vecs.select(F.col("vec_id").alias("node"),
+                              F.col("embedding").alias("va")), "node")
+        .join(vecs.select(F.col("vec_id").alias("nbr"),
+                          F.col("embedding").alias("vb")), "nbr")
+        .withColumn("sim", _cos4("va", "vb"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GRAPH_DEGREE)
+        .select("node", "nbr")
+    )
+    # SYMMETRIZE (HNSW keeps bidirectional links for the same reason): a
+    # directed kNN graph has dead-ends the walk cannot escape. Edge list
+    # is O(corpus x degree) — localCheckpoint materializes it once so the
+    # four hops (and the union lineage, which references prior rounds
+    # twice per hop) never recompute the LSH candidate join.
+    graph = (
+        knn.union(knn.select(F.col("nbr").alias("node"),
+                             F.col("node").alias("nbr")))
+        .distinct()
+        .localCheckpoint()
+    )
+    qs = emb.filter(F.col("vec_id") < GRAPH_MIN_CORPUS_ID).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    eps = (
+        corpus.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(GRAPH_ENTRY_E)
+        .select(F.col("vec_id").alias("node"))
+    )
+    return graph_beam_search(vecs, qs, graph, eps, hops=GRAPH_HOPS,
+                             beam=GRAPH_BEAM, k=GRAPH_K)
+
+
+def graph_beam_search(vecs: DataFrame, qs: DataFrame, graph: DataFrame,
+                      eps: DataFrame, *, hops: int, beam: int,
+                      k: int) -> DataFrame:
+    """The search itself, factored so tests can drive it over any
+    (corpus, queries, graph, entry points) — e.g. the clustered-corpus
+    navigability pin in tests/test_round12.py. `vecs` is (vec_id,
+    embedding), `qs` is (q_id, qv), `graph` is directed (node, nbr)
+    edges, `eps` is (node) entry points shared by every query. Returns
+    (q_id, c_id, sim, rk) top-k per query."""
+
+    def score(pairs: DataFrame) -> DataFrame:
+        # pairs (q_id, node) is bounded by queries x beam x degree —
+        # broadcast it against the PARTITIONED corpus vectors
+        return (
+            vecs.join(F.broadcast(pairs),
+                      vecs.vec_id == pairs.node)
+            .join(F.broadcast(qs), "q_id")
+            .withColumn("sim", _cos4("qv", "embedding"))
+            .select("q_id", "node", "sim")
+        )
+
+    visited = score(qs.select("q_id").crossJoin(eps))
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(),
+                                            F.col("node"))
+    for _hop in range(hops):
+        frontier = (
+            visited.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= beam)
+            .select("q_id", "node")
+        )
+        expand = (
+            graph.join(F.broadcast(frontier), "node")
+            .select("q_id", F.col("nbr").alias("node"))
+            .distinct()
+        )
+        # round(cos, 4) is a pure function of (q_id, node): re-scored
+        # duplicates collapse exactly under distinct(); the checkpoint
+        # truncates the doubling lineage (visited is referenced by both
+        # the frontier and the union — 2^hops subplans otherwise)
+        visited = visited.union(score(expand)).distinct().localCheckpoint()
+    return (
+        visited.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("node").alias("c_id"), "sim",
+                F.col("rk").cast("long").alias("rk"))
+        .orderBy("q_id", "rk")
+    )
+
+
+def _graph_search_sql() -> str:
+    """The beam search unrolled as SQL: the graph CTEs are
+    _knn_graph_sql's restricted to the corpus split, then GRAPH_HOPS
+    frontier->expand->score->union rounds, all driven by the SAME module
+    constants as the Spark plan."""
+    rows = []
+    for t in range(RANGE_TABLES):
+        for b, plane in enumerate(_hyperplanes(64, RANGE_BITS, seed=42 + 977 * t)):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {b}, CAST({arr} AS DOUBLE[]))")
+    planes_values = ",\n".join(rows)
+    hops = []
+    prev = "v0"
+    for h in range(1, GRAPH_HOPS + 1):
+        hops.append(f"""
+f{h - 1} AS (
+  SELECT q_id, node FROM (
+    SELECT {prev}.*, row_number() OVER (
+      PARTITION BY q_id ORDER BY sim DESC, node) AS rk FROM {prev})
+  WHERE rk <= {GRAPH_BEAM}
+),
+x{h} AS (
+  SELECT DISTINCT f.q_id, g.nbr AS node
+  FROM f{h - 1} f JOIN graph g ON g.node = f.node
+),
+s{h} AS (
+  SELECT x.q_id, x.node, round(list_cosine_similarity(q.qv, c.v), 4) AS sim
+  FROM x{h} x JOIN qs q ON q.q_id = x.q_id JOIN emb c ON c.vec_id = x.node
+),
+v{h} AS (SELECT * FROM {prev} UNION SELECT * FROM s{h})""")
+        prev = f"v{h}"
+    hops_sql = ",".join(hops)
+    return f"""
+WITH planes(tbl, bit, plane) AS (VALUES {planes_values}),
+allemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+emb AS (SELECT * FROM allemb WHERE vec_id >= {GRAPH_MIN_CORPUS_ID}),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM allemb
+       WHERE vec_id < {GRAPH_MIN_CORPUS_ID}),
+buckets AS (
+  SELECT e.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                  THEN 1 << p.bit ELSE 0 END) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS node, y.vec_id AS nbr
+  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.vec_id != y.vec_id
+),
+gscored AS (
+  SELECT c.node, c.nbr, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+  FROM cand c JOIN emb a ON a.vec_id = c.node JOIN emb b ON b.vec_id = c.nbr
+),
+knn AS (
+  SELECT node, nbr FROM (
+    SELECT gscored.*, row_number() OVER (
+      PARTITION BY node ORDER BY sim DESC, nbr) AS rk FROM gscored)
+  WHERE rk <= {GRAPH_DEGREE}
+),
+graph AS (
+  SELECT node, nbr FROM knn
+  UNION
+  SELECT nbr AS node, node AS nbr FROM knn
+),
+eps AS (
+  SELECT vec_id AS node FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {GRAPH_ENTRY_E}
+),
+v0 AS (
+  SELECT q.q_id, e.node, round(list_cosine_similarity(q.qv, c.v), 4) AS sim
+  FROM qs q CROSS JOIN eps e JOIN emb c ON c.vec_id = e.node
+),{hops_sql}
+SELECT q_id, node AS c_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT {prev}.*, row_number() OVER (
+    PARTITION BY q_id ORDER BY sim DESC, node) AS rk FROM {prev})
+WHERE rk <= {GRAPH_K}
+ORDER BY q_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding_sim_histogram — near-dup threshold calibration
 # ---------------------------------------------------------------------------
 
@@ -323,6 +556,11 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_graph_build": QuerySpec(
         knn_graph_build, _knn_graph_sql(),
         "k-NN graph from LSH candidates, top-k directed edges per node",
+    ),
+    "ann_graph_topk": QuerySpec(
+        ann_graph_topk, _graph_search_sql(),
+        "graph-based ANN: md5-seeded beam search over the kNN graph, "
+        "3 unrolled hops, deterministic SQL replay (r12)",
     ),
     "embedding_sim_histogram": QuerySpec(
         embedding_sim_histogram, _sim_hist_sql(),

@@ -425,3 +425,96 @@ class TestSidecarGcBackstop:
         # and the store still answers completely
         got = sidecar.load_entries(base, "bloom", "key")
         assert len(got) == 20
+
+
+class TestGraphAnn:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from hepop_spark.session import get_spark
+
+        return get_spark("test-round12-graph")
+
+    def test_beam_search_navigates_clustered_corpus(self, spark):
+        """Navigability proof on data WITH local structure (the regime
+        graph ANN exists for): 8 well-separated clusters, exact kNN
+        graph, md5 entry points — beam search must reach >=0.9 recall@5
+        while visiting a fraction of the corpus. (On the near-uniform
+        synthetic embeddings table the walk is weakly guided — that
+        floor is pinned separately against ann_recall_eval.)"""
+        import numpy as np
+
+        from hepop_spark.queries.llm7 import graph_beam_search
+
+        # 6 clusters x 40 points, moderately separated so the kNN graph
+        # keeps SOME cross-cluster edges — a flat (single-layer) graph
+        # needs either entry coverage or connectivity to reach every
+        # cluster; fully disjoint islands are the regime HNSW's upper
+        # layers exist for, out of scope for this walk
+        rng = np.random.RandomState(7)
+        centers = rng.randn(6, 16) * 2.0
+        pts, ids = [], []
+        vid = 100
+        for ci in range(6):
+            for _ in range(40):
+                pts.append(centers[ci] + rng.randn(16) * 0.7)
+                ids.append(vid)
+                vid += 1
+        corpus = np.stack(pts)
+        qvecs = centers + rng.randn(6, 16) * 0.47
+
+        def cos_matrix(a, b):
+            an = a / np.linalg.norm(a, axis=1, keepdims=True)
+            bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+            return np.round(an @ bn.T, 4)
+
+        # exact kNN graph (degree 8), symmetrized
+        cs = cos_matrix(corpus, corpus)
+        np.fill_diagonal(cs, -2.0)
+        edges = set()
+        for i in range(len(ids)):
+            for j in np.argsort(-cs[i])[:8]:
+                edges.add((ids[i], ids[int(j)]))
+                edges.add((ids[int(j)], ids[i]))
+        # exact answers
+        qc = cos_matrix(qvecs, corpus)
+        exact = {
+            q: {ids[int(j)] for j in np.argsort(-qc[q])[:5]}
+            for q in range(6)
+        }
+        vecs = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, corpus)],
+            "vec_id long, embedding array<double>")
+        qs = spark.createDataFrame(
+            [(int(q), [float(x) for x in qvecs[q]]) for q in range(6)],
+            "q_id long, qv array<double>")
+        graph = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in sorted(edges)],
+            "node long, nbr long")
+        import hashlib
+
+        eps_ids = sorted(
+            ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+        )[:12]
+        eps = spark.createDataFrame([(int(i),) for i in eps_ids],
+                                    "node long")
+        out = graph_beam_search(vecs, qs, graph, eps, hops=4, beam=24,
+                                k=5).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["q_id"], set()).add(r["c_id"])
+        hits = sum(len(exact[q] & got.get(q, set())) for q in range(6))
+        assert hits / 30 >= 0.9, f"clustered recall {hits / 30}"
+
+    def test_recall_floor_includes_graph_path(self, spark):
+        """The six-path recall harness carries recall_graph; pin its
+        floor (deterministic end-to-end: 0.60 measured at sf0.001 with
+        GRAPH_DEGREE=12, E=8, B=24, H=4 — the floor leaves headroom for
+        testdata regen)."""
+        import statistics
+
+        from hepop_spark.queries.analytics5 import ann_recall_eval
+
+        rows = ann_recall_eval(spark, "/root/testdata/sf0.001").collect()
+        assert rows and "recall_graph" in rows[0].asDict()
+        mean_graph = statistics.mean(r["recall_graph"] for r in rows)
+        assert mean_graph >= 0.4, f"graph recall floor broken: {mean_graph}"

@@ -187,6 +187,10 @@ AUDITS: dict[str, set[str]] = {
     # lives under dbs/, so the claim is fact-only: grid scanned, raw FACT
     # table not scanned, dim broadcast
     "rollup_routed_cte_join": {"rollup_scan_fact", "partial", "bcast"},
+    # r12 graph ANN: beam-search over the kNN graph — hops materialize
+    # via localCheckpoint, so the returned plan is the final top-k
+    # window over the visited set (in-entry joins are broadcast-linted)
+    "ann_graph_topk": set(),
     # r10: mixed-key OR tree routed onto the grid (disjunction does not
     # push down to parquet as a single filter; rollup_scan is the claim)
     "rollup_routed_mixed_or": {"rollup_scan", "partial"},
@@ -496,6 +500,12 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/llm7.py:wstats": "per-window-size stats (3 rows)",
     "hepop_spark/queries/llm7.py:tot": "1-row total",
     "hepop_spark/queries/llm7.py:books": "fixed 64-row PQ codeword table",
+    # r12 graph ANN: everything query-side is bounded by the query set
+    "hepop_spark/queries/llm7.py:pairs": "beam-search candidate pairs, "
+    "bounded by queries x beam x graph degree per hop",
+    "hepop_spark/queries/llm7.py:qs": "bounded query set (vec_id < 10)",
+    "hepop_spark/queries/llm7.py:frontier": "per-query beam, bounded by "
+    "queries x GRAPH_BEAM",
     "hepop_spark/queries/llm8.py:tot": "1-row totals aggregate",
     "hepop_spark/queries/llm8.py:z": "1-row normalizer",
     "hepop_spark/queries/llm8.py:probes": "fixed BENCH_N=20 probe set (TakeOrdered-selected)",
