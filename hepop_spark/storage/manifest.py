@@ -54,6 +54,8 @@ import os
 import time
 import uuid
 
+from . import objstore
+
 MANIFEST_DIR = "_manifest"
 # Bounded CAS attempts for a mutation racing concurrent writers. Each
 # retry re-reads the latest version and re-derives the mutation, so the
@@ -85,26 +87,26 @@ def manifest_enabled(table_dir: str) -> bool:
 
 
 def _versions(table_dir: str) -> list[int]:
-    try:
-        return sorted(
-            int(f[1:-5])
-            for f in os.listdir(_mdir(table_dir))
-            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
-        )
-    except OSError:
-        return []
+    return sorted(
+        int(f[1:-5])
+        for f in objstore.backend().list(_mdir(table_dir))
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    )
 
 
 def latest(table_dir: str) -> tuple[int, dict] | None:
     """(version, manifest) of the newest published version, or None.
     Reader-safe without locks: versions publish by atomic rename, and a
     version file, once listed, is complete."""
+    io = objstore.backend()
     for v in reversed(_versions(table_dir)):
-        try:
-            with open(os.path.join(_mdir(table_dir), f"v{v}.json")) as fh:
-                return v, json.load(fh)
-        except (OSError, ValueError):
+        raw = io.get(os.path.join(_mdir(table_dir), f"v{v}.json"))
+        if raw is None:
             continue  # racing a prune of an old version: try the previous
+        try:
+            return v, json.loads(raw)
+        except ValueError:
+            continue
     return None
 
 
@@ -129,24 +131,17 @@ def _publish(table_dir: str, files: list[str], retired: dict[str, float],
     doc = {"version": v, "ts": time.time(),
            "files": sorted(files), "retired": retired}
     md = _mdir(table_dir)
-    os.makedirs(md, exist_ok=True)
-    tmp = os.path.join(md, f".v{v}.json.tmp.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh)
     final = os.path.join(md, f"v{v}.json")
-    try:
-        os.link(tmp, final)  # atomic create-if-absent on POSIX
-    except FileExistsError:
+    # conditional put (If-None-Match) on the versioned key — os.link on
+    # the default local backend, a conditional PUT on an object store
+    # (storage/objstore seam, r12; soaked over FakeObjectStore)
+    if not objstore.backend().put_if_absent(
+            final, json.dumps(doc).encode("utf-8")):
         raise ManifestConflict(
             f"manifest version v{v} already exists under {md}: a "
             "concurrent writer committed first (single-writer trees "
             "never see this; shared trees retry the mutation)"
-        ) from None
-    finally:
-        try:
-            os.remove(tmp)
-        except OSError:
-            pass
+        )
     return v
 
 

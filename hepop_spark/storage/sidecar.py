@@ -30,7 +30,10 @@ Layout (per table, kind, column)::
   parsed segments by filename forever — no mtime checks, no re-parse of
   untouched partitions.
 - The head publish is the manifest's CAS primitive (storage/manifest.py
-  _publish): put-if-absent `os.link` on head_v{N}. A losing writer
+  _publish): a put-if-absent conditional write on head_v{N} — `os.link`
+  on the default local backend, a conditional PUT (If-None-Match) on an
+  object store; ALL store I/O rides the storage/objstore seam (r12), and
+  the two-process soak runs over FakeObjectStore. A losing writer
   re-reads the winner's head, re-merges its entries over the winner's
   segments, and retries — two processes indexing one tree converge with
   no lost update (entries are per-file derived facts; last-writer-wins
@@ -51,7 +54,10 @@ Scale: head size is O(partitions), segment size is O(files in one
 partition x entry size), and entry size is capped by the layered-bloom
 rule in bloom_index.py — all three bounded independently of table size.
 On an object store the head CAS becomes a conditional put, exactly like
-the manifest.
+the manifest — proven, not just asserted: the protocol's I/O surface is
+LIST/GET/PUT/PUT-IF-ABSENT/DELETE/HEAD via storage/objstore (no rename,
+no link visible to the protocol), soaked two-process over
+FakeObjectStore in tests/test_round12b.py.
 
 Reference parity note: the reference keeps ONE metadata.json per table
 (query.js:22-63) rewritten in place by a single writer — fine at its
@@ -64,6 +70,8 @@ import json
 import os
 import time
 import uuid
+
+from . import objstore
 
 KEEP_HEADS = 10
 CAS_RETRIES = 16
@@ -112,15 +120,12 @@ def legacy_path(base_path: str, kind: str, col: str) -> str:
 
 
 def _head_versions(d: str) -> list[int]:
-    try:
-        return sorted(
-            int(f[6:-5])
-            for f in os.listdir(d)
-            if f.startswith("head_v") and f.endswith(".json")
-            and f[6:-5].isdigit()
-        )
-    except OSError:
-        return []
+    return sorted(
+        int(f[6:-5])
+        for f in objstore.backend().list(d)
+        if f.startswith("head_v") and f.endswith(".json")
+        and f[6:-5].isdigit()
+    )
 
 
 def load_head(base_path: str, kind: str, col: str) -> tuple[int, dict] | None:
@@ -128,11 +133,14 @@ def load_head(base_path: str, kind: str, col: str) -> tuple[int, dict] | None:
     heads publish by link-into-place, so a listed head is complete; a
     version racing the prune of older heads falls back one version."""
     d = sidecar_dir(base_path, kind, col)
+    io = objstore.backend()
     for v in reversed(_head_versions(d)):
+        raw = io.get(os.path.join(d, f"head_v{v}.json"))
+        if raw is None:
+            continue
         try:
-            with open(os.path.join(d, f"head_v{v}.json")) as fh:
-                return v, json.load(fh)
-        except (OSError, ValueError):
+            return v, json.loads(raw)
+        except ValueError:
             continue
     return None
 
@@ -150,22 +158,29 @@ def _load_immutable(d: str, name: str, field: str) -> dict:
     content is frozen at creation, so the path is a permanent key.
     Looks under objs/ first, then the top directory (legacy r10 layout
     kept segments beside the heads)."""
+    io = objstore.backend()
     p = os.path.join(d, OBJS_SUBDIR, name)
     hit = _SEG_CACHE.get(p)
     if hit is not None:
         return hit
-    try:
-        with open(p) as fh:
-            doc = json.load(fh)
-    except (OSError, ValueError):
+    doc = None
+    raw = io.get(p)
+    if raw is not None:
+        try:
+            doc = json.loads(raw)
+        except ValueError:
+            doc = None
+    if doc is None:
         p2 = os.path.join(d, name)
         hit = _SEG_CACHE.get(p2)
         if hit is not None:
             return hit
+        raw = io.get(p2)
+        if raw is None:
+            return {}
         try:
-            with open(p2) as fh:
-                doc = json.load(fh)
-        except (OSError, ValueError):
+            doc = json.loads(raw)
+        except ValueError:
             return {}
         p = p2
     got = doc.get(field, {})
@@ -232,14 +247,11 @@ def list_cols(base_path: str, kind: str) -> list[str]:
     """Columns with a sidecar of `kind` on this table (either layout)."""
     d = os.path.join(base_path, f"_{kind}")
     out = set()
-    try:
-        for f in os.listdir(d):
-            if f.endswith(".json") and ".tmp." not in f:
-                out.add(f[: -len(".json")])
-            elif f.endswith(".d") and os.path.isdir(os.path.join(d, f)):
-                out.add(f[: -len(".d")])
-    except OSError:
-        pass
+    for f in objstore.backend().list(d):
+        if f.endswith(".json") and ".tmp." not in f:
+            out.add(f[: -len(".json")])
+        elif f.endswith(".d") and os.path.isdir(os.path.join(d, f)):
+            out.add(f[: -len(".d")])
     return sorted(out)
 
 
@@ -291,30 +303,23 @@ def load_doc(base_path: str, kind: str, col: str) -> dict | None:
 def _publish_head(d: str, head: dict, prev_version: int) -> int:
     v = prev_version + 1
     head = {**head, "version": v, "ts": time.time()}
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".head_v{v}.tmp.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        json.dump(head, fh)
     final = os.path.join(d, f"head_v{v}.json")
-    try:
-        os.link(tmp, final)  # atomic create-if-absent: the commit point
-    except FileExistsError:
+    # conditional put (If-None-Match) on the versioned key IS the commit
+    # point — os.link locally, a conditional PUT on an object store (the
+    # objstore seam, r12; soaked over FakeObjectStore in test_round12b)
+    if not objstore.backend().put_if_absent(
+            final, json.dumps(head).encode("utf-8")):
         raise SidecarConflict(
             f"sidecar head v{v} already exists under {d}: a concurrent "
             "indexer committed first; the mutation re-merges and retries"
-        ) from None
-    finally:
-        try:
-            os.remove(tmp)
-        except OSError:
-            pass
+        )
     return v
 
 
 def _write_segment(d: str, part: str, files: dict) -> str:
     d = os.path.join(d, OBJS_SUBDIR)
-    os.makedirs(d, exist_ok=True)
     name = f"seg-{uuid.uuid4().hex[:12]}.json"
+    io = objstore.backend()
     # in-flight registration (r10 ADVICE): between this write and the
     # owning head publish the segment is unreferenced, and a writer
     # stalled past _gc's age bound (CAS retry storm, GC pause, slow
@@ -322,13 +327,11 @@ def _write_segment(d: str, part: str, files: dict) -> str:
     # head — reads degrade to "unindexed, must scan" (correct but
     # silently unpruned). The marker makes _gc skip it until the
     # writer finishes (marker removed) or provably died (marker older
-    # than PENDING_TTL).
-    with open(os.path.join(d, name + ".pending"), "w"):
-        pass
-    tmp = os.path.join(d, f".{name}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"part": part, "files": files}, fh)
-    os.rename(tmp, os.path.join(d, name))
+    # than PENDING_TTL). Marker BEFORE object: _gc may see a marker
+    # without its object, never the reverse.
+    io.put(os.path.join(d, name + ".pending"), b"")
+    io.put(os.path.join(d, name),
+           json.dumps({"part": part, "files": files}).encode("utf-8"))
     return name
 
 
@@ -337,43 +340,43 @@ def _write_map(d: str, group: str, segments: dict) -> str:
     bucket of partitions — the second level of a two-level head. Same
     in-flight .pending registration as segments."""
     d = os.path.join(d, OBJS_SUBDIR)
-    os.makedirs(d, exist_ok=True)
     name = f"map-{uuid.uuid4().hex[:12]}.json"
-    with open(os.path.join(d, name + ".pending"), "w"):
-        pass
-    tmp = os.path.join(d, f".{name}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"group": group, "segments": segments}, fh)
-    os.rename(tmp, os.path.join(d, name))
+    io = objstore.backend()
+    io.put(os.path.join(d, name + ".pending"), b"")
+    io.put(os.path.join(d, name),
+           json.dumps({"group": group, "segments": segments})
+           .encode("utf-8"))
     return name
 
 
 def _clear_pending(d: str, names) -> None:
+    io = objstore.backend()
     for n in names:
-        for loc in (os.path.join(d, OBJS_SUBDIR), d):
-            try:
-                os.remove(os.path.join(loc, n + ".pending"))
-                break
-            except OSError:
-                continue
+        # delete is idempotent on both locations (object-store DELETE of
+        # a missing key is a no-op) — new writers only ever place
+        # markers under objs/, the top location covers legacy trees
+        io.delete(os.path.join(d, OBJS_SUBDIR, n + ".pending"))
+        io.delete(os.path.join(d, n + ".pending"))
 
 
 def _gc(d: str) -> None:
     """Prune heads past KEEP_HEADS and segments no kept head references.
-    Idempotent and safe concurrently (removals tolerate FileNotFound)."""
+    Idempotent and safe concurrently (deletes are no-ops on missing
+    keys). All I/O rides the objstore seam: LIST + GET + DELETE + HEAD
+    (mtime) — nothing here needs rename or locking."""
+    io = objstore.backend()
     versions = _head_versions(d)
     for v in versions[:-KEEP_HEADS]:
-        try:
-            os.remove(os.path.join(d, f"head_v{v}.json"))
-        except OSError:
-            pass
+        io.delete(os.path.join(d, f"head_v{v}.json"))
     referenced: set[str] = set()
     ref_maps: set[str] = set()
     for v in _head_versions(d):
+        raw = io.get(os.path.join(d, f"head_v{v}.json"))
+        if raw is None:
+            continue
         try:
-            with open(os.path.join(d, f"head_v{v}.json")) as fh:
-                head = json.load(fh)
-        except (OSError, ValueError):
+            head = json.loads(raw)
+        except ValueError:
             continue
         referenced.update(head.get("segments", {}).values())
         ref_maps.update((head.get("groups") or {}).values())
@@ -386,53 +389,46 @@ def _gc(d: str) -> None:
     # two object locations: objs/ (current) and the top directory
     # (legacy r10 stores kept segments beside the heads)
     for loc in (os.path.join(d, OBJS_SUBDIR), d):
-        try:
-            names = os.listdir(loc)
-        except OSError:
+        names = io.list(loc)
+        if not names:
             continue
         pending = {f for f in names if f.endswith(".pending")}
         for f in names:
             if f.startswith("map-") and f.endswith(".json") \
                     and f not in ref_maps:
                 p = os.path.join(loc, f)
-                try:
-                    if f + ".pending" in pending \
-                            or now - os.stat(p).st_mtime < 60.0:
-                        continue
-                    os.remove(p)
-                except OSError:
-                    pass
+                mt = io.mtime(p)
+                if f + ".pending" in pending \
+                        or mt is None or now - mt < 60.0:
+                    continue
+                io.delete(p)
             if f.startswith("seg-") and f.endswith(".json") \
                     and f not in referenced:
                 p = os.path.join(loc, f)
-                try:
-                    # age guard: a CONCURRENT writer's segment exists
-                    # unreferenced for the ms between its write and its
-                    # head publish — deleting it there would leave the
-                    # winner's head pointing at nothing (correctness
-                    # survives: a missing segment reads as "unindexed,
-                    # must scan", but pruning would silently degrade).
-                    # A writer REGISTERS in-flight segments with a
-                    # .pending marker that is removed only after its
-                    # head publishes (or it gives up), so a stall
-                    # longer than the age bound can no longer lose the
-                    # race (r10 ADVICE); the age guard stays as
-                    # belt-and-braces for pre-marker segments.
-                    if f + ".pending" in pending \
-                            or now - os.stat(p).st_mtime < 60.0:
-                        continue
-                    os.remove(p)
-                except OSError:
-                    pass
+                # age guard: a CONCURRENT writer's segment exists
+                # unreferenced for the ms between its write and its
+                # head publish — deleting it there would leave the
+                # winner's head pointing at nothing (correctness
+                # survives: a missing segment reads as "unindexed,
+                # must scan", but pruning would silently degrade).
+                # A writer REGISTERS in-flight segments with a
+                # .pending marker that is removed only after its
+                # head publishes (or it gives up), so a stall
+                # longer than the age bound can no longer lose the
+                # race (r10 ADVICE); the age guard stays as
+                # belt-and-braces for pre-marker segments.
+                mt = io.mtime(p)
+                if f + ".pending" in pending \
+                        or mt is None or now - mt < 60.0:
+                    continue
+                io.delete(p)
         # reap markers of writers that provably died mid-publish (their
         # object is either referenced by now or will age out above)
         for f in pending:
             p = os.path.join(loc, f)
-            try:
-                if now - os.stat(p).st_mtime > PENDING_TTL:
-                    os.remove(p)
-            except OSError:
-                pass
+            mt = io.mtime(p)
+            if mt is not None and now - mt > PENDING_TTL:
+                io.delete(p)
 
 
 def update_entries(base_path: str, kind: str, col: str, new_entries: dict,
@@ -537,10 +533,7 @@ def update_entries(base_path: str, kind: str, col: str, new_entries: dict,
                 raise
             time.sleep(0.002 * (attempt + 1))
     if legacy:
-        try:
-            os.remove(legacy_path(base_path, kind, col))
-        except OSError:
-            pass
+        objstore.backend().delete(legacy_path(base_path, kind, col))
     # full _gc lists every object file — O(partitions) — so it runs on
     # every GC_EVERY-th version: amortized update cost stays O(touched),
     # garbage lives at most GC_EVERY versions longer (bounded, and heads
