@@ -190,17 +190,20 @@ GATE_WINDOW_50 = (
     "hep_sip_call_stats", "source_lineproto_roundtrip",
     "source_partitioned_prune", "snapshot_time_travel", "merge_upsert",
     # streaming, incl. the r07 streaming-maintained stores
+    # (weighted_percentile_maintained rotated out r12; smoke-pinned —
+    # kmv/ddsketch keep the maintained-sketch family covered)
     "streaming_window_replay", "streaming_index_maintain_replay",
-    "streaming_ann_maintain_replay", "weighted_percentile_maintained",
-    # dedup family (simhash rotated out r09c for the new flagships; it
-    # stays oracle-checked in the full sweeps)
+    "streaming_ann_maintain_replay",
+    # dedup family (simhash rotated out r09c, semantic_dedup_cc r12;
+    # both stay oracle-checked in the full sweeps + smoke pins)
     "dedup_exact", "dedup_minhash_lsh",
-    "dedup_incremental_indexed", "semantic_dedup_cc",
+    "dedup_incremental_indexed",
     "streaming_lsh_maintain_replay",
     # r09 continuous-aggregation flagship: KMV sketch column class
     "kmv_distinct_maintained",
-    # ANN / similarity family (cosine baseline rotated out r09c)
-    "ann_ivfpq_topk",
+    # ANN / similarity family (cosine baseline rotated out r09c);
+    # r12: graph-based ANN (beam search over the kNN graph)
+    "ann_ivfpq_topk", "ann_graph_topk",
     "lsh_range_search", "embedding_neardup",
     # r09b: sidecar file skipping through the SAME user SQL (zone_routed
     # _range and rollup_routed_having rotated out r10; bloom_routed_
@@ -211,11 +214,15 @@ GATE_WINDOW_50 = (
     # r11 — sidecar_routed_or_like below supersedes it: same trigram
     # probe PLUS bloom PLUS the union algebra)
     "rollup_routed_join",
-    # r11: boolean-tree HAVING + SQL-precedence routing/pruning (the r10
-    # ADVICE high items, oracle-gated) + LIKE branches in OR probe trees
-    "rollup_routed_having_or", "rollup_routed_where_precedence",
-    "sidecar_routed_precedence", "sidecar_routed_or_like",
-    "rollup_routed_cte",
+    # r11: SQL-precedence routing/pruning flagships (rollup_routed_
+    # having_or, sidecar_routed_or_like and rollup_routed_cte rotated
+    # out r12 for the chain/join/NOT flagships below — smoke-pinned)
+    "rollup_routed_where_precedence",
+    "sidecar_routed_precedence",
+    # r12: CTE chains + CTE-with-outer-JOIN routing, NOT routing, and
+    # zone-COMPLEMENT pruning for negated ranges
+    "rollup_routed_cte_chain", "rollup_routed_cte_join",
+    "rollup_routed_not", "zone_routed_not_range",
     # multimodal (real decodes; y4m = real VIDEO decode, r09)
     "multimodal_jpeg_decode", "multimodal_y4m_frames",
     # text analysis

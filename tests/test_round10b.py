@@ -323,7 +323,12 @@ class TestRotatedOutGateSmoke:
                    # rotated out r11 for the precedence/HAVING-tree trio
                    "bloom_routed_lookup", "rollup_routed_or_in",
                    "sql_routed_entrypoint", "trigram_routed_like",
-                   "interval_overlap_join")
+                   "interval_overlap_join",
+                   # rotated out r12 for the CTE-chain/join, NOT and
+                   # graph-ANN flagships
+                   "rollup_routed_cte", "rollup_routed_having_or",
+                   "sidecar_routed_or_like", "semantic_dedup_cc",
+                   "weighted_percentile_maintained")
 
     def test_rotated_out_entries_stay_oracle_green(self):
         import os
