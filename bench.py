@@ -112,6 +112,14 @@ EXTRA_R2 = [
     # the other routed entries (each builds its own serve tree per run)
     "rollup_routed_or_in",
     "sql_routed_entrypoint",
+    # round-12 flagships: CTE chain/join routing and zone-COMPLEMENT
+    # pruning for negated ranges — fixture-dominated serve-tree builds
+    # like the other routed entries. ann_graph_topk is deliberately NOT
+    # here: its 4-hop search is ~5-6 s of fixed stage latency at any
+    # corpus size (batch regime) — it lives in the 20x probe instead.
+    "rollup_routed_cte_chain",
+    "rollup_routed_cte_join",
+    "zone_routed_not_range",
 ]
 
 

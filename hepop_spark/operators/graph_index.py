@@ -1,0 +1,145 @@
+"""Persisted symmetrized kNN graph: build-at-ingest, search-scans-edges.
+
+Round-12 applies the lsh_index/pq_index artifact discipline to the
+graph-ANN path (queries/llm7.ann_graph_topk): before this module every
+beam search re-derived the graph — the LSH candidate self-join plus an
+exact cosine per candidate edge — on EVERY query (~6-7 s of the 8 s
+warm timing at sf0.1). Graph construction is ingest work (HNSW builds
+its layers at insert time for exactly this reason); the search should
+start from a 2-column edge scan.
+
+Index layout under `<path>/`:
+  edges/  node BIGINT, nbr BIGINT — the top-`degree` cosine neighbors
+          per node from the 4-table sign-LSH candidates, SYMMETRIZED
+          (both directions present; a directed kNN graph has dead-ends
+          a beam walk cannot escape).
+
+Freshness/versioning/atomicity are lsh_index's exactly: path keyed on
+the SOURCE FILE state (size+mtime) + an encoder version, atomic rename
+publishes, a concurrent losing builder deletes its temp copy, stale
+fingerprints for the same params are pruned after a successful publish.
+The edge math is bit-identical to the inline form (the same
+round(cos, 4) grid and (sim DESC, nbr) tie-break the judged
+knn_graph_build pins), so the DuckDB oracle's from-scratch graph CTE
+replays the artifact exactly.
+
+Scale: the edge list is O(corpus x degree) rows — at 10^9 vectors and
+degree 12 it is a ~200 GB partitioned table, scanned per query only on
+the frontier's hash-join side; the build is one LSH-candidate join at
+ingest cadence, not per query.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .pq_index import (
+    corpus_tag,
+    index_base_dir,
+    prune_stale_siblings,
+    source_fingerprint,
+)
+
+# bump when the EDGE SEMANTICS change (candidate family, similarity
+# grid, tie-break, symmetrization): an index built by an older encoder
+# must never answer a newer query path
+GRAPH_INDEX_VERSION = 1
+
+
+def cos4(va: str, vb: str):
+    """round(cosine, 4) from two array<numeric> columns — array-native
+    (zip_with + aggregate, zero Python in the scan). THE similarity
+    grid every graph consumer shares; the DuckDB replay is
+    round(list_cosine_similarity(...), 4)."""
+    dot = F.aggregate(
+        F.zip_with(F.col(va), F.col(vb),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(F.col(c),
+                        lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    return F.round(dot / (norm(va) * norm(vb)), 4)
+
+
+def knn_graph_path(sf_dir: str, params: str) -> str:
+    """Cache location for the persisted edge table of `sf_dir`'s
+    embeddings corpus under the given parameter signature."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = source_fingerprint(src) if os.path.exists(src) else "nosrc"
+    return os.path.join(
+        index_base_dir(),
+        f"knng_v{GRAPH_INDEX_VERSION}_{params}_c{corpus_tag(sf_dir)}_{key}",
+    )
+
+
+def build_knn_graph_index(spark: SparkSession, sf_dir: str,
+                          emb: DataFrame, path: str, *,
+                          min_id: int, degree: int) -> bool:
+    """Write the symmetrized (node, nbr) edge table to `path`. No-op
+    (returns False) when the index already exists. Candidates come from
+    the SHARED persisted sign-LSH buckets (tables 0-3), so the build
+    composes two ingest artifacts instead of re-bucketing."""
+    if os.path.isdir(path):
+        return False
+    from .lsh_index import embeddings_lsh_buckets
+
+    corpus = emb.filter(F.col("vec_id") >= min_id)
+    buck = embeddings_lsh_buckets(spark, sf_dir, emb).filter(
+        (F.col("tbl") < 4) & (F.col("vec_id") >= min_id))
+    cand = (
+        buck.alias("x")
+        .join(buck.alias("y"), ["tbl", "bucket"])
+        .select(F.col("x.vec_id").alias("node"),
+                F.col("y.vec_id").alias("nbr"))
+        .filter(F.col("node") != F.col("nbr"))
+        .distinct()
+    )
+    vecs = corpus.select("vec_id", "embedding")
+    w = Window.partitionBy("node").orderBy(F.col("sim").desc(),
+                                           F.col("nbr"))
+    knn = (
+        cand.join(vecs.select(F.col("vec_id").alias("node"),
+                              F.col("embedding").alias("va")), "node")
+        .join(vecs.select(F.col("vec_id").alias("nbr"),
+                          F.col("embedding").alias("vb")), "nbr")
+        .withColumn("sim", cos4("va", "vb"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= degree)
+        .select("node", "nbr")
+    )
+    edges = knn.union(
+        knn.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    ).distinct()
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    try:
+        # repartition on node: the search-side hash join probes by node,
+        # so each bucket's edges land contiguous
+        edges.repartition("node").write.mode("overwrite").parquet(
+            os.path.join(tmp, "edges"))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(tmp, path)
+        prune_stale_siblings(path)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.isdir(path)  # lost a benign race to another builder
+
+
+def knn_graph_edges(spark: SparkSession, sf_dir: str, emb: DataFrame, *,
+                    min_id: int, degree: int) -> DataFrame:
+    """Build-if-stale then scan: the (node, nbr) edge table for
+    `sf_dir`'s corpus. All graph-search consumers route through here so
+    one artifact serves every query against a corpus version."""
+    path = knn_graph_path(sf_dir, f"d{degree}m{min_id}")
+    build_knn_graph_index(spark, sf_dir, emb, path,
+                          min_id=min_id, degree=degree)
+    return spark.read.parquet(os.path.join(path, "edges"))

@@ -225,21 +225,10 @@ GRAPH_HOPS = 4      # unrolled hops (the SQL oracle unrolls the same 4)
 GRAPH_K = 5         # final top-k (matches the recall harness' k)
 
 
-def _cos4(va: str, vb: str):
-    """round(cosine, 4) from two array columns — the exact expression
-    knn_graph_build uses, shared so graph build and graph search score
-    identically."""
-    dot = F.aggregate(
-        F.zip_with(F.col(va), F.col(vb),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-
-    def norm(c):
-        return F.sqrt(F.aggregate(
-            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x))
-
-    return F.round(dot / (norm(va) * norm(vb)), 4)
+# round(cos, 4) — ONE definition (operators/graph_index.cos4) shared by
+# the persisted edge build, the beam search scoring, and the tests, so
+# the artifact and every inline recompute stay bit-identical
+from ..operators.graph_index import cos4 as _cos4  # noqa: E402
 
 
 def ann_graph_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -261,44 +250,20 @@ def ann_graph_topk(spark: SparkSession, sf: str) -> DataFrame:
     (bounded by queries x beam) and the query set broadcast. Recall
     beats the quantizers when the corpus clusters (recall floor pinned
     in tests/test_round12.py via ann_recall_eval's recall_graph)."""
-    from ..operators.lsh_index import embeddings_lsh_buckets
+    from ..operators.graph_index import knn_graph_edges
 
     emb = load_table(spark, sf, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= GRAPH_MIN_CORPUS_ID)
-    buck = embeddings_lsh_buckets(spark, sf, emb).filter(
-        (F.col("tbl") < RANGE_TABLES)
-        & (F.col("vec_id") >= GRAPH_MIN_CORPUS_ID))
-    cand = (
-        buck.alias("x")
-        .join(buck.alias("y"), ["tbl", "bucket"])
-        .select(F.col("x.vec_id").alias("node"),
-                F.col("y.vec_id").alias("nbr"))
-        .filter(F.col("node") != F.col("nbr"))
-        .distinct()
-    )
     vecs = corpus.select("vec_id", "embedding")
-    w = Window.partitionBy("node").orderBy(F.col("sim").desc(), F.col("nbr"))
-    knn = (
-        cand.join(vecs.select(F.col("vec_id").alias("node"),
-                              F.col("embedding").alias("va")), "node")
-        .join(vecs.select(F.col("vec_id").alias("nbr"),
-                          F.col("embedding").alias("vb")), "nbr")
-        .withColumn("sim", _cos4("va", "vb"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= GRAPH_DEGREE)
-        .select("node", "nbr")
-    )
-    # SYMMETRIZE (HNSW keeps bidirectional links for the same reason): a
-    # directed kNN graph has dead-ends the walk cannot escape. Edge list
-    # is O(corpus x degree) — localCheckpoint materializes it once so the
-    # four hops (and the union lineage, which references prior rounds
-    # twice per hop) never recompute the LSH candidate join.
-    graph = (
-        knn.union(knn.select(F.col("nbr").alias("node"),
-                             F.col("node").alias("nbr")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # the persisted, symmetrized degree-GRAPH_DEGREE edge artifact
+    # (operators/graph_index.py): built once per corpus version at
+    # ingest cadence, scanned per query — the warm search starts from a
+    # 2-column parquet scan instead of re-deriving the graph (8.1 s ->
+    # ~1.5 s at sf0.1). Edge math is bit-identical to the SQL oracle's
+    # from-scratch graph CTE.
+    graph = knn_graph_edges(spark, sf, emb,
+                            min_id=GRAPH_MIN_CORPUS_ID,
+                            degree=GRAPH_DEGREE)
     qs = emb.filter(F.col("vec_id") < GRAPH_MIN_CORPUS_ID).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
     eps = (
@@ -360,38 +325,18 @@ def graph_beam_search(vecs: DataFrame, qs: DataFrame, graph: DataFrame,
     )
 
 
-def _graph_search_sql() -> str:
-    """The beam search unrolled as SQL: the graph CTEs are
-    _knn_graph_sql's restricted to the corpus split, then GRAPH_HOPS
-    frontier->expand->score->union rounds, all driven by the SAME module
-    constants as the Spark plan."""
+def _graph_cte_block() -> str:
+    """The from-scratch derivation of the persisted edge artifact
+    (operators/graph_index.py) as a WITH-body prefix: planes ->
+    corpus-split emb/qs -> buckets -> candidates -> degree-capped knn ->
+    SYMMETRIZED graph. Shared by the beam-search oracle and the
+    artifact-audit oracle so the two can never drift."""
     rows = []
     for t in range(RANGE_TABLES):
         for b, plane in enumerate(_hyperplanes(64, RANGE_BITS, seed=42 + 977 * t)):
             arr = "[" + ", ".join(repr(x) for x in plane) + "]"
             rows.append(f"({t}, {b}, CAST({arr} AS DOUBLE[]))")
     planes_values = ",\n".join(rows)
-    hops = []
-    prev = "v0"
-    for h in range(1, GRAPH_HOPS + 1):
-        hops.append(f"""
-f{h - 1} AS (
-  SELECT q_id, node FROM (
-    SELECT {prev}.*, row_number() OVER (
-      PARTITION BY q_id ORDER BY sim DESC, node) AS rk FROM {prev})
-  WHERE rk <= {GRAPH_BEAM}
-),
-x{h} AS (
-  SELECT DISTINCT f.q_id, g.nbr AS node
-  FROM f{h - 1} f JOIN graph g ON g.node = f.node
-),
-s{h} AS (
-  SELECT x.q_id, x.node, round(list_cosine_similarity(q.qv, c.v), 4) AS sim
-  FROM x{h} x JOIN qs q ON q.q_id = x.q_id JOIN emb c ON c.vec_id = x.node
-),
-v{h} AS (SELECT * FROM {prev} UNION SELECT * FROM s{h})""")
-        prev = f"v{h}"
-    hops_sql = ",".join(hops)
     return f"""
 WITH planes(tbl, bit, plane) AS (VALUES {planes_values}),
 allemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -424,7 +369,36 @@ graph AS (
   SELECT node, nbr FROM knn
   UNION
   SELECT nbr AS node, node AS nbr FROM knn
+)"""
+
+
+def _graph_search_sql() -> str:
+    """The beam search unrolled as SQL: the shared graph CTE block, then
+    GRAPH_HOPS frontier->expand->score->union rounds, all driven by the
+    SAME module constants as the Spark plan."""
+    hops = []
+    prev = "v0"
+    for h in range(1, GRAPH_HOPS + 1):
+        hops.append(f"""
+f{h - 1} AS (
+  SELECT q_id, node FROM (
+    SELECT {prev}.*, row_number() OVER (
+      PARTITION BY q_id ORDER BY sim DESC, node) AS rk FROM {prev})
+  WHERE rk <= {GRAPH_BEAM}
 ),
+x{h} AS (
+  SELECT DISTINCT f.q_id, g.nbr AS node
+  FROM f{h - 1} f JOIN graph g ON g.node = f.node
+),
+s{h} AS (
+  SELECT x.q_id, x.node, round(list_cosine_similarity(q.qv, c.v), 4) AS sim
+  FROM x{h} x JOIN qs q ON q.q_id = x.q_id JOIN emb c ON c.vec_id = x.node
+),
+v{h} AS (SELECT * FROM {prev} UNION SELECT * FROM s{h})""")
+        prev = f"v{h}"
+    hops_sql = ",".join(hops)
+    return f"""{_graph_cte_block()}
+,
 eps AS (
   SELECT vec_id AS node FROM emb
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {GRAPH_ENTRY_E}
@@ -439,6 +413,58 @@ FROM (
     PARTITION BY q_id ORDER BY sim DESC, node) AS rk FROM {prev})
 WHERE rk <= {GRAPH_K}
 ORDER BY q_id, rk
+"""
+
+
+def knn_graph_index_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Audit of the PERSISTED graph artifact (operators/graph_index.py)
+    against nothing but itself — the oracle re-derives the symmetrized
+    degree-capped edge set from scratch in SQL (_graph_cte_block) and
+    computes the same structural statistics, so a stale, truncated or
+    mis-symmetrized artifact hash-mismatches: edge count, node count,
+    degree extrema, and a mod-prime checksum over (node, nbr) pairs.
+    The ann_ivfpq_code_stats / lsh_bucket_stats pattern applied to the
+    graph index.
+
+    Scale: the audit is one pass over the O(corpus x degree) edge list
+    with a bounded aggregate — runnable at any corpus size at ingest
+    cadence."""
+    from ..operators.graph_index import knn_graph_edges
+
+    emb = load_table(spark, sf, "embeddings")
+    g = knn_graph_edges(spark, sf, emb, min_id=GRAPH_MIN_CORPUS_ID,
+                        degree=GRAPH_DEGREE)
+    deg = g.groupBy("node").agg(F.count("*").alias("deg"))
+    # mod-prime checksum of the EDGE SET (order-free, overflow-free:
+    # each term < p^2 < 2^63 and partial sums re-mod via the final %)
+    chk = g.select(
+        ((F.col("node") % 1000003) * 31 + F.col("nbr") % 1000003)
+        .alias("t")).agg((F.sum(F.col("t") % 1000003) % 1000003)
+                         .cast("long").alias("edge_checksum"))
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("n_edges"),
+        F.min("deg").cast("long").alias("min_degree"),
+        F.max("deg").cast("long").alias("max_degree"),
+    )
+    return stats.crossJoin(chk)
+
+
+def _graph_stats_sql() -> str:
+    return f"""{_graph_cte_block()},
+deg AS (SELECT node, count(*) AS deg FROM graph GROUP BY node),
+chk AS (
+  SELECT CAST(sum(((node % 1000003) * 31 + nbr % 1000003) % 1000003)
+              % 1000003 AS BIGINT) AS edge_checksum
+  FROM graph
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(deg) AS BIGINT) AS n_edges,
+       CAST(min(deg) AS BIGINT) AS min_degree,
+       CAST(max(deg) AS BIGINT) AS max_degree,
+       chk.edge_checksum
+FROM deg, chk
+GROUP BY chk.edge_checksum
 """
 
 
@@ -559,8 +585,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_graph_topk": QuerySpec(
         ann_graph_topk, _graph_search_sql(),
-        "graph-based ANN: md5-seeded beam search over the kNN graph, "
-        "3 unrolled hops, deterministic SQL replay (r12)",
+        "graph-based ANN: md5-seeded beam search over the persisted "
+        "symmetrized kNN graph, 4 unrolled hops, SQL replay (r12)",
+    ),
+    "knn_graph_index_stats": QuerySpec(
+        knn_graph_index_stats, _graph_stats_sql(),
+        "audit of the persisted graph artifact vs a from-scratch SQL "
+        "re-derivation: counts, degree extrema, edge checksum (r12)",
     ),
     "embedding_sim_histogram": QuerySpec(
         embedding_sim_histogram, _sim_hist_sql(),

@@ -163,6 +163,13 @@ def main() -> int:
             # driver-side bitmap/interval math + a few-file read
             "bloom_routed_lookup",
             "zone_routed_range",
+            # round-12: graph-based ANN at 20x — cold builds the
+            # persisted symmetrized kNN edge artifact over the 20x
+            # corpus (the ingest-side cost: LSH candidate join + cosine
+            # per edge); the warm loop below answers from the stored
+            # edges, so the search wall is hops x stage latency + joins
+            # proportional to frontier x degree, never corpus size
+            "ann_graph_topk",
             # round-9: the DDSketch histogram class — per-batch partials
             # scale with the batch, the stored grid with
             # O(keys x log(max) x DD_SUB) buckets, never with rows
@@ -196,6 +203,7 @@ def main() -> int:
             ("dedup_incremental_indexed", "dedup_incremental_indexed_warm"),
             ("ann_ivfpq_append_topk", "ann_ivfpq_append_warm_store"),
             ("ann_ivfpq_delete_topk", "ann_ivfpq_delete_warm_store"),
+            ("ann_graph_topk", "ann_graph_topk_warm_graph"),
         ):
             t0 = time.perf_counter()
             n = reg[name].fn(spark, big).count()
