@@ -1256,12 +1256,14 @@ class HepopQueryAPI:
                 return None
             from_targets = _FROM_RE.findall(cons)
             has_join = re.search(r"\bJOIN\b", cons, re.IGNORECASE)
-            if is_outer and len(defs) == 1 and has_join:
-                # CTE + JOIN: the CTE anchors the FROM exactly once
+            if is_outer and has_join:
+                # OUTER + JOIN (single CTE or a chain tail): the
+                # CTE/chain-tail anchors the FROM exactly once
                 # (qualified column refs `agg.x` are fine — they resolve
                 # against the substituted CTE); every JOIN target is a
                 # dim that must discover/resolve HERE, because the
-                # routed fast path skips the main sql() discovery loop
+                # routed fast path skips the main sql() discovery loop.
+                # Mid-chain bodies stay JOIN-free (the else branch).
                 if len(from_targets) != 1 \
                         or from_targets[0].lower() != prev.lower():
                     return None

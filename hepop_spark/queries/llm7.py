@@ -416,6 +416,104 @@ ORDER BY q_id, rk
 """
 
 
+def knn_graph_refine(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE NN-descent refinement round over the judged kNN graph — the
+    algorithm that turns an LSH-seeded graph into a high-recall one at
+    scale (Dong et al.'s observation: a neighbor of a neighbor is
+    likely a neighbor): candidates = the current top-K edges UNION
+    neighbors-of-neighbors through the SYMMETRIZED edge set, exact
+    cosine on the expanded candidates, top-K per node re-selected.
+    Monotone by construction (the old edges stay in the candidate set,
+    so per-node similarity can only improve — pinned in
+    tests/test_round12.py); fully deterministic, same round-4 grid and
+    tie-breaks as the base build, SQL-replayed end to end.
+
+    Scale: the expansion is |edges| x degree candidate pairs (corpus x
+    K^2 with both directions) — one self-join of the edge list plus a
+    bounded re-score, the per-iteration cost NN-descent pays by design;
+    no all-pairs stage anywhere."""
+    emb = load_table(spark, sf, "embeddings")
+    base = knn_graph_build(spark, sf).select("node", "nbr")
+    sym = base.union(
+        base.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    ).distinct()
+    non = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.nbr") == F.col("b.node"))
+        .select(F.col("a.node").alias("node"), F.col("b.nbr").alias("nbr"))
+        .filter(F.col("node") != F.col("nbr"))
+        .distinct()
+    )
+    cand = base.union(non).distinct()
+    vecs = emb.select("vec_id", "embedding")
+    w = Window.partitionBy("node").orderBy(F.col("sim").desc(),
+                                           F.col("nbr"))
+    return (
+        cand.join(vecs.select(F.col("vec_id").alias("node"),
+                              F.col("embedding").alias("va")), "node")
+        .join(vecs.select(F.col("vec_id").alias("nbr"),
+                          F.col("embedding").alias("vb")), "nbr")
+        .withColumn("sim", _cos4("va", "vb"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KNN_K)
+        .select("node", "nbr", "sim", "rk")
+    )
+
+
+def _graph_refine_sql() -> str:
+    """The refinement round from scratch: the base graph's CTEs (same
+    text family as _knn_graph_sql), symmetrize, neighbors-of-neighbors,
+    re-score, re-select."""
+    rows = []
+    for t in range(RANGE_TABLES):
+        for b, plane in enumerate(_hyperplanes(64, RANGE_BITS, seed=42 + 977 * t)):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {b}, CAST({arr} AS DOUBLE[]))")
+    planes_values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, bit, plane) AS (VALUES {planes_values}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+  SELECT e.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                  THEN 1 << p.bit ELSE 0 END) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS node, y.vec_id AS nbr
+  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.vec_id != y.vec_id
+),
+scored AS (
+  SELECT c.node, c.nbr, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+  FROM cand c JOIN emb a ON a.vec_id = c.node JOIN emb b ON b.vec_id = c.nbr
+),
+base AS (
+  SELECT node, nbr FROM (
+    SELECT scored.*, row_number() OVER (
+      PARTITION BY node ORDER BY sim DESC, nbr) AS rk FROM scored)
+  WHERE rk <= {KNN_K}
+),
+sym AS (SELECT node, nbr FROM base UNION SELECT nbr, node FROM base),
+non AS (
+  SELECT DISTINCT a.node, b.nbr
+  FROM sym a JOIN sym b ON a.nbr = b.node
+  WHERE a.node != b.nbr
+),
+cand2 AS (SELECT node, nbr FROM base UNION SELECT node, nbr FROM non),
+rescored AS (
+  SELECT c.node, c.nbr, round(list_cosine_similarity(x.v, y.v), 4) AS sim
+  FROM cand2 c JOIN emb x ON x.vec_id = c.node JOIN emb y ON y.vec_id = c.nbr
+)
+SELECT node, nbr, sim, rk FROM (
+  SELECT rescored.*, CAST(row_number() OVER (
+    PARTITION BY node ORDER BY sim DESC, nbr) AS BIGINT) AS rk
+  FROM rescored)
+WHERE rk <= {KNN_K}
+"""
+
+
 def knn_graph_index_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Audit of the PERSISTED graph artifact (operators/graph_index.py)
     against nothing but itself — the oracle re-derives the symmetrized
@@ -587,6 +685,11 @@ QUERIES: dict[str, QuerySpec] = {
         ann_graph_topk, _graph_search_sql(),
         "graph-based ANN: md5-seeded beam search over the persisted "
         "symmetrized kNN graph, 4 unrolled hops, SQL replay (r12)",
+    ),
+    "knn_graph_refine": QuerySpec(
+        knn_graph_refine, _graph_refine_sql(),
+        "one NN-descent round: neighbors-of-neighbors candidate "
+        "expansion over the symmetrized graph, re-scored top-K (r12)",
     ),
     "knn_graph_index_stats": QuerySpec(
         knn_graph_index_stats, _graph_stats_sql(),

@@ -198,6 +198,52 @@ class TestCteChainRouting:
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
+    def test_chain_tail_join_routes(self, spark):
+        """r12 extension: the outer of a CHAIN may also JOIN discovered
+        dims — same substitution argument, dims discovered by the
+        route; mid-chain bodies stay JOIN-free (pinned below)."""
+        import shutil
+
+        from hepop_spark.catalog import load_table
+        from hepop_spark.plans.api import HepopQueryAPI
+        from hepop_spark.queries.routing_q import _build_rollup_serve_tree
+
+        root, data = _build_rollup_serve_tree(spark, "/root/testdata/sf0.001")
+        try:
+            docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+            dim = docs.select("lang").distinct().select(
+                "lang",
+                F.when(F.col("lang") == "zh", F.lit("asia"))
+                .otherwise(F.lit("europe")).alias("region"))
+            dim.write.parquet(os.path.join(data, "w1", "dbs", "ldim2"))
+            api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+            df = api.sql(
+                "WITH agg AS (SELECT lang, count(*) AS n FROM documents "
+                "GROUP BY lang), "
+                "filt AS (SELECT lang, n FROM agg WHERE n >= 60) "
+                "SELECT d.region AS region, sum(filt.n) AS n FROM filt "
+                "JOIN ldim2 d ON filt.lang = d.lang GROUP BY d.region "
+                "ORDER BY region")
+            assert api.last_routed_rollup == "doc_lang_rollup"
+            got = {(r["region"], r["n"]) for r in df.collect()}
+            want = {
+                (r["region"], r["n"])
+                for r in docs.groupBy("lang").agg(F.count("*").alias("n"))
+                .filter(F.col("n") >= 60).join(dim, "lang")
+                .groupBy("region").agg(F.sum("n").alias("n")).collect()
+            }
+            assert got == want and got
+            # mid-chain JOIN still falls back
+            api.sql(
+                "WITH agg AS (SELECT lang, count(*) AS n FROM documents "
+                "GROUP BY lang), "
+                "filt AS (SELECT agg.lang, agg.n FROM agg JOIN ldim2 d "
+                "ON agg.lang = d.lang) "
+                "SELECT lang, n FROM filt ORDER BY lang").collect()
+            assert api.last_routed_rollup is None
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
     @pytest.mark.parametrize("q", [
         # chain whose SECOND body reads the raw table (undiscovered on
         # the routed path) — must fall back
@@ -504,6 +550,26 @@ class TestGraphAnn:
             got.setdefault(r["q_id"], set()).add(r["c_id"])
         hits = sum(len(exact[q] & got.get(q, set())) for q in range(6))
         assert hits / 30 >= 0.9, f"clustered recall {hits / 30}"
+
+    def test_refine_round_is_monotone(self, spark):
+        """NN-descent invariant: the refined top-K per node dominates
+        the base graph's (old edges stay candidates, so per-node mean
+        similarity can only rise)."""
+        from pyspark.sql import functions as F
+
+        from hepop_spark.queries.llm7 import knn_graph_build, knn_graph_refine
+
+        sf = "/root/testdata/sf0.001"
+        base = knn_graph_build(spark, sf).groupBy("node").agg(
+            F.sum("sim").alias("s0"), F.count("*").alias("n0"))
+        ref = knn_graph_refine(spark, sf).groupBy("node").agg(
+            F.sum("sim").alias("s1"), F.count("*").alias("n1"))
+        j = base.join(ref, "node")
+        worse = j.filter((F.col("n1") == F.col("n0"))
+                         & (F.col("s1") < F.col("s0") - 1e-9)).count()
+        assert worse == 0
+        improved = j.filter(F.col("s1") > F.col("s0") + 1e-9).count()
+        assert improved > 0  # the round actually finds better neighbors
 
     def test_recall_floor_includes_graph_path(self, spark):
         """The six-path recall harness carries recall_graph; pin its

@@ -191,6 +191,12 @@ AUDITS: dict[str, set[str]] = {
     # via localCheckpoint, so the returned plan is the final top-k
     # window over the visited set (in-entry joins are broadcast-linted)
     "ann_graph_topk": set(),
+    # r12: one NN-descent round — edge self-join + bounded re-score;
+    # map-side partials on the distinct/top-K stages
+    "knn_graph_refine": {"partial"},
+    # r12: artifact audit — 1-row stats x 1-row checksum crossJoin is a
+    # bounded BNLJ by design
+    "knn_graph_index_stats": {"partial", "bnlj_ok"},
     # r10: mixed-key OR tree routed onto the grid (disjunction does not
     # push down to parquet as a single filter; rollup_scan is the claim)
     "rollup_routed_mixed_or": {"rollup_scan", "partial"},
