@@ -143,3 +143,38 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str, emb: DataFrame, *,
     build_knn_graph_index(spark, sf_dir, emb, path,
                           min_id=min_id, degree=degree)
     return spark.read.parquet(os.path.join(path, "edges"))
+
+
+def graph_store_append(spark: SparkSession, store: str,
+                       edges: DataFrame, batch_id: str) -> bool:
+    """Append one ingest batch's CANDIDATE-EDGE partial (node, nbr, sim)
+    to an appendable graph store as an immutable `batch=<id>/` segment —
+    the lsh_store_append contract for graph edges. k-selection per node
+    is a monoid over candidate sets, so the top-K per node over the
+    DISTINCT union of all published partials equals the from-scratch
+    graph over the union of the batches' vectors (the candidate for a
+    cross-batch pair is contributed by whichever endpoint arrives
+    later, when the earlier one is already in the bucket store). No-op
+    (False) when the batch id is already published — idempotent under
+    foreachBatch redelivery."""
+    dest = os.path.join(store, f"batch={batch_id}")
+    if os.path.isdir(dest):
+        return False
+    tmp = os.path.join(store, f".batch_{batch_id}.tmp.{uuid.uuid4().hex[:8]}")
+    try:
+        edges.select("node", "nbr", "sim").repartition("node") \
+            .write.mode("overwrite").parquet(tmp)
+        os.makedirs(store, exist_ok=True)
+        os.rename(tmp, dest)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.isdir(dest)  # lost a benign race to another appender
+
+
+def graph_store_scan(spark: SparkSession, store: str) -> DataFrame:
+    """(node, nbr, sim) rows of every published partial; the same
+    candidate pair re-contributed by a redelivered or later batch
+    carries the SAME rounded sim (pure function of the two vectors), so
+    a distinct() on the scan is an exact dedup."""
+    return spark.read.parquet(store).select("node", "nbr", "sim")

@@ -778,7 +778,106 @@ FROM unioned
 """
 
 
+GRAPH_MAINT_BATCHES = 3
+
+
+def streaming_graph_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """The kNN GRAPH maintained from the streaming ingest path (r12 —
+    the HNSW-insert shape): vectors arrive as GRAPH_MAINT_BATCHES
+    micro-batches through table_sink; lsh_maintenance keeps the bucket
+    store fresh and graph_maintenance (ordered after it) appends each
+    batch's candidate-edge partial — the batch's bucket-mates against
+    everything committed so far, scored round(cos, 4) in both
+    directions. The warm query is ONE pass over the distinct stored
+    partials: top-KNN_K per node. k-selection is a monoid over candidate
+    sets, so the maintained graph must equal the from-scratch flagship
+    — the oracle IS knn_graph_build's SQL text verbatim (the llm13
+    one-oracle discipline): a dropped batch, an unfired or mis-ordered
+    hook, or a duplicated partial all hash-mismatch.
+
+    Scale: per-trigger hook work is batch-candidate-bounded (bucket
+    equi-join + narrow vector join); the store grows by the batch's
+    candidate count; the warm query never recomputes an edge score."""
+    from ..operators.graph_index import graph_store_scan
+    from ..operators.lsh_index import lsh_store_scan
+    from ..queries.llm6 import RANGE_BITS, RANGE_TABLES
+    from ..queries.llm7 import KNN_K
+    from ..streaming.index_maint import (
+        graph_maintenance,
+        lsh_maintenance,
+        stage_batch_files,
+        table_sink,
+    )
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    root = tempfile.mkdtemp(prefix="graph_maint_")
+    landing = os.path.join(root, "landing")
+    bucket_store = os.path.join(root, "lsh_store")
+    edge_store = os.path.join(root, "graph_store")
+    tables_dir = os.path.join(root, "tables", "vectors")
+    try:
+        stage_batch_files(
+            emb, landing, F.col("vec_id") % GRAPH_MAINT_BATCHES,
+            GRAPH_MAINT_BATCHES,
+        )
+        stream = (
+            spark.readStream.schema(f"vec_id long, embedding {vec_type}")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        hooks = [
+            lsh_maintenance(bucket_store, table="vectors",
+                            k_bits=RANGE_BITS, n_tables=RANGE_TABLES),
+            graph_maintenance(edge_store, table="vectors",
+                              bucket_store=bucket_store,
+                              tables_dir=tables_dir,
+                              n_tables=RANGE_TABLES),
+        ]
+        q = table_sink(
+            stream, os.path.join(root, "tables"), os.path.join(root, "ckpt"),
+            "vectors", index_hooks=hooks,
+        ).start()
+        q.awaitTermination()
+
+        n_batches = len(lsh_store_scan(spark, bucket_store)
+                        .select("batch").distinct().collect())
+        if n_batches != GRAPH_MAINT_BATCHES:
+            raise AssertionError(
+                f"bucket store has {n_batches} batches, expected "
+                f"{GRAPH_MAINT_BATCHES}")
+        edges = graph_store_scan(spark, edge_store).distinct()
+        w = Window.partitionBy("node").orderBy(F.col("sim").desc(),
+                                               F.col("nbr"))
+        rows = (
+            edges.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= KNN_K)
+            .select("node", "nbr", "sim", "rk")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "node bigint, nbr bigint, sim double, rk bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _graph_maint_oracle() -> str:
+    """The from-scratch flagship graph SQL VERBATIM — the maintained
+    store's one correctness contract (asserted non-empty)."""
+    from .llm7 import _knn_graph_sql
+
+    sql = _knn_graph_sql()
+    assert "row_number() OVER (PARTITION BY node" in sql
+    return sql
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_graph_maintain_replay": QuerySpec(
+        streaming_graph_maintain_replay, _graph_maint_oracle(),
+        "kNN graph maintained by streaming ingest hooks (candidate-edge "
+        "partials per batch); warm top-K equals the from-scratch "
+        "flagship oracle verbatim (r12)",
+    ),
     "ddsketch_quantiles": QuerySpec(
         ddsketch_quantiles, DDSKETCH_SQL,
         doc="integer-exact DDSketch-style quantile sketch (log2 buckets x "

@@ -149,6 +149,69 @@ def lsh_maintenance(
     return hook
 
 
+def graph_maintenance(
+    store_path: str,
+    *,
+    table: str,
+    bucket_store: str,
+    tables_dir: str,
+    n_tables: int = 4,
+) -> IndexHook:
+    """Hook that keeps an appendable kNN-graph CANDIDATE-EDGE store
+    fresh under a vector ingest stream (r12 — the streaming-maintained
+    analogue of operators/graph_index, the HNSW-insert shape): for each
+    committed batch, candidates are the batch's bucket-mates against the
+    WHOLE bucket store so far (which, with lsh_maintenance ordered
+    before this hook, already includes the batch), scored with the
+    shared round(cos, 4) grid in BOTH directions so older nodes receive
+    their new candidates too. k-selection per node is a monoid over
+    candidate sets, so top-K over the distinct union of partials equals
+    the from-scratch graph — a dropped batch, an unfired hook or a
+    mis-ordered pipeline all surface as missing edges against the
+    flagship oracle.
+
+    Scale: hook work per trigger is |batch| x bucket-mate candidates
+    (never all pairs) plus one narrow vector join against the committed
+    corpus; partial size is bounded by the batch's candidate count."""
+    from ..operators.graph_index import cos4, graph_store_append
+    from ..operators.lsh_index import lsh_store_scan
+
+    def hook(table_name: str, rows: DataFrame, batch_id: int) -> None:
+        if table_name != table:
+            return
+        from .exactly_once import read_committed
+
+        spark = rows.sparkSession
+        buck = lsh_store_scan(spark, bucket_store).filter(
+            F.col("tbl") < n_tables)
+        newb = buck.join(rows.select("vec_id"), "vec_id")
+        mates = (
+            newb.alias("x")
+            .join(buck.alias("y"), ["tbl", "bucket"])
+            .select(F.col("x.vec_id").alias("node"),
+                    F.col("y.vec_id").alias("nbr"))
+            .filter(F.col("node") != F.col("nbr"))
+            .distinct()
+        )
+        pairs = mates.union(
+            mates.select(F.col("nbr").alias("node"),
+                         F.col("node").alias("nbr"))
+        ).distinct()
+        corpus = read_committed(spark, tables_dir)
+        vecs = corpus.select("vec_id", "embedding")
+        scored = (
+            pairs.join(vecs.select(F.col("vec_id").alias("node"),
+                                   F.col("embedding").alias("va")), "node")
+            .join(vecs.select(F.col("vec_id").alias("nbr"),
+                              F.col("embedding").alias("vb")), "nbr")
+            .withColumn("sim", cos4("va", "vb"))
+            .select("node", "nbr", "sim")
+        )
+        graph_store_append(spark, store_path, scored, f"b{batch_id}")
+
+    return hook
+
+
 def bloom_maintenance(
     base_dir: str,
     *,

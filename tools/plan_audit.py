@@ -118,6 +118,9 @@ AUDITS: dict[str, set[str]] = {
     "weighted_percentile_maintained": set(),
     "streaming_ann_maintain_replay": set(),
     "streaming_lsh_maintain_replay": set(),
+    # r12: graph maintained from the ingest stream; replay lifecycle
+    # entry, pinned result (hooks + store asserted in-entry)
+    "streaming_graph_maintain_replay": set(),
     # KMV-sketch maintained store (r09): lifecycle entry, pinned result
     "kmv_distinct_maintained": set(),
     # DDSketch-histogram maintained store (r09): lifecycle entry, pinned

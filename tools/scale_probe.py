@@ -157,6 +157,10 @@ def main() -> int:
             # must stay linear in the bucket, never quadratic
             "dedup_skewed_band",
             "streaming_lsh_maintain_replay",
+            # round-12: the maintained kNN graph replay at 20x — hook
+            # work must stay batch-candidate-bounded; the warm top-K is
+            # one pass over stored partials
+            "streaming_graph_maintain_replay",
             # round-9: sidecar file skipping at 20x — the fixture tables
             # inside each entry scale with the corpus (24 shards / 8
             # range files over 20x events), the probe itself must stay
