@@ -48,3 +48,39 @@ class TestPlanShapes:
     def test_no_row_python_anywhere_in_sample(self, plans):
         for name, plan in plans.items():
             assert "BatchEvalPython" not in plan, name
+
+
+class TestPartialRuleSpelling:
+    """The `partial` rule accepts BOTH spellings of map-side aggregation:
+    partial_* function names, and the distinct-style two-phase shape
+    whose function lists are empty (HashAggregate as the DIRECT child of
+    an Exchange — children execute first, so it fires pre-shuffle).
+    knn_graph_refine's plan is all-distinct and carries no partial_*
+    marker; the r12 rule extension keeps it auditable."""
+
+    FUNC_SPELLING = "HashAggregate [partial_sum]\n+- Scan parquet"
+    DISTINCT_SPELLING = (
+        "HashAggregate (3)\n"
+        "+- Exchange (2)\n"
+        "   +- HashAggregate (1)\n"
+        "      +- Scan parquet"
+    )
+    # final-only aggregate ABOVE the exchange: the shuffle moves raw rows
+    NO_PARTIAL = (
+        "HashAggregate (3)\n"
+        "+- Exchange (2)\n"
+        "   +- Project (1)\n"
+        "      +- Scan parquet"
+    )
+
+    def test_function_spelling_passes(self):
+        assert not [p for p in audit("x", self.FUNC_SPELLING, {"partial"})
+                    if "partial" in p]
+
+    def test_distinct_spelling_passes(self):
+        assert not [p for p in audit("x", self.DISTINCT_SPELLING, {"partial"})
+                    if "partial" in p]
+
+    def test_final_only_aggregate_still_fails(self):
+        assert any("partial" in p
+                   for p in audit("x", self.NO_PARTIAL, {"partial"}))

@@ -5,8 +5,13 @@ For each audited query we assert, from `explain("formatted")` output:
                (only for queries that filter on base columns)
   vectorized — every parquet scan reads Batched: true (columnar reader)
   partial    — queries flagged partial must show map-side partial
-               aggregation (partial_sum/partial_count/...) before the
-               exchange — the agg shrinks the shuffle, not the reverse
+               aggregation before the exchange — the agg shrinks the
+               shuffle, not the reverse. Detected either by partial_*
+               function names, or (for distinct-style aggregates whose
+               function list is empty on both sides and thus carries no
+               partial_ marker) by a HashAggregate appearing as the
+               DIRECT CHILD of an Exchange in the tree — children run
+               first, so that aggregate fires map-side, pre-shuffle
   no_py_row  — no BatchEvalPython (row-at-a-time Python UDF) anywhere;
                ArrowEvalPython / FlatMapGroupsInPandas (vectorized) are
                allowed only for queries flagged arrow_ok
@@ -33,6 +38,7 @@ Exit code 1 if any audit fails — wired for CI-style use.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -689,7 +695,12 @@ def audit(name: str, plan: str, flags: set[str]) -> list[str]:
     scans = [i for i, ln in enumerate(plan.splitlines()) if "Scan parquet" in ln]
     if scans and "Batched: true" not in plan:
         problems.append("parquet scan not vectorized (no Batched: true)")
-    if "partial" in flags and "partial_" not in plan:
+    if "partial" in flags and "partial_" not in plan and not re.search(
+        r"Exchange[^\n]*\n[^\n]*\+- HashAggregate", plan
+    ):
+        # distinct-style two-phase aggregates carry empty function lists
+        # (no partial_ spelling); a HashAggregate as the direct child of
+        # an Exchange is the map-side phase — children execute first
         problems.append("no map-side partial aggregation before exchange")
     if "BatchEvalPython" in plan:
         problems.append("row-at-a-time Python UDF (BatchEvalPython) in plan")
