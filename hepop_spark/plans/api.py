@@ -303,6 +303,84 @@ class WhereTree:
         self.tree = tree
 
 
+class GroupingSpec(list):
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS (r12). The list CONTENT is
+    the unique underlying key expressions, so the router's key-coverage
+    proof (`gset <= set(key_map)`) runs unchanged; `kind`, `args` and
+    `sets` keep the construct verbatim so the rewrite can rebuild it
+    over grid columns. Routing such a query onto the grid is exact
+    because every produced group — full keys or any collapsed subset —
+    re-aggregates the monoid partials the grid stores (sums re-sum,
+    extrema re-extremize, avg finalizes from sum+count), and the NULL
+    fill for collapsed keys comes from the SAME grouping construct on
+    both sides. The one grid trick that does NOT survive collapse is
+    exact count(distinct key) — grid rows repeat the counted key across
+    collapsed groups — so the router refuses it under any GroupingSpec."""
+
+    def __init__(self, exprs, kind, args, sets):
+        super().__init__(exprs)
+        self.kind = kind      # 'ROLLUP' | 'CUBE' | 'GROUPING SETS'
+        self.args = args      # ROLLUP/CUBE argument list, order + dups kept
+        self.sets = sets      # GROUPING SETS: tuple of expr-tuples
+
+    def mapped(self, col_of) -> str:
+        """The construct with every expression replaced via col_of."""
+        if self.kind == "GROUPING SETS":
+            body = ", ".join(
+                "(" + ", ".join(col_of(e) for e in s) + ")" for s in self.sets
+            )
+            return f"GROUPING SETS ({body})"
+        return self.kind + "(" + ", ".join(col_of(e) for e in self.args) + ")"
+
+
+_GROUPING_HEAD_RE = re.compile(
+    r"(ROLLUP|CUBE|GROUPING\s+SETS)\s*\(", re.IGNORECASE)
+
+
+def _parse_grouping_construct(gb: str) -> GroupingSpec | None:
+    """`ROLLUP(a, b)` / `CUBE(a, b)` / `GROUPING SETS ((a, b), b, ())`
+    covering the ENTIRE group-by text, parens balanced to its end.
+    GROUPING SETS elements may be parenthesized lists (incl. the empty
+    grand-total set) or bare expressions. Anything else — a mix like
+    `a, ROLLUP(b)`, a nested construct inside a set — returns None and
+    the plain comma-list parse applies, whose key lookup then rejects
+    the construct's parens: a conservative raw-scan fallback."""
+    s = gb.strip()
+    m = _GROUPING_HEAD_RE.match(s)
+    if m is None:
+        return None
+    close = _scan_balanced(s, m.end())
+    if close is None or s[close + 1:].strip():
+        return None
+    kind = re.sub(r"\s+", " ", m.group(1).upper())
+    inner = s[m.end(): close]
+    if kind in ("ROLLUP", "CUBE"):
+        args = _split_top_level(inner)
+        if not args or any(not a or "(" in a for a in args):
+            return None
+        uniq = list(dict.fromkeys(args))
+        return GroupingSpec(uniq, kind, args, None)
+    sets: list[tuple[str, ...]] = []
+    for el in _split_top_level(inner):
+        el = el.strip()
+        if el.startswith("("):
+            end = _scan_balanced(el, 1)
+            if end is None or el[end + 1:].strip():
+                return None
+            members = [x for x in _split_top_level(el[1:end]) if x]
+            if any("(" in x for x in members):
+                return None
+            sets.append(tuple(members))
+        elif el and "(" not in el:
+            sets.append((el,))
+        else:
+            return None
+    if not sets:
+        return None
+    uniq = list(dict.fromkeys(e for s_ in sets for e in s_))
+    return GroupingSpec(uniq, kind, None, tuple(sets))
+
+
 def _where_tree(s: str):
     """Parse a WHERE body into WhereTree nodes, or None when any piece
     is not a literal comparison (subqueries, NOT, LIKE, functions-of-
@@ -556,6 +634,59 @@ def _from_clause_has_comma(sel: str) -> bool:
     return False
 
 
+_DERIVED_FROM_RE = re.compile(r"\bFROM\s*\(", re.IGNORECASE)
+# a clause keyword right after `FROM (...)` means the derived table has
+# no alias — both engines reject that, so routing must not invent one
+_NOT_AN_ALIAS = {
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW", "UNION",
+    "INTERSECT", "EXCEPT", "JOIN", "LEFT", "RIGHT", "FULL", "INNER",
+    "CROSS", "ON", "AS",
+}
+_SETOP_RE = re.compile(r"(UNION|INTERSECT|EXCEPT)\b(\s+ALL\b)?",
+                       re.IGNORECASE)
+
+
+def _split_union_all(q: str) -> list[str] | None:
+    """Split `q` on depth-0 UNION ALL boundaries (literal-, comment- and
+    paren-aware). None when any depth-0 set operator is NOT a UNION ALL
+    — a bare UNION (dedup), INTERSECT or EXCEPT (tighter binding) makes
+    the whole statement unroutable — or when no set operator exists."""
+    cuts: list[tuple[int, int]] = []
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if ch == "'":
+            i = _skip_literal(q, i)
+            continue
+        if ch in "-/":
+            skipped = _skip_comment(q, i)
+            if skipped is not None:
+                i = skipped
+                continue
+        if ch == "(":
+            close = _scan_balanced(q, i + 1)
+            if close is None:
+                return None
+            i = close + 1
+            continue
+        m = _SETOP_RE.match(q, i)
+        if m and (i == 0 or not (q[i - 1].isalnum() or q[i - 1] == "_")):
+            if m.group(1).upper() != "UNION" or not m.group(2):
+                return None
+            cuts.append((i, m.end()))
+            i = m.end()
+            continue
+        i += 1
+    if not cuts:
+        return None
+    parts, prev = [], 0
+    for start, end in cuts:
+        parts.append(q[prev:start].strip())
+        prev = end
+    parts.append(q[prev:].strip())
+    return parts
+
+
 _WORD_RE = re.compile(r"[A-Za-z_]\w*")
 
 
@@ -710,8 +841,10 @@ def parse_simple_aggregate(sql: str):
             items.append((am.group("expr").strip(), am.group("alias")))
         else:
             items.append((it, it if re.fullmatch(r"[A-Za-z_]\w*", it) else None))
+    gspec = _parse_grouping_construct(gb)
     return (m.group("tbl"), items,
-            [g for g in _split_top_level(gb)], tail, preds, havings)
+            gspec if gspec is not None else [g for g in _split_top_level(gb)],
+            tail, preds, havings)
 
 
 def resolve_table(sql: str) -> tuple[str, int | None]:
@@ -802,6 +935,10 @@ class HepopQueryAPI:
             routed = self._try_join_route(q)
         if routed is None and self.data_dir:
             routed = self._try_cte_route(q)
+        if routed is None and self.data_dir:
+            routed = self._try_derived_route(q)
+        if routed is None and self.data_dir:
+            routed = self._try_union_route(q)
         if routed is not None:
             self.last_sql = routed
             return self.spark.sql(routed)
@@ -1309,6 +1446,61 @@ class HepopQueryAPI:
         return (f"WITH {defs[0][0]} AS ({routed_body})"
                 f"{rest.rstrip() or ''} {outer}")
 
+    def _try_derived_route(self, q: str) -> str | None:
+        """Route `SELECT ... FROM ( <routable aggregate> ) [AS] t ...`
+        (r12): the derived-table spelling of the CTE wrapper that BI
+        tools emit interchangeably with WITH. The subquery is lifted
+        into the equivalent single-CTE form under its alias and the
+        whole statement delegates to _try_cte_route, which owns every
+        consumer obligation (single FROM target, no comma-join, JOIN
+        dims discovered, no nested WITH) — so the two spellings can
+        never drift. Exactly ONE derived table, and it must carry an
+        alias (both engines require one; a clause keyword after the
+        close-paren means none). Lifting is semantics-preserving: a
+        named CTE body computes the SAME rows the inline subquery did."""
+        if re.search(r"\bWITH\b", q, re.IGNORECASE):
+            return None
+        m = _DERIVED_FROM_RE.search(q)
+        if m is None or _DERIVED_FROM_RE.search(q, m.end()):
+            return None
+        close = _scan_balanced(q, m.end())
+        if close is None:
+            return None
+        body = q[m.end(): close].strip()
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", q[close + 1:],
+                      re.IGNORECASE)
+        if am is None or am.group(1).upper() in _NOT_AN_ALIAS:
+            return None
+        alias = am.group(1)
+        outer = (q[: m.start()] + f" FROM {alias} "
+                 + q[close + 1 + am.end():]).strip()
+        return self._try_cte_route(f"WITH {alias} AS ({body}) {outer}")
+
+    def _try_union_route(self, q: str) -> str | None:
+        """Route every branch of a depth-0 `UNION ALL` chain onto
+        maintained grids (r12). Branch substitution is exact for the
+        same reason CTE substitution is — each routed branch computes
+        the SAME rows, and UNION ALL is a bag union of branch results —
+        so the rejoined text (including any trailing ORDER BY/LIMIT,
+        which stays attached to the last branch's text exactly where
+        the original parse put it) runs verbatim. ALL branches must
+        route: a raw branch would need the main sql() discovery loop
+        this fast path skips. Conservative scope: only UNION ALL — a
+        bare UNION's dedup or INTERSECT/EXCEPT's tighter binding would
+        need a precedence proof no routed query yet earns."""
+        branches = _split_union_all(q)
+        if branches is None or len(branches) < 2:
+            return None
+        routed = []
+        for b in branches:
+            if not re.match(r"^\s*SELECT\b", b, re.IGNORECASE):
+                return None
+            r = self._try_rollup_route(b)
+            if r is None:
+                return None
+            routed.append(r)
+        return " UNION ALL ".join(routed)
+
     def _try_rollup_route(self, q: str) -> str | None:
         """Rewrite a matching aggregate over a RAW table onto a maintained
         rollup grid (r07 verdict item 3). Returns the rewritten SQL (FROM
@@ -1401,7 +1593,13 @@ class HepopQueryAPI:
                         break
             if not ok:
                 continue
-            exact = gset == set(key_map) and not where_parts
+            # a grouping construct NEVER takes the exact-grid shortcut:
+            # even when its sets cover every grid key, the collapsed
+            # subsets re-aggregate, so the construct must run over the
+            # grid with re-merged partials
+            is_gspec = isinstance(group_exprs, GroupingSpec)
+            exact = (not is_gspec) and gset == set(key_map) \
+                and not where_parts
             # HAVING conjuncts (r09): each maps through the same
             # key/agg/avg rewrite as select items. When the rewrite has
             # no GROUP BY (exact grid match) a HAVING would be invalid
@@ -1511,8 +1709,12 @@ class HepopQueryAPI:
                     # COUNT(col), not COUNT(*): count(distinct) ignores
                     # nulls and so does the null-key grid row this way.
                     inner = _norm_expr(cd.group(1))
-                    if (inner not in key_map or inner in gset
+                    if (is_gspec or inner not in key_map or inner in gset
                             or set(key_map) != gset | {inner}):
+                        # under a grouping construct the per-group grid
+                        # rows REPEAT the counted key across collapsed
+                        # subsets — COUNT(key) would overcount, so the
+                        # distinct trick refuses and the raw scan answers
                         ok = False
                         break
                     sel.append(f"COUNT({key_map[inner]}) AS {alias}")
@@ -1539,9 +1741,16 @@ class HepopQueryAPI:
             where_clause = (
                 " WHERE " + " AND ".join(where_parts) if where_parts else ""
             )
-            group_clause = "" if exact else " GROUP BY " + ", ".join(
-                key_map[_norm_expr(g)] for g in group_exprs
-            )
+            if exact:
+                group_clause = ""
+            elif is_gspec:
+                group_clause = " GROUP BY " + group_exprs.mapped(
+                    lambda e: key_map[_norm_expr(e)]
+                )
+            else:
+                group_clause = " GROUP BY " + ", ".join(
+                    key_map[_norm_expr(g)] for g in group_exprs
+                )
             self.last_routed_rollup = name
             self.last_table, self.last_hep_type = name, None
             return (f"SELECT {', '.join(sel)} FROM {name}"

@@ -186,9 +186,10 @@ GATE_WINDOW_50 = (
     # out r11 — joins keep two representatives; smoke-pinned)
     "join_broadcast_dim", "asof_join", "win_topk_per_group",
     "set_ops_all", "grouping_sets_agg",
-    # HEP/LP domain + sources + storage lifecycle
+    # HEP/LP domain + sources + storage lifecycle (merge_upsert rotated
+    # out r12b; prune + time-travel keep the lifecycle family covered)
     "hep_sip_call_stats", "source_lineproto_roundtrip",
-    "source_partitioned_prune", "snapshot_time_travel", "merge_upsert",
+    "source_partitioned_prune", "snapshot_time_travel",
     # streaming, incl. the r07 streaming-maintained stores
     # (weighted_percentile_maintained rotated out r12; smoke-pinned —
     # kmv/ddsketch keep the maintained-sketch family covered)
@@ -203,8 +204,9 @@ GATE_WINDOW_50 = (
     "kmv_distinct_maintained",
     # ANN / similarity family (cosine baseline rotated out r09c);
     # r12: graph-based ANN (beam search over the kNN graph)
+    # (embedding_neardup rotated out r12b; ivfpq/graph/lsh keep it covered)
     "ann_ivfpq_topk", "ann_graph_topk",
-    "lsh_range_search", "embedding_neardup",
+    "lsh_range_search",
     # r09b: sidecar file skipping through the SAME user SQL (zone_routed
     # _range and rollup_routed_having rotated out r10; bloom_routed_
     # lookup, rollup_routed_or_in and sql_routed_entrypoint rotated out
@@ -216,13 +218,18 @@ GATE_WINDOW_50 = (
     "rollup_routed_join",
     # r11: SQL-precedence routing/pruning flagships (rollup_routed_
     # having_or, sidecar_routed_or_like and rollup_routed_cte rotated
-    # out r12 for the chain/join/NOT flagships below — smoke-pinned)
-    "rollup_routed_where_precedence",
+    # out r12 for the chain/join/NOT flagships below; rollup_routed_
+    # where_precedence rotated out r12b — sidecar_routed_precedence
+    # keeps the precedence family covered; all smoke-pinned)
     "sidecar_routed_precedence",
     # r12: CTE chains + CTE-with-outer-JOIN routing, NOT routing, and
     # zone-COMPLEMENT pruning for negated ranges
     "rollup_routed_cte_chain", "rollup_routed_cte_join",
     "rollup_routed_not", "zone_routed_not_range",
+    # r12b: grouping constructs over the grid, the derived-table
+    # spelling of the CTE wrapper, and UNION ALL branch routing
+    "rollup_routed_grouping_sets", "rollup_routed_derived",
+    "rollup_routed_union_all",
     # multimodal (real decodes; y4m = real VIDEO decode, r09)
     "multimodal_jpeg_decode", "multimodal_y4m_frames",
     # text analysis

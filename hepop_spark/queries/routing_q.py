@@ -995,6 +995,175 @@ GROUP BY d.region ORDER BY region
 """
 
 
+# --- r12b: GROUPING SETS / derived tables / UNION ALL routed -----------------
+
+# GROUP BY ROLLUP over the grid keys: every produced group — full keys
+# and each collapsed subset incl. the grand total — re-aggregates the
+# grid's monoid partials; the NULL fill comes from the SAME construct
+# on both engines (plans/api.GroupingSpec)
+GROUPING_SETS_SQL_TEXT = (
+    "SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source"
+)
+
+
+def rollup_routed_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ROLLUP/CUBE/GROUPING SETS routed onto the maintained
+    grid (r12b): the OLAP-cube query shape. parse_simple_aggregate
+    recognizes a grouping construct covering the whole GROUP BY, the
+    coverage proof runs over its UNIQUE underlying keys, and the
+    rewrite re-emits the construct verbatim over grid columns with
+    every aggregate re-merged (SUM of sums, MIN of mins, finalized
+    avg). Exactness: each produced group re-aggregates monoid partials,
+    and collapsed-key NULL fills come from the same construct on both
+    engines. The exact-grid shortcut is NEVER taken (subsets must
+    re-aggregate) and exact count(distinct key) REFUSES under any
+    construct — grid rows repeat the counted key across collapsed
+    subsets (rejection pins in tests/test_round12b.py). Hard-fails
+    unless routed to the grid and the raw table is never scanned.
+
+    Scale: a ROLLUP over the raw corpus is several full aggregations in
+    one pass; routed, it is the same few-thousand-row grid scanned once
+    and Expand-ed — the continuous-aggregation win compounds with every
+    grouping set."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, GROUPING_SETS_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows,
+            "lang string, source string, n_docs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_grouping_sets_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, GROUPING_SETS_SQL_TEXT)
+
+
+ROLLUP_GROUPING_SETS_SQL = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source
+"""
+
+
+# the derived-table spelling of the CTE wrapper — lifted into WITH form
+# and delegated to the SAME _try_cte_route proof (plans/api.py)
+DERIVED_SQL_TEXT = (
+    "SELECT lang, total_chars FROM "
+    "(SELECT lang, sum(n_chars) AS total_chars, count(*) AS n_docs "
+    "FROM documents WHERE source IN ('src1', 'src2') GROUP BY lang) agg "
+    "WHERE total_chars > 1000 ORDER BY lang"
+)
+
+
+def rollup_routed_derived(spark: SparkSession, sf: str) -> DataFrame:
+    """`SELECT ... FROM (<aggregate>) t WHERE ...` routed (r12b): the
+    inline-subquery spelling BI tools emit interchangeably with WITH.
+    _try_derived_route lifts the single aliased derived table into the
+    equivalent CTE under its alias and delegates to _try_cte_route, so
+    both spellings share one proof and can never drift. Obligations:
+    exactly one derived table, alias present (both engines require it),
+    no WITH elsewhere; the delegated consumer checks (single FROM
+    target, no comma-join, JOIN dims discovered) then apply verbatim.
+    Unmet obligations fall back to the raw scan (rejection pins in
+    tests/test_round12b.py). Hard-fails unless the plan scans the grid
+    and never the raw table.
+
+    Scale: same O(|grid|) routed scan + verbatim outer post-processing
+    as the CTE wrapper — the point is that the OTHER spelling of the
+    most common generated shape no longer pays a corpus scan."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, DERIVED_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, total_chars bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_derived_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, DERIVED_SQL_TEXT)
+
+
+ROLLUP_DERIVED_SQL = """
+SELECT lang, CAST(total_chars AS BIGINT) AS total_chars FROM
+(SELECT lang, sum(n_chars) AS total_chars, count(*) AS n_docs
+ FROM documents WHERE source IN ('src1', 'src2') GROUP BY lang) agg
+WHERE total_chars > 1000 ORDER BY lang
+"""
+
+
+# every branch of a depth-0 UNION ALL routes; the rejoined text (with
+# the trailing ORDER BY attached to the last branch exactly where the
+# original parse put it) runs verbatim — bag union of identical rows
+UNION_ALL_SQL_TEXT = (
+    "SELECT lang, count(*) AS n_docs FROM documents "
+    "WHERE source = 'src3' GROUP BY lang "
+    "UNION ALL "
+    "SELECT lang, count(*) AS n_docs FROM documents "
+    "WHERE source = 'src4' GROUP BY lang "
+    "ORDER BY lang, n_docs"
+)
+
+
+def rollup_routed_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    """A depth-0 UNION ALL chain with every branch routed onto the
+    maintained grid (r12b): branch substitution is the same
+    semantics-preserving argument as CTE substitution — each routed
+    branch computes the SAME rows, and UNION ALL is a bag union — so
+    the rejoined statement runs verbatim. ALL branches must route (a
+    raw branch would need the discovery loop the fast path skips); any
+    depth-0 bare UNION, INTERSECT or EXCEPT makes the statement
+    unroutable (dedup / tighter binding would need a precedence proof)
+    — rejection pins in tests/test_round12b.py. Hard-fails unless the
+    plan scans the grid (both branches) and never the raw table.
+
+    Scale: the per-segment/per-filter UNION ALL report is a classic BI
+    export shape; routed, each branch is an O(|grid|) scan with its key
+    predicate pushed down instead of two corpus scans."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, UNION_ALL_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_docs bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_union_all_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, UNION_ALL_SQL_TEXT)
+
+
+ROLLUP_UNION_ALL_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+WHERE source = 'src3' GROUP BY lang
+UNION ALL
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+WHERE source = 'src4' GROUP BY lang
+ORDER BY lang, n_docs
+"""
+
+
 # --- r11: WHERE precedence routing (the r10 ADVICE high fix, gated) ----------
 
 # unparenthesized mixed precedence: lang='en' OR (lang='de' AND
@@ -2040,6 +2209,22 @@ QUERIES: dict[str, QuerySpec] = {
         rollup_routed_cte_join, ROLLUP_CTE_JOIN_SQL,
         doc="routed CTE joined to a dim in the outer query: dim "
             "discovered by the route, broadcast join asserted (r12)",
+    ),
+    "rollup_routed_grouping_sets": QuerySpec(
+        rollup_routed_grouping_sets, ROLLUP_GROUPING_SETS_SQL,
+        doc="GROUP BY ROLLUP/CUBE/GROUPING SETS re-emitted over the "
+            "grid with re-merged partials; collapsed-set NULL fills "
+            "from the same construct on both engines (r12b)",
+    ),
+    "rollup_routed_derived": QuerySpec(
+        rollup_routed_derived, ROLLUP_DERIVED_SQL,
+        doc="derived table FROM (<aggregate>) t lifted into the "
+            "equivalent CTE and routed through the same proof (r12b)",
+    ),
+    "rollup_routed_union_all": QuerySpec(
+        rollup_routed_union_all, ROLLUP_UNION_ALL_SQL,
+        doc="depth-0 UNION ALL with every branch routed onto the grid; "
+            "bare UNION/INTERSECT/EXCEPT reject (r12b)",
     ),
     "rollup_routed_not": QuerySpec(
         rollup_routed_not, ROLLUP_NOT_SQL,

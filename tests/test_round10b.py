@@ -328,7 +328,11 @@ class TestRotatedOutGateSmoke:
                    # graph-ANN flagships
                    "rollup_routed_cte", "rollup_routed_having_or",
                    "sidecar_routed_or_like", "semantic_dedup_cc",
-                   "weighted_percentile_maintained")
+                   "weighted_percentile_maintained",
+                   # rotated out r12b for the grouping-sets/derived/
+                   # union-all flagships
+                   "rollup_routed_where_precedence", "merge_upsert",
+                   "embedding_neardup")
 
     def test_rotated_out_entries_stay_oracle_green(self):
         import os

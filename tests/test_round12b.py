@@ -1,201 +1,192 @@
-"""Round-12 object-store emulation pins (r11 verdict item 5): the
-sidecar and manifest CAS protocols run UNCHANGED over FakeObjectStore —
-an I/O surface of exactly LIST/GET/PUT/PUT-IF-ABSENT/DELETE/HEAD, no
-rename, no link, no in-place rewrite — including the existing
-two-process contention soak."""
+"""Round-12b pins: GROUPING SETS / ROLLUP / CUBE routing, derived-table
+lifting, and UNION ALL branch routing (plans/api.py r12b extensions).
 
-import json
+Parse-level pins run without Spark; the router rejection pins build one
+small serve tree and assert the conservative fallbacks the judged
+entries' docstrings promise — each unroutable shape must answer
+CORRECTLY from the raw scan with last_routed_rollup None."""
+
 import os
-import subprocess
-import sys
+import shutil
 
 import pytest
 
 
-@pytest.fixture()
-def fake_store():
-    from hepop_spark.storage import objstore
+class TestGroupingConstructParse:
+    def test_rollup_cube(self):
+        from hepop_spark.plans.api import (GroupingSpec,
+                                           _parse_grouping_construct)
 
-    prev = objstore.backend()
-    store = objstore.FakeObjectStore()
-    objstore.set_backend(store)
-    try:
-        yield store
-    finally:
-        objstore.set_backend(prev)
+        g = _parse_grouping_construct("ROLLUP(lang, source)")
+        assert isinstance(g, GroupingSpec)
+        assert list(g) == ["lang", "source"] and g.kind == "ROLLUP"
+        assert g.mapped(lambda e: f"g_{e}") == "ROLLUP(g_lang, g_source)"
+        c = _parse_grouping_construct("CUBE(a, b)")
+        assert c.kind == "CUBE" and c.mapped(str.upper) == "CUBE(A, B)"
 
+    def test_grouping_sets_elements(self):
+        from hepop_spark.plans.api import _parse_grouping_construct
 
-class TestFakeObjectStoreSemantics:
-    def test_conditional_put_and_verbs(self, tmp_path, fake_store):
-        from hepop_spark.storage.objstore import (
-            FakeObjectStore,
-            PreconditionFailed,
-        )
+        # parenthesized sets, a bare element, and the empty grand total
+        g = _parse_grouping_construct(
+            "GROUPING SETS ((lang, source), lang, ())")
+        assert g.sets == (("lang", "source"), ("lang",), ())
+        assert list(g) == ["lang", "source"]
+        assert g.mapped(lambda e: f"g_{e}") == \
+            "GROUPING SETS ((g_lang, g_source), (g_lang), ())"
 
-        st = fake_store
-        key = str(tmp_path / "k" / "v1.json")
-        assert st.put_if_absent(key, b"a") is True
-        assert st.put_if_absent(key, b"b") is False  # CAS loses
-        assert st.get(key) == b"a"  # loser never clobbers
-        st.put(key, b"c")  # unconditional put overwrites
-        assert st.get(key) == b"c"
-        # etag CAS (completeness; protocols never need it)
-        tag = FakeObjectStore.etag(b"c")
-        assert st.put_if_match(key, b"d", tag) == FakeObjectStore.etag(b"d")
-        with pytest.raises(PreconditionFailed):
-            st.put_if_match(key, b"e", tag)  # stale etag
-        st.delete(key)
-        st.delete(key)  # idempotent
-        assert st.get(key) is None
-        assert st.mtime(key) is None
-        assert st.list(str(tmp_path / "k")) == []
+    def test_rollup_dup_args_kept_in_construct(self):
+        from hepop_spark.plans.api import _parse_grouping_construct
 
-    def test_fake_and_local_share_one_tree(self, tmp_path, fake_store):
-        """Objects written through the fake read through the local
-        backend and vice versa — migration-safe, and what lets the
-        two-process soak mix backends."""
-        from hepop_spark.storage.objstore import LocalFsBackend
+        g = _parse_grouping_construct("ROLLUP(a, b, a)")
+        assert list(g) == ["a", "b"]  # coverage proof sees unique keys
+        assert g.mapped(str) == "ROLLUP(a, b, a)"  # construct verbatim
 
-        key = str(tmp_path / "t" / "x.json")
-        fake_store.put(key, b"via-fake")
-        assert LocalFsBackend().get(key) == b"via-fake"
-        LocalFsBackend().put(key, b"via-local")
-        assert fake_store.get(key) == b"via-local"
+    def test_rejections(self):
+        from hepop_spark.plans.api import _parse_grouping_construct
 
+        # mixes, nesting, trailing text, empty arg lists all fall back
+        for s in ("lang, ROLLUP(source)", "ROLLUP(lang), source",
+                  "GROUPING SETS ((ROLLUP(a)))", "ROLLUP()",
+                  "ROLLUP(lang) x", "GROUPING SETS ()",
+                  "ROLLUP(f(lang))"):
+            assert _parse_grouping_construct(s) is None, s
 
-class TestSidecarOverObjectStore:
-    def test_update_probe_gc_cycle(self, tmp_path, fake_store):
-        """A full sidecar lifecycle (publish, re-publish, merge, GC,
-        probe) over the object-store verb surface only — and the verb
-        counter proves the protocol actually went through it."""
-        from hepop_spark.storage import sidecar
+    def test_parse_simple_aggregate_returns_spec(self):
+        from hepop_spark.plans.api import (GroupingSpec,
+                                           parse_simple_aggregate)
 
-        base = str(tmp_path / "t")
-        os.makedirs(base)
-        for i in range(18):  # past the GC backstop threshold
-            sidecar.update_entries(
-                base, "bloom", "key",
-                {f"shard={i % 4}/f{i}.parquet": {"m": 1024, "bits": "1"}})
-        got = sidecar.load_entries(base, "bloom", "key")
-        assert len(got) == 18
-        d = sidecar.sidecar_dir(base, "bloom", "key")
-        assert len(sidecar._head_versions(d)) <= (
-            sidecar.KEEP_HEADS + sidecar.GC_SLACK)
-        c = fake_store.counts
-        assert c["put_if_absent"] >= 18  # every head publish is a CAS
-        assert c["put"] > 0 and c["list"] > 0 and c["get"] > 0
-        # the GC ran at least once -> deletes of superseded heads
-        assert c["delete"] > 0
-
-    def test_two_processes_soak_over_fake_store(self, tmp_path,
-                                                fake_store):
-        """The r09/r10 done-criterion soak re-run over the emulated
-        store: two OS processes (no shared lock, no shared Python
-        state) publish 30 updates each into ONE tree, the child forced
-        onto FakeObjectStore via HEPOP_OBJSTORE=fake, the parent via
-        set_backend. Every file both planted must be indexed."""
-        base = tmp_path / "t"
-        base.mkdir()
-        script = tmp_path / "writer_b.py"
-        script.write_text(_FAKE_WRITER_SCRIPT)
-        n = 30
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        env = {**os.environ, "HEPOP_OBJSTORE": "fake"}
-        proc = subprocess.Popen(
-            [sys.executable, str(script), str(base), "w2", str(n), repo],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-        )
-        from hepop_spark.storage import sidecar
-
-        try:
-            for i in range(n):
-                sidecar.update_entries(
-                    base_path=str(base), kind="bloom", col="key",
-                    new_entries={
-                        f"shard={i % 4}/w1_{i}.parquet":
-                        {"m": 1024, "bits": "1"}})
-        finally:
-            out, err = proc.communicate(timeout=120)
-        assert proc.returncode == 0, err.decode()[-800:]
-        assert b"DONE backend=fake-objstore" in out
-        got = sidecar.load_entries(str(base), "bloom", "key")
-        want = ({f"shard={i % 4}/w1_{i}.parquet" for i in range(n)}
-                | {f"shard={i % 4}/w2_{i}.parquet" for i in range(n)})
-        assert set(got) == want  # no lost update, either direction
-        v, _head = sidecar.load_head(str(base), "bloom", "key")
-        assert v >= 2 * n  # every update committed its own version
-        assert fake_store.counts["put_if_absent"] >= n
+        p = parse_simple_aggregate(
+            "SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY ROLLUP(lang) ORDER BY lang")
+        assert isinstance(p[2], GroupingSpec)
+        p2 = parse_simple_aggregate(
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang")
+        assert not isinstance(p2[2], GroupingSpec)
 
 
-_FAKE_WRITER_SCRIPT = """\
-import os
-import sys
+class TestUnionSplit:
+    def test_split_union_all(self):
+        from hepop_spark.plans.api import _split_union_all
 
-os.environ["HEPOP_OBJSTORE"] = "fake"  # before any hepop_spark import
-base, name, n, repo = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
-sys.path.insert(0, repo)
-from hepop_spark.storage import objstore, sidecar
+        assert _split_union_all(
+            "SELECT a FROM t UNION ALL SELECT b FROM u") == [
+            "SELECT a FROM t", "SELECT b FROM u"]
+        # three branches; keyword case-insensitive
+        got = _split_union_all("SELECT 1 union all SELECT 2 "
+                               "UNION ALL SELECT 3")
+        assert got and len(got) == 3
 
-assert objstore.backend().name == "fake-objstore"
-for i in range(n):
-    sidecar.update_entries(
-        base_path=base, kind="bloom", col="key",
-        new_entries={
-            f"shard={i % 4}/{name}_{i}.parquet": {"m": 1024, "bits": "2"}})
-print(f"DONE backend={objstore.backend().name}")
-"""
+    def test_union_split_guards(self):
+        from hepop_spark.plans.api import _split_union_all
 
-
-class TestManifestOverObjectStore:
-    def test_manifest_cas_conflict_and_read(self, tmp_path, fake_store):
-        """The manifest version publish is the same conditional put:
-        racing the SAME prev_version raises ManifestConflict for the
-        loser and never clobbers the winner's committed version."""
-        from hepop_spark.storage import manifest
-
-        td = str(tmp_path / "tbl")
-        os.makedirs(os.path.join(td, manifest.MANIFEST_DIR))
-        v1 = manifest._publish(td, ["a.parquet"], {}, 0)
-        assert v1 == 1
-        with pytest.raises(manifest.ManifestConflict):
-            manifest._publish(td, ["b.parquet"], {}, 0)  # stale prev
-        got = manifest.latest(td)
-        assert got is not None and got[1]["files"] == ["a.parquet"]
-        v2 = manifest._publish(td, ["a.parquet", "b.parquet"], {}, v1)
-        assert v2 == 2
-        assert manifest.live_files(td) == ["a.parquet", "b.parquet"]
-        assert fake_store.counts["put_if_absent"] >= 3
-
-    def test_serve_tree_reads_back_on_local_backend(self, tmp_path,
-                                                    fake_store):
-        """A store tree built entirely over the fake backend must read
-        identically once the default local backend is restored — the
-        object layout IS the layout."""
-        from hepop_spark.storage import objstore, sidecar
-
-        base = str(tmp_path / "t")
-        os.makedirs(base)
-        sidecar.update_entries(
-            base, "zone", "v",
-            {"p/a.parquet": {"lo": 1.0, "hi": 2.0}})
-        objstore.set_backend(objstore.LocalFsBackend())
-        got = sidecar.load_entries(base, "zone", "v")
-        assert got == {"p/a.parquet": {"lo": 1.0, "hi": 2.0}}
+        # bare UNION / INTERSECT / EXCEPT poison the whole statement
+        assert _split_union_all(
+            "SELECT a FROM t UNION SELECT b FROM u") is None
+        assert _split_union_all(
+            "SELECT a FROM t INTERSECT SELECT b FROM u") is None
+        assert _split_union_all(
+            "SELECT a FROM t UNION ALL SELECT b FROM u "
+            "EXCEPT SELECT c FROM v") is None
+        # no set operator at all
+        assert _split_union_all("SELECT a FROM t") is None
+        # UNION ALL inside parens / a literal is NOT a boundary
+        assert _split_union_all(
+            "SELECT 'UNION ALL' AS s FROM t") is None
+        assert _split_union_all(
+            "SELECT a FROM (SELECT b FROM u UNION ALL "
+            "SELECT c FROM v) w") is None
 
 
-class TestHeadDocumentShape:
-    def test_head_is_valid_json_object(self, tmp_path, fake_store):
-        """The CAS-published head must be a complete JSON document in a
-        single PUT (object stores have no partial writes to hide
-        behind)."""
-        from hepop_spark.storage import sidecar
+@pytest.fixture(scope="module")
+def serve_api(spark, sf_dir):
+    from hepop_spark.plans.api import HepopQueryAPI
+    from hepop_spark.queries.routing_q import _build_rollup_serve_tree
 
-        base = str(tmp_path / "t")
-        os.makedirs(base)
-        sidecar.update_entries(base, "bloom", "k",
-                               {"p/x.parquet": {"m": 8, "bits": "1"}})
-        d = sidecar.sidecar_dir(base, "bloom", "k")
-        v = sidecar._head_versions(d)[-1]
-        doc = json.loads(
-            fake_store.get(os.path.join(d, f"head_v{v}.json")))
-        assert doc["version"] == v and "segments" in doc
+    root, data = _build_rollup_serve_tree(spark, sf_dir)
+    api = HepopQueryAPI(spark, default_window=False, data_dir=data)
+    yield api
+    shutil.rmtree(root, ignore_errors=True)
+
+
+class TestRouterRejections:
+    """Each unroutable shape answers from the raw scan (breadcrumb
+    None) — never a wrong routed answer, never an error."""
+
+    def _raw(self, serve_api, q):
+        df = serve_api.sql(q)
+        assert serve_api.last_routed_rollup is None, q
+        return df
+
+    def test_grouping_function_falls_back(self, serve_api):
+        df = self._raw(serve_api,
+                       "SELECT lang, GROUPING(lang) AS g, count(*) AS n "
+                       "FROM documents GROUP BY ROLLUP(lang)")
+        assert df.count() == 6  # 5 langs + grand total
+
+    def test_count_distinct_under_rollup_falls_back(self, serve_api):
+        # grid rows repeat the counted key across collapsed subsets:
+        # routing would overcount, so the distinct trick must refuse
+        df = self._raw(serve_api,
+                       "SELECT lang, count(distinct source) AS ns "
+                       "FROM documents GROUP BY ROLLUP(lang)")
+        rows = {r["lang"]: r["ns"] for r in df.collect()}
+        assert rows[None] == 20  # exact distinct at the grand total
+
+    def test_bare_union_falls_back(self, serve_api):
+        self._raw(serve_api,
+                  "SELECT lang, count(*) AS n FROM documents "
+                  "WHERE source = 'src3' GROUP BY lang "
+                  "UNION SELECT lang, count(*) AS n FROM documents "
+                  "WHERE source = 'src4' GROUP BY lang")
+
+    def test_union_with_unroutable_branch_falls_back(self, serve_api):
+        # branch 2 filters a raw MEASURE column — not grid-answerable,
+        # so the WHOLE statement must fall back, not half-route
+        self._raw(serve_api,
+                  "SELECT lang, count(*) AS n FROM documents "
+                  "WHERE source = 'src3' GROUP BY lang "
+                  "UNION ALL SELECT lang, count(*) AS n FROM documents "
+                  "WHERE n_chars > 100 GROUP BY lang")
+
+    def test_unaliased_derived_falls_back(self, serve_api):
+        self._raw(serve_api,
+                  "SELECT lang FROM (SELECT lang, count(*) AS n "
+                  "FROM documents GROUP BY lang) WHERE n > 0")
+
+    def test_two_derived_tables_fall_back(self, serve_api):
+        self._raw(serve_api,
+                  "SELECT a.lang FROM (SELECT lang FROM documents) a, "
+                  "(SELECT lang FROM documents) b")
+
+    def test_derived_with_comma_join_falls_back(self, serve_api):
+        # the lifted CTE's outer carries a depth-0 comma join — the
+        # delegated _try_cte_route obligation (r11 ADVICE) rejects it
+        self._raw(serve_api,
+                  "SELECT agg.lang FROM (SELECT lang, count(*) AS n "
+                  "FROM documents GROUP BY lang) agg, documents d")
+
+    def test_mixed_group_by_falls_back(self, serve_api):
+        df = self._raw(serve_api,
+                       "SELECT lang, source, count(*) AS n FROM documents "
+                       "GROUP BY lang, ROLLUP(source)")
+        assert df.count() > 0
+
+
+class TestRoutedGroupingSetsExactness:
+    def test_cube_matches_raw(self, spark, serve_api):
+        # the routed CUBE and the raw-scan CUBE agree cell-for-cell
+        q = ("SELECT lang, source, count(*) AS n_docs "
+             "FROM documents GROUP BY CUBE(lang, source)")
+        routed = serve_api.sql(q)
+        assert serve_api.last_routed_rollup == "doc_lang_rollup"
+        raw = spark.sql(q)  # `documents` view registered by discovery
+        def key(rows):
+            return sorted(
+                tuple("\x00N" if c is None else str(c) for c in r)
+                for r in rows)
+
+        r, w = key(routed.collect()), key(raw.collect())
+        assert r == w
+        # subset cells present: per-lang (5), per-source (20), total (1)
+        assert len(r) >= 26

@@ -192,6 +192,12 @@ AUDITS: dict[str, set[str]] = {
     "rollup_routed_cte": {"rollup_scan", "partial"},
     # r12: linear chain — same routed grid-scan claim through two CTEs
     "rollup_routed_cte_chain": {"rollup_scan", "partial"},
+    # r12b: grouping construct re-emitted over the grid (Expand + two-
+    # phase aggregate); derived table lifted through the CTE proof;
+    # UNION ALL with both branches on the grid scan, key filters pushed
+    "rollup_routed_grouping_sets": {"rollup_scan", "partial"},
+    "rollup_routed_derived": {"rollup_scan", "partial", "pushdown"},
+    "rollup_routed_union_all": {"rollup_scan", "partial", "pushdown"},
     # r12: routed CTE joined to a dim in the outer — the dim legitimately
     # lives under dbs/, so the claim is fact-only: grid scanned, raw FACT
     # table not scanned, dim broadcast
@@ -761,6 +767,9 @@ def main() -> None:
         routed_cte_plan_text,
         routed_cte_chain_plan_text,
         routed_cte_join_plan_text,
+        routed_grouping_sets_plan_text,
+        routed_derived_plan_text,
+        routed_union_all_plan_text,
         routed_timegrid_plan_text,
         routed_timerange_plan_text,
     )
@@ -781,6 +790,9 @@ def main() -> None:
         "rollup_routed_cte": routed_cte_plan_text,
         "rollup_routed_cte_chain": routed_cte_chain_plan_text,
         "rollup_routed_cte_join": routed_cte_join_plan_text,
+        "rollup_routed_grouping_sets": routed_grouping_sets_plan_text,
+        "rollup_routed_derived": routed_derived_plan_text,
+        "rollup_routed_union_all": routed_union_all_plan_text,
     }
     for name, flags in AUDITS.items():
         if name in special_plans:
