@@ -634,7 +634,7 @@ def _from_clause_has_comma(sel: str) -> bool:
     return False
 
 
-_DERIVED_FROM_RE = re.compile(r"\bFROM\s*\(", re.IGNORECASE)
+_DERIVED_FROM_RE = re.compile(r"\b(?:FROM|JOIN)\s*\(", re.IGNORECASE)
 # a clause keyword right after `FROM (...)` means the derived table has
 # no alias — both engines reject that, so routing must not invent one
 _NOT_AN_ALIAS = {
@@ -1360,7 +1360,13 @@ class HepopQueryAPI:
           ... outer` (r12): the FIRST body routes; every later body and
           the outer must be a SELECT over exactly the PREVIOUS name —
           single FROM, referenced once, no JOIN, no comma-join — so no
-          undiscovered raw table can hide downstream.
+          undiscovered raw table can hide downstream;
+        - PARALLEL CTEs joined in the outer (r12c): `WITH a AS
+          (<routable>), b AS (<routable>) SELECT ... FROM a JOIN b ...`
+          — EVERY body routes independently (none references another
+          CTE), the outer FROMs one CTE and JOINs each remaining CTE
+          exactly once (plus discovered dims); all substitutions are
+          the same semantics-preserving argument applied per body.
 
         Shared obligations: no nested WITH anywhere; no depth-0 comma
         in any consumer's FROM clause (the comma-style join the JOIN-
@@ -1382,6 +1388,10 @@ class HepopQueryAPI:
         names = [n for n, _b in defs]
         if len({n.lower() for n in names}) != len(names):
             return None  # duplicate CTE names: shadowing, unproven
+        if len(defs) >= 2:
+            parallel = self._try_parallel_cte(defs, outer)
+            if parallel is not None:
+                return parallel
         # every consumer (later bodies + outer) over exactly the
         # previous CTE name — except the outer of a SINGLE-cte wrapper,
         # which may also JOIN discovered dims (checked below)
@@ -1446,6 +1456,73 @@ class HepopQueryAPI:
         return (f"WITH {defs[0][0]} AS ({routed_body})"
                 f"{rest.rstrip() or ''} {outer}")
 
+    def _try_parallel_cte(self, defs, outer: str) -> str | None:
+        """The parallel-CTE JOIN shape (r12c): every CTE body is an
+        INDEPENDENT routable aggregate (no body references another CTE
+        name), and the outer joins them — `FROM <cte1> JOIN <cte2> ON
+        ...` with optional further JOINs to the remaining CTEs and to
+        discovered dimension tables. The segment-comparison report BI
+        tools generate (two filtered aggregates joined on their group
+        key). Substituting each routed body is the per-body
+        semantics-preserving argument; the outer join text runs
+        verbatim, so any join type/multiplicity is exact. Obligations
+        beyond the caller's shared ones: outer is a JOIN-bearing SELECT
+        whose single FROM target is one CTE; every OTHER CTE appears
+        exactly once, as a JOIN target; non-CTE JOIN targets must
+        discover/resolve (the routed fast path skips sql() discovery);
+        EVERY body must route — one raw branch would leave an
+        undiscovered table behind the rewrite.
+
+        Scale: each branch is an O(|grid|) scan; the join runs over
+        grid-sized sides (broadcast-eligible) instead of joining two
+        full corpus aggregations."""
+        names = [n for n, _b in defs]
+        lowered = {n.lower() for n in names}
+        for _n, b in defs:
+            if any(re.search(rf"\b{re.escape(nm)}\b", b, re.IGNORECASE)
+                   for nm in names):
+                return None  # a body references a CTE: chain, not parallel
+        if _from_clause_has_comma(outer):
+            return None
+        if not re.search(r"\bJOIN\b", outer, re.IGNORECASE):
+            return None
+        from_targets = _FROM_RE.findall(outer)
+        if len(from_targets) != 1 or from_targets[0].lower() not in lowered:
+            return None
+        join_targets = [m.group(1) for m in re.finditer(
+            r"\bJOIN\s+([A-Za-z_]\w*)", outer, re.IGNORECASE)]
+        # each CTE consumed exactly once: the FROM anchor plus one JOIN
+        # per remaining name; a CTE joined twice (self-join) or absent
+        # is unproven
+        consumed = [from_targets[0].lower()] + [t.lower()
+                                                for t in join_targets
+                                                if t.lower() in lowered]
+        if sorted(consumed) != sorted(lowered):
+            return None
+        from ..catalog import discover_table
+
+        for dim in sorted({t for t in join_targets
+                           if t.lower() not in lowered}):
+            hep = re.fullmatch(r"hep_(\d+)", dim)
+            try:
+                found = discover_table(
+                    self.spark, self.data_dir, dim,
+                    int(hep.group(1)) if hep else None,
+                    cache=self._view_fingerprints)
+                if not found and not self.spark.catalog.tableExists(dim):
+                    return None
+            except Exception:
+                return None
+        routed_bodies = []
+        for _n, b in defs:
+            r = self._try_rollup_route(b)
+            if r is None:
+                return None
+            routed_bodies.append(r)
+        heads = ", ".join(
+            f"{n} AS ({r})" for (n, _b), r in zip(defs, routed_bodies))
+        return f"WITH {heads} {outer}"
+
     def _try_derived_route(self, q: str) -> str | None:
         """Route `SELECT ... FROM ( <routable aggregate> ) [AS] t ...`
         (r12): the derived-table spelling of the CTE wrapper that BI
@@ -1454,27 +1531,42 @@ class HepopQueryAPI:
         whole statement delegates to _try_cte_route, which owns every
         consumer obligation (single FROM target, no comma-join, JOIN
         dims discovered, no nested WITH) — so the two spellings can
-        never drift. Exactly ONE derived table, and it must carry an
-        alias (both engines require one; a clause keyword after the
-        close-paren means none). Lifting is semantics-preserving: a
-        named CTE body computes the SAME rows the inline subquery did."""
+        never drift. r12c: EVERY `FROM (...) t` / `JOIN (...) u`
+        subquery is lifted — two joined derived aggregates become the
+        parallel-CTE shape under the same proof. Each subquery must
+        carry an alias (both engines require one; a clause keyword
+        after the close-paren means none) and aliases must be distinct.
+        Lifting is semantics-preserving: a named CTE body computes the
+        SAME rows the inline subquery did."""
         if re.search(r"\bWITH\b", q, re.IGNORECASE):
             return None
-        m = _DERIVED_FROM_RE.search(q)
-        if m is None or _DERIVED_FROM_RE.search(q, m.end()):
+        defs: list[tuple[str, str]] = []
+        out, pos = [], 0
+        while True:
+            m = _DERIVED_FROM_RE.search(q, pos)
+            if m is None:
+                out.append(q[pos:])
+                break
+            close = _scan_balanced(q, m.end())
+            if close is None:
+                return None
+            body = q[m.end(): close].strip()
+            am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", q[close + 1:],
+                          re.IGNORECASE)
+            if am is None or am.group(1).upper() in _NOT_AN_ALIAS:
+                return None
+            alias = am.group(1)
+            defs.append((alias, body))
+            kw = m.group(0)[:-1].rstrip()  # FROM or JOIN, spacing kept
+            out.append(q[pos: m.start()] + f"{kw} {alias} ")
+            pos = close + 1 + am.end()
+        if not defs:
             return None
-        close = _scan_balanced(q, m.end())
-        if close is None:
-            return None
-        body = q[m.end(): close].strip()
-        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", q[close + 1:],
-                      re.IGNORECASE)
-        if am is None or am.group(1).upper() in _NOT_AN_ALIAS:
-            return None
-        alias = am.group(1)
-        outer = (q[: m.start()] + f" FROM {alias} "
-                 + q[close + 1 + am.end():]).strip()
-        return self._try_cte_route(f"WITH {alias} AS ({body}) {outer}")
+        if len({a.lower() for a, _b in defs}) != len(defs):
+            return None  # duplicate aliases: shadowing, unproven
+        outer = "".join(out).strip()
+        heads = ", ".join(f"{a} AS ({b})" for a, b in defs)
+        return self._try_cte_route(f"WITH {heads} {outer}")
 
     def _try_union_route(self, q: str) -> str | None:
         """Route every branch of a depth-0 `UNION ALL` chain onto

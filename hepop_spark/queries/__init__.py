@@ -195,13 +195,14 @@ GATE_WINDOW_50 = (
     # kmv/ddsketch keep the maintained-sketch family covered)
     "streaming_window_replay", "streaming_index_maintain_replay",
     "streaming_ann_maintain_replay",
-    # dedup family (simhash rotated out r09c, semantic_dedup_cc r12;
-    # both stay oracle-checked in the full sweeps + smoke pins)
+    # dedup family (simhash rotated out r09c, semantic_dedup_cc r12,
+    # dedup_incremental_indexed r12c; all oracle-checked in the full
+    # sweeps + smoke pins)
     "dedup_exact", "dedup_minhash_lsh",
-    "dedup_incremental_indexed",
     "streaming_lsh_maintain_replay",
     # r09 continuous-aggregation flagship: KMV sketch column class
-    "kmv_distinct_maintained",
+    # (kmv_distinct_maintained rotated out r12c; ddsketch + theta keep
+    # the maintained-sketch family covered)
     # ANN / similarity family (cosine baseline rotated out r09c);
     # r12: graph-based ANN (beam search over the kNN graph)
     # (embedding_neardup rotated out r12b; ivfpq/graph/lsh keep it covered)
@@ -230,6 +231,9 @@ GATE_WINDOW_50 = (
     # spelling of the CTE wrapper, and UNION ALL branch routing
     "rollup_routed_grouping_sets", "rollup_routed_derived",
     "rollup_routed_union_all",
+    # r12c: parallel CTEs / inline derived aggregates joined in the
+    # outer, every branch routed
+    "rollup_routed_cte_parallel", "rollup_routed_derived_join",
     # multimodal (real decodes; y4m = real VIDEO decode, r09)
     "multimodal_jpeg_decode", "multimodal_y4m_frames",
     # text analysis

@@ -1164,6 +1164,123 @@ ORDER BY lang, n_docs
 """
 
 
+# --- r12c: parallel CTEs / derived tables JOINed in the outer ----------------
+
+# the segment-comparison report: two filtered aggregates joined on their
+# group key — BOTH CTE bodies route, the join text runs verbatim
+CTE_PARALLEL_SQL_TEXT = (
+    "WITH a AS (SELECT lang, count(*) AS n_a FROM documents "
+    "WHERE source = 'src3' GROUP BY lang), "
+    "b AS (SELECT lang, count(*) AS n_b FROM documents "
+    "WHERE source = 'src4' GROUP BY lang) "
+    "SELECT a.lang AS lang, a.n_a AS n_a, b.n_b AS n_b "
+    "FROM a JOIN b ON a.lang = b.lang ORDER BY lang"
+)
+
+
+def rollup_routed_cte_parallel(spark: SparkSession, sf: str) -> DataFrame:
+    """PARALLEL CTEs joined in the outer, every body routed (r12c,
+    plans/api._try_parallel_cte): `WITH a AS (<routable>), b AS
+    (<routable>) SELECT ... FROM a JOIN b ON ...` — the
+    segment-comparison report BI tools generate. Each body routes
+    independently through the bare-SELECT router (per-body
+    semantics-preserving substitution); the outer join runs verbatim,
+    so any join type/multiplicity is exact. Obligations: no body
+    references another CTE (that is the chain shape), the outer FROMs
+    one CTE and consumes every other exactly once as a JOIN target,
+    non-CTE join targets must discover, ALL bodies must route (one raw
+    branch falls the whole statement back — rejection pins in
+    tests/test_round12c.py). Hard-fails unless the plan scans the grid
+    and never the raw table.
+
+    Scale: both join sides are O(|grid|) routed scans with their key
+    predicates pushed down (broadcast-eligible), instead of two full
+    corpus aggregations shuffled into a join."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, CTE_PARALLEL_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_a bigint, n_b bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_cte_parallel_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, CTE_PARALLEL_SQL_TEXT)
+
+
+ROLLUP_CTE_PARALLEL_SQL = """
+WITH a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_a FROM documents
+  WHERE source = 'src3' GROUP BY lang
+), b AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_b FROM documents
+  WHERE source = 'src4' GROUP BY lang
+)
+SELECT a.lang AS lang, a.n_a AS n_a, b.n_b AS n_b
+FROM a JOIN b ON a.lang = b.lang ORDER BY lang
+"""
+
+
+# the same report in its derived-table spelling: every FROM/JOIN
+# subquery lifts into a CTE and the parallel proof applies unchanged
+DERIVED_JOIN_SQL_TEXT = (
+    "SELECT a.lang AS lang, a.n_a AS n_a, b.n_b AS n_b FROM "
+    "(SELECT lang, count(*) AS n_a FROM documents WHERE source = 'src3' "
+    "GROUP BY lang) a "
+    "JOIN (SELECT lang, count(*) AS n_b FROM documents "
+    "WHERE source = 'src4' GROUP BY lang) b "
+    "ON a.lang = b.lang ORDER BY lang"
+)
+
+
+def rollup_routed_derived_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Two derived-table aggregates JOINed inline, both routed (r12c):
+    _try_derived_route lifts EVERY `FROM (...) t` / `JOIN (...) u`
+    subquery into a CTE under its alias and delegates to the parallel-
+    CTE proof, so the WITH spelling and the inline spelling of the same
+    report can never drift. Aliases must exist and be distinct; one
+    unroutable subquery falls the whole statement back. Hard-fails
+    unless the plan scans the grid and never the raw table.
+
+    Scale: identical routed plan to rollup_routed_cte_parallel — the
+    win is that BOTH spellings of the two-segment comparison stop
+    paying two corpus scans."""
+    root, data = _build_rollup_serve_tree(spark, sf)
+    try:
+        df = _routed_df(spark, data, DERIVED_JOIN_SQL_TEXT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if f"{os.sep}rollups{os.sep}" not in plan:
+            raise AssertionError("routed plan does not scan the rollup store")
+        if f"{os.sep}dbs{os.sep}" in plan:
+            raise AssertionError("routed plan still scans the raw table")
+        rows = df.collect()
+        return spark.createDataFrame(
+            rows, "lang string, n_a bigint, n_b bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def routed_derived_join_plan_text(spark: SparkSession, sf: str) -> str:
+    return routed_plan_text(spark, sf, DERIVED_JOIN_SQL_TEXT)
+
+
+ROLLUP_DERIVED_JOIN_SQL = """
+SELECT a.lang AS lang, a.n_a AS n_a, b.n_b AS n_b FROM
+(SELECT lang, CAST(count(*) AS BIGINT) AS n_a FROM documents
+ WHERE source = 'src3' GROUP BY lang) a
+JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_b FROM documents
+ WHERE source = 'src4' GROUP BY lang) b
+ON a.lang = b.lang ORDER BY lang
+"""
+
+
 # --- r11: WHERE precedence routing (the r10 ADVICE high fix, gated) ----------
 
 # unparenthesized mixed precedence: lang='en' OR (lang='de' AND
@@ -2209,6 +2326,16 @@ QUERIES: dict[str, QuerySpec] = {
         rollup_routed_cte_join, ROLLUP_CTE_JOIN_SQL,
         doc="routed CTE joined to a dim in the outer query: dim "
             "discovered by the route, broadcast join asserted (r12)",
+    ),
+    "rollup_routed_cte_parallel": QuerySpec(
+        rollup_routed_cte_parallel, ROLLUP_CTE_PARALLEL_SQL,
+        doc="parallel CTEs joined in the outer: every body routed "
+            "independently onto the grid, join text verbatim (r12c)",
+    ),
+    "rollup_routed_derived_join": QuerySpec(
+        rollup_routed_derived_join, ROLLUP_DERIVED_JOIN_SQL,
+        doc="two derived-table aggregates joined inline, each lifted "
+            "into a CTE and routed through the parallel proof (r12c)",
     ),
     "rollup_routed_grouping_sets": QuerySpec(
         rollup_routed_grouping_sets, ROLLUP_GROUPING_SETS_SQL,

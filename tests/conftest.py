@@ -1,10 +1,13 @@
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
+# the checkout CONTAINING this tests/ dir — not a hard-coded /root/repo,
+# so the suite tests the code it sits next to (worktree A/Bs included)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hepop_spark.session import get_spark
 

@@ -332,7 +332,10 @@ class TestRotatedOutGateSmoke:
                    # rotated out r12b for the grouping-sets/derived/
                    # union-all flagships
                    "rollup_routed_where_precedence", "merge_upsert",
-                   "embedding_neardup")
+                   "embedding_neardup",
+                   # rotated out r12c for the parallel-CTE/derived-join
+                   # flagships
+                   "dedup_incremental_indexed", "kmv_distinct_maintained")
 
     def test_rotated_out_entries_stay_oracle_green(self):
         import os

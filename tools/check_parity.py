@@ -18,10 +18,13 @@ masquerading as a finished one (r07 verdict "what's wrong" item 1).
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# the checkout CONTAINING this tools/ dir — not a hard-coded path,
+# so the harness drives the code it sits next to (worktree A/Bs too)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hepop_spark import ALL_TABLES
 from hepop_spark.session import get_spark

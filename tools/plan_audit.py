@@ -198,6 +198,12 @@ AUDITS: dict[str, set[str]] = {
     "rollup_routed_grouping_sets": {"rollup_scan", "partial"},
     "rollup_routed_derived": {"rollup_scan", "partial", "pushdown"},
     "rollup_routed_union_all": {"rollup_scan", "partial", "pushdown"},
+    # r12c: two grid-routed branches joined — both scans on the grid
+    # with their key filters pushed; the grid-sized sides broadcast
+    "rollup_routed_cte_parallel": {"rollup_scan", "partial", "pushdown",
+                                   "bcast"},
+    "rollup_routed_derived_join": {"rollup_scan", "partial", "pushdown",
+                                   "bcast"},
     # r12: routed CTE joined to a dim in the outer — the dim legitimately
     # lives under dbs/, so the claim is fact-only: grid scanned, raw FACT
     # table not scanned, dim broadcast
@@ -770,6 +776,8 @@ def main() -> None:
         routed_grouping_sets_plan_text,
         routed_derived_plan_text,
         routed_union_all_plan_text,
+        routed_cte_parallel_plan_text,
+        routed_derived_join_plan_text,
         routed_timegrid_plan_text,
         routed_timerange_plan_text,
     )
@@ -793,6 +801,8 @@ def main() -> None:
         "rollup_routed_grouping_sets": routed_grouping_sets_plan_text,
         "rollup_routed_derived": routed_derived_plan_text,
         "rollup_routed_union_all": routed_union_all_plan_text,
+        "rollup_routed_cte_parallel": routed_cte_parallel_plan_text,
+        "rollup_routed_derived_join": routed_derived_join_plan_text,
     }
     for name, flags in AUDITS.items():
         if name in special_plans:

@@ -24,7 +24,9 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+# the checkout CONTAINING this tools/ dir — not a hard-coded path,
+# so the harness drives the code it sits next to (worktree A/Bs too)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
