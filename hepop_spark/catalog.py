@@ -75,6 +75,76 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# --- adaptive scan spread (r12 optimization round) ---------------------------
+#
+# The testdata tables are single-file, SINGLE-ROW-GROUP parquet: Spark cannot
+# split them, so every scan is one task and every scan-fused operator chain
+# (shingle explode + 8x md5 partial aggregation, Arrow UDF encode, ...) runs
+# serially on one core while the rest idle — measured 2.1 s of a 2.8 s query
+# inside one task (tools/profile_bench.py, dedup_minhash_lsh). This is the
+# optimization guide's unsplittable-input case (§2.5): "fix at the source if
+# you can; otherwise repartition immediately after the read."
+#
+# The spread is SCALE-ADAPTIVE, not a local[32] constant: it fires only when
+# the file is too small to reach the session's parallelism at the session's
+# own split size (spark.sql.files.maxPartitionBytes), i.e. exactly when the
+# scan would otherwise under-parallelize. At production scale (multi-file,
+# multi-row-group tables, splits >= cores) the condition is false and the
+# plan is byte-identical to before. The exchange hashes on the table's
+# primary key only — column pruning and filter pushdown both survive a
+# RepartitionByExpression that references a single already-read column
+# (verified in plans/r12/*_after.txt), and a pk hash cannot skew.
+#
+# The spread is OPT-IN per call site (load_table(..., spread=True)): the
+# same-window A/B showed it pays ONLY where consumers multiply each row into
+# hundreds of shingle/ngram rows and hash every one (dedup_minhash_lsh
+# 3.29 s -> 2.09 s, winnowing 2.91 -> 1.41, skewed_band 3.79 -> 2.40 median),
+# while light consumers pay more for the exchange than the serial partial
+# aggregation it removes (text_token_stats 0.29 -> 0.60, q1 0.55 -> 1.05,
+# ann_ivf 1.50 -> 1.74 when it was blanket). The shuffle write still runs
+# inside the single scan task, so spreading only wins when downstream work
+# per input byte is extreme. Measured, not assumed — keep it opt-in.
+_SPREAD_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+_SPREAD_MIN_BYTES = 256 * 1024  # below this the single task is already cheap
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    mult = 1
+    low = raw.lower()
+    if low.endswith(("k", "kb")):
+        mult = 1024
+    elif low.endswith(("m", "mb")):
+        mult = 1024 ** 2
+    elif low.endswith(("g", "gb")):
+        mult = 1024 ** 3
+    return int(digits or "134217728") * mult
+
+
+def _maybe_spread(spark: SparkSession, df: DataFrame, name: str,
+                  path: str) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":
+        return df
+    key = _SPREAD_KEYS.get(name)
+    if key is None:
+        return df
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df  # directory tables split naturally
+    if size < _SPREAD_MIN_BYTES:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    est_splits = max(1, -(-size // _max_partition_bytes(spark)))
+    if est_splits >= cores:
+        return df
+    return df.repartition(cores, F.col(key))
+
+
 def normalize_nanos(df: DataFrame, cols=("ts",)) -> DataFrame:
     """Parquet TIMESTAMP(NANOS) columns arrive as long (nanosAsLong config);
     convert to microsecond TimestampType with integer division (floor-trunc,
@@ -95,9 +165,12 @@ def normalize_nanos(df: DataFrame, cols=("ts",)) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               spread: bool = False) -> DataFrame:
     ensure_query_confs(spark)
-    return normalize_nanos(spark.read.parquet(table_path(sf_dir, name)))
+    path = table_path(sf_dir, name)
+    df = normalize_nanos(spark.read.parquet(path))
+    return _maybe_spread(spark, df, name, path) if spread else df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:

@@ -240,11 +240,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
             lambda acc, x: acc + x,
         )
     )
+    # No .distinct() here, deliberately (r12): every corpus vector is
+    # assigned to EXACTLY one cell and probe_cells emits nprobe DISTINCT
+    # cells per query (argsort column indices), so a (q_id, c_id) pair can
+    # appear at most once in the probe join — dedup'ing again cost a full
+    # Exchange + aggregate for provably zero removed rows. (lsh_topk keeps
+    # its distinct: multiprobe/banding genuinely revisit pairs.)
     scored = (
         q.join(c, "cell")
         .withColumn("sim", F.round(dot / (norm("qvec") * norm("cvec")), 4))
         .select("q_id", "c_id", "sim")
-        .distinct()
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (

@@ -43,8 +43,17 @@ def _shingles_raw(spark: SparkSession, sf: str) -> DataFrame:
     """Word 3-gram shingles per document WITH duplicates, computed
     array-natively (no Python UDF): transform over an index sequence.
     Duplicate shingles are harmless for minhashing (min over dups is
-    identical) and skipping the distinct() avoids a full-corpus shuffle."""
-    docs = load_table(spark, sf, "documents").withColumn("t", F.split("text", " "))
+    identical) and skipping the distinct() avoids a full-corpus shuffle.
+
+    spread=True (r12): the single-row-group testdata file reads as ONE
+    task, and the shingle explode + 8x md5 signing fused into that scan
+    ran serially (2.1 s of the 2.8 s entry, tools/profile_bench.py).
+    Spreading the 5k narrow doc rows first parallelizes the signing
+    (dedup_minhash_lsh 3.29 -> 2.09 s same-window A/B); at production
+    scale the scan splits naturally and the spread is a no-op
+    (catalog._maybe_spread)."""
+    docs = load_table(spark, sf, "documents", spread=True).withColumn(
+        "t", F.split("text", " "))
     return docs.filter(F.size("t") >= 3).select(
         "doc_id",
         F.explode(

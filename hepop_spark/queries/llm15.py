@@ -136,16 +136,27 @@ def ddsketch_maintained(spark: SparkSession, sf: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="ddm_store_")
     store = os.path.join(root, "flag_price_sketch")
     try:
-        for b in range(DDM_BATCHES):
+        def _append(b: int) -> None:
             part = _dd_bucket_partial(
                 li.filter(F.col("l_orderkey") % DDM_BATCHES == b))
             assert projection_append(
                 spark, store, part, f"b{b}",
                 keys=["l_returnflag"], sums=["n_rows"], hists=["sk"],
             ) is True
-            if b == 1:  # mid-lifecycle fold: scan must be invariant
-                projection_compact(spark, store, ["l_returnflag"],
-                                   ["n_rows"], hists=["sk"])
+
+        # r12: the lifecycle stays mid-fold-after-two-batches (the pin this
+        # entry exists for), but the two appends on each side of the fold
+        # are independent micro-batches — overlap them (guide §2.6;
+        # projection_append materializes segments outside the store lock)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(_append, (0, 1)))
+        # mid-lifecycle fold: scan must be invariant
+        projection_compact(spark, store, ["l_returnflag"],
+                           ["n_rows"], hists=["sk"])
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(_append, (2, 3)))
         # exactly-once: b0 was folded, so this exercises _folded.json
         redelivered = _dd_bucket_partial(
             li.filter(F.col("l_orderkey") % DDM_BATCHES == 0))

@@ -51,14 +51,12 @@ def _build_rollup_serve_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
     docs = load_table(spark, sf, "documents")
     root = tempfile.mkdtemp(prefix="rollup_route_")
     data = os.path.join(root, "data")
-    docs.write.mode("overwrite").parquet(
-        os.path.join(data, "w1", "dbs", "documents")
-    )
     store = os.path.join(data, "w1", "rollups", "doc_lang_rollup")
     keys = ["lang", "source"]
     sums = ["n_docs", "total_chars", "cnt_chars"]
     mins, maxs = ["min_chars"], ["max_chars"]
-    for b in range(ROLLUP_ROUTE_BATCHES):
+
+    def _append_batch(b: int) -> None:
         part = (
             docs.filter(F.col("doc_id") % ROLLUP_ROUTE_BATCHES == b)
             .groupBy("lang", "source")
@@ -85,6 +83,24 @@ def _build_rollup_serve_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
                 "maxs": {"max_chars": "max(n_chars)"},
             },
         )
+
+    # r12: the batch appends are independent micro-batches (distinct ids,
+    # immutable segments), so overlap them from a small thread pool — the
+    # optimization guide's §2.6 back-fill pattern. projection_append now
+    # materializes each segment OUTSIDE the store lock, so the Spark jobs
+    # genuinely run concurrently; segment content and the folded result are
+    # order-independent by the monoid-merge contract.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_raw() -> None:
+        docs.write.mode("overwrite").parquet(
+            os.path.join(data, "w1", "dbs", "documents")
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        raw_fut = pool.submit(_write_raw)
+        list(pool.map(_append_batch, range(ROLLUP_ROUTE_BATCHES)))
+        raw_fut.result()
     # fold half the segments into base/ so routing reads the post-compaction
     # store shape, then leave later segments live (the steady-state mix)
     projection_compact(spark, store, keys, sums, mins, maxs)
@@ -1671,12 +1687,11 @@ def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="join_route_")
     data = os.path.join(root, "data")
     try:
-        ev.write.parquet(os.path.join(data, "w1", "dbs", "evstar"))
-        nat.write.parquet(os.path.join(data, "w1", "dbs", "natdim"))
         store = os.path.join(data, "w1", "rollups", "ev_nk_rollup")
         keys, sums = ["nk"], ["n_rows", "sv", "cv"]
         mins, maxs = ["mnv"], ["mxv"]
-        for b in range(ROLLUP_ROUTE_BATCHES):
+
+        def _append_batch(b: int) -> None:
             part = (
                 ev.filter(F.col("event_id") % ROLLUP_ROUTE_BATCHES == b)
                 .groupBy("nk")
@@ -1698,6 +1713,21 @@ def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
                     "maxs": {"mxv": "max(cents)"},
                 },
             )
+
+        # r12: overlap the independent fixture jobs (raw writes + batch
+        # appends) — guide §2.6; see _build_rollup_serve_tree
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(ev.write.parquet,
+                            os.path.join(data, "w1", "dbs", "evstar")),
+                pool.submit(nat.write.parquet,
+                            os.path.join(data, "w1", "dbs", "natdim")),
+            ]
+            list(pool.map(_append_batch, range(ROLLUP_ROUTE_BATCHES)))
+            for f in futs:
+                f.result()
         projection_compact(spark, store, keys, sums, mins, maxs)
         api = HepopQueryAPI(spark, default_window=False, data_dir=data)
         df = api.sql(JOIN_ROUTED_SQL_TEXT)

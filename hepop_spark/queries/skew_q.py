@@ -60,7 +60,9 @@ def _skewed_docs(spark: SparkSession, sf: str) -> DataFrame:
     fixed boilerplate plus a tiny per-doc tail — NEAR-duplicates (so
     exact-collapse cannot remove them) that share almost all shingles and
     therefore pile into the same band buckets."""
-    return load_table(spark, sf, "documents").select(
+    # spread=True: same serial-scan fix as llm._shingles_raw (the signing
+    # work below is the heavy consumer); 3.79 -> 2.40 s same-window A/B
+    return load_table(spark, sf, "documents", spread=True).select(
         "doc_id",
         F.when(
             F.col("doc_id") % SKEW_EVERY == 0,

@@ -74,4 +74,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # opt-in event logging (profiling / cluster history server): UI stays
+    # off locally, so the event log is the one way to attribute time to
+    # stages (tools/profile_bench.py parses it per job description)
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{ev_dir}")
+            # plain-text single file so stdlib tooling can parse it
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
     return builder.getOrCreate()

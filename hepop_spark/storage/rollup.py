@@ -31,6 +31,23 @@ from pyspark.sql import functions as F
 
 ROLLUP_AGGS = ("n", "sum_v", "min_v", "max_v")
 
+# Files per projection segment/fold write (r12 optimization). A segment is a
+# PRE-AGGREGATED partial — bounded by the grid's key domain, never by
+# ingested rows — but the aggregation that produced it still carries the
+# session's shuffle fan-out (32 partitions locally), so every append wrote
+# up to 32 near-empty files and every scan re-listed and re-opened them
+# (guide §6: small files hurt twice). Coalescing to a bounded file count
+# keeps segments in the intended one-file-per-batch shape; deployments with
+# genuinely huge grids (many GB per segment) raise the env knob instead of
+# editing call sites.
+_SEGMENT_FILES = int(os.environ.get("SPARK_GRAFT_SEGMENT_FILES", "1"))
+
+
+def _grid_write(df: DataFrame):
+    """Writer for grid-sized frames: bounded file count via coalesce (no
+    extra exchange — the tiny final-agg partitions merge in place)."""
+    return df.coalesce(max(1, _SEGMENT_FILES)).write
+
 
 def _batch_partial(batch: DataFrame, ts_col: str, key_col: str,
                    val_col: str) -> DataFrame:
@@ -177,55 +194,52 @@ def projection_append(spark: SparkSession, store: str, partial: DataFrame,
 
     from .writer import table_lock
 
-    with table_lock(store):
-        return _projection_append_locked(
-            spark, store, partial, batch_id, keys, sums, source,
-            mins, maxs, kmvs, kmv_k, hists)
-
-
-def _projection_append_locked(spark, store, partial, batch_id,
-                              keys, sums, source,
-                              mins=None, maxs=None,
-                              kmvs=None, kmv_k=None,
-                              hists=None) -> bool:
-    import json
-    import shutil
-
     dest = os.path.join(store, f"seg_{batch_id}")
+    # cheap redelivery no-op BEFORE the (expensive) segment write: the seg
+    # dir and _folded.json are both atomic-rename-published, so an unlocked
+    # read is safe; the authoritative re-check still happens under the lock
     if os.path.isdir(dest) or batch_id in _folded_ids(store):
-        # the segment dir is the marker while live; once projection_compact
-        # folds it into base/ the id moves to the _folded.json manifest —
-        # without that second check a batch redelivered after the serve
-        # compact loop folded its segment would republish and double-count
-        # (r07 ADVICE item 1)
         return False
+    # r12: the Spark job that materializes the partial runs OUTSIDE the
+    # store lock (the tmp name is unique per attempt, so concurrent appends
+    # cannot collide) — before this, concurrent micro-batch appends to one
+    # store serialized on the lock for the whole write, not just the
+    # publish. Only the metadata write + rename stay locked.
     tmp = os.path.join(store, ".tmp", f"seg_{batch_id}.{uuid.uuid4().hex[:8]}")
     try:
-        partial.write.mode("overwrite").parquet(tmp)
-        os.makedirs(store, exist_ok=True)
-        meta = os.path.join(store, "_meta.json")
-        if keys is not None and sums is not None and not os.path.exists(meta):
-            doc = {"keys": list(keys), "sums": list(sums)}
-            if mins:
-                doc["mins"] = list(mins)
-            if maxs:
-                doc["maxs"] = list(maxs)
-            if kmvs:
-                doc["kmvs"] = list(kmvs)
-                doc["kmv_k"] = int(kmv_k)
-            if hists:
-                doc["hists"] = list(hists)
-            if source is not None:
-                doc["source"] = source
-            mtmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
-            with open(mtmp, "w") as fh:
-                json.dump(doc, fh)
-            os.rename(mtmp, meta)
-        os.rename(tmp, dest)
-        return True
+        _grid_write(partial).mode("overwrite").parquet(tmp)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
         return os.path.isdir(dest)
+    with table_lock(store):
+        if os.path.isdir(dest) or batch_id in _folded_ids(store):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+            return False
+        try:
+            os.makedirs(store, exist_ok=True)
+            meta = os.path.join(store, "_meta.json")
+            if keys is not None and sums is not None and not os.path.exists(meta):
+                doc = {"keys": list(keys), "sums": list(sums)}
+                if mins:
+                    doc["mins"] = list(mins)
+                if maxs:
+                    doc["maxs"] = list(maxs)
+                if kmvs:
+                    doc["kmvs"] = list(kmvs)
+                    doc["kmv_k"] = int(kmv_k)
+                if hists:
+                    doc["hists"] = list(hists)
+                if source is not None:
+                    doc["source"] = source
+                mtmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(mtmp, "w") as fh:
+                    json.dump(doc, fh)
+                os.rename(mtmp, meta)
+            os.rename(tmp, dest)
+            return True
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return os.path.isdir(dest)
 
 
 def _folded_ids(store: str) -> set[str]:
@@ -504,7 +518,7 @@ def _projection_compact_locked(spark: SparkSession, store: str,
     new_base = f"base_v{uuid.uuid4().hex[:8]}"
     tmp = os.path.join(store, f".{new_base}.tmp")
     try:
-        merged.write.mode("overwrite").parquet(tmp)
+        _grid_write(merged).mode("overwrite").parquet(tmp)
         os.rename(tmp, os.path.join(store, new_base))
     except OSError:
         # nothing was mutated: the live view is untouched by construction
