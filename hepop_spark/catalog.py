@@ -39,6 +39,11 @@ _QUERY_CONFS = (
     # LP tag/field repeated keys follow the reference's JS-object semantics
     # (last assignment wins, lineproto.js:70-80); Spark default THROWS
     ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
+    # Arrow-columnar driver transfers (guide §6): toPandas in the sidecar
+    # index builders moves k-word bitmap rows orders of magnitude faster
+    # than the pickled-Row path; purely a transport setting, results
+    # identical. get_spark sets it too — this self-heals vanilla sessions.
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
 )
 
 

@@ -225,6 +225,9 @@ def dedup_incremental_indexed(spark: SparkSession, sf: str) -> DataFrame:
     candidate-bounded. Nothing rescans the signed corpus' text."""
     from ..operators.minhash_index import minhash_bands
 
+    # NOT spread (r12): measured — the batch is ~1/10 of the corpus, so the
+    # per-branch signing work is small and the extra exchanges cost more
+    # than the 2-task serialization they remove (5.0 -> 5.7 s same-window)
     docs = load_table(spark, sf, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text").unionAll(
         # planted leaks: index docs re-keyed into the batch (same seeding

@@ -228,17 +228,32 @@ def _or_aggregate_bitmaps(spark: SparkSession, hashed: DataFrame,
         .groupBy("f", "lay", "w")
         .agg(F.expr("bit_or(b)").alias("bits"))
     )
-    acc: dict[tuple[str, int], int] = {}
-    for r in words.collect():
-        rel = os.path.relpath(r["f"], base_path)
-        key = (rel, int(r["lay"]))
-        acc[key] = acc.get(key, 0) | (int(r["bits"]) << (61 * int(r["w"])))
-    seen = {rel for rel, _lay in acc}
+    # r12: the collect here ships files x layers x ceil(m/61) rows — ~52k
+    # at sf0.1 — and the old loop paid a per-ROW os.path.relpath plus Row
+    # name lookups (profiled 1.3 s of relpath alone) and re-shifted the
+    # whole accumulated bignum per word. Arrow toPandas + itertuples skips
+    # the Row machinery, relpath is cached per distinct file, and each
+    # bitmap is assembled ONCE in descending word order.
+    word_lists: dict[tuple[str, int], dict[int, int]] = {}
+    rel_cache: dict[str, str] = {}
+    pdf = words.toPandas()
+    for f_abs, lay, w, bits in pdf.itertuples(index=False, name=None):
+        rel = rel_cache.get(f_abs)
+        if rel is None:
+            rel = rel_cache[f_abs] = os.path.relpath(f_abs, base_path)
+        word_lists.setdefault((rel, int(lay)), {})[int(w)] = int(bits)
+    seen = {rel for rel, _lay in word_lists}
     entries: dict[str, dict] = {}
     for rel, (m, L) in sizes.items():
         if rel not in seen:
             continue
-        layers = [format(acc.get((rel, lay), 0), "x") for lay in range(L)]
+        layers = []
+        for lay in range(L):
+            ws = word_lists.get((rel, lay), {})
+            acc = 0
+            for w in range(max(ws, default=0), -1, -1):
+                acc = (acc << 61) | ws.get(w, 0)
+            layers.append(format(acc, "x"))
         entries[rel] = ({"m": m, "L": L, "bits": layers} if L > 1
                         else {"m": m, "bits": layers[0]})
     return entries
