@@ -629,27 +629,31 @@ KMV_K = 128
 KMV_BATCHES = 4
 
 
-def _kmv_partial(docs: DataFrame) -> DataFrame:
-    """One batch's partial: per lang, the row count (sum class) and the
-    bottom-KMV_K distinct 48-bit content hashes (kmv class). The bottom-k
-    is a PARTITIONED window over the batch's distinct (lang, h) pairs —
-    at most KMV_K rows survive per lang before the k-element array is
-    gathered, so no array ever exceeds k*8 bytes."""
+def _kmv_partial(docs: DataFrame, by: tuple = ("lang",)) -> DataFrame:
+    """One batch's partial: per `by` key, the row count (sum class) and
+    the bottom-KMV_K distinct 48-bit content hashes (kmv class). The
+    bottom-k is a PARTITIONED window over the batch's distinct (by, h)
+    pairs — at most KMV_K rows survive per key before the k-element array
+    is gathered, so no array ever exceeds k*8 bytes. `by` may carry a
+    leading batch column (r12): partitioning the window by (bat, lang)
+    and slicing per bat yields bit-identical per-batch partials from ONE
+    corpus scan — no ties in the ranking either way, since (lang, h)
+    pairs are distinct within a batch."""
     base = docs.select(
-        "lang",
+        *by,
         F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
         .cast("long").alias("h"),
     )
-    nrows = base.groupBy("lang").agg(F.count("*").alias("n_rows"))
-    w = Window.partitionBy("lang").orderBy("h")
+    nrows = base.groupBy(*by).agg(F.count("*").alias("n_rows"))
+    w = Window.partitionBy(*by).orderBy("h")
     sk = (
         base.distinct()
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
-        .groupBy("lang")
+        .groupBy(*by)
         .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
     )
-    return nrows.join(sk, "lang")
+    return nrows.join(sk, list(by))
 
 
 def _kmv_est(size_col, kth_col):
@@ -697,8 +701,17 @@ def kmv_distinct_maintained(spark: SparkSession, sf: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="kmv_store_")
     store = os.path.join(root, "lang_distinct")
     try:
+        # r12: ONE corpus scan (md5 + distinct + bottom-k window) feeds
+        # every batch partial and the redelivered one — the five serial
+        # re-scans of the unsplittable testdata file were the entry's
+        # dominant cost. Bit-identical slices (see _kmv_partial docstring);
+        # the checkpoint holds ~batches x |langs| rows of k-capped arrays.
+        pre = _kmv_partial(
+            docs.withColumn("bat", F.col("doc_id") % KMV_BATCHES),
+            by=("bat", "lang"),
+        ).localCheckpoint(eager=True)
         for b in range(KMV_BATCHES):
-            part = _kmv_partial(docs.filter(F.col("doc_id") % KMV_BATCHES == b))
+            part = pre.filter(F.col("bat") == b).drop("bat")
             assert projection_append(
                 spark, store, part, f"b{b}",
                 keys=["lang"], sums=["n_rows"], kmvs=["kmv"], kmv_k=KMV_K,
@@ -708,7 +721,7 @@ def kmv_distinct_maintained(spark: SparkSession, sf: str) -> DataFrame:
                                    kmvs=["kmv"], kmv_k=KMV_K)
         # exactly-once: a redelivered batch id must no-op (b0 was folded,
         # so this also exercises the _folded.json path)
-        redelivered = _kmv_partial(docs.filter(F.col("doc_id") % KMV_BATCHES == 0))
+        redelivered = pre.filter(F.col("bat") == 0).drop("bat")
         assert projection_append(spark, store, redelivered, "b0") is False
         scan = projection_scan(spark, store, ["lang"], ["n_rows"],
                                kmvs=["kmv"], kmv_k=KMV_K)

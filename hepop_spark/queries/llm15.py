@@ -44,29 +44,6 @@ from .llm14 import DD_SUB
 DDM_BATCHES = 4
 
 
-def _dd_bucket_partial(li: DataFrame) -> DataFrame:
-    """One batch's partial: per l_returnflag, the row count (sum class)
-    and the DDSketch bucket-counter map (hist class). Bucket math is
-    integer-exact (llm14.ddsketch_quantiles): b = floor(log2(cents)) via
-    binary-string length, sub = floor((cents - 2^b) * DD_SUB / 2^b),
-    bucket = b * DD_SUB + sub."""
-    b = (F.length(F.conv(F.col("cents"), 10, 2)) - 1).cast("int")
-    low = F.expr("shiftleft(cast(1 as bigint), b)")
-    enc = li.withColumn("b", b).withColumn("low", low).select(
-        "l_returnflag",
-        (F.col("b").cast("bigint") * DD_SUB
-         + ((F.col("cents") - F.col("low")) * DD_SUB / F.col("low"))
-         .cast("bigint")).alias("bucket"),
-    )
-    per_bucket = enc.groupBy("l_returnflag", "bucket").agg(
-        F.count("*").alias("n"))
-    return per_bucket.groupBy("l_returnflag").agg(
-        F.sum("n").alias("n_rows"),
-        F.map_from_entries(
-            F.collect_list(F.struct("bucket", "n"))).alias("sk"),
-    )
-
-
 def _dd_quantiles(exploded: DataFrame, qs=(("p50", 0.5), ("p95", 0.95),
                                            ("p99", 0.99))) -> DataFrame:
     """Quantile estimates from exploded (key, bucket, n) counter rows:
@@ -136,11 +113,44 @@ def ddsketch_maintained(spark: SparkSession, sf: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="ddm_store_")
     store = os.path.join(root, "flag_price_sketch")
     try:
+        # r12 (second pass): ONE lineitem scan feeds every batch partial
+        # (and the redelivered one). The raw file is one unsplittable row
+        # group, so the five per-batch bucket aggregations each re-ran the
+        # whole scan serially; bucketing per (batch, flag, bucket) once and
+        # slicing per batch yields bit-identical partials — the counts are
+        # exact integers and filter-then-bucket commutes with
+        # bucket-with-batch-key-then-slice. The checkpoint holds
+        # ~batches x flags x buckets counter rows, never raw lineitem.
+        b_expr = (F.length(F.conv(F.col("cents"), 10, 2)) - 1).cast("int")
+        low = F.expr("shiftleft(cast(1 as bigint), b)")
+        pre = (
+            li.withColumn("bat", F.col("l_orderkey") % DDM_BATCHES)
+            .withColumn("b", b_expr).withColumn("low", low)
+            .select(
+                "bat", "l_returnflag",
+                (F.col("b").cast("bigint") * DD_SUB
+                 + ((F.col("cents") - F.col("low")) * DD_SUB / F.col("low"))
+                 .cast("bigint")).alias("bucket"),
+            )
+            .groupBy("bat", "l_returnflag", "bucket")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+
+        def _partial(b: int) -> DataFrame:
+            return (
+                pre.filter(F.col("bat") == b)
+                .groupBy("l_returnflag")
+                .agg(
+                    F.sum("n").alias("n_rows"),
+                    F.map_from_entries(
+                        F.collect_list(F.struct("bucket", "n"))).alias("sk"),
+                )
+            )
+
         def _append(b: int) -> None:
-            part = _dd_bucket_partial(
-                li.filter(F.col("l_orderkey") % DDM_BATCHES == b))
             assert projection_append(
-                spark, store, part, f"b{b}",
+                spark, store, _partial(b), f"b{b}",
                 keys=["l_returnflag"], sums=["n_rows"], hists=["sk"],
             ) is True
 
@@ -158,8 +168,7 @@ def ddsketch_maintained(spark: SparkSession, sf: str) -> DataFrame:
         with ThreadPoolExecutor(max_workers=2) as pool:
             list(pool.map(_append, (2, 3)))
         # exactly-once: b0 was folded, so this exercises _folded.json
-        redelivered = _dd_bucket_partial(
-            li.filter(F.col("l_orderkey") % DDM_BATCHES == 0))
+        redelivered = _partial(0)
         assert projection_append(spark, store, redelivered, "b0") is False
         scan = projection_scan(spark, store, ["l_returnflag"], ["n_rows"],
                                hists=["sk"])

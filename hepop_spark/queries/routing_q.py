@@ -56,20 +56,31 @@ def _build_rollup_serve_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
     sums = ["n_docs", "total_chars", "cnt_chars"]
     mins, maxs = ["min_chars"], ["max_chars"]
 
-    def _append_batch(b: int) -> None:
-        part = (
-            docs.filter(F.col("doc_id") % ROLLUP_ROUTE_BATCHES == b)
-            .groupBy("lang", "source")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_chars").alias("total_chars"),
-                # the strict avg denominator: count(n_chars), NOT
-                # count(*) — null-correct, so avg(n_chars) can route
-                F.count("n_chars").alias("cnt_chars"),
-                F.min("n_chars").alias("min_chars"),
-                F.max("n_chars").alias("max_chars"),
-            )
+    # r12 (second pass): ONE corpus scan computes every batch's partial.
+    # The testdata file is a single unsplittable row group, so each of the
+    # four per-batch aggregations re-ran the whole scan serially on one
+    # core (guide §2.4: don't compute things twice). Grouping by
+    # (batch, lang, source) in one pass and slicing per batch yields
+    # BIT-IDENTICAL partials — filter-then-group equals group-with-batch-
+    # key-then-slice for these monoid aggregates — and the checkpoint
+    # materializes ~batches x |grid| tiny rows, never raw docs.
+    pre = (
+        docs.withColumn("bat", F.col("doc_id") % ROLLUP_ROUTE_BATCHES)
+        .groupBy("bat", "lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            # the strict avg denominator: count(n_chars), NOT
+            # count(*) — null-correct, so avg(n_chars) can route
+            F.count("n_chars").alias("cnt_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
         )
+        .localCheckpoint(eager=True)
+    )
+
+    def _append_batch(b: int) -> None:
+        part = pre.filter(F.col("bat") == b).drop("bat")
         projection_append(
             spark, store, part, f"b{b}", keys=keys, sums=sums,
             mins=mins, maxs=maxs,
@@ -361,20 +372,26 @@ def _build_timegrid_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
         "event_id", "ts", "user_id", "event_type")
     root = tempfile.mkdtemp(prefix="timegrid_route_")
     data = os.path.join(root, "data")
-    ev.write.mode("overwrite").parquet(
-        os.path.join(data, "w1", "dbs", "events_rt"))
     store = os.path.join(data, "w1", "rollups", "events_hourly")
     keys, sums, maxs = ["hr", "event_type"], ["n", "su"], ["max_eid"]
-    for b in range(TIMEGRID_BATCHES):
-        part = (
-            ev.filter(F.col("event_id") % TIMEGRID_BATCHES == b)
-            .groupBy(
-                F.date_format("ts", "yyyy-MM-dd-HH").alias("hr"),
-                "event_type",
-            )
-            .agg(F.count("*").alias("n"), F.sum("user_id").alias("su"),
-                 F.max("event_id").alias("max_eid"))
+
+    # r12: one scan for all three batch partials (bit-identical monoid
+    # slices — see _build_rollup_serve_tree), raw write overlapped with
+    # the appends from a small pool (guide §2.6)
+    pre = (
+        ev.withColumn("bat", F.col("event_id") % TIMEGRID_BATCHES)
+        .groupBy(
+            "bat",
+            F.date_format("ts", "yyyy-MM-dd-HH").alias("hr"),
+            "event_type",
         )
+        .agg(F.count("*").alias("n"), F.sum("user_id").alias("su"),
+             F.max("event_id").alias("max_eid"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _append_batch(b: int) -> None:
+        part = pre.filter(F.col("bat") == b).drop("bat")
         projection_append(
             spark, store, part, f"b{b}", keys=keys, sums=sums, maxs=maxs,
             source={
@@ -384,6 +401,15 @@ def _build_timegrid_tree(spark: SparkSession, sf: str) -> tuple[str, str]:
                 "maxs": {"max_eid": "max(event_id)"},
             },
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        raw_fut = pool.submit(
+            lambda: ev.write.mode("overwrite").parquet(
+                os.path.join(data, "w1", "dbs", "events_rt")))
+        list(pool.map(_append_batch, range(TIMEGRID_BATCHES)))
+        raw_fut.result()
     projection_compact(spark, store, keys, sums, maxs=maxs)
     return root, data
 
@@ -1691,16 +1717,22 @@ def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
         keys, sums = ["nk"], ["n_rows", "sv", "cv"]
         mins, maxs = ["mnv"], ["mxv"]
 
+        # one scan for all four batch partials (see
+        # _build_rollup_serve_tree): bit-identical monoid slices of the
+        # (bat, nk) grid, checkpointed at ~batches x 25 rows
+        pre = (
+            ev.withColumn("bat", F.col("event_id") % ROLLUP_ROUTE_BATCHES)
+            .groupBy("bat", "nk")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("sv"),
+                 F.count("cents").alias("cv"),
+                 F.min("cents").alias("mnv"),
+                 F.max("cents").alias("mxv"))
+            .localCheckpoint(eager=True)
+        )
+
         def _append_batch(b: int) -> None:
-            part = (
-                ev.filter(F.col("event_id") % ROLLUP_ROUTE_BATCHES == b)
-                .groupBy("nk")
-                .agg(F.count("*").alias("n_rows"),
-                     F.sum("cents").alias("sv"),
-                     F.count("cents").alias("cv"),
-                     F.min("cents").alias("mnv"),
-                     F.max("cents").alias("mxv"))
-            )
+            part = pre.filter(F.col("bat") == b).drop("bat")
             projection_append(
                 spark, store, part, f"b{b}", keys=keys, sums=sums,
                 mins=mins, maxs=maxs,
