@@ -229,11 +229,19 @@ def dedup_incremental_indexed(spark: SparkSession, sf: str) -> DataFrame:
     # per-branch signing work is small and the extra exchanges cost more
     # than the 2-task serialization they remove (5.0 -> 5.7 s same-window)
     docs = load_table(spark, sf, "documents")
-    batch = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text").unionAll(
-        # planted leaks: index docs re-keyed into the batch (same seeding
-        # as the from-scratch twin so the oracle covers both)
-        docs.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") % 10 != 0))
-        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    # r12 second pass: the batch (nightly slice + planted leaks re-keyed
+    # from the index side, same seeding as the from-scratch twin so the
+    # oracle covers both) was a 2-branch union scanning the unsplittable
+    # file twice in series; the conditions are disjoint, so ONE scan with
+    # a conditional re-key produces the identical row set
+    _plant = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") % 10 != 0)
+    batch = (
+        docs.filter((F.col("doc_id") % 10 == 0) | _plant)
+        .select(
+            F.when(F.col("doc_id") % 10 == 0, F.col("doc_id"))
+            .otherwise(F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+        )
     )
     bb = minhash_bands(
         batch, n_seeds=MINHASH_SEEDS, band_rows=MINHASH_BAND_ROWS
@@ -251,9 +259,17 @@ def dedup_incremental_indexed(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification touches candidate docs only (shared helper)
-    corpus = batch.unionAll(
-        docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    # exact verification touches candidate docs only (shared helper).
+    # corpus = batch ∪ index side — every doc under its original id, plus
+    # the planted docs AGAIN under their re-keyed id; one scan with a
+    # 1-or-2-element key explode replaces the 3-branch union (same rows)
+    corpus = docs.select(
+        F.explode(
+            F.when(_plant,
+                   F.array(F.col("doc_id"), F.col("doc_id") + 1000000))
+            .otherwise(F.array(F.col("doc_id")))
+        ).alias("doc_id"),
+        "text",
     )
     return _exact_best_match(corpus, candidates, "batch_doc", "index_doc")
 

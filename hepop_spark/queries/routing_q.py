@@ -1983,19 +1983,26 @@ def zone_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
     dashboards at 100 TB (Delta/Iceberg Z-ORDER, done with the repo's
     own layout writer and driver-side probes)."""
     from ..plans.api import HepopQueryAPI
-    from ..storage.bloom_index import zone_index_update
+    from ..storage.bloom_index import zone_index_update_multi
     from ..storage.zorder import zorder_write
 
+    # r12: checkpoint the narrow projection once — the z-write otherwise
+    # re-reads the unsplittable raw file three times (bounds aggregation,
+    # range sampling, shuffle map), each a serial one-task scan. Fixture-
+    # sized by construction; production z-writes feed zorder_write per
+    # time partition and must NOT blanket-checkpoint (zorder.py scale
+    # note), which is why this lives at the call site.
     ev = load_table(spark, sf, "events").select(
         "event_id", "user_id",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).localCheckpoint(eager=True)
     root = tempfile.mkdtemp(prefix="zorder_zone_")
     data = os.path.join(root, "data")
     try:
         tbl = os.path.join(data, "w1", "dbs", "evz")
         zorder_write(ev, tbl, ["user_id", "cents"], n_files=32)
-        zone_index_update(spark, tbl, "user_id")
-        zone_index_update(spark, tbl, "cents")
+        # both dimensions' zones from ONE scan of the written files
+        zone_index_update_multi(spark, tbl, ["user_id", "cents"])
         api = HepopQueryAPI(spark, default_window=True, data_dir=data)
         df = api.sql(ZORDER_ZONE_SQL_TEXT)
         rows = df.collect()

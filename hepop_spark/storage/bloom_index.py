@@ -383,8 +383,9 @@ def bloom_reindex_files(spark: SparkSession, base_path: str,
     n = 0
     for col in sidecar_cols(base_path):
         n += bloom_index_update(spark, base_path, col, files=files)
-    for col in zone_cols(base_path):
-        n += zone_index_update(spark, base_path, col, files=files)
+    zc = zone_cols(base_path)
+    if zc:  # every zone column from one scan of the replacement files
+        n += zone_index_update_multi(spark, base_path, zc, files=files)
     for col in trigram_cols(base_path):
         n += trigram_index_update(spark, base_path, col, files=files)
     return n
@@ -438,36 +439,71 @@ def zone_index_update(spark: SparkSession, base_path: str, col: str,
                       files: list[str] | None = None) -> int:
     """Record per-file [min, max] for `col` (None default: live files not
     yet indexed). Same CAS-publish contract as the bloom sidecar."""
+    return zone_index_update_multi(spark, base_path, [col], files=files)
+
+
+def zone_index_update_multi(spark: SparkSession, base_path: str,
+                            cols: list[str],
+                            files: list[str] | None = None) -> int:
+    """zone_index_update for SEVERAL columns in ONE scan (r12): per-file
+    min/max of k columns is one grouped aggregation over the same file
+    set, so indexing a z-ordered table's k dimensions (or a compaction
+    batch's every zone column) pays one pass instead of k. Entries are
+    byte-identical to k single-column calls — min/max ignore nulls per
+    column, an all-null file still records (None, None), and each
+    column's sidecar publishes under the same lock/CAS discipline.
+    Returns the number of (file, col) pairs indexed."""
     from .writer import table_lock
 
     base_path = os.path.abspath(base_path)
     with table_lock(base_path):
+        per_col: dict[str, list[str]] = {}
         if files is None:
-            known = sidecar.load_entries(base_path, "zone", col)
-            files = [f for f in _live_files(base_path) if f not in known]
-        files = [f for f in files
-                 if os.path.isfile(os.path.join(base_path, f))]
-        if not files:
+            live = _live_files(base_path)
+            for col in cols:
+                known = sidecar.load_entries(base_path, "zone", col)
+                per_col[col] = [f for f in live if f not in known
+                                and os.path.isfile(
+                                    os.path.join(base_path, f))]
+        else:
+            kept = [f for f in files
+                    if os.path.isfile(os.path.join(base_path, f))]
+            per_col = {col: list(kept) for col in cols}
+        todo = sorted({f for fs in per_col.values() for f in fs})
+        if not todo:
             return 0
         src = (
             spark.read.option("basePath", base_path)
-            .parquet(*[os.path.join(base_path, f) for f in files])
+            .parquet(*[os.path.join(base_path, f) for f in todo])
         )
-        df = src.select(
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-            .alias("f"),
-            _col_expr(src, col).alias("v"),
+        agg = (
+            src.select(
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+                .alias("f"),
+                *[_col_expr(src, col).alias(f"v{i}")
+                  for i, col in enumerate(cols)],
+            )
+            .groupBy("f")
+            .agg(*[a for i in range(len(cols))
+                   for a in (F.min(f"v{i}").alias(f"lo{i}"),
+                             F.max(f"v{i}").alias(f"hi{i}"))])
         )
-        agg = df.groupBy("f").agg(
-            F.min("v").alias("lo"), F.max("v").alias("hi"))
-        entries = {}
-        for r in agg.collect():
-            rel = os.path.relpath(r["f"], base_path)
-            entries[rel] = {"lo": r["lo"], "hi": r["hi"]}
-        for f in files:  # empty files: nothing can match any range
-            entries.setdefault(f, {"lo": None, "hi": None})
-        sidecar.update_entries(base_path, "zone", col, entries)
-        return len(files)
+        rows = agg.collect()
+        n = 0
+        for i, col in enumerate(cols):
+            wanted = set(per_col[col])
+            if not wanted:
+                continue
+            entries = {}
+            for r in rows:
+                rel = os.path.relpath(r["f"], base_path)
+                if rel in wanted:
+                    entries[rel] = {"lo": r[f"lo{i}"], "hi": r[f"hi{i}"]}
+            for f in wanted:  # empty files: nothing can match any range
+                entries.setdefault(f, {"lo": None, "hi": None})
+            sidecar.update_entries(base_path, "zone", col, entries)
+            n += len(wanted)
+        return n
 
 
 def zone_candidates(base_path: str, col: str, lo, hi,
