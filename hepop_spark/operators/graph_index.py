@@ -44,6 +44,7 @@ from .pq_index import (
     prune_stale_siblings,
     source_fingerprint,
 )
+from .vecexpr import dot_cast2, norm2_cast
 
 # bump when the EDGE SEMANTICS change (candidate family, similarity
 # grid, tie-break, symmetrization): an index built by an older encoder
@@ -56,18 +57,13 @@ def cos4(va: str, vb: str):
     (zip_with + aggregate, zero Python in the scan). THE similarity
     grid every graph consumer shares; the DuckDB replay is
     round(list_cosine_similarity(...), 4)."""
-    dot = F.aggregate(
-        F.zip_with(F.col(va), F.col(vb),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-
-    def norm(c):
-        return F.sqrt(F.aggregate(
-            F.transform(F.col(c),
-                        lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x))
-
-    return F.round(dot / (norm(va) * norm(vb)), 4)
+    # r12: one-round-trip spellings of the identical expressions — the
+    # beam-search consumer builds this once per round (vecexpr)
+    return F.round(
+        dot_cast2(va, vb)
+        / (F.sqrt(norm2_cast(va)) * F.sqrt(norm2_cast(vb))),
+        4,
+    )
 
 
 def knn_graph_path(sf_dir: str, params: str) -> str:

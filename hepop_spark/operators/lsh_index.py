@@ -50,7 +50,7 @@ from .pq_index import (
     prune_stale_siblings,
     source_fingerprint,
 )
-from .similarity import _hyperplanes
+from .similarity import _hyperplanes, bucket_sql
 
 # bump when the BUCKET SEMANTICS change (plane derivation, sign rule, bit
 # packing): an index built by an older encoder must never answer a newer
@@ -78,20 +78,13 @@ def bucket_exprs(vec_col: str, dim: int, k_bits: int,
     """One k-bit sign-LSH bucket expression per table — array-native dot
     products (zip_with + aggregate), zero Python in the scan; identical
     math to similarity.with_lsh_bucket so existing oracles replay it."""
+    # r12: one parsed SQL string per table instead of k x (dim literals +
+    # 2 lambdas) of py4j round-trips — same expression exactly, shared
+    # spelling with similarity.with_lsh_bucket (similarity.bucket_sql)
     cols: list[Column] = []
     for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
         planes = _hyperplanes(dim, k_bits, seed=LSH_SEED_BASE + LSH_SEED_STEP * t)
-        for i, plane in enumerate(planes):
-            arr = F.array(*[F.lit(x) for x in plane])
-            dot = F.aggregate(
-                F.zip_with(F.col(vec_col), arr,
-                           lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        cols.append(bucket)
+        cols.append(F.expr(bucket_sql(vec_col, planes)))
     return cols
 
 

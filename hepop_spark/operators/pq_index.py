@@ -36,19 +36,18 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .vecexpr import dot_cast2, norm2_cast
+
 
 def _dot(a: str, b: str):
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    # r12: one-round-trip spelling of the identical Catalyst expression
+    # (the lambda form cost ~45 ms of py4j traffic per build; this module
+    # builds it up to 5x per query call) — see operators/vecexpr.py
+    return dot_cast2(a, b)
 
 
 def _norm2(c: str):
-    return F.aggregate(
-        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    return norm2_cast(c)
 
 
 def source_fingerprint(*paths: str) -> str:

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .vecexpr import dot_cast2, norm2_cast
+
 
 def _hyperplanes(dim: int, k: int, seed: int = 42) -> list[list[float]]:
     """k deterministic unit-free hyperplanes: component (i, j) is a
@@ -44,16 +46,27 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
     """Add the k-bit sign-LSH bucket id, computed with array-native
     expressions (aggregate over zip products) — no Python in the scan."""
     planes = _hyperplanes(dim, k, seed)
-    bucket = F.lit(0).cast("long")
+    return df.withColumn(out_col, F.expr(bucket_sql(vec_col, planes)))
+
+
+def bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
+    """The k-bit sign-LSH bucket id as ONE SQL string — r12: parsing this
+    replaces k x (dim literals + 2 lambdas) of py4j round-trips (~0.4 s of
+    driver construction per call at k=8, dim=64). Same expression exactly:
+    repr() round-trips every double and CAST(string AS DOUBLE) is a
+    correctly-rounded parse, so the literals are bit-identical to the
+    F.lit path; the CASE/fold/cast shapes match the old builder node for
+    node (pinned in tests/test_round12d.py). Shared with
+    lsh_index.bucket_exprs so the two bucket paths cannot drift."""
+    terms = []
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        lits = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({lits}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return df.withColumn(out_col, bucket)
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(0 AS BIGINT) + " + " + ".join(terms)
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
@@ -99,20 +112,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
     else:
         q = q.withColumn("probe", F.col("q_bucket"))
 
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("qvec"), F.col("cvec"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # r12: one-round-trip spellings of the identical expressions (vecexpr)
+    dot = dot_cast2("qvec", "cvec")
+    norm = lambda col: F.sqrt(norm2_cast(col))  # noqa: E731
     scored = (
         q.join(c, (q.tbl == c.tbl) & (q.probe == c.c_bucket))
         .withColumn("sim", F.round(dot / (norm("qvec") * norm("cvec")), 4))
@@ -226,20 +228,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
         .withColumn("cell", F.explode(probe_cells("qvec")))
     )
 
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("qvec"), F.col("cvec"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    dot = dot_cast2("qvec", "cvec")
+    norm = lambda col: F.sqrt(norm2_cast(col))  # noqa: E731
     # No .distinct() here, deliberately (r12): every corpus vector is
     # assigned to EXACTLY one cell and probe_cells emits nprobe DISTINCT
     # cells per query (argsort column indices), so a (q_id, c_id) pair can
@@ -354,15 +344,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
 
     qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qvec"))
     cv = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cvec"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("cvec"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
-                    F.lit(0.0), lambda acc, x: acc + x)
-    )
+    dot = dot_cast2("qvec", "cvec")
+    norm = lambda col: F.sqrt(norm2_cast(col))  # noqa: E731
     scored = (
         short.join(F.broadcast(qv), "q_id").join(cv, "c_id")
         .withColumn("sim", F.round(dot / (norm("qvec") * norm("cvec")), 4))
@@ -464,15 +447,8 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding",
     # exact rerank on float vectors, shortlist rows only
     qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qvec"))
     cv = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cvec"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("cvec"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
-                    F.lit(0.0), lambda acc, x: acc + x)
-    )
+    dot = dot_cast2("qvec", "cvec")
+    norm = lambda col: F.sqrt(norm2_cast(col))  # noqa: E731
     scored = (
         short.join(F.broadcast(qv), "q_id").join(cv, "c_id")
         .withColumn("sim", F.round(dot / (norm("qvec") * norm("cvec")), 4))

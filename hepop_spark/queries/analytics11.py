@@ -406,24 +406,19 @@ def random_projection_reduce(spark: SparkSession, sf: str) -> DataFrame:
     planes = _hyperplanes(64, RP_DIM, seed=7)
     # + 0.0 normalizes IEEE signed zero: round(-4e-5, 4) is -0.0, which
     # engines stringify differently (sf0.1 parity edge)
-    comps = F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        F.array(*[F.lit(x) for x in planes[d]]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                4,
-            )
-            + F.lit(0.0)
-            for d in range(RP_DIM)
-        ]
-    )
+    # r12: ONE parsed SQL string instead of RP_DIM x (64 literals + 2
+    # lambdas) of py4j round-trips — identical expression (the bucket_sql
+    # literal argument: repr() round-trips every double and CAST(string AS
+    # DOUBLE) is a correctly-rounded parse)
+    terms = []
+    for d in range(RP_DIM):
+        lits = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in planes[d])
+        dot = (
+            f"aggregate(zip_with(embedding, array({lits}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(round({dot}, 4) + 0D)")
+    comps = F.expr("array(" + ", ".join(terms) + ")")
     return emb.select("vec_id", F.posexplode(comps).alias("dim", "val")).select(
         "vec_id", F.col("dim").cast("long").alias("dim"), "val"
     )

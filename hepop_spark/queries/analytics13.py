@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.vecexpr import dot_cast2, norm2_cast
 from . import QuerySpec
 from .llm import _tokens
 
@@ -151,16 +152,9 @@ def negative_mining_hard(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"),
         F.col("label").alias("n_label"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("av"), F.col("nv"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-    )
+    # r12: one-round-trip spellings of the identical expressions (vecexpr)
+    dot = dot_cast2("av", "nv")
+    norm = lambda c: F.sqrt(norm2_cast(c))  # noqa: E731
     scored = (
         corpus.join(F.broadcast(anchors))
         .filter(F.col("n_label") != F.col("a_label"))

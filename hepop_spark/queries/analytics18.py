@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.vecexpr import dot_cast2, norm2_cast
 from . import QuerySpec
 
 # ---------------------------------------------------------------------------
@@ -573,14 +574,9 @@ def maxsim_vs_cosine_agreement(spark: SparkSession, sf: str) -> DataFrame:
     ds = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda a, x: a + x,
-    )
-    n2 = lambda c: F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda a, x: a + x,
-    )
+    # r12: one-round-trip spellings of the identical expressions (vecexpr)
+    dot = dot_cast2("qv", "cv")
+    n2 = norm2_cast
     wc = Window.partitionBy("q_id").orderBy(F.col("key").desc(), F.col("c_id"))
     cos = (
         qs.join(ds)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.vecexpr import dot_cast2, norm2_cast
 from . import QuerySpec
 from .scale_paths import IVF_CELLS, PQ_K, PQ_M, PQ_SUB
 
@@ -237,18 +238,9 @@ def embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), "tbl", "bucket"
     )
     cand = qb.join(cb, ["tbl", "bucket"]).select("q_id", "c_id").distinct()
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("qv"), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    n2 = lambda c: F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    # r12: one-round-trip spellings of the identical expressions (vecexpr)
+    dot = dot_cast2("qv", "cv")
+    n2 = norm2_cast
     qe = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
     ce = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
     scored = (

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.similarity import _hyperplanes
+from ..operators.vecexpr import dot_cast2, norm2_cast
 from . import QuerySpec
 from .llm import _tokens
 
@@ -214,18 +215,9 @@ def lsh_range_search(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     vecs = emb.select("vec_id", "embedding")
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # r12: one-round-trip spellings of the identical expressions (vecexpr)
+    dot = dot_cast2("va", "vb")
+    norm = lambda c: F.sqrt(norm2_cast(c))  # noqa: E731
     return (
         cand.join(vecs.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")), "a_id")
         .join(vecs.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")), "b_id")

@@ -18,6 +18,7 @@ from ..catalog import load_table
 from . import QuerySpec
 from .llm6 import RANGE_BITS, RANGE_TABLES
 from ..operators.similarity import _hyperplanes
+from ..operators.vecexpr import dot_cast2, norm2_cast
 
 # ---------------------------------------------------------------------------
 # keyword_rake_topk — RAKE keyword extraction
@@ -150,18 +151,9 @@ def knn_graph_build(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     vecs = emb.select("vec_id", "embedding")
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # r12: one-round-trip spellings of the identical expressions (vecexpr)
+    dot = dot_cast2("va", "vb")
+    norm = lambda c: F.sqrt(norm2_cast(c))  # noqa: E731
     scored = (
         cand.join(vecs.select(F.col("vec_id").alias("node"), F.col("embedding").alias("va")), "node")
         .join(vecs.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("vb")), "nbr")
@@ -597,18 +589,9 @@ def embedding_sim_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     vecs = emb.select("vec_id", "embedding")
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # r12: one-round-trip spellings of the identical expressions (vecexpr)
+    dot = dot_cast2("va", "vb")
+    norm = lambda c: F.sqrt(norm2_cast(c))  # noqa: E731
     scored = (
         cand.join(vecs.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")), "a_id")
         .join(vecs.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")), "b_id")
@@ -752,18 +735,9 @@ def lsh_range_search_collapsed(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     vecs = reps.select("rep_id", "n_members", "embedding")
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # r12: one-round-trip spellings of the identical expressions (vecexpr)
+    dot = dot_cast2("va", "vb")
+    norm = lambda c: F.sqrt(norm2_cast(c))  # noqa: E731
     from .llm6 import RANGE_TAU
 
     return (
@@ -879,10 +853,7 @@ def pq_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
         "c_id", "cv",
         F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
     ).select("c_id", "m", F.expr(f"slice(cv, m * {sub} + 1, {sub})").alias("cs"))
-    norm2 = lambda c: F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    norm2 = norm2_cast  # r12: one-round-trip spelling (vecexpr)
     dotc = F.aggregate(
         F.zip_with(F.col("cs"), F.col("cw"), lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, x: acc + x,
@@ -921,15 +892,7 @@ def pq_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.aggregate(F.col("terms"), F.lit(0.0), lambda a, s: a + s["cw2"])
         ).alias("rnorm"),
     )
-    vn = corpus.select(
-        "c_id",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("cv"), lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-        ).alias("vnorm"),
-    )
+    vn = corpus.select("c_id", F.sqrt(norm2_cast("cv")).alias("vnorm"))
     return (
         per_vec.join(vn, "c_id")
         .select(
