@@ -226,6 +226,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized plan handle for a PUBLISHED index/store directory — the
+    load_table memo policy applied to the persisted-index readers (r12):
+    NO DATA is cached, every action still scans the files; the key
+    carries the directory identity (mtime_ns, size), and every store in
+    this repo publishes by rename INTO the directory (segments, batch=N
+    dirs, tombstone sets) or atomic-swaps the directory itself — both
+    update the keyed mtime, so any publish/compact/GC yields a fresh
+    plan. Saves the per-call footer read + schema analysis (~50-130 ms
+    per store dir per query construction)."""
+    ensure_query_confs(spark)
+    try:
+        st = os.stat(path)
+        ident: tuple = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        ident = ()
+    key = ("store", path, ident)
+    try:
+        per_session = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:
+        per_session = {}
+    hit = per_session.get(key)
+    if hit is None:
+        hit = per_session[key] = spark.read.parquet(path)
+    return hit
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     """Register each parquet table as a temp view named after the table."""
     ensure_query_confs(spark)

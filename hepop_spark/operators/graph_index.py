@@ -45,6 +45,7 @@ from .pq_index import (
     source_fingerprint,
 )
 from .vecexpr import dot_cast2, norm2_cast
+from ..catalog import read_parquet_memo
 
 # bump when the EDGE SEMANTICS change (candidate family, similarity
 # grid, tie-break, symmetrization): an index built by an older encoder
@@ -138,7 +139,7 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str, emb: DataFrame, *,
     path = knn_graph_path(sf_dir, f"d{degree}m{min_id}")
     build_knn_graph_index(spark, sf_dir, emb, path,
                           min_id=min_id, degree=degree)
-    return spark.read.parquet(os.path.join(path, "edges"))
+    return read_parquet_memo(spark, os.path.join(path, "edges"))
 
 
 def graph_store_append(spark: SparkSession, store: str,
@@ -173,4 +174,4 @@ def graph_store_scan(spark: SparkSession, store: str) -> DataFrame:
     candidate pair re-contributed by a redelivered or later batch
     carries the SAME rounded sim (pure function of the two vectors), so
     a distinct() on the scan is an exact dedup."""
-    return spark.read.parquet(store).select("node", "nbr", "sim")
+    return read_parquet_memo(spark, store).select("node", "nbr", "sim")

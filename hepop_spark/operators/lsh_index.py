@@ -51,6 +51,7 @@ from .pq_index import (
     source_fingerprint,
 )
 from .similarity import _hyperplanes, bucket_sql
+from ..catalog import read_parquet_memo
 
 # bump when the BUCKET SEMANTICS change (plane derivation, sign rule, bit
 # packing): an index built by an older encoder must never answer a newer
@@ -133,7 +134,7 @@ def build_lsh_index(
 def lsh_buckets_from_index(spark: SparkSession, path: str) -> DataFrame:
     """(vec_id, tbl, bucket) rows of a published index. Filtering on `tbl`
     prunes whole partition directories at the scan."""
-    return spark.read.parquet(os.path.join(path, "buckets"))
+    return read_parquet_memo(spark, os.path.join(path, "buckets"))
 
 
 def lsh_store_append(
@@ -182,7 +183,7 @@ def lsh_store_scan(spark: SparkSession, store: str) -> DataFrame:
     """(vec_id, tbl, bucket, batch) rows of every published segment — the
     `batch=<id>` dirs read as one partition column, so the whole store is
     a single partition-discovered scan and `tbl` still prunes."""
-    return spark.read.parquet(store).select("vec_id", "tbl", "bucket", "batch")
+    return read_parquet_memo(spark, store).select("vec_id", "tbl", "bucket", "batch")
 
 
 def embeddings_lsh_buckets(

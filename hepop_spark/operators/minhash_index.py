@@ -39,6 +39,7 @@ from .pq_index import (
     prune_stale_siblings,
     source_fingerprint,
 )
+from ..catalog import read_parquet_memo
 
 # bump when the SIGNATURE SEMANTICS change (shingle width, seed keying,
 # band packing): a store built by an older encoder must never answer a
@@ -135,7 +136,7 @@ def build_minhash_index(
 
 def minhash_bands_from_index(spark: SparkSession, path: str) -> DataFrame:
     """(doc_id, band, bkey) rows of a published band store."""
-    return spark.read.parquet(os.path.join(path, "bands"))
+    return read_parquet_memo(spark, os.path.join(path, "bands"))
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +189,6 @@ def minhash_store_append(
 def minhash_store_bands(spark: SparkSession, store_path: str) -> DataFrame:
     """(doc_id, band, bkey) across ALL published batches of an appendable
     store (the `batch` partition column identifies provenance)."""
-    return spark.read.parquet(os.path.join(store_path, "bands")).select(
+    return read_parquet_memo(spark, os.path.join(store_path, "bands")).select(
         "doc_id", "band", "bkey"
     )

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .vecexpr import dot_cast2, norm2_cast
+from ..catalog import read_parquet_memo
 
 
 def _dot(a: str, b: str):
@@ -290,8 +291,8 @@ def ivfpq_append_batch(
     bdir = os.path.join(path, f"codes_{batch_id}")
     if os.path.isdir(bdir):
         return False
-    books = spark.read.parquet(os.path.join(path, "books"))
-    cents = spark.read.parquet(os.path.join(path, "cents"))
+    books = read_parquet_memo(spark, os.path.join(path, "books"))
+    cents = read_parquet_memo(spark, os.path.join(path, "cents"))
     # same assignment/encode expressions as build_ivfpq_index, over the
     # batch only, against the published (frozen) artifacts
     cassign = (
@@ -370,7 +371,7 @@ def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     for tdir in dirs:
         if not os.path.isdir(tdir):
             continue
-        df = spark.read.parquet(tdir)
+        df = read_parquet_memo(spark, tdir)
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -459,7 +460,7 @@ def _read_code_store(spark: SparkSession, path: str) -> DataFrame:
     for seg in segs:
         if not os.path.isdir(seg):
             continue
-        df = spark.read.parquet(seg)
+        df = read_parquet_memo(spark, seg)
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -486,8 +487,8 @@ def ivfpq_topk_from_index(
     candidate is then 8 integer unpacks + 8 broadcast-hash lookups + one
     fixed-order fold, no per-pair vector arithmetic at all."""
     codes = _read_code_store(spark, path)
-    books = spark.read.parquet(os.path.join(path, "books"))
-    cents = spark.read.parquet(os.path.join(path, "cents"))
+    books = read_parquet_memo(spark, os.path.join(path, "books"))
+    cents = read_parquet_memo(spark, os.path.join(path, "cents"))
 
     wprobe = Window.partitionBy("q_id").orderBy(F.col("cd").desc(), F.col("cell"))
     qprobe = (
