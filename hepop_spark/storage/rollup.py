@@ -396,15 +396,16 @@ def merge_aggs(sums: list[str], mins: list[str] = (),
         merged = F.array_sort(
             F.array_distinct(F.flatten(F.collect_list(F.col(c)))))
         out.append(F.slice(merged, 1, int(kmv_k)).alias(c))
-    zero = F.lit(0).cast("bigint")
     for c in hists:
-        merged = F.aggregate(
-            F.collect_list(F.col(c)),
-            F.expr("map()").cast("map<bigint,bigint>"),
-            lambda acc, m: F.map_zip_with(
-                acc, m,
-                lambda _k, v1, v2: F.coalesce(v1, zero) + F.coalesce(v2, zero),
-            ),
+        # r12: one parsed SQL string instead of 3 nested lambda builds of
+        # py4j round-trips per column per merge — identical expression
+        # (pinned in tests/test_round12d.py)
+        merged = F.expr(
+            f"aggregate(collect_list({c}), "
+            "CAST(map() AS MAP<BIGINT,BIGINT>), "
+            "(acc, m) -> map_zip_with(acc, m, "
+            "(_k, v1, v2) -> coalesce(v1, CAST(0 AS BIGINT)) "
+            "+ coalesce(v2, CAST(0 AS BIGINT))))"
         )
         out.append(merged.alias(c))
     return out

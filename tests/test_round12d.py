@@ -94,6 +94,35 @@ class TestBucketSqlEquivalence:
             bad = both.filter(F.col("old_b") != F.col("new_b")).count()
             assert bad == 0
 
+    def test_hist_merge_matches_lambda_form(self, spark):
+        """storage/rollup.merge_aggs hist merge: the parsed SQL spelling
+        equals the pre-r12 nested-lambda builder — analyzed plans modulo
+        lambda names, and exact merged-map equality."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, {1: 2, 5: 1}), (1, {1: 1, 7: 3}), (2, {0: 4})],
+            "k int, sk map<bigint,bigint>",
+        )
+        zero = F.lit(0).cast("bigint")
+        old = F.aggregate(
+            F.collect_list(F.col("sk")),
+            F.expr("map()").cast("map<bigint,bigint>"),
+            lambda acc, m: F.map_zip_with(
+                acc, m,
+                lambda _k, v1, v2: F.coalesce(v1, zero) + F.coalesce(v2, zero),
+            ),
+        ).alias("sk")
+        from hepop_spark.storage.rollup import merge_aggs
+
+        new = merge_aggs([], hists=["sk"])[0]
+        a = df.groupBy("k").agg(old)
+        b = df.groupBy("k").agg(new)
+        assert _norm_plan(a) == _norm_plan(b)
+        ra = sorted((r["k"], sorted(r["sk"].items())) for r in a.collect())
+        rb = sorted((r["k"], sorted(r["sk"].items())) for r in b.collect())
+        assert ra == rb
+
     def test_literal_roundtrip_is_exact(self, spark):
         """CAST('<repr>' AS DOUBLE) must reproduce every plane double
         bit-for-bit (correctly-rounded parse of a shortest round-trip
