@@ -518,30 +518,34 @@ def ivfpq_topk_from_index(
     if tomb is not None:
         codes = codes.join(tomb, "c_id", "left_anti")
     cand = codes.join(F.broadcast(qprobe), "cell").select("q_id", "c_id", "packed")
-    terms = (
-        cand.select(
-            "q_id", "c_id",
-            F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
-            F.col("packed"),
-        )
-        .select(
-            "q_id", "c_id", "m",
-            F.expr("cast(shiftright(packed, m * 6) & 63 as int)").alias("k"),
-        )
-        .join(F.broadcast(lut), ["q_id", "m", "k"])
+    # ADC scoring: the LUT folds to ONE broadcast map per query (key
+    # m*64+k — every (m, k) pair exists by construction, lut = qsub x
+    # books on m), and each candidate row sums its m_sub lookups inline.
+    # The former explode(m) + (q_id, m, k) join + groupBy re-assembled
+    # each candidate from m_sub shuffled rows; the map lookup keeps the
+    # row intact — one broadcast join, zero added exchanges. The addition
+    # chain is the SAME fixed m-ascending order as the old array fold
+    # (0.0 + t(0) + t(1) + ...), so the floor(x*1e4+0.5) key can't flip.
+    lut_map = lut.groupBy("q_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.expr("struct(cast(m * 64 + k as int) as mk, "
+                       "struct(t_dot, t_n2) as v)")
+            )
+        ).alias("lm")
     )
-    # fixed-order ADC accumulation (fold by m) — one evaluation order
-    # regardless of shuffle, so the floor(x*1e4+0.5) key can't flip
-    adc = (
-        terms.groupBy("q_id", "c_id")
-        .agg(F.array_sort(F.collect_list(F.struct("m", "t_dot", "t_n2"))).alias("ts"))
-        .select(
-            "q_id", "c_id",
-            F.aggregate(F.col("ts"), F.lit(0.0), lambda a, s: a + s["t_dot"]).alias("dot"),
-            F.sqrt(
-                F.aggregate(F.col("ts"), F.lit(0.0), lambda a, s: a + s["t_n2"])
-            ).alias("cnorm"),
-        )
+
+    def _term(m: int) -> str:
+        return f"lm[cast({m * 64} + (shiftright(packed, {m * 6}) & 63) as int)]"
+
+    dot_sql = "cast(0.0 as double) + " + " + ".join(
+        f"{_term(m)}.t_dot" for m in range(m_sub))
+    n2_sql = "cast(0.0 as double) + " + " + ".join(
+        f"{_term(m)}.t_n2" for m in range(m_sub))
+    adc = cand.join(F.broadcast(lut_map), "q_id").select(
+        "q_id", "c_id",
+        F.expr(dot_sql).alias("dot"),
+        F.expr(f"sqrt({n2_sql})").alias("cnorm"),
     )
     qn = queries.select(
         "q_id",

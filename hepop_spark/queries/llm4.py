@@ -225,38 +225,53 @@ def curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     scan; the only shuffles are the two dedup windows (hash-partitioned on
     md5 keys) and the contamination join (md5-hashed 5-grams, benchmark
     side distinct-reduced and broadcastable). This is the shape you run
-    nightly at 100 TB, writing stage-6 out in the same pass."""
+    nightly at 100 TB, writing stage-6 out in the same pass.
+
+    r12 optimization: the funnel stages are STRICTLY NESTED (clean ⊆ fp ⊆
+    exact ⊆ quality ⊆ corpus ⊆ raw), so the per-stage UNION ALL branches —
+    which re-ran the scan 6x and the window chain per branch (Spark has no
+    cross-branch CSE) — collapse into ONE pass that tags each doc with the
+    maximal stage it reaches, then counts docs with smax >= k per stage.
+    The subset-restricted dedup windows become conditional mins over the
+    full partition (min over the q=1 rows of an md5 group IS the min of
+    that group's quality rows); NOT EXISTS becomes a left join against the
+    distinct contaminated ids. Stage k count = #docs with smax >= k and
+    the char sums are exact integer sums, so the rows are identical — the
+    unchanged DuckDB oracle gates the rewrite."""
     from ..catalog import register_views
     from .llm3 import _CASCADE_CASE, NGRAM
 
     register_views(spark, sf, tables=("documents",))
     return spark.sql(f"""
 WITH raw AS (SELECT doc_id, text, n_chars FROM documents),
-corp AS (SELECT * FROM raw WHERE doc_id % 97 <> 0),
 scored AS (
   SELECT doc_id, text, n_chars,
+         CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END AS in_corp,
          size(split(text, ' ')) AS n_tok,
          length(regexp_replace(text, '[^A-Za-z]', '')) AS n_alpha,
          length(text) AS n_len
-  FROM corp
+  FROM raw
 ),
-quality AS (
-  SELECT doc_id, text, n_chars FROM scored WHERE ({_CASCADE_CASE}) = 'keep'
+flags AS (
+  SELECT doc_id, text, n_chars, in_corp,
+         CASE WHEN in_corp = 1 AND ({_CASCADE_CASE}) = 'keep'
+              THEN 1 ELSE 0 END AS q
+  FROM scored
 ),
-exact AS (
-  SELECT doc_id, text, n_chars FROM (
-    SELECT doc_id, text, n_chars,
-           min(doc_id) OVER (PARTITION BY md5(text)) AS kd
-    FROM quality) x
-  WHERE doc_id = kd
+w1 AS (
+  SELECT doc_id, text, n_chars, in_corp, q,
+         CASE WHEN q = 1 AND doc_id = min(CASE WHEN q = 1 THEN doc_id END)
+                   OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS ex
+  FROM flags
 ),
-fp AS (
-  SELECT doc_id, text, n_chars FROM (
-    SELECT doc_id, text, n_chars,
-           min(doc_id) OVER (PARTITION BY md5(concat_ws(' ',
-             array_sort(array_distinct(split(text, ' ')))))) AS kd
-    FROM exact) x
-  WHERE doc_id = kd
+w2 AS (
+  SELECT doc_id, text, n_chars, in_corp, q, ex,
+         CASE WHEN ex = 1 AND doc_id = min(CASE WHEN ex = 1 THEN doc_id END)
+                   OVER (PARTITION BY md5(concat_ws(' ',
+                     array_sort(array_distinct(split(text, ' '))))))
+              THEN 1 ELSE 0 END AS fpv
+  FROM w1
 ),
 bgrams AS (
   SELECT DISTINCT md5(concat_ws(' ', slice(toks, i, {NGRAM}))) AS g
@@ -268,24 +283,34 @@ bgrams AS (
 fgrams AS (
   SELECT doc_id, md5(concat_ws(' ', slice(toks, i, {NGRAM}))) AS g
   FROM (SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS n
-        FROM fp) s
+        FROM w2 WHERE fpv = 1) s
   LATERAL VIEW explode(sequence(1, n - {NGRAM} + 1)) t AS i
   WHERE n >= {NGRAM}
 ),
 contaminated AS (SELECT DISTINCT f.doc_id FROM fgrams f JOIN bgrams b ON f.g = b.g),
-clean AS (
-  SELECT * FROM fp
-  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = fp.doc_id)
+staged AS (
+  SELECT CASE WHEN w2.fpv = 1 AND c.doc_id IS NULL THEN 6
+              WHEN w2.fpv = 1 THEN 5
+              WHEN w2.ex = 1 THEN 4
+              WHEN w2.q = 1 THEN 3
+              WHEN w2.in_corp = 1 THEN 2
+              ELSE 1 END AS smax,
+         w2.n_chars
+  FROM w2 LEFT JOIN contaminated c ON c.doc_id = w2.doc_id
+),
+per_stage AS (
+  SELECT k, count(*) AS n_docs, sum(n_chars) AS sum_chars
+  FROM staged LATERAL VIEW explode(sequence(1, smax)) t AS k
+  GROUP BY k
 )
-SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_chars AS BIGINT) AS sum_chars
-FROM (
-  SELECT '1_raw' AS stage, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM raw
-  UNION ALL SELECT '2_corpus', count(*), sum(n_chars) FROM corp
-  UNION ALL SELECT '3_quality', count(*), sum(n_chars) FROM quality
-  UNION ALL SELECT '4_exact_dedup', count(*), sum(n_chars) FROM exact
-  UNION ALL SELECT '5_fp_dedup', count(*), sum(n_chars) FROM fp
-  UNION ALL SELECT '6_decontaminated', count(*), sum(n_chars) FROM clean
-) f
+SELECT s.stage,
+       CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(a.sum_chars AS BIGINT) AS sum_chars
+FROM VALUES ('1_raw', 1), ('2_corpus', 2), ('3_quality', 3),
+            ('4_exact_dedup', 4), ('5_fp_dedup', 5),
+            ('6_decontaminated', 6) AS s(stage, k)
+LEFT JOIN per_stage a ON a.k = s.k
+ORDER BY s.stage
 """)
 
 
@@ -469,6 +494,9 @@ def dedup_minhash_collapsed(spark: SparkSession, sf: str) -> DataFrame:
     representative pairs with each side's exact-group size, which is the
     complete answer (every member pair is implied by rep pair x member
     sets)."""
+    # no spread (r12): unlike dedup_minhash_lsh, the signing here runs on
+    # the reps JOIN output — already 32-way from the groups shuffle — so
+    # the load-side spread adds nothing (interleaved A/B: parity)
     docs = load_table(spark, sf, "documents")
     groups = (
         docs.select("doc_id", F.md5("text").alias("h"))
