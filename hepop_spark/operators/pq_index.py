@@ -490,23 +490,56 @@ def ivfpq_topk_from_index(
     books = read_parquet_memo(spark, os.path.join(path, "books"))
     cents = read_parquet_memo(spark, os.path.join(path, "cents"))
 
-    wprobe = Window.partitionBy("q_id").orderBy(F.col("cd").desc(), F.col("cell"))
+    # r12 (second pass): the probe list and the ADC LUT both derive from
+    # the TINY parameter tables (32 cells, m_sub*k_codes codewords) x the
+    # bounded query set, yet cost three exchanges and their AQE stage
+    # jobs: a row_number window for the top-nprobe cells, an explode +
+    # (m)-join for the LUT terms, and a groupBy(q_id) to fold the map.
+    # Collapsing each parameter table to ONE array row (singleton
+    # aggregate, the audited bounded-broadcast pattern) computes both
+    # per-query artifacts in a single projection — zero exchanges. The
+    # math is expression-identical: the same zip_with/aggregate dot on
+    # the same slices, and `array_sort(struct(-cd, cell))[1..nprobe]` is
+    # the window's (cd DESC, cell) row_number <= nprobe selection (exact
+    # BIGINT/double negation; -0.0 ties sit in the documented
+    # accepted-improbable last-ulp class).
+    cents_arr = cents.groupBy().agg(
+        F.collect_list(F.struct("cell", "cw_cell")).alias("cs"))
+    books_arr = books.groupBy().agg(
+        F.collect_list(F.struct("m", "k", "cw")).alias("bs"))
+
+    def _dot_sql(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (zx, zy) -> "
+                "CAST(zx AS DOUBLE) * CAST(zy AS DOUBLE)), 0D, "
+                "(zacc, zv) -> zacc + zv)")
+
+    def _norm2_sql(c: str) -> str:
+        return (f"aggregate(transform({c}, nx -> "
+                "CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE)), 0D, "
+                "(nacc, nv) -> nacc + nv)")
+
     qprobe = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("cd", _dot("qv", "cw_cell"))
-        .withColumn("rn", F.row_number().over(wprobe))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "cell")
+        queries.crossJoin(F.broadcast(cents_arr))
+        .select(
+            "q_id",
+            F.explode(F.expr(
+                "slice(array_sort(transform(cs, pc -> struct("
+                f"-({_dot_sql('qv', 'pc.cw_cell')}) AS ncd, "
+                f"pc.cell AS cell))), 1, {nprobe})")).alias("pr"),
+        )
+        .select("q_id", F.col("pr.cell").alias("cell"))
     )
-    qsub = queries.select(
-        "q_id",
-        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
-        F.col("qv"),
-    ).select("q_id", "m", F.expr(f"slice(qv, m * {sub} + 1, {sub})").alias("qs"))
-    lut = qsub.join(F.broadcast(books), "m").select(
-        "q_id", "m", "k",
-        _dot("qs", "cw").alias("t_dot"),
-        _norm2("cw").alias("t_n2"),
+    lut_map = (
+        queries.crossJoin(F.broadcast(books_arr))
+        .select(
+            "q_id",
+            F.expr(
+                "map_from_entries(transform(bs, be -> struct("
+                "CAST(be.m * 64 + be.k AS INT) AS mk, struct("
+                f"{_dot_sql(f'slice(qv, be.m * {sub} + 1, {sub})', 'be.cw')}"
+                " AS t_dot, "
+                f"{_norm2_sql('be.cw')} AS t_n2) AS v)))").alias("lm"),
+        )
     )
     # candidates: probed cells select code rows; each c_id lives in
     # exactly one cell, so (q_id, c_id) is already distinct. Published
@@ -518,23 +551,14 @@ def ivfpq_topk_from_index(
     if tomb is not None:
         codes = codes.join(tomb, "c_id", "left_anti")
     cand = codes.join(F.broadcast(qprobe), "cell").select("q_id", "c_id", "packed")
-    # ADC scoring: the LUT folds to ONE broadcast map per query (key
-    # m*64+k — every (m, k) pair exists by construction, lut = qsub x
-    # books on m), and each candidate row sums its m_sub lookups inline.
-    # The former explode(m) + (q_id, m, k) join + groupBy re-assembled
-    # each candidate from m_sub shuffled rows; the map lookup keeps the
-    # row intact — one broadcast join, zero added exchanges. The addition
+    # ADC scoring: the LUT is ONE broadcast map per query (key m*64+k —
+    # every (m, k) pair exists by construction, bs carries all of books),
+    # and each candidate row sums its m_sub lookups inline. The former
+    # explode(m) + (q_id, m, k) join + groupBy re-assembled each
+    # candidate from m_sub shuffled rows; the map lookup keeps the row
+    # intact — one broadcast join, zero added exchanges. The addition
     # chain is the SAME fixed m-ascending order as the old array fold
     # (0.0 + t(0) + t(1) + ...), so the floor(x*1e4+0.5) key can't flip.
-    lut_map = lut.groupBy("q_id").agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.expr("struct(cast(m * 64 + k as int) as mk, "
-                       "struct(t_dot, t_n2) as v)")
-            )
-        ).alias("lm")
-    )
-
     def _term(m: int) -> str:
         return f"lm[cast({m * 64} + (shiftright(packed, {m * 6}) & 63) as int)]"
 

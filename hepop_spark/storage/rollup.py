@@ -340,12 +340,17 @@ def projection_scan(spark: SparkSession, store: str, keys: list[str],
     None-equivalent empty only if the store has no segments; callers that
     built at least one batch always get the full monoid merge."""
     segs = _projection_segments(store)
-    df = None
-    for s in segs:
-        part = spark.read.parquet(s)
-        df = part if df is None else df.unionByName(part)
-    if df is None:
+    if not segs:
         raise FileNotFoundError(f"empty projection store: {store}")
+    # ONE multi-path read instead of per-segment read + unionByName (r12):
+    # parquet binds columns BY NAME per file, so column order may differ
+    # across generations (verified), and segment dirs are flat (never
+    # partitioned), so there is no partition-discovery base-path hazard —
+    # unlike pq_index's cell-partitioned code segments, which keep
+    # per-root reads. Cold-store A/B (every fold and routed read sees a
+    # fresh store): construct 0.34 -> 0.09 s at 4 segments; warm repeat
+    # construction is within noise either way.
+    df = spark.read.parquet(*segs)
     return df.groupBy(*keys).agg(
         *merge_aggs(sums, mins, maxs, kmvs, kmv_k, hists))
 
