@@ -236,11 +236,16 @@ api = HepopQueryAPI(spark, default_window=False, data_dir=data_dir)
 with open(out_path, "w") as out:
     out.write("ready\n"); out.flush()
     while not os.path.exists(stop_path):
+        t0 = time.monotonic()
         try:
             rows, _ = api.query_json("SELECT count() AS n FROM soak")
             out.write(f"{rows[0]['n']}\n")
         except Exception as e:
             out.write("ERR " + str(e).replace(chr(10), " | ")[:600] + "\n")
+        # per-read latency on its own line: the parent time-scales its
+        # minimum-reads liveness bound by the speed the reader actually
+        # achieved under the box load it actually saw
+        out.write(f"RT {time.monotonic() - t0:.3f}\n")
         out.flush()
     # one final read after the writer finished
     rows, _ = api.query_json("SELECT count() AS n FROM soak")
@@ -294,6 +299,7 @@ class TestCrossProcessCompactionRace:
                 time.sleep(0.5)
             else:
                 raise AssertionError("reader process never became ready")
+            t_ready = time.monotonic()
 
             rounds = 12
             for i in range(rounds):
@@ -320,6 +326,7 @@ class TestCrossProcessCompactionRace:
                                        "date=2024-03-01/bucket=10-00")) == 1
         finally:
             stop_path.touch()
+            window_s = time.monotonic() - t_ready
             try:
                 proc.wait(timeout=120)
             finally:
@@ -331,7 +338,23 @@ class TestCrossProcessCompactionRace:
         assert not errs, errs[:3]
         counts = [int(ln) for ln in lines if ln.isdigit()]
         final = [int(ln.split()[1]) for ln in lines if ln.startswith("FINAL")]
-        assert len(counts) >= 5, f"reader too slow, only {len(counts)} reads"
+        # Liveness, time-scaled (r12 verdict item 1): the old fixed
+        # `>= 5` tripped three documented times when the driver's loaded
+        # box starved the reader subprocess to 1-4 samples while every
+        # correctness assertion below passed. Scale the bound by what the
+        # reader's OWN demonstrated read latency made possible inside the
+        # observed storm window — box load slows both, so the bound
+        # self-adjusts; a dead reader still fails (no reads, or no FINAL).
+        assert counts, "reader made no successful reads during the storm"
+        rts = sorted(
+            float(ln.split()[1]) for ln in lines if ln.startswith("RT ")
+        )
+        median_rt = rts[len(rts) // 2] if rts else window_s
+        feasible = int(window_s / max(median_rt, 1e-3) / 4)
+        min_reads = max(1, min(5, feasible))
+        assert len(counts) >= min_reads, (
+            f"reader too slow: {len(counts)} reads, expected >= {min_reads} "
+            f"(window {window_s:.1f}s, median read {median_rt:.2f}s)")
         assert counts == sorted(counts), "non-monotonic counts: " + str(
             [c for a, c in zip(counts, counts[1:]) if c < a][:3])
         assert max(counts) <= total
