@@ -518,28 +518,42 @@ def ivfpq_topk_from_index(
                 "CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE)), 0D, "
                 "(nacc, nv) -> nacc + nv)")
 
-    qprobe = (
+    # r13: the probe list, the LUT map and the query norm all ride in ONE
+    # exploded per-(q_id, cell) broadcast (bounded by |queries| x nprobe
+    # rows, each carrying the m_sub x k_codes map) — the former three
+    # broadcast joins (qprobe on cell, lut_map on q_id, qn on q_id)
+    # collapse into a single broadcast hash join against the code scan.
+    # Expressions are identical character for character, and the join on
+    # `cell` reproduces the old qprobe join exactly (lm/qnorm are
+    # per-query constants that previously arrived via the two q_id
+    # joins), so every candidate row sees the same (lm, qnorm) and the
+    # floor(x*1e4+0.5) shortlist key cannot move.
+    qart = (
         queries.crossJoin(F.broadcast(cents_arr))
+        .crossJoin(F.broadcast(books_arr))
         .select(
             "q_id",
-            F.explode(F.expr(
+            # probe array, LUT map and norm are computed in THIS project,
+            # once per query; the explode sits in the NEXT select so the
+            # Generate only replicates the computed values per probed
+            # cell (an explode-side projection would rebuild the 512-
+            # entry map nprobe times per query — measured +0.13 s)
+            F.expr(
                 "slice(array_sort(transform(cs, pc -> struct("
                 f"-({_dot_sql('qv', 'pc.cw_cell')}) AS ncd, "
-                f"pc.cell AS cell))), 1, {nprobe})")).alias("pr"),
-        )
-        .select("q_id", F.col("pr.cell").alias("cell"))
-    )
-    lut_map = (
-        queries.crossJoin(F.broadcast(books_arr))
-        .select(
-            "q_id",
+                f"pc.cell AS cell))), 1, {nprobe})").alias("parr"),
             F.expr(
                 "map_from_entries(transform(bs, be -> struct("
                 "CAST(be.m * 64 + be.k AS INT) AS mk, struct("
                 f"{_dot_sql(f'slice(qv, be.m * {sub} + 1, {sub})', 'be.cw')}"
                 " AS t_dot, "
                 f"{_norm2_sql('be.cw')} AS t_n2) AS v)))").alias("lm"),
+            F.when(F.sqrt(_norm2("qv")) > 0, F.sqrt(_norm2("qv")))
+            .otherwise(F.lit(1.0))
+            .alias("qnorm"),
         )
+        .select("q_id", F.explode("parr").alias("pr"), "lm", "qnorm")
+        .select("q_id", F.col("pr.cell").alias("cell"), "lm", "qnorm")
     )
     # candidates: probed cells select code rows; each c_id lives in
     # exactly one cell, so (q_id, c_id) is already distinct. Published
@@ -550,7 +564,6 @@ def ivfpq_topk_from_index(
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
         codes = codes.join(tomb, "c_id", "left_anti")
-    cand = codes.join(F.broadcast(qprobe), "cell").select("q_id", "c_id", "packed")
     # ADC scoring: the LUT is ONE broadcast map per query (key m*64+k —
     # every (m, k) pair exists by construction, bs carries all of books),
     # and each candidate row sums its m_sub lookups inline. The former
@@ -566,18 +579,12 @@ def ivfpq_topk_from_index(
         f"{_term(m)}.t_dot" for m in range(m_sub))
     n2_sql = "cast(0.0 as double) + " + " + ".join(
         f"{_term(m)}.t_n2" for m in range(m_sub))
-    adc = cand.join(F.broadcast(lut_map), "q_id").select(
+    keys = codes.join(F.broadcast(qart), "cell").select(
         "q_id", "c_id",
         F.expr(dot_sql).alias("dot"),
         F.expr(f"sqrt({n2_sql})").alias("cnorm"),
-    )
-    qn = queries.select(
-        "q_id",
-        F.when(F.sqrt(_norm2("qv")) > 0, F.sqrt(_norm2("qv")))
-        .otherwise(F.lit(1.0))
-        .alias("qnorm"),
-    )
-    keys = adc.join(F.broadcast(qn), "q_id").select(
+        "qnorm",
+    ).select(
         "q_id", "c_id",
         F.floor(
             F.col("dot")

@@ -554,11 +554,9 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/queries/mining_q.py:candidates": "min-support-capped candidate itemsets",
     "hepop_spark/operators/pq_index.py:cents": "fixed 32-row coarse-centroid table",
     "hepop_spark/operators/pq_index.py:books": "fixed 256-row PQ codeword table",
-    "hepop_spark/operators/pq_index.py:qn": "per-query norms (bounded query set)",
-    "hepop_spark/operators/pq_index.py:qprobe": "|queries| x nprobe probe rows (bounded query set)",
+    "hepop_spark/operators/pq_index.py:qart": "|queries| x nprobe probe rows, each carrying the fixed m_sub x k_codes LUT map and the query norm (bounded query set x fixed codebook)",
     "hepop_spark/operators/pq_index.py:cents_arr": "one-row array fold of the fixed 32-row coarse-centroid table",
     "hepop_spark/operators/pq_index.py:books_arr": "one-row array fold of the fixed m_sub x k_codes PQ codebook",
-    "hepop_spark/operators/pq_index.py:lut_map": "ADC lookup map: one row per bounded query, m_sub x k_codes entries each",
     "hepop_spark/operators/pq_index.py:shortq": "rerank shortlist: <= |queries| x shortlist (150) rows joined to bounded query vectors",
     "hepop_spark/queries/llm11.py:cand_docs": "LSH candidate doc ids (near-dup volume, << corpus by construction)",
     "hepop_spark/queries/analytics19.py:tot": "per-returnflag totals (3 rows)",
