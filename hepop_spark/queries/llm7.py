@@ -278,41 +278,74 @@ def graph_beam_search(vecs: DataFrame, qs: DataFrame, graph: DataFrame,
     edges, `eps` is (node) entry points shared by every query. Returns
     (q_id, c_id, sim, rk) top-k per query."""
 
+    # r13 restructure (§2.1/§2.4): the per-hop state is ONE ROW PER QUERY
+    # — (q_id, qv, varr: array<struct<sim, node>>) — instead of a row per
+    # visited pair. The old loop paid, per hop, a row_number window
+    # exchange for the frontier, an expand .distinct() exchange, a
+    # union-wide .distinct() exchange and an EAGER checkpoint job (plus a
+    # per-hop qs broadcast inside score); profiled 52 jobs / 5.7 s wall
+    # at sf0.1 with jobs-sum 3.8 s. Folding the visited set into a
+    # per-query array makes frontier selection a PROJECTION
+    # (slice(array_sort(...)) — the r12 pq_index probe precedent),
+    # dedup an array_distinct inside the one per-hop aggregation, and qv
+    # rides the frontier rows so scoring needs no second broadcast.
+    #
+    # Exactness: sim = round(cos, 4) is a pure function of (q_id, node),
+    # so re-scored duplicates are bit-identical and array_distinct
+    # collapses them exactly as the old row-level distinct did;
+    # array_sort on struct(-sim, node, sim) replays the window's
+    # (sim DESC, node) order with exact double negation (-0.0 ties are
+    # the documented accepted-improbable class), and sim is recovered
+    # from the carried third field, never by re-negation. The lazy
+    # localCheckpoint still truncates the 2^hops lineage doubling (va is
+    # referenced by both the frontier and the union); eager=False defers
+    # materialization to the action and caches on first compute.
     def score(pairs: DataFrame) -> DataFrame:
-        # pairs (q_id, node) is bounded by queries x beam x degree —
+        # pairs (q_id, qv, node) is bounded by queries x beam x degree —
         # broadcast it against the PARTITIONED corpus vectors
         return (
             vecs.join(F.broadcast(pairs),
                       vecs.vec_id == pairs.node)
-            .join(F.broadcast(qs), "q_id")
             .withColumn("sim", _cos4("qv", "embedding"))
-            .select("q_id", "node", "sim")
+            .select("q_id", "qv", "sim", "node")
         )
 
-    visited = score(qs.select("q_id").crossJoin(eps))
-    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(),
-                                            F.col("node"))
+    fold = "array_distinct(collect_list(struct(sim, node)))"
+    sel = ("slice(array_sort(transform(varr, x -> struct("
+           "-x.sim AS nsim, x.node AS node, x.sim AS sim))), 1, {n})")
+    va = (
+        score(qs.crossJoin(eps))
+        .groupBy("q_id")
+        .agg(F.first("qv").alias("qv"), F.expr(fold).alias("varr"))
+    )
     for _hop in range(hops):
+        va = va.localCheckpoint(eager=False)
         frontier = (
-            visited.withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= beam)
-            .select("q_id", "node")
+            va.select("q_id", "qv",
+                      F.explode(F.expr(sel.format(n=beam))).alias("fr"))
+            .select("q_id", "qv", F.col("fr.node").alias("node"))
         )
+        # expanded (q_id, node) pairs may repeat across frontier nodes —
+        # they score to bit-identical rows and collapse in the fold, so
+        # no pre-score distinct exchange is needed
         expand = (
             graph.join(F.broadcast(frontier), "node")
-            .select("q_id", F.col("nbr").alias("node"))
-            .distinct()
+            .select("q_id", "qv", F.col("nbr").alias("node"))
         )
-        # round(cos, 4) is a pure function of (q_id, node): re-scored
-        # duplicates collapse exactly under distinct(); the checkpoint
-        # truncates the doubling lineage (visited is referenced by both
-        # the frontier and the union — 2^hops subplans otherwise)
-        visited = visited.union(score(expand)).distinct().localCheckpoint()
+        va = (
+            va.select("q_id", "qv", F.explode("varr").alias("vs"))
+            .select("q_id", "qv", F.col("vs.sim").alias("sim"),
+                    F.col("vs.node").alias("node"))
+            .union(score(expand))
+            .groupBy("q_id")
+            .agg(F.first("qv").alias("qv"), F.expr(fold).alias("varr"))
+        )
     return (
-        visited.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= k)
-        .select("q_id", F.col("node").alias("c_id"), "sim",
-                F.col("rk").cast("long").alias("rk"))
+        va.select("q_id",
+                  F.posexplode(F.expr(sel.format(n=k))).alias("pos", "t"))
+        .select("q_id", F.col("t.node").alias("c_id"),
+                F.col("t.sim").alias("sim"),
+                (F.col("pos") + 1).cast("long").alias("rk"))
         .orderBy("q_id", "rk")
     )
 
