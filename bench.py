@@ -114,12 +114,15 @@ EXTRA_R2 = [
     "sql_routed_entrypoint",
     # round-12 flagships: CTE chain/join routing and zone-COMPLEMENT
     # pruning for negated ranges — fixture-dominated serve-tree builds
-    # like the other routed entries. ann_graph_topk is deliberately NOT
-    # here: its 4-hop search is ~5-6 s of fixed stage latency at any
-    # corpus size (batch regime) — it lives in the 20x probe instead.
+    # like the other routed entries.
     "rollup_routed_cte_chain",
     "rollup_routed_cte_join",
     "zone_routed_not_range",
+    # round-13: the graph-ANN beam search joins the timed set — the r13
+    # per-query array-fold restructure cut its fixed 4-hop stage latency
+    # from ~5 s to ~2 s (52 -> 18 jobs), so its cost is now bench-scale;
+    # it still rides the 20x probe for the scale direction.
+    "ann_graph_topk",
 ]
 
 

@@ -62,25 +62,28 @@ def minhash_bands(docs: DataFrame, *, n_seeds: int, band_rows: int,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, band, bkey) LSH band keys for (id, text) rows — the math of
     queries/llm.py:_minhash_pairs stage for stage: RAW trigram shingles
-    (min over duplicates is identical, so no distinct shuffle), all
-    n_seeds minhashes in ONE aggregation, band keys stacked with a single
-    explode. Documents shorter than 3 tokens yield no shingles and hence
-    no bands (the r04 short-doc rule: empty, never a crash)."""
+    (min over duplicates is identical, so no distinct shuffle), each
+    signature a PURE PER-ROW fold (r13: array_min over a transform of the
+    row's own shingle array computes the identical lexicographic minimum
+    of the identical md5 multiset — no explode, no exchange, and no
+    SortAggregate, which min-over-strings forced), band keys stacked with
+    a single explode. Documents shorter than 3 tokens yield no shingles
+    and hence no bands (the r04 short-doc rule: empty, never a crash)."""
     with_t = docs.withColumn("t", F.split(text_col, " "))
-    sh_raw = with_t.filter(F.size("t") >= 3).select(
+    shs = with_t.filter(F.size("t") >= 3).select(
         id_col,
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 3), "
-                "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
-            )
-        ).alias("sh"),
+        F.expr(
+            "transform(sequence(0, size(t) - 3), "
+            "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+        ).alias("shs"),
     )
-    sig = sh_raw.groupBy(id_col).agg(
+    sig = shs.select(
+        id_col,
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            F.array_min(F.expr(
+                f"transform(shs, s -> md5(concat('{i}:', s)))")).alias(f"mh{i}")
             for i in range(n_seeds)
-        ]
+        ],
     )
     n_bands = n_seeds // band_rows
     band_structs = F.array(

@@ -39,11 +39,23 @@ def _tokens(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
 
 
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shs array<string>) word-3-gram shingle arrays WITH
+    duplicates — ONE ROW PER DOC, computed array-natively. Duplicate
+    shingles are harmless for minhashing (min over dups is identical).
+    Documents shorter than 3 tokens are dropped (the r04 short-doc rule:
+    no shingles, no signature, never a crash)."""
+    d = docs.withColumn("t", F.split("text", " "))
+    return d.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.expr("transform(sequence(0, size(t) - 3), "
+               "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))").alias("shs"),
+    )
+
+
 def _shingles_raw(spark: SparkSession, sf: str) -> DataFrame:
-    """Word 3-gram shingles per document WITH duplicates, computed
-    array-natively (no Python UDF): transform over an index sequence.
-    Duplicate shingles are harmless for minhashing (min over dups is
-    identical) and skipping the distinct() avoids a full-corpus shuffle.
+    """Word 3-gram shingles per document WITH duplicates (one exploded
+    row per occurrence).
 
     spread=True (r12): the single-row-group testdata file reads as ONE
     task, and the shingle explode + 8x md5 signing fused into that scan
@@ -52,14 +64,9 @@ def _shingles_raw(spark: SparkSession, sf: str) -> DataFrame:
     (dedup_minhash_lsh 3.29 -> 2.09 s same-window A/B); at production
     scale the scan splits naturally and the spread is a no-op
     (catalog._maybe_spread)."""
-    docs = load_table(spark, sf, "documents", spread=True).withColumn(
-        "t", F.split("text", " "))
-    return docs.filter(F.size("t") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
-        ).alias("sh"),
-    )
+    return _doc_shingles(
+        load_table(spark, sf, "documents", spread=True)
+    ).select("doc_id", F.explode("shs").alias("sh"))
 
 
 def _shingles(spark: SparkSession, sf: str) -> DataFrame:
@@ -191,20 +198,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # and reading materialized rows (3.55s vs 4.0-4.7s) — and at 100 TB a
     # corpus-derived shingle cache wouldn't fit storage anyway, so the
     # streaming-recompute plan is the one that survives scale-up.
-    return _minhash_pairs(_shingles_raw(spark, sf))
+    return _minhash_pairs(load_table(spark, sf, "documents", spread=True))
 
 
-def _minhash_bands(sh_raw: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) LSH band rows from a raw-shingle frame — the
-    shared signing front end of every banded dedup chain."""
-    # All k minhashes in ONE aggregation (k agg expressions over one shuffle
-    # on doc_id) instead of exploding by seed — at scale this kills a k×-row
-    # shuffle and a second (doc, seed) aggregation exchange.
+def _minhash_bands(doc_shs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band rows from a (doc_id, shs array)
+    frame — the shared signing front end of every banded dedup chain.
+
+    r13: the signature is a PURE PER-ROW function — min over a doc's own
+    shingles — so signing needs no explode, no exchange and no aggregate
+    at all. The former groupBy(doc_id).agg(8x min(md5)) forced a
+    SortAggregate (min over var-length strings has no fixed-width hash
+    buffer) sorting every exploded shingle row; array_min over a
+    transform of the row's shingle array computes the identical
+    lexicographic minimum of the identical md5 multiset inside the scan
+    projection."""
     minhash_cols = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        F.array_min(F.expr(
+            f"transform(shs, s -> md5(concat('{i}:', s)))")).alias(f"mh{i}")
         for i in range(MINHASH_SEEDS)
     ]
-    sig = sh_raw.groupBy("doc_id").agg(*minhash_cols)
+    sig = doc_shs.select("doc_id", *minhash_cols)
     # band keys column-wise (seed order), then stack bands with one explode —
     # no extra shuffle before the bucket join
     n_bands = MINHASH_SEEDS // MINHASH_BAND_ROWS
@@ -227,12 +241,29 @@ def _minhash_bands(sh_raw: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_pairs(sh_raw: DataFrame) -> DataFrame:
+def _minhash_pairs(docs: DataFrame) -> DataFrame:
     """The minhash->bands->candidates->exact-verify chain over any
-    (doc_id, sh) raw-shingle frame; returns (da, db, jaccard) pairs.
+    (doc_id, text) document frame; returns (da, db, jaccard) pairs.
     Shared by dedup_minhash_lsh (full corpus) and llm4's
-    dedup_minhash_collapsed (exact-dedup representatives)."""
-    bands = _minhash_bands(sh_raw)
+    dedup_minhash_collapsed (exact-dedup representatives).
+
+    The verification-side exploded shingles keep the INLINE transform
+    expression under the explode deliberately: exploding an attribute-
+    rooted array column makes InferFiltersFromGenerate add a
+    size(shs) > 0 guard that predicate pushdown substitutes BELOW the
+    spread exchange, re-evaluating the whole shingle transform twice per
+    row inside the single pre-spread scan task (measured: the 0.3 s map
+    stage became 4.1 s). An inline generator child is excluded from that
+    inference (SPARK-36715's expensive-expression guard)."""
+    d = docs.withColumn("t", F.split("text", " "))
+    sh_raw = d.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 3), "
+                   "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
+        ).alias("sh"),
+    )
+    bands = _minhash_bands(_doc_shingles(docs))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (

@@ -504,17 +504,7 @@ def dedup_minhash_collapsed(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n_members"))
     )
     reps = docs.join(groups.select(F.col("rep").alias("doc_id")), "doc_id")
-    with_t = reps.withColumn("t", F.split("text", " "))
-    sh_raw = with_t.filter(F.size("t") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 3), "
-                "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
-            )
-        ).alias("sh"),
-    )
-    pairs = _minhash_pairs(sh_raw)
+    pairs = _minhash_pairs(reps)
     ga = groups.select(F.col("rep").alias("da"), F.col("n_members").alias("na_members"))
     gb = groups.select(F.col("rep").alias("db"), F.col("n_members").alias("nb_members"))
     return (

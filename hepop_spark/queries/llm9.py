@@ -623,17 +623,8 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
             "slice(split(text, ' '), 4, size(split(text, ' ')) - 3)))"
         ).alias("text"),
     )
-    base = docs.unionByName(variants).withColumn("t", F.split("text", " "))
-    sh_raw = base.filter(F.size("t") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 3), "
-                "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
-            )
-        ).alias("sh"),
-    )
-    pairs = _minhash_pairs(sh_raw).select("da", "db")
+    base = docs.unionByName(variants)
+    pairs = _minhash_pairs(base).select("da", "db")
     n_planted = docs.filter(elig).agg(F.count("*").alias("n_planted"))
     return (
         pairs.agg(

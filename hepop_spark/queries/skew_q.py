@@ -42,6 +42,7 @@ from .llm import (
     MINHASH_BAND_ROWS,
     MINHASH_SEEDS,
     _DUCK_SHINGLES_CTE,
+    _doc_shingles,
     _minhash_bands,
     _verify_candidate_pairs,
 )
@@ -95,8 +96,9 @@ def dedup_skewed_band(spark: SparkSession, sf: str) -> DataFrame:
     before the exchange); the salted join bounds any single partition to
     ~hot_bucket/SALT rows; candidates are linear in bucket sizes, so
     verification work tracks the true near-dup rate, never its square."""
-    sh_raw = _skewed_shingles(_skewed_docs(spark, sf))
-    bands = _minhash_bands(sh_raw)
+    sdocs = _skewed_docs(spark, sf)
+    sh_raw = _skewed_shingles(sdocs)
+    bands = _minhash_bands(_doc_shingles(sdocs))
     reps = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
     reps_salted = reps.select(
         "band", "bkey", "rep",
