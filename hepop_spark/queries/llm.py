@@ -245,24 +245,13 @@ def _minhash_pairs(docs: DataFrame) -> DataFrame:
     """The minhash->bands->candidates->exact-verify chain over any
     (doc_id, text) document frame; returns (da, db, jaccard) pairs.
     Shared by dedup_minhash_lsh (full corpus) and llm4's
-    dedup_minhash_collapsed (exact-dedup representatives).
-
-    The verification-side exploded shingles keep the INLINE transform
-    expression under the explode deliberately: exploding an attribute-
-    rooted array column makes InferFiltersFromGenerate add a
-    size(shs) > 0 guard that predicate pushdown substitutes BELOW the
-    spread exchange, re-evaluating the whole shingle transform twice per
-    row inside the single pre-spread scan task (measured: the 0.3 s map
-    stage became 4.1 s). An inline generator child is excluded from that
-    inference (SPARK-36715's expensive-expression guard)."""
-    d = docs.withColumn("t", F.split("text", " "))
-    sh_raw = d.filter(F.size("t") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(t) - 3), "
-                   "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
-        ).alias("sh"),
-    )
+    dedup_minhash_collapsed (exact-dedup representatives). Nothing in
+    the chain explodes shingles any more: signing and the verification
+    sets are both per-row folds over each doc's own shingle array (and
+    exploding an attribute-rooted array would make
+    InferFiltersFromGenerate add a size() guard that predicate pushdown
+    re-evaluates below the spread exchange — measured 4.1 s on the
+    single pre-spread scan task when a first cut did exactly that)."""
     bands = _minhash_bands(_doc_shingles(docs))
     a = bands.alias("a")
     b = bands.alias("b")
@@ -276,14 +265,15 @@ def _minhash_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    return _verify_candidate_pairs(sh_raw, candidates)
+    return _verify_candidate_pairs(docs, candidates)
 
 
-def _verify_candidate_pairs(sh_raw: DataFrame, candidates: DataFrame) -> DataFrame:
-    """Exact-Jaccard verification of (da, db) candidate pairs against the
-    raw-shingle frame; returns pairs >= JACCARD_THRESHOLD. Shared by the
-    banded all-pairs chain above and skew_q's salted star-join chain —
-    one verification body, so the two candidate policies cannot drift."""
+def _verify_candidate_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of (da, db) candidate pairs against a
+    (doc_id, text) document frame; returns pairs >= JACCARD_THRESHOLD.
+    Shared by the banded all-pairs chain above, skew_q's salted star-join
+    chain and llm11's best-match wrapper — one verification body, so the
+    candidate policies cannot drift."""
     # exact verification of candidates only: restrict the shingle table to
     # candidate docs (broadcast semi-join), and only THEN take distinct
     # shingle sets — the expensive distinct runs over a tiny slice
@@ -312,10 +302,22 @@ def _verify_candidate_pairs(sh_raw: DataFrame, candidates: DataFrame) -> DataFra
     # document length (same order as the text column itself), so the
     # per-row arrays are safe at any corpus scale; intersection is
     # hash-based (linear), never |A|x|B|.
+    # r13: the set is a PURE PER-ROW function of the doc's text —
+    # array_distinct over the shingle transform is the same set
+    # collect_set built from exploded occurrences — so the explode and
+    # the groupBy(doc_id) exchange disappear; the semi-join now prunes
+    # DOC rows before any shingle is materialized.
     sh_sets = (
-        sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("sh").alias("s"))
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .withColumn("t", F.split("text", " "))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(t) - 3), "
+                "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))"
+            ).alias("s"),
+        )
     )
     sides = candidates.select(
         F.col("da").alias("doc_id"), F.struct("da", "db").alias("p")

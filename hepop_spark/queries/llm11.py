@@ -137,56 +137,26 @@ def _exact_best_match(docs: DataFrame, pairs: DataFrame,
     exact trigram Jaccard over candidate docs ONLY (semi-join bounds the
     text re-read to the candidate id set), thresholded, best match per
     `a_col` with the deterministic (jaccard DESC, b) tie-break. Returns
-    (a_col, b_col, jaccard)."""
-    cand_docs = (
-        pairs.select(F.col(a_col).alias("doc_id"))
-        .union(pairs.select(F.col(b_col).alias("doc_id")))
-        .distinct()
-    )
-    with_t = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi").withColumn(
-        "t", F.split("text", " ")
-    )
-    shingles = (
-        with_t.filter(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 3), "
-                    "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
-    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col("doc_id").alias(a_col), "sh")
-    sb = shingles.select(F.col("doc_id").alias(b_col), "sh")
-    inter = (
-        pairs.join(sa, a_col)
-        # the shingle value rides IN the join key (r04 rule: post-filtering
-        # equality would materialize |A| x |B| rows per pair)
-        .join(sb, [b_col, "sh"])
-        .groupBy(a_col, b_col)
-        .agg(F.count("*").alias("inter"))
-    )
-    ca = counts.select(F.col("doc_id").alias(a_col), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias(b_col), F.col("n").alias("nb_n"))
-    jac = F.round(
-        F.col("inter").cast("double") / (F.col("na") + F.col("nb_n") - F.col("inter")),
-        4,
-    )
-    scored = (
-        inter.join(ca, a_col)
-        .join(cb, b_col)
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
-    w = Window.partitionBy(a_col).orderBy(F.col("jaccard").desc(), F.col(b_col))
+    (a_col, b_col, jaccard).
+
+    r13: delegates the Jaccard computation to the flagship's shared
+    verification body (llm._verify_candidate_pairs — per-row shingle
+    sets + array_intersect), which replaced this module's former
+    three-join spelling: the old shape exploded DISTINCT shingles, then
+    paid a counts aggregation, a shingle-in-key join (the entry's
+    heaviest stage, ~14 executor-seconds at sf0.1) and two count joins.
+    inter/na/nb are the same exact integers (|set ∩ set| and set sizes),
+    so the rounded jaccard and the thresholded, window-selected rows are
+    bit-identical."""
+    from .llm import _verify_candidate_pairs
+
+    cands = pairs.select(F.col(a_col).alias("da"), F.col(b_col).alias("db"))
+    scored = _verify_candidate_pairs(docs, cands)
+    w = Window.partitionBy("da").orderBy(F.col("jaccard").desc(), F.col("db"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select(a_col, b_col, "jaccard")
+        .select(F.col("da").alias(a_col), F.col("db").alias(b_col), "jaccard")
     )
 
 

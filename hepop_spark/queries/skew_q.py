@@ -73,17 +73,6 @@ def _skewed_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _skewed_shingles(docs: DataFrame) -> DataFrame:
-    d = docs.withColumn("t", F.split("text", " "))
-    return d.filter(F.size("t") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(t) - 3), "
-                   "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
-        ).alias("sh"),
-    )
-
-
 def dedup_skewed_band(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup detection on the adversarial boilerplate corpus with the
     skew-safe plan (module doc): star candidates per bucket + salted
@@ -97,7 +86,6 @@ def dedup_skewed_band(spark: SparkSession, sf: str) -> DataFrame:
     ~hot_bucket/SALT rows; candidates are linear in bucket sizes, so
     verification work tracks the true near-dup rate, never its square."""
     sdocs = _skewed_docs(spark, sf)
-    sh_raw = _skewed_shingles(sdocs)
     bands = _minhash_bands(_doc_shingles(sdocs))
     reps = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
     reps_salted = reps.select(
@@ -111,7 +99,7 @@ def dedup_skewed_band(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("rep").alias("da"), F.col("doc_id").alias("db"))
         .distinct()
     )
-    return _verify_candidate_pairs(sh_raw, candidates)
+    return _verify_candidate_pairs(sdocs, candidates)
 
 
 def _skew_oracle_sql() -> str:

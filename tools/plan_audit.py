@@ -530,7 +530,6 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     # r12 graph ANN: everything query-side is bounded by the query set
     "hepop_spark/queries/llm7.py:pairs": "beam-search candidate pairs, "
     "bounded by queries x beam x graph degree per hop",
-    "hepop_spark/queries/llm7.py:qs": "bounded query set (vec_id < 10)",
     "hepop_spark/queries/llm7.py:frontier": "per-query beam, bounded by "
     "queries x GRAPH_BEAM",
     "hepop_spark/queries/llm8.py:tot": "1-row totals aggregate",
@@ -558,7 +557,6 @@ BOUNDED_BROADCASTS: dict[str, str] = {
     "hepop_spark/operators/pq_index.py:cents_arr": "one-row array fold of the fixed 32-row coarse-centroid table",
     "hepop_spark/operators/pq_index.py:books_arr": "one-row array fold of the fixed m_sub x k_codes PQ codebook",
     "hepop_spark/operators/pq_index.py:shortq": "rerank shortlist: <= |queries| x shortlist (150) rows joined to bounded query vectors",
-    "hepop_spark/queries/llm11.py:cand_docs": "LSH candidate doc ids (near-dup volume, << corpus by construction)",
     "hepop_spark/queries/analytics19.py:tot": "per-returnflag totals (3 rows)",
     "hepop_spark/queries/llm14.py:tot": "per-returnflag totals (3 rows)",
     "hepop_spark/queries/analytics19.py:vocab": "fixed top-K (100) corpus tokens",
