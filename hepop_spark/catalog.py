@@ -253,6 +253,45 @@ def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
     return hit
 
 
+def local_result(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Pinned local result via the Arrow driver path (guide §6 "Arrow for
+    driver transfers", r13): the lifecycle entries return their already-
+    collected, plan-asserted rows as a DataFrame, and the plain
+    createDataFrame(list, schema) spelling builds a 32-slice parallelize
+    RDD whose schema application runs row-at-a-time through Python
+    workers — measured 7-15 executor-seconds and 0.3-0.7 s of wall PER
+    BENCH COLLECT for a handful of rows. Routing the same rows through a
+    dtype=object pandas frame uses the Arrow conversion (driver-side
+    columnar encode, no Python workers at action time): 0.39 -> 0.03 s
+    per construct+collect.
+
+    The Arrow arrays are built directly from the Python values with
+    from_pandas=False, so None stays a true null, NaN stays a NaN double
+    (pandas' object->Arrow conversion would fold NaN into null), and
+    ints/floats/strings are unchanged — values bit-identical to the list
+    spelling, pinned by tests/test_round13.py across None, NaN, -0.0,
+    unicode and int64-boundary rows."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_string
+
+    rows = [tuple(r) for r in rows]
+    st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
+    if not rows:
+        return spark.createDataFrame([], st)
+    cols = list(zip(*rows))
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(list(c), type=to_arrow_type(f.dataType),
+                     from_pandas=False)
+            for c, f in zip(cols, st.fields)
+        ],
+        names=[f.name for f in st.fields],
+    )
+    return spark.createDataFrame(tbl, st)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     """Register each parquet table as a temp view named after the table."""
     ensure_query_confs(spark)

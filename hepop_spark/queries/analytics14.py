@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from . import QuerySpec
 from .mining_q import _EDGES_SQL, _cosupply_edges
 
@@ -68,7 +68,7 @@ def graph_bfs_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
     rows = out.collect()
     edges.unpersist()
-    return spark.createDataFrame(rows, "node bigint, dist_to_hub bigint")
+    return local_result(spark, rows, "node bigint, dist_to_hub bigint")
 
 
 def _bfs_round_sql(prev: str, out: str) -> str:
@@ -182,7 +182,7 @@ def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type")
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "event_type string, n_added bigint, n_removed bigint, n_changed bigint"
         )
     finally:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from ..operators.vecexpr import dot_cast2, norm2_cast
 from . import QuerySpec
 
@@ -99,7 +99,7 @@ def pca_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
     finally:
         x.unpersist()
-    return spark.createDataFrame(rows, "d int, v_e4 bigint")
+    return local_result(spark, rows, "d int, v_e4 bigint")
 
 
 PCA_SQL = f"""

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from . import QuerySpec
 from .analytics12 import WEIGHTED_PCT_SQL
 
@@ -551,7 +551,7 @@ def weighted_percentile_maintained(spark: SparkSession, sf: str) -> DataFrame:
         projection_compact(spark, store, ["l_returnflag", "cents"], ["w"])
         grid = projection_scan(spark, store, ["l_returnflag", "cents"], ["w"])
         rows = _percentiles_from_cents_grid(grid).collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows,
             "l_returnflag string, total_weight bigint, p50_cents bigint, "
             "p90_cents bigint, p99_cents bigint",

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, register_views
+from ..catalog import local_result, load_table, register_views
 from . import QuerySpec
 
 # ---------------------------------------------------------------------------
@@ -1060,7 +1060,7 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
             .select("batch_doc", "index_doc", "jaccard")
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "batch_doc bigint, index_doc bigint, jaccard double"
         )
     finally:

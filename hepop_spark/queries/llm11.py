@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from . import QuerySpec
 
 # ---------------------------------------------------------------------------
@@ -403,7 +403,7 @@ def dedup_streaming_accumulate(spark: SparkSession, sf: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "new_doc bigint, old_doc bigint, match_batch bigint, jaccard double"
         )
     finally:

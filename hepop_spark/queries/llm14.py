@@ -26,7 +26,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from ..operators.vecexpr import dot_cast2, norm2_cast
 from . import QuerySpec
 from .llm import MINHASH_BAND_ROWS, MINHASH_SEEDS
@@ -120,7 +120,7 @@ def streaming_index_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows,
             "new_doc bigint, old_doc bigint, match_batch bigint, jaccard double",
         )
@@ -200,7 +200,7 @@ def streaming_ann_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
             m_sub=PQ_M, sub=PQ_SUB, nprobe=IVF_NPROBE,
             shortlist=IVFPQ_SHORT, top_k=5,
         ).collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "q_id bigint, c_id bigint, sim double, rk bigint"
         )
     finally:
@@ -316,7 +316,7 @@ def streaming_lsh_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
             .select("a_id", "b_id", "sim")
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "a_id bigint, b_id bigint, sim double"
         )
     finally:
@@ -734,7 +734,7 @@ def kmv_distinct_maintained(spark: SparkSession, sf: str) -> DataFrame:
             _kmv_est(F.col("sketch_size"), F.col("kth")).alias("distinct_est"),
         )
         rows = out.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows,
             "lang string, n_rows bigint, sketch_size int, distinct_est double",
         )
@@ -858,7 +858,7 @@ def streaming_graph_maintain_replay(spark: SparkSession, sf: str) -> DataFrame:
             .select("node", "nbr", "sim", "rk")
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "node bigint, nbr bigint, sim double, rk bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)

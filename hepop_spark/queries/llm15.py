@@ -37,7 +37,7 @@ import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from . import QuerySpec
 from .llm14 import DD_SUB
 
@@ -194,7 +194,7 @@ def ddsketch_maintained(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("l_returnflag")
         )
         rows = out.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows,
             "l_returnflag string, n_rows bigint, tw bigint, "
             "p50_est bigint, p95_est bigint, p99_est bigint",

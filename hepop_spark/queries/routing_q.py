@@ -27,7 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from . import QuerySpec
 
 ROLLUP_ROUTE_BATCHES = 4
@@ -153,7 +153,7 @@ def rollup_routed_aggregate(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_docs bigint, total_chars bigint"
         )
     finally:
@@ -212,7 +212,7 @@ def rollup_routed_filtered(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "source string, n_docs bigint, total_chars bigint"
         )
     finally:
@@ -274,7 +274,7 @@ def rollup_routed_minmax(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows,
             "lang string, min_chars bigint, max_chars bigint, "
             "total_chars bigint",
@@ -316,7 +316,7 @@ def rollup_routed_avg(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, avg_chars double, n_docs bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -462,7 +462,7 @@ def rollup_routed_timegrid(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "hr string, n bigint, su bigint, max_eid bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -538,7 +538,7 @@ def rollup_routed_timerange(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "event_type string, n bigint, su bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -596,7 +596,7 @@ def rollup_routed_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "source string, n_langs bigint, total_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -658,7 +658,7 @@ def bloom_routed_lookup(spark: SparkSession, sf: str) -> DataFrame:
         if not bp or bp["files_read"] >= bp["files_live"]:
             raise AssertionError(f"bloom pruning did not engage: {bp}")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "event_id bigint, call_id string, value double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -713,7 +713,7 @@ def rollup_routed_having(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows,
             "lang string, n_docs bigint, total_chars bigint, "
             "avg_chars double")
@@ -778,7 +778,7 @@ def rollup_routed_having_or(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_docs bigint, total_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -843,7 +843,7 @@ def rollup_routed_cte(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_docs bigint, total_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -906,7 +906,7 @@ def rollup_routed_cte_chain(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_sources bigint, sum_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -987,7 +987,7 @@ def rollup_routed_cte_join(spark: SparkSession, sf: str) -> DataFrame:
         if "Broadcast" not in plan:
             raise AssertionError("dim join is not a broadcast join")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "region string, n_docs bigint, total_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1077,7 +1077,7 @@ def rollup_routed_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows,
             "lang string, source string, n_docs bigint, total_chars bigint")
     finally:
@@ -1131,7 +1131,7 @@ def rollup_routed_derived(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, total_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1186,7 +1186,7 @@ def rollup_routed_union_all(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_docs bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1247,7 +1247,7 @@ def rollup_routed_cte_parallel(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_a bigint, n_b bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1303,7 +1303,7 @@ def rollup_routed_derived_join(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_a bigint, n_b bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1360,7 +1360,7 @@ def rollup_routed_where_precedence(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_docs bigint, total_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1417,7 +1417,7 @@ def rollup_routed_not(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_docs bigint, total_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1490,7 +1490,7 @@ def sidecar_routed_precedence(spark: SparkSession, sf: str) -> DataFrame:
             raise AssertionError(f"precedence pruning removed nothing: {bp}")
         out = [(rows[0]["n"], round(rows[0]["sv"], 2) if rows[0]["sv"]
                 is not None else None)]
-        return spark.createDataFrame(out, "n bigint, sv double")
+        return local_result(spark, out, "n bigint, sv double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1544,7 +1544,7 @@ def zone_routed_range(spark: SparkSession, sf: str) -> DataFrame:
         if bp["files_read"] >= bp["files_live"]:
             raise AssertionError(f"zone pruning removed nothing: {bp}")
         out = [(rows[0]["n"], round(rows[0]["sv"], 2))]
-        return spark.createDataFrame(out, "n bigint, sv double")
+        return local_result(spark, out, "n bigint, sv double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1601,7 +1601,7 @@ def zone_routed_not_range(spark: SparkSession, sf: str) -> DataFrame:
             raise AssertionError(f"complement pruning removed nothing: {bp}")
         out = [(rows[0]["n"], round(rows[0]["sv"], 2) if rows[0]["sv"]
                 is not None else None)]
-        return spark.createDataFrame(out, "n bigint, sv double")
+        return local_result(spark, out, "n bigint, sv double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1661,7 +1661,7 @@ def sidecar_routed_or_union(spark: SparkSession, sf: str) -> DataFrame:
         if bp["files_read"] >= bp["files_live"]:
             raise AssertionError(f"union pruning removed nothing: {bp}")
         out = [(rows[0]["n"], round(rows[0]["sv"], 2))]
-        return spark.createDataFrame(out, "n bigint, sv double")
+        return local_result(spark, out, "n bigint, sv double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1778,7 +1778,7 @@ def rollup_routed_join(spark: SparkSession, sf: str) -> DataFrame:
         # and the avg is one IEEE division of exact integers
         rows = [(r["name"], r["n_rows"], r["sv"], r["av"],
                  r["mnv"], r["mxv"]) for r in df.collect()]
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "name string, n_rows bigint, sv bigint, av double, "
                   "mnv bigint, mxv bigint")
     finally:
@@ -1858,7 +1858,7 @@ def trigram_routed_like(spark: SparkSession, sf: str) -> DataFrame:
             raise AssertionError(f"trigram probe did not engage: {bp}")
         if bp["files_read"] >= bp["files_live"]:
             raise AssertionError(f"trigram pruning removed nothing: {bp}")
-        return spark.createDataFrame(rows, "doc_id bigint, lang string")
+        return local_result(spark, rows, "doc_id bigint, lang string")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1937,7 +1937,7 @@ def sidecar_routed_or_like(spark: SparkSession, sf: str) -> DataFrame:
             raise AssertionError(f"or-like probes did not engage: {bp}")
         if bp["files_read"] >= bp["files_live"]:
             raise AssertionError(f"or-like pruning removed nothing: {bp}")
-        return spark.createDataFrame(rows, "doc_id bigint, lang string")
+        return local_result(spark, rows, "doc_id bigint, lang string")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2013,7 +2013,7 @@ def zone_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
         if bp["files_read"] >= bp["files_live"]:
             raise AssertionError(f"2-D pruning removed nothing: {bp}")
         out = [(rows[0]["n"], rows[0]["sv"])]
-        return spark.createDataFrame(out, "n bigint, sv bigint")
+        return local_result(spark, out, "n bigint, sv bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2121,7 +2121,7 @@ def streaming_sidecar_maintain_replay(spark: SparkSession,
                      tdf.filter(F.col("body").like("%marker-422#%"))
                      .select("doc_id").collect()]
         out_rows.sort(key=lambda t: (t[1], t[0]))
-        return spark.createDataFrame(out_rows, "doc_id bigint, path string")
+        return local_result(spark, out_rows, "doc_id bigint, path string")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2192,7 +2192,7 @@ def rollup_routed_or_in(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "source string, n_docs bigint, total_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2253,7 +2253,7 @@ def rollup_routed_mixed_or(spark: SparkSession, sf: str) -> DataFrame:
         if f"{os.sep}dbs{os.sep}" in plan:
             raise AssertionError("routed plan still scans the raw table")
         rows = df.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_docs bigint, total_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2289,7 +2289,7 @@ def sql_routed_entrypoint(spark: SparkSession, sf: str) -> DataFrame:
         if hs._SQL_APIS[(spark, data, False)] is not api:
             raise AssertionError("sql() rebuilt its API between calls")
         rows = df2.collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "lang string, n_docs bigint, total_chars bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)

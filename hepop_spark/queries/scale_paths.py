@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from ..operators.multimodal import audio_pcm_windows, decode_image_features, frame_sample
 from ..operators.similarity import ivf_topk, lsh_topk, pq_topk, sq8_topk
 from . import QuerySpec
@@ -899,7 +899,7 @@ def zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(rows, "user_id bigint, n bigint, sum_v double")
+        return local_result(spark, rows, "user_id bigint, n bigint, sum_v double")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -965,7 +965,7 @@ def compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "event_type string, n bigint, sum_v double, n_hours bigint"
         )
     finally:
@@ -1018,7 +1018,7 @@ def snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(rows, "event_type string, n bigint, sum_v double")
+        return local_result(spark, rows, "event_type string, n bigint, sum_v double")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -1061,7 +1061,7 @@ def bucketed_join_zero_exchange(spark: SparkSession, sf: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "o_orderpriority string, n bigint, sum_rev double"
         )
     finally:

@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from . import QuerySpec
 
 _AGG_ORACLE = """
@@ -59,7 +59,7 @@ def source_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             "event_id bigint, event_type string, value double"
         ).option("header", True).csv(path)
         rows = _agg(back).collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "event_type string, n bigint, sum_v double"
         )
     finally:
@@ -77,7 +77,7 @@ def source_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             "event_id bigint, event_type string, value double"
         ).json(path)
         rows = _agg(back).collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "event_type string, n bigint, sum_v double"
         )
     finally:
@@ -96,7 +96,7 @@ def source_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         _slice(spark, sf).write.mode("overwrite").orc(path)
         back = spark.read.orc(path)
         rows = _agg(back).collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "event_type string, n bigint, sum_v double"
         )
     finally:
@@ -200,7 +200,7 @@ def lp_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "event_type string, n bigint, sum_v double, n_v2 bigint, sum_v2 double"
         )
     finally:
@@ -251,7 +251,7 @@ def source_partitioned_prune(spark: SparkSession, sf: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(rows, "event_date string, n bigint, sum_v double")
+        return local_result(spark, rows, "event_date string, n bigint, sum_v double")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -402,7 +402,7 @@ def bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_id")
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows,
             "event_id bigint, call_id string, event_type string, value double",
         )
@@ -464,7 +464,7 @@ def retention_expiry(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("d")
             .collect()
         )
-        return spark.createDataFrame(rows, "d string, n bigint, sum_v double")
+        return local_result(spark, rows, "d string, n bigint, sum_v double")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -24,7 +24,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from . import QuerySpec
 from .reference_surface import TS_FMT_DUCK, fmt_ts
 
@@ -66,7 +66,7 @@ def _replay(spark: SparkSession, sf: str, transform, out_schema: str,
         if post is not None:
             result = post(result)
         rows = result.collect()
-        return spark.createDataFrame(rows, out_schema)
+        return local_result(spark, rows, out_schema)
     finally:
         spark.catalog.dropTempView(table) if table in [
             t.name for t in spark.catalog.listTables()
@@ -210,7 +210,7 @@ def streaming_dedup_replay(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination(120)
         rows = spark.table(table).collect()
-        return spark.createDataFrame(rows, "h string, payload string, n_dups bigint")
+        return local_result(spark, rows, "h string, payload string, n_dups bigint")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -264,7 +264,7 @@ def exactly_once_replay(spark: SparkSession, sf: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(rows, "event_type string, n bigint, sum_v double")
+        return local_result(spark, rows, "event_type string, n bigint, sum_v double")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -347,7 +347,7 @@ def streaming_late_drop_replay(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination(120)
         rows = spark.table(table).collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows, "win_start string, event_type string, n bigint, sum_value double"
         )
     finally:
@@ -423,7 +423,7 @@ def streaming_join_replay(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination(120)
         rows = spark.table(table).collect()
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows,
             "h string, click_ts string, click_id string, "
             "purchase_ts string, purchase_id string",
@@ -482,7 +482,7 @@ def streaming_enrich_replay(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination(120)
         rows = spark.table(table).collect()
-        return spark.createDataFrame(rows, "segment string, n bigint, sum_v double")
+        return local_result(spark, rows, "segment string, n bigint, sum_v double")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -551,7 +551,7 @@ def streaming_wm_dedup_replay(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination(120)
         rows = spark.table(table).collect()
-        return spark.createDataFrame(rows, "h string, payload string")
+        return local_result(spark, rows, "h string, payload string")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -636,7 +636,7 @@ def streaming_counter_rate_replay(spark: SparkSession, sf: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_result(spark, 
             rows,
             "user_id long, total_increase double, n_resets long, n_samples long",
         )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import local_result, load_table
 from . import QuerySpec
 from .reference_surface import TS_FMT_DUCK, fmt_ts
 
@@ -343,7 +343,7 @@ def rollup_hourly(spark: SparkSession, sf: str) -> DataFrame:
     # so pin the result (small: hours x types) and drop the files
     rows = out.collect()
     shutil.rmtree(rdir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_result(spark, rows, out.schema)
 
 
 ROLLUP_HOURLY_SQL = """

@@ -51,6 +51,7 @@ import hashlib
 import json
 import os
 
+from ..catalog import local_result
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -201,7 +202,7 @@ def _or_aggregate_bitmaps(spark: SparkSession, hashed: DataFrame,
     dominant cost of the whole build.)"""
     if not sizes:
         return {}
-    mdf = spark.createDataFrame(
+    mdf = local_result(spark, 
         [(os.path.abspath(os.path.join(base_path, f)), m, L)
          for f, (m, L) in sizes.items()],
         "f string, m long, L long")

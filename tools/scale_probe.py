@@ -105,6 +105,23 @@ def main() -> int:
             if os.path.exists(src):
                 spark.read.parquet(src).write.parquet(f"{big}/{t}.parquet")
 
+        # r13 (r12 verdict item 9): the adaptive scan spread must be a
+        # NO-OP on the probe's multi-file replicated inputs — the design
+        # claim at catalog._maybe_spread ("directory tables split
+        # naturally"). Assert the plan shape at every spread-keyed table
+        # before running the probes: a REPARTITION node here would mean
+        # the spread fired on data that already splits.
+        from hepop_spark.catalog import _SPREAD_KEYS, load_table
+
+        for _name in sorted(_SPREAD_KEYS):
+            _df = load_table(spark, big, _name, spread=True)
+            _plan = _df._jdf.queryExecution().optimizedPlan().toString()
+            assert "RepartitionByExpression" not in _plan, (
+                f"spread fired on multi-file probe input {_name}: "
+                f"{_plan[:300]}")
+        print(json.dumps({"spread_noop_asserted": sorted(_SPREAD_KEYS)}),
+              file=sys.stderr)
+
         from hepop_spark.queries import registry
 
         reg = registry()
