@@ -58,24 +58,53 @@ def z_value(cells: list[Column], bits: int = BITS) -> Column:
     return z
 
 
+def _cell_sql(c: str, lo, hi, bits: int) -> str:
+    """The _normalize expression as ONE SQL string (r13, the vecexpr
+    pattern: the Column spelling of the unrolled interleave cost ~0.45 s
+    of py4j round-trips per write). The [lo, hi] bounds are known driver
+    literals here, so the degenerate-range branch folds at build time —
+    exactly what when(span > 0, ...).otherwise(0) evaluates to with a
+    literal span — and the doubles embed as CAST('<repr>' AS DOUBLE)
+    (shortest-round-trip repr parses bit-identically to F.lit)."""
+    if lo is None or hi is None or not (hi - lo > 0):
+        return "CAST(0 AS BIGINT)"
+    span = hi - lo
+    return (f"CAST(floor((CAST(`{c}` AS DOUBLE) - CAST('{lo!r}' AS DOUBLE))"
+            f" / CAST('{span!r}' AS DOUBLE) * {(1 << bits) - 1}) AS BIGINT)")
+
+
 def with_zvalue(df: DataFrame, cols: list[str], bits: int = BITS,
                 out_col: str = "_z") -> DataFrame:
     """Add the Morton code over ``cols`` (numeric), normalizing each by its
-    observed min/max (one aggregation job, k min + k max — tiny result)."""
+    observed min/max (one aggregation job, k min + k max — tiny result).
+
+    The cell coordinates are materialized as named columns in one
+    projection and the interleave is parsed from one SQL string over
+    those attributes — identical arithmetic to z_value() (pinned by
+    tests/test_zorder.py's Python-reference Morton check), built in two
+    py4j calls instead of ~160."""
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
     ).first()
-    cells = [
-        _normalize(
-            F.col(c),
-            F.lit(bounds[f"lo_{c}"]),
-            F.lit(bounds[f"hi_{c}"]),
-            bits,
-        )
-        for c in cols
-    ]
-    return df.withColumn(out_col, z_value(cells, bits))
+    k = len(cols)
+    zc = [f"_zc{d}" for d in range(k)]
+    proj = df.select(
+        "*",
+        *[
+            F.expr(_cell_sql(c, bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits))
+            .alias(zc[d])
+            for d, c in enumerate(cols)
+        ],
+    )
+    terms = " | ".join(
+        f"shiftleft(shiftright({zc[d]}, {i}) & 1, {i * k + d})"
+        for i in range(bits)
+        for d in range(k)
+    )
+    return proj.withColumn(
+        out_col, F.expr(f"CAST(0 AS BIGINT) | {terms}")
+    ).drop(*zc)
 
 
 def zorder_write(df: DataFrame, path: str, cols: list[str],
