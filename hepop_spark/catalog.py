@@ -150,6 +150,42 @@ def _max_partition_bytes(spark: SparkSession) -> int:
     return int(digits or "134217728") * mult
 
 
+def _spread_input_splits(spark: SparkSession, path: str,
+                         cores: int) -> tuple[int, int]:
+    """(estimated scan splits, total bytes seen) for a table path —
+    file or directory. Directories are walked with an EARLY EXIT once
+    either the file count or the accumulated bytes already guarantee
+    >= cores scan splits, so the listing cost is O(cores) entries at
+    scale, not O(files). r13: the old heuristic read os.path.getsize on
+    a DIRECTORY (the inode size, a few KB) and concluded every directory
+    table "splits naturally" — false for the single-large-part-file
+    layout a 1-task writer produces (the 20x probe's replicated tables),
+    which then ran the whole signing chain on ONE task."""
+    mpb = _max_partition_bytes(spark)
+    if not os.path.isdir(path):
+        size = os.path.getsize(path)
+        return max(1, -(-size // mpb)), size
+    # Spark packs files into splits charging openCostInBytes per file
+    # (default 4 MB), so estimate splits the way the scan planner does
+    open_cost = 4 * 1024 * 1024
+    charged = 0
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            try:
+                sz = os.path.getsize(os.path.join(root, f))
+            except OSError:
+                continue
+            total += sz
+            charged += sz + open_cost
+            if charged >= cores * mpb:
+                return cores, total
+    return max(1, -(-charged // mpb)), total
+
+
 def _maybe_spread(spark: SparkSession, df: DataFrame, name: str,
                   path: str) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":
@@ -157,14 +193,13 @@ def _maybe_spread(spark: SparkSession, df: DataFrame, name: str,
     key = _SPREAD_KEYS.get(name)
     if key is None:
         return df
+    cores = spark.sparkContext.defaultParallelism
     try:
-        size = os.path.getsize(path)
+        est_splits, size = _spread_input_splits(spark, path, cores)
     except OSError:
-        return df  # directory tables split naturally
+        return df
     if size < _SPREAD_MIN_BYTES:
         return df
-    cores = spark.sparkContext.defaultParallelism
-    est_splits = max(1, -(-size // _max_partition_bytes(spark)))
     if est_splits >= cores:
         return df
     return df.repartition(cores, F.col(key))

@@ -105,21 +105,37 @@ def main() -> int:
             if os.path.exists(src):
                 spark.read.parquet(src).write.parquet(f"{big}/{t}.parquet")
 
-        # r13 (r12 verdict item 9): the adaptive scan spread must be a
-        # NO-OP on the probe's multi-file replicated inputs — the design
-        # claim at catalog._maybe_spread ("directory tables split
-        # naturally"). Assert the plan shape at every spread-keyed table
-        # before running the probes: a REPARTITION node here would mean
-        # the spread fired on data that already splits.
-        from hepop_spark.catalog import _SPREAD_KEYS, load_table
+        # r13 (r12 verdict item 9): assert the adaptive spread's CONTRACT
+        # at every spread-keyed table on the probe's replicated inputs —
+        # it fires exactly when the input cannot reach the session's
+        # parallelism at its own split size, and is a no-op otherwise.
+        # (The r12 claim "the probe inputs are multi-file and the spread
+        # does not fire" was wrong twice over: the probe's 1-task writer
+        # produces ONE part file per table, and the old dir-size gate
+        # read the directory INODE size — so the spread never fired and
+        # the signing chains ran single-task at 20x. catalog now
+        # estimates real directory bytes with an early exit.)
+        from hepop_spark.catalog import (
+            _SPREAD_KEYS,
+            _spread_input_splits,
+            load_table,
+            table_path,
+        )
 
+        _cores = spark.sparkContext.defaultParallelism
+        _spread_state = {}
         for _name in sorted(_SPREAD_KEYS):
             _df = load_table(spark, big, _name, spread=True)
             _plan = _df._jdf.queryExecution().optimizedPlan().toString()
-            assert "RepartitionByExpression" not in _plan, (
-                f"spread fired on multi-file probe input {_name}: "
-                f"{_plan[:300]}")
-        print(json.dumps({"spread_noop_asserted": sorted(_SPREAD_KEYS)}),
+            _fired = "RepartitionByExpression" in _plan
+            _est, _bytes = _spread_input_splits(
+                spark, table_path(big, _name), _cores)
+            assert _fired == (_est < _cores), (
+                f"spread contract broken for {_name}: fired={_fired}, "
+                f"est_splits={_est}, cores={_cores}")
+            _spread_state[_name] = {"fired": _fired, "est_splits": _est,
+                                    "bytes": _bytes}
+        print(json.dumps({"spread_contract_asserted": _spread_state}),
               file=sys.stderr)
 
         from hepop_spark.queries import registry
