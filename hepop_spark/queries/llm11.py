@@ -195,10 +195,15 @@ def dedup_incremental_indexed(spark: SparkSession, sf: str) -> DataFrame:
     candidate-bounded. Nothing rescans the signed corpus' text."""
     from ..operators.minhash_index import minhash_bands
 
-    # NOT spread (r12): measured — the batch is ~1/10 of the corpus, so the
-    # per-branch signing work is small and the extra exchanges cost more
-    # than the 2-task serialization they remove (5.0 -> 5.7 s same-window)
-    docs = load_table(spark, sf, "documents")
+    # spread=True (r13 — REVERSES the r12 measured-negative, which was
+    # measured against the OLD shape): signing and verification sets are
+    # now per-row folds computed in the scan projection, so an unspread
+    # 1-task input serializes them where the old explode+aggregate shape
+    # redistributed the work through its exchanges. A/B with the per-row
+    # shape: sf0.1 parity-to-better, 20x probe 45.4 -> (re-measured
+    # below) — the probe's single-part-file corpus is exactly the
+    # under-split case the spread exists for.
+    docs = load_table(spark, sf, "documents", spread=True)
     # r12 second pass: the batch (nightly slice + planted leaks re-keyed
     # from the index side, same seeding as the from-scratch twin so the
     # oracle covers both) was a 2-branch union scanning the unsplittable
